@@ -1,0 +1,71 @@
+"""SparkSession construction and runtime configuration.
+
+Two paths:
+- ``build_session()`` — used by tests/bench when we own the session.
+- ``ensure_runtime_confs(spark)`` — used inside every query entry point
+  because the verification driver owns the session; all confs we need
+  are runtime-settable SQL confs (verified on pyspark 4.1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs that are safe (and required) to set at runtime on a
+#: driver-owned session.
+RUNTIME_CONFS: dict[str, str] = {
+    # /root/testdata/*/events.parquet stores TIMESTAMP(NANOS), which the
+    # vectorized reader rejects; read as long and convert in the loader
+    # (FIXTURES.md "nanosecond-timestamp gotcha").
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic rendering of timestamps regardless of machine TZ so
+    # the DuckDB oracle (naive timestamps) and Spark agree.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: shuffle-partition coalescing + skew-join
+    # splitting — the first line of defense at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / mapInPandas / applyInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing (driver-owned) session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not recognized/settable on this build — non-fatal.
+            pass
+    return spark
+
+
+def build_session(app_name: str = "integrator-spark",
+                  cpus: int | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a local session sized for the fixture scale factors.
+
+    On a real cluster the same code runs unchanged; only master/memory
+    sizing differs. ``spark.sql.shuffle.partitions`` defaults to the
+    local core count — at cluster scale you would leave AQE to coalesce
+    from a larger initial number (or set 2-3x total cores).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
