@@ -3,4 +3,12 @@
 One module per operator family from SURVEY.md §2.
 """
 
-from . import tpch  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    events,
+    relational,
+    scalars,
+    sources,
+    tpch,
+    windows,
+)

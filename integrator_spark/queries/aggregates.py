@@ -1,0 +1,157 @@
+"""Aggregation operators (SURVEY.md §2.4): global/grouped/distinct,
+grouping sets (rollup/cube), statistical aggregates, percentiles,
+collect, approximate distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.num import davg, dsum, sql_davg, sql_dsum
+from ..io import load_table
+from ..registry import register
+
+
+@register("agg_global", oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+       strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+FROM lineitem
+""", tags=("agg",))
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregation — partial aggregation collapses to one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+    )
+
+
+@register("agg_distinct", oracle=f"""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders,
+       {sql_davg('o_totalprice')} AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+""", tags=("agg",))
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count alongside plain aggregates (expand + 2-phase)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 davg("o_totalprice").alias("avg_price")))
+
+
+@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (rows-only: sketch estimates are
+    engine-specific, so no cross-engine oracle — SURVEY.md §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+                 F.countDistinct("l_orderkey").alias("exact_orders")))
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register("rollup_revenue", oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n_items,
+       {sql_dsum(_REV)} AS revenue
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""", tags=("agg", "groupingsets"))
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals + grand total with grouping id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_items"),
+                 dsum(rev).alias("revenue")))
+
+
+@register("cube_revenue", oracle=f"""
+SELECT c_mktsegment, o_orderstatus,
+       GROUPING(c_mktsegment, o_orderstatus) AS gid,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY CUBE(c_mktsegment, o_orderstatus)
+""", tags=("agg", "groupingsets"))
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all key-subset aggregations over a join result."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .cube("c_mktsegment", "o_orderstatus")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice").alias("total")))
+
+
+@register("agg_stats", oracle="""
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       ROUND(var_samp(l_quantity), 6) AS var_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+""", tags=("agg", "stats"))
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (rounded: engines use different but
+    numerically-stable accumulation orders; magnitudes here are small so
+    ROUND(6) is far above the FP noise floor)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+                 F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+                 F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc")))
+
+
+@register("agg_percentile", oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS p25,
+       ROUND(median(CAST(o_totalprice AS DOUBLE)), 4) AS p50,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS p75,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.90), 4) AS p90
+FROM orders
+GROUP BY o_orderpriority
+""", tags=("agg", "percentile"))
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median (both engines implement
+    the same linear-interpolation definition)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+                 F.round(F.median("o_totalprice"), 4).alias("p50"),
+                 F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
+                 F.round(F.percentile("o_totalprice", 0.90), 4).alias("p90")))
+
+
+@register("agg_collect", oracle="""
+SELECT lang,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+""", tags=("agg", "collect"))
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted → joined string (explicit sort makes the
+    inherently unordered collect deterministic for comparison)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias("sources"),
+                 F.count(F.lit(1)).alias("n_docs")))

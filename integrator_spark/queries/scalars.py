@@ -1,0 +1,215 @@
+"""Scalar function families (SURVEY.md §2.8): string, date/time, math,
+array (incl. higher-order functions), map, JSON + casts.
+
+All expressions stay JVM-side inside whole-stage codegen — no Python
+UDFs. Integer-typed derivations are cast to BIGINT on both engines so
+output schemas line up (DuckDB's length/year/ceil return BIGINT/DOUBLE
+where Spark returns INT/LONG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.num import davg, sql_davg
+from ..io import load_table
+from ..registry import register
+
+
+@register("str_funcs", oracle="""
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       upper(p_brand) AS brand_upper,
+       substring(p_type, 1, 4) AS type_prefix,
+       p_name || ':' || p_brand AS name_brand,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       trim('  ' || p_name || ' ') AS name_trim,
+       regexp_extract(p_name, '(\\w+)$', 1) AS last_word,
+       regexp_replace(p_name, 'a', '@', 'g') AS name_at,
+       string_split(p_name, ' ')[1] AS first_word,
+       p_type LIKE '%ECO%' AS is_eco
+FROM part
+""", tags=("scalar", "string"))
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, concat, length, trim, regexp
+    extract/replace (global), split, LIKE."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.concat(F.col("p_name"), F.lit(":"), F.col("p_brand")).alias("name_brand"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "a", "@").alias("name_at"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.col("p_type").like("%ECO%").alias("is_eco"),
+    )
+
+
+@register("date_funcs", oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(day(o_orderdate) AS BIGINT) AS dy,
+       CAST(date_part('dow', o_orderdate) + 1 AS BIGINT) AS dow,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+         AS days_since_95,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+       strftime(make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                               CAST(month(o_orderdate) AS BIGINT),
+                               1, 0, 0, 0.0), '%Y-%m-%d %H:%M:%S') AS mk_ts
+FROM orders
+WHERE o_orderkey % 20 = 0
+""", tags=("scalar", "datetime"))
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: component extraction, dow (normalized to Spark's
+    1=Sunday convention), datediff, interval add, trunc, epoch,
+    make_timestamp — on a deterministic modulo sample."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.datediff("o_orderdate", F.to_timestamp(F.lit("1995-01-01")))
+         .cast("long").alias("days_since_95"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd")
+         .alias("plus30"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+         .alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format(
+            F.make_timestamp(F.year("o_orderdate"), F.month("o_orderdate"),
+                             F.lit(1), F.lit(0), F.lit(0), F.lit(0)),
+            "yyyy-MM-dd HH:mm:ss").alias("mk_ts"),
+    )
+
+
+@register("math_funcs", oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS price_r1,
+       abs(l_discount - 0.05) AS disc_dev,
+       sqrt(l_quantity) AS qty_sqrt,
+       round(ln(l_extendedprice), 8) AS price_ln,
+       round(log10(l_extendedprice), 8) AS price_l10,
+       pow(l_quantity, 2) AS qty_sq,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
+       l_linenumber % 3 AS ln_mod3
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+""", tags=("scalar", "math"))
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family on a deterministic sample — all IEEE-exact ops on
+    identical input doubles, so no rounding is needed except the
+    explicit round() under test."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        # ln/log10 are not correctly-rounded and differ by 1 ULP between
+        # JVM and libm on some inputs — round() puts the noise floor far
+        # below the comparison grid (sqrt/pow stay exact per IEEE).
+        F.round(F.log("l_extendedprice"), 8).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 8).alias("price_l10"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
+        (F.col("l_linenumber") % 3).alias("ln_mod3"),
+    )
+
+
+@register("array_funcs", oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(list_aggregate(list_transform(embedding[1:3],
+                                           y -> CAST(y AS DOUBLE)), 'sum'), 5)
+         AS first3_sum,
+       CAST(list_aggregate(embedding[1:8], 'max') AS DOUBLE) AS max8,
+       CAST(len(list_filter(embedding, y -> y > 0)) AS BIGINT) AS n_pos,
+       round(list_aggregate(list_transform(embedding,
+                                           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                            'sum'), 5) AS norm_sq,
+       CAST(len(flatten([embedding[1:2], embedding[3:4]])) AS BIGINT) AS flat4,
+       CAST(list_sort(embedding[1:5])[1] AS DOUBLE) AS min5
+FROM embeddings
+""", tags=("scalar", "array"))
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order functions: size, slice, transform,
+    filter, aggregate (fold), flatten, sort_array, array_max.
+
+    Float32 elements are widened to float64 *before* arithmetic on both
+    engines, making the sequential folds bit-identical.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    to_d = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.aggregate(F.transform(F.slice("embedding", 1, 3), to_d),
+                            F.lit(0.0), lambda a, x: a + x), 5).alias("first3_sum"),
+        F.array_max(F.slice("embedding", 1, 8)).cast("double").alias("max8"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.aggregate(F.transform("embedding", lambda x: to_d(x) * to_d(x)),
+                            F.lit(0.0), lambda a, x: a + x), 5).alias("norm_sq"),
+        F.size(F.flatten(F.array(F.slice("embedding", 1, 2),
+                                 F.slice("embedding", 3, 2)))).cast("long").alias("flat4"),
+        F.sort_array(F.slice("embedding", 1, 5)).getItem(0).cast("double").alias("min5"),
+    )
+
+
+@register("map_ops", oracle="""
+SELECT event_id,
+       map(['k', 'val'], [CAST(json_extract_string(props, '$.k') AS DOUBLE),
+                          value])['k'][1] AS k_val,
+       array_to_string(map_keys(map(['k', 'val'], [0.0, 1.0])), ',') AS key_list,
+       map(['k', 'val'], [CAST(json_extract_string(props, '$.k') AS DOUBLE),
+                          value])['val'][1] AS v_val
+FROM events
+WHERE event_id % 10 = 0
+""", tags=("scalar", "map"))
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: construction, element_at lookup, map_keys."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k").cast("double"),
+        F.lit("val"), F.col("value"),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.concat_ws(",", F.map_keys(F.create_map(
+            F.lit("k"), F.lit(0.0), F.lit("val"), F.lit(1.0)))).alias("key_list"),
+        F.element_at(m, "val").alias("v_val"),
+    )
+
+
+@register("events_json", oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_davg("CAST(json_extract_string(props, '$.k') AS DOUBLE)")} AS avg_k,
+       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt50
+FROM events
+GROUP BY event_type
+""", tags=("scalar", "json"))
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (get_json_object + typed from_json) and casts."""
+    e = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    k_typed = F.from_json("props", "k INT").getField("k")
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 davg(k_str.cast("double")).alias("avg_k"),
+                 F.sum(F.when(k_typed > 50, 1).otherwise(0)).alias("n_k_gt50")))

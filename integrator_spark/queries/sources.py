@@ -1,0 +1,106 @@
+"""Sources & sinks beyond Parquet (SURVEY.md §2.1): CSV scan, JSON scan,
+parquet sink, partitioned sink.
+
+Each query round-trips fixture data through the format under test and
+aggregates the re-read result; the oracle computes the same aggregate
+straight from the parquet views — equality proves the scan/sink is
+lossless. Derived files live under ``_derived/<sf>/`` (git-ignored,
+deterministic, rewritten per run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.num import dsum, sql_dsum
+from ..io import derived_dir, load_table
+from ..registry import register
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+_DOCS_AGG_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_len
+FROM documents
+GROUP BY lang
+"""
+
+
+def _docs_agg(df: DataFrame) -> DataFrame:
+    return (df.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum(F.length("text").cast("long")).alias("sum_len")))
+
+
+@register("scan_csv", oracle=_DOCS_AGG_ORACLE, tags=("source", "csv"))
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with explicit schema: export documents → CSV (quoted,
+    headered), re-read, aggregate. Matching the parquet-side oracle
+    proves the delimited round-trip is lossless."""
+    path = derived_dir(sf_dir, "documents_csv")
+    (load_table(spark, sf_dir, "documents")
+     .write.mode("overwrite").option("header", True).csv(path))
+    df = spark.read.schema(DOCS_SCHEMA).option("header", True).csv(path)
+    return _docs_agg(df)
+
+
+@register("scan_json", oracle=_DOCS_AGG_ORACLE, tags=("source", "json"))
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited JSON ingest with explicit schema (same
+    round-trip discipline as scan_csv)."""
+    path = derived_dir(sf_dir, "documents_json")
+    (load_table(spark, sf_dir, "documents")
+     .write.mode("overwrite").json(path))
+    df = spark.read.schema(DOCS_SCHEMA).json(path)
+    return _docs_agg(df)
+
+
+@register("sink_parquet", oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem
+WHERE l_returnflag = 'A'
+""", tags=("sink", "parquet"))
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink: write a filtered projection, re-read, aggregate —
+    byte-exact round-trip of doubles and timestamps."""
+    path = derived_dir(sf_dir, "lineitem_a_parquet")
+    (load_table(spark, sf_dir, "lineitem")
+     .filter(F.col("l_returnflag") == "A")
+     .write.mode("overwrite").parquet(path))
+    df = spark.read.parquet(path)
+    return df.agg(F.count(F.lit(1)).alias("n_rows"),
+                  dsum("l_quantity").alias("sum_qty"),
+                  dsum("l_extendedprice").alias("sum_price"))
+
+
+@register("sink_partitioned", oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY o_orderstatus
+""", tags=("sink", "parquet", "partitioned"))
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink (partitionBy the status column) +
+    partition-pruning-friendly re-read. At 100 TB this layout is what
+    makes status/date-sliced queries skip irrelevant files entirely."""
+    path = derived_dir(sf_dir, "orders_by_status")
+    (load_table(spark, sf_dir, "orders")
+     .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path))
+    df = spark.read.parquet(path)
+    return (df.groupBy(F.col("o_orderstatus").cast("string").alias("o_orderstatus"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice").alias("total")))

@@ -1,0 +1,98 @@
+"""Window functions (SURVEY.md §2.5): ranking/top-k per group, analytic
+lag/lead, frame aggregates (running + moving).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.num import DEC
+from ..io import load_table
+from ..registry import register
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@register("window_topn", oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn, rk, drk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER w AS rn,
+         rank()       OVER w AS rk,
+         dense_rank() OVER w AS drk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 20
+""", tags=("window",))
+def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 orders per priority with row_number/rank/dense_rank.
+
+    The orderkey tie-break makes row_number deterministic; rank and
+    dense_rank are exercised on the same window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.select("o_orderpriority", "o_orderkey", "o_totalprice",
+                     F.row_number().over(w).alias("rn"),
+                     F.rank().over(w).alias("rk"),
+                     F.dense_rank().over(w).alias("drk"))
+            .filter(F.col("rn") <= 20))
+
+
+@register("window_lag", oracle=f"""
+SELECT event_id, user_id, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       first_value(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS first_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""", tags=("window",))
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead/first over a per-user event timeline."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(wf).alias("first_val"),
+    )
+
+
+@register("window_running", oracle=f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w_run AS DOUBLE)
+         AS running_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w_mov AS DOUBLE)
+         / COUNT(*) OVER w_mov AS moving_avg3
+FROM orders
+WINDOW
+  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""", tags=("window", "frame"))
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregates: running total + 3-row moving average per customer
+    (decimal-exact sums keep the frames bit-deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_run = (Window.partitionBy("o_custkey").orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_mov = (Window.partitionBy("o_custkey").orderBy(*order)
+             .rowsBetween(-2, Window.currentRow))
+    dec_price = F.col("o_totalprice").cast(DEC)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(dec_price).over(w_run).cast("double").alias("running_total"),
+        (F.sum(dec_price).over(w_mov).cast("double")
+         / F.count(F.lit(1)).over(w_mov)).alias("moving_avg3"),
+    )
