@@ -1,0 +1,144 @@
+"""Near-duplicate detection operators (SURVEY.md §2.10).
+
+Three escalating strategies, all avoiding the O(n²) all-pairs compare:
+
+- ``ngram_jaccard_pairs`` — exact Jaccard over word-shingle sets,
+  candidate generation by shingle-equality join (only docs sharing at
+  least one shingle are ever compared). Pure DataFrame; oracle-checkable.
+- ``minhash_lsh_pairs`` — MinHash + banded LSH via spark.ml
+  (HashingTF → MinHashLSH → approxSimilarityJoin). Approximate
+  candidate recall, sub-quadratic; seeded for determinism.
+- ``simhash_pairs`` — 64-bit SimHash sketches (Arrow-batched pandas
+  UDF over md5 word hashes) + banded self-join on 16-bit chunks +
+  exact Hamming filter via bit_count.
+
+Scale posture: every strategy is a shuffle-on-candidate-key join, so
+cost tracks the number of *colliding* pairs, not n². Hot shingles /
+bands (stop-phrases) are the skew risk — AQE skew-join handles
+moderate cases; drop top-frequency shingles for pathological corpora.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
+                        threshold: float = 0.8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact word-k-gram Jaccard similarity for all candidate pairs."""
+    sh = (docs.select(F.col(id_col).alias("doc_id"),
+                      word_shingles(F.col(text_col), k).alias("_sh"))
+          .select("doc_id", F.explode("_sh").alias("shingle")))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    ca = counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_inter")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+    return (inter.join(ca, "d1").join(cb, "d2")
+            .select("d1", "d2", F.round(jac, 6).alias("jaccard"),
+                    "n_inter", "n_a", "n_b")
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 3, jaccard_dist: float = 0.5,
+                      num_tables: int = 8, seed: int = 42,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """MinHash-LSH approximate near-dup pairs (spark.ml pipeline)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = docs.select(F.col(id_col).alias("doc_id"),
+                           word_shingles(F.col(text_col), k).alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18, binary=True)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_tables, seed=seed)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, jaccard_dist,
+                                       distCol="jaccard_dist")
+    return (pairs
+            .select(F.col("datasetA.doc_id").alias("d1"),
+                    F.col("datasetB.doc_id").alias("d2"),
+                    F.round(F.lit(1.0) - F.col("jaccard_dist"), 6)
+                     .alias("est_jaccard"))
+            .filter(F.col("d1") < F.col("d2")))
+
+
+_SIMHASH_BITS = 64
+_BAND_BITS = 16
+_N_BANDS = _SIMHASH_BITS // _BAND_BITS
+
+
+def _simhash64(text: str) -> int:
+    """Deterministic 64-bit SimHash over whitespace tokens (md5-based
+    word hashes — stable across processes, unlike Python's hash())."""
+    acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    for word in text.split(" "):
+        h = np.uint64(int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(_SIMHASH_BITS):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 63)  # two's-complement into signed int64
+
+
+def _simhash_series(texts: pd.Series) -> pd.Series:
+    return texts.map(_simhash64)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash near-dup pairs: banded candidate join + exact Hamming
+    distance filter (bit_count of xor, JVM-side)."""
+    # Created lazily: pandas_udf needs an active session to parse the DDL.
+    simhash_udf = F.pandas_udf(_simhash_series, "long")
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     simhash_udf(F.col(text_col)).alias("simhash"))
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("simhash", i * _BAND_BITS)
+                      .bitwiseAND(F.lit((1 << _BAND_BITS) - 1)).alias("val"))
+            for i in range(_N_BANDS)
+        ])).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.val")
+    left = bands.select(F.col("doc_id").alias("d1"),
+                        F.col("simhash").alias("h1"), "band", "val")
+    right = bands.select(F.col("doc_id").alias("d2"),
+                         F.col("simhash").alias("h2"), "band", "val")
+    cand = (left.join(right, ["band", "val"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2", "h1", "h2").distinct())
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (cand.select("d1", "d2", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def exact_dedup_keep_first(df: DataFrame, key_cols: list[str],
+                           order_cols: list[str]) -> DataFrame:
+    """Generic exact dedup: keep the first row per key under an explicit
+    deterministic ordering (the distributed DISTINCT ON)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))

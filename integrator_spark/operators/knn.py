@@ -1,0 +1,133 @@
+"""Exact k-nearest-neighbor (cosine) over an embedding column.
+
+Two physical strategies for the same logical operator (SURVEY.md §7 G2):
+
+1. ``knn_bruteforce`` — pure DataFrame: crossJoin + higher-order-
+   function cosine. Correct everywhere, O(n²) shuffle — the reference
+   plan for the oracle, and fine for small candidate sets.
+
+2. ``knn_blocked`` — Arrow-batched ``mapInPandas``: broadcast the
+   (normalized, float64) candidate matrix to every executor, then each
+   input batch does one numpy matmul against it. Same exact result,
+   but the O(n²) work runs as BLAS inside vectorized kernels with zero
+   shuffle (the only data movement is the broadcast).
+
+   100 TB posture: this broadcast-one-side pattern holds while the
+   candidate set fits in executor memory (~10⁶ × dim-64 ≈ 500 MB).
+   Beyond that, block BOTH sides: crossJoin the query blocks against
+   candidate block ids, matmul per (query-block × candidate-block)
+   pair, then a segmented top-k reduce per query id — or switch to the
+   approximate LSH/IVF path (see queries/vectors.py::vec_ann_lsh).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+KNN_SCHEMA = "vec_id long, neighbor_id long, cos_sim double"
+
+
+def _cosine_expr(a, b):
+    """Float64 cosine between two float-array columns (HOF, JVM-side)."""
+    to_d = lambda x: x.cast("double")  # noqa: E731
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: to_d(x) * to_d(y)),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    n1 = F.aggregate(F.transform(a, lambda x: to_d(x) * to_d(x)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    n2 = F.aggregate(F.transform(b, lambda x: to_d(x) * to_d(x)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(n1) * F.sqrt(n2))
+
+
+def knn_bruteforce(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 1) -> DataFrame:
+    """O(n²) crossJoin cosine top-k (deterministic tie-break on id)."""
+    a = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb"))
+    pairs = (a.crossJoin(b)
+             .filter(F.col("vec_id") != F.col("neighbor_id"))
+             .select("vec_id", "neighbor_id",
+                     _cosine_expr(F.col("_va"), F.col("_vb")).alias("_cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(),
+                                             F.col("neighbor_id"))
+    return (pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("vec_id", "neighbor_id", F.round("_cos", 6).alias("cos_sim")))
+
+
+def _collect_matrix(emb: DataFrame, id_col: str, vec_col: str):
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def knn_blocked(emb: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", k: int = 1) -> DataFrame:
+    """Exact top-k via broadcast matrix + per-batch numpy matmul."""
+    spark = emb.sparkSession
+    ids, mat = _collect_matrix(emb, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand_ids, cand = bc.value
+        # Stable order: ties in similarity resolve to the smallest id.
+        order = np.lexsort((cand_ids,))
+        cand_ids, cand = cand_ids[order], cand[order]
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy()
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ cand.T                             # [batch, n_cand]
+            self_mask = q_ids[:, None] == cand_ids[None, :]
+            sims[self_mask] = -np.inf
+            out_rows = []
+            for r in range(sims.shape[0]):
+                row = sims[r]
+                if k == 1:
+                    j = int(row.argmax())                 # first max = smallest id
+                    out_rows.append((int(q_ids[r]), int(cand_ids[j]),
+                                     round(float(row[j]), 6)))
+                else:
+                    top = np.argpartition(-row, k)[:k]
+                    top = top[np.lexsort((cand_ids[top], -row[top]))]
+                    out_rows.extend((int(q_ids[r]), int(cand_ids[j]),
+                                     round(float(row[j]), 6)) for j in top)
+            yield pd.DataFrame(out_rows,
+                               columns=["vec_id", "neighbor_id", "cos_sim"])
+
+    return emb.select(id_col, vec_col).mapInPandas(topk_batches, KNN_SCHEMA)
+
+
+def cosine_pairs_blocked(emb: DataFrame, threshold: float,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold — the embedding
+    near-duplicate detector, same broadcast-matmul plan as knn_blocked."""
+    spark = emb.sparkSession
+    ids, mat = _collect_matrix(emb, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def pair_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand_ids, cand = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy()
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ cand.T
+            keep = (sims >= threshold) & (q_ids[:, None] < cand_ids[None, :])
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame({
+                "id_a": q_ids[r].astype(np.int64),
+                "id_b": cand_ids[c].astype(np.int64),
+                "cos_sim": np.round(sims[r, c], 6),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        pair_batches, "id_a long, id_b long, cos_sim double")

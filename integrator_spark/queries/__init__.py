@@ -5,10 +5,14 @@ One module per operator family from SURVEY.md §2.
 
 from . import (  # noqa: F401
     aggregates,
+    dedup,
     events,
+    multimodal,
     relational,
     scalars,
     sources,
+    text,
     tpch,
+    vectors,
     windows,
 )

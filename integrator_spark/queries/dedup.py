@@ -1,0 +1,112 @@
+"""Deduplication operators (SURVEY.md §2.10): exact, n-gram Jaccard,
+MinHash-LSH, SimHash, embedding-cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.dedup import (
+    exact_dedup_keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.knn import cosine_pairs_blocked
+from ..registry import register
+
+
+@register("dedup_exact", oracle="""
+SELECT md5(text) AS content_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""", tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text), keep the lowest
+    doc_id as canonical (sf0.1 contains genuine duplicate texts)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5("text").alias("content_md5"))
+            .agg(F.min("doc_id").alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+@register("dedup_exact_rows", oracle="""
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""", tags=("dedup",))
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-level variant: the surviving (first-by-id) row per
+    distinct content — a distributed DISTINCT ON."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = exact_dedup_keep_first(d.withColumn("_h", F.md5("text")),
+                                  key_cols=["_h"], order_cols=["doc_id"])
+    return kept.select("doc_id", "lang", "source")
+
+
+@register("dedup_ngram", oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+       FROM words, unnest(range(1, len(w) - 1)) t(i)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2,
+       ROUND(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS jaccard,
+       n_inter,
+       ca.n AS n_a,
+       cb.n AS n_b
+FROM pairs
+JOIN cnt ca ON ca.doc_id = d1
+JOIN cnt cb ON cb.doc_id = d2
+WHERE n_inter * 1.0 / (ca.n + cb.n - n_inter) >= 0.8
+""", tags=("dedup", "neardup"))
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8) — candidate
+    generation by shingle-equality join, never all-pairs. The fixture
+    corpus contains planted ~0.98-Jaccard near-duplicates."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=3, threshold=0.8)
+
+
+@register("dedup_minhash", oracle=None, tags=("dedup", "neardup", "approx"))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (spark.ml, seeded). Rows-only:
+    banded-LSH recall is probabilistic, so there is no exact SQL
+    equivalent — the exact dedup_ngram covers correctness; this covers
+    the sub-quadratic scale path."""
+    d = load_table(spark, sf_dir, "documents")
+    return (minhash_lsh_pairs(d, k=3, jaccard_dist=0.5)
+            .orderBy("d1", "d2"))
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "neardup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup pairs with Hamming <= 6 via banded self-join
+    + bit_count. Rows-only: the sketch is engine-specific by design."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=6).orderBy("d1", "d2")
+
+
+@register("dedup_embedding", oracle="""
+SELECT a.vec_id AS id_a,
+       b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+""", tags=("dedup", "embedding"))
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.45) via the broadcast
+    blocked-matmul operator — exact results, no O(n²) shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_blocked(e, threshold=0.45)

@@ -1,0 +1,255 @@
+"""Text-analysis operators over the documents corpus (SURVEY.md §2.10):
+wordcount, per-language stats, token counting, tf-idf, language ID,
+quality scoring, fingerprinting, chunking.
+
+All pure column expressions (no Python in the hot path); the heuristic
+operators (language ID, quality score) are deliberately simple,
+deterministic formulas — at production scale you would swap the scoring
+expression for a model-backed pandas_udf without touching the
+surrounding plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.num import davg, sql_davg
+from ..functions.text import FP_MOD, STOPWORDS, rolling_fingerprint, tokens
+from ..io import load_table
+from ..registry import register
+
+
+@register("docs_wordcount", oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE length(word) > 3
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+""", tags=("text",))
+def docs_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic wordcount: split → explode → filter → count → top-20
+    (deterministic tie-break on the word)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(F.explode(tokens("text")).alias("word"))
+            .filter(F.length("word") > 3)
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("word"))
+            .limit(20))
+
+
+@register("docs_by_lang", oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       {sql_davg('n_chars')} AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+""", tags=("text",))
+def docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-sliced corpus stats."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 davg("n_chars").alias("avg_chars"),
+                 F.countDistinct("source").alias("n_sources")))
+
+
+@register("text_tokens", oracle=f"""
+SELECT lang,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+         AS total_re_tokens,
+       {sql_davg("len(string_split(text, ' '))")} AS avg_tokens_per_doc
+FROM documents
+GROUP BY lang
+""", tags=("text", "tokens"))
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a regex tokenizer
+    (the BPE-ish '[a-z0-9]+' word-piece pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokens("text")).cast("long")
+    re_t = F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).cast("long")
+    return (d.groupBy("lang")
+            .agg(F.sum(ws).alias("total_ws_tokens"),
+                 F.sum(re_t).alias("total_re_tokens"),
+                 davg(F.size(tokens("text"))).alias("avg_tokens_per_doc")))
+
+
+@register("text_tfidf", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tf)
+  GROUP BY word
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.word AS word,
+       CAST(df.df AS BIGINT) AS df,
+       CAST(SUM(tf.tf) AS BIGINT) AS total_tf,
+       ROUND(ln(n_docs * 1.0 / df.df), 8) AS idf,
+       ROUND(CAST(SUM(CAST(tf.tf * ln(n_docs * 1.0 / df.df) AS DECIMAL(38,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS avg_tfidf
+FROM tf, df, n
+WHERE tf.word = df.word
+GROUP BY tf.word, df.df, n_docs
+""", tags=("text", "tfidf"))
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL TF-IDF: term frequencies join document frequencies; the
+    vocabulary-level aggregate keeps output compact and deterministic.
+
+    (A spark.ml HashingTF+IDF pipeline computes the same weights for
+    model consumers; this relational formulation is the oracle-checkable
+    one and scales as two hash aggregations + one broadcast join.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 8)
+    tfidf_dec = (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))) \
+        .cast("decimal(38,6)")
+    return (tf.join(F.broadcast(df), "word")
+            .groupBy("word", "df")
+            .agg(F.sum("tf").alias("total_tf"),
+                 F.first(idf).alias("idf"),
+                 F.round(F.sum(tfidf_dec).cast("double") / F.count(F.lit(1)), 6)
+                  .alias("avg_tfidf"))
+            .select("word", F.col("df").cast("long").alias("df"),
+                    "total_tf", "idf", "avg_tfidf"))
+
+
+_LANG_CASE_DUCK = """
+CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+     WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
+     WHEN list_contains(string_split(text, ' '), 'le')  THEN 'fr'
+     WHEN list_contains(string_split(text, ' '), 'el')  THEN 'es'
+     WHEN list_contains(string_split(text, ' '), 'de')  THEN 'es'
+     ELSE 'und' END
+"""
+
+
+@register("text_lang_id", oracle=f"""
+SELECT lang, {_LANG_CASE_DUCK} AS predicted, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+""", tags=("text", "langid"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: function-word evidence → prediction,
+    cross-tabulated against the labeled lang column.
+
+    (The fixture corpus shares one vocabulary across langs, so this
+    mostly exercises the plumbing: a real n-gram profile or fastText
+    scorer slots in as a pandas_udf producing the same (doc → lang)
+    shape.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    predicted = (F.when(F.array_contains(w, "the"), "en")
+                 .when(F.array_contains(w, "der"), "de")
+                 .when(F.array_contains(w, "le"), "fr")
+                 .when(F.array_contains(w, "el"), "es")
+                 .when(F.array_contains(w, "de"), "es")
+                 .otherwise("und"))
+    return (d.select("lang", predicted.alias("predicted"))
+            .groupBy("lang", "predicted")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+_STOP_DUCK = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@register("text_quality", oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         w -> list_contains({_STOP_DUCK}, w))) AS n_stop,
+         length(text) AS n_ch
+  FROM documents
+), q AS (
+  SELECT lang,
+         0.4 * least(n_tokens / 50.0, 1.0)
+         + 0.3 * (1.0 - n_stop * 1.0 / n_tokens)
+         + 0.3 * least((n_ch * 1.0 / n_tokens) / 8.0, 1.0) AS quality
+  FROM scored
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_quality,
+       CAST(SUM(CASE WHEN quality > 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_quality
+FROM q GROUP BY lang
+""", tags=("text", "quality"))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + content-word ratio +
+    mean word length, aggregated per language — the standard cheap
+    pre-filter stage of an LLM data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    n_ch = F.length("text")
+    quality = (F.lit(0.4) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+               + F.lit(0.3) * (F.lit(1.0) - n_stop * F.lit(1.0) / n_tokens)
+               + F.lit(0.3) * F.least((n_ch * F.lit(1.0) / n_tokens) / F.lit(8.0),
+                                      F.lit(1.0)))
+    return (d.select("lang", quality.alias("quality"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum(F.col("quality").cast("decimal(38,6)"))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  .alias("avg_quality"),
+                 F.sum(F.when(F.col("quality") > 0.75, 1).otherwise(0))
+                  .alias("n_high_quality")))
+
+
+@register("text_fingerprint", oracle=f"""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       substring(md5(text), 1, 2) AS bucket,
+       list_reduce(
+         list_prepend(0, list_transform(string_split(text, ' '),
+             w -> CAST(ascii(substring(w, 1, 1)) * 7 + length(w) AS BIGINT))),
+         (a, x) -> (a * 31 + x) % {FP_MOD}) AS rolling_fp
+FROM documents
+""", tags=("text", "fingerprint"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: content md5 (exact-dup key), 2-hex-char
+    shard bucket, and an order-sensitive polynomial rolling hash —
+    all cross-engine reproducible."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.substring(F.md5("text"), 1, 2).alias("bucket"),
+        rolling_fingerprint("text").alias("rolling_fp"),
+    )
+
+
+@register("text_chunk", oracle="""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(w[(i * 20 + 1):(i * 20 + 20)], ' ') AS chunk,
+       CAST(len(w[(i * 20 + 1):(i * 20 + 20)]) AS BIGINT) AS chunk_tokens
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+     unnest(range(0, CAST(ceil(len(w) / 20.0) AS BIGINT))) t(i)
+""", tags=("text", "chunk"))
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating chunker: doc → fixed-size (20-token) chunks via
+    sequence + slice + posexplode (the set-returning/UDTF shape without
+    leaving the JVM)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    n_chunks = F.ceil(F.size(w) / F.lit(20.0)).cast("int")
+    chunks = F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                         lambda i: F.slice(w, i * 20 + 1, 20))
+    return (d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "cw"))
+            .select("doc_id",
+                    F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.concat_ws(" ", "cw").alias("chunk"),
+                    F.size("cw").cast("long").alias("chunk_tokens")))

@@ -33,6 +33,36 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Pandas-UDF closures reference module-level kernels, which pickle by
+    *reference* — so every worker must be able to import
+    ``integrator_spark``. On a real cluster this zip ride-along is the
+    standard deployment; in local mode it also covers driver processes
+    whose CWD isn't the repo root (e.g. the verification driver).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_integrator_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"integrator_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    arc = os.path.join("integrator_spark",
+                                       os.path.relpath(full, pkg_dir))
+                    zf.write(full, arc)
+    sc.addPyFile(zip_path)
+    sc._integrator_spark_shipped = True
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing (driver-owned) session."""
     for k, v in RUNTIME_CONFS.items():
@@ -41,6 +71,11 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Conf not recognized/settable on this build — non-fatal.
             pass
+    try:
+        _ship_package(spark)
+    except Exception:
+        # Local-mode sessions launched from the repo root still work via CWD.
+        pass
     return spark
 
 
