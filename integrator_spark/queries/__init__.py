@@ -6,6 +6,7 @@ One module per operator family from SURVEY.md §2.
 from . import (  # noqa: F401
     aggregates,
     dedup,
+    etl,
     events,
     multimodal,
     relational,
@@ -16,3 +17,4 @@ from . import (  # noqa: F401
     vectors,
     windows,
 )
+from ..streaming import jobs  # noqa: F401

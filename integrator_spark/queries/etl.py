@@ -1,0 +1,119 @@
+"""ETL / data-integration queries (SURVEY.md §1, M4): rule-table
+harmonization with provenance, lineage tracking, and integrity
+assertion validation — the reference pipeline's own surface re-expressed
+as broadcast joins + assertion queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.num import dsum, sql_dsum
+from ..io import load_table
+from ..operators.harmonize import (
+    apply_rules,
+    assertion_report,
+    rules_frame,
+    with_lineage,
+)
+from ..registry import register
+
+#: Event-type harmonization rules: messy source vocabulary → canonical
+#: activity classes (the shape of the reference's variant-code → HISCO /
+#: standard-geo mappings).
+EVENT_RULES = [
+    ("click", "interaction", "R001"),
+    ("view", "interaction", "R002"),
+    ("purchase", "transaction", "R003"),
+    ("signup", "account", "R004"),
+    # 'error' is deliberately unmapped -> falls through to the sentinel.
+]
+
+
+@register("etl_harmonize", oracle=f"""
+SELECT CASE event_type
+         WHEN 'click' THEN 'interaction'
+         WHEN 'view' THEN 'interaction'
+         WHEN 'purchase' THEN 'transaction'
+         WHEN 'signup' THEN 'account'
+         ELSE '__unmapped__' END AS canonical,
+       CASE event_type
+         WHEN 'click' THEN 'R001'
+         WHEN 'view' THEN 'R002'
+         WHEN 'purchase' THEN 'R003'
+         WHEN 'signup' THEN 'R004'
+       END AS rule_id,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""", tags=("etl",))
+def etl_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-table harmonization: broadcast-join the rule set onto the
+    fact stream, keep rule-id provenance, aggregate per canonical class.
+    Unmapped source values surface explicitly instead of disappearing."""
+    e = load_table(spark, sf_dir, "events")
+    rules = rules_frame(spark, EVENT_RULES)
+    harmonized = apply_rules(e, rules, "event_type")
+    return (harmonized.groupBy("canonical", "rule_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("total_value")))
+
+
+@register("etl_lineage", oracle="""
+SELECT 'documents.parquet' AS source_file,
+       'b1' AS batch_id,
+       lang,
+       COUNT(*) AS n_rows
+FROM documents
+GROUP BY lang
+""", tags=("etl", "lineage"))
+def etl_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage columns carried through a transform: every output row
+    knows its originating file and processing batch (the engine's
+    PROV-O analog)."""
+    d = with_lineage(load_table(spark, sf_dir, "documents"), batch_id="b1")
+    return (d.groupBy("source_file", "batch_id", "lang")
+            .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+@register("etl_assertions", oracle="""
+SELECT 'lineitem_fk_orders' AS check_name, COUNT(*) AS n_violations
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'orders_fk_customer', COUNT(*)
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'orders_pk_unique', COUNT(*) FROM (
+  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'lineitem_null_keys', COUNT(*)
+FROM lineitem WHERE l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL
+UNION ALL
+SELECT 'events_value_range', COUNT(*) FROM events WHERE value IS NULL
+""", tags=("etl", "quality"))
+def etl_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity-constraint validation of the integrated star schema:
+    FK coverage, PK uniqueness, null-key and measure-domain checks —
+    each an anti-join/aggregate expected to report zero violations
+    (the engine's RDF-Data-Cube well-formedness analog)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    checks = {
+        "lineitem_fk_orders":
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        "orders_fk_customer":
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        "orders_pk_unique":
+            o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") > 1),
+        "lineitem_null_keys":
+            li.filter(F.col("l_orderkey").isNull()
+                      | F.col("l_partkey").isNull()
+                      | F.col("l_suppkey").isNull()),
+        "events_value_range": e.filter(F.col("value").isNull()),
+    }
+    return assertion_report(checks)

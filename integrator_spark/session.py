@@ -30,6 +30,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / mapInPandas / applyInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Size shuffles for the local fixture scale (AQE coalesces batch
+    # shuffles anyway, but streaming state partitioning is fixed at the
+    # first checkpoint and does not go through AQE). On a cluster this
+    # would be 2-3x total cores instead.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

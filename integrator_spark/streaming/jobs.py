@@ -1,0 +1,150 @@
+"""Structured Streaming jobs (SURVEY.md §2.9): file-source replay of the
+events table through readStream with watermarks, windowed aggregation,
+stateful dedup, and checkpointed sinks.
+
+The registered queries run the stream with ``Trigger.AvailableNow``
+into a memory sink and return the materialized result as a batch
+DataFrame — on bounded input the event-time semantics coincide with
+the batch analogs, so the tumbling/dedup results are DuckDB-oracle
+checkable (the driver's strongest gate), while the code path exercised
+is the genuine streaming one: unresolved streaming source → watermark
+→ stateful aggregation → checkpointed incremental sink.
+
+At production scale the same plans run against a file/Kafka source
+with a real trigger; only the source/sink lines change.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.num import dsum, sql_dsum
+from ..io import derived_dir
+from ..registry import register
+from ..session import ensure_runtime_confs
+
+#: Schema of events.parquet as the streaming reader sees it with
+#: nanosAsLong active (ts arrives as raw nanos, converted after read).
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded view of the events table via the file streaming source.
+
+    The file source wants a *directory* it can watch for arriving files
+    (that's the replay model: drop parquet files in, the stream picks
+    them up). The fixture is a single file, so stage a copy into a
+    derived source directory once."""
+    ensure_runtime_confs(spark)
+    src_dir = derived_dir(sf_dir, "events_stream_src")
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+        import shutil
+        os.makedirs(src_dir, exist_ok=True)
+        shutil.copyfile(src, dst)
+    raw = (spark.readStream
+           .schema(EVENTS_RAW_SCHEMA)
+           .parquet(src_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(stream_df: DataFrame, name: str,
+                      output_mode: str = "append") -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink with a fresh
+    checkpoint and return the materialized batch result.
+
+    Output-mode semantics matter: append withholds windows the
+    watermark hasn't closed (so the final open window never emits on a
+    bounded replay); complete emits the full aggregation state.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    query_name = f"{name}_{run_id}"
+    checkpoint = os.path.join(
+        derived_dir(os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp"), "checkpoints"),
+        query_name)
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(query_name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+@register("stream_tumbling", oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""", tags=("streaming",))
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation executed through the real streaming
+    path: readStream → 10-min watermark → window agg → checkpointed
+    availableNow drain. On bounded replay nothing is late, so the
+    result equals the batch analog and the oracle checks it exactly.
+    Complete output mode is required: append would withhold the final
+    hour (the watermark never closes the last open window)."""
+    s = events_stream(spark, sf_dir)
+    agg = (s.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"))
+           .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("bucket_start"),
+                   "event_type", "n_events", "total_value"))
+    return run_available_now(agg, "stream_tumbling", output_mode="complete")
+
+
+@register("stream_dedup", oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events
+GROUP BY event_type
+""", tags=("streaming", "dedup"))
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type), then a per-type count. Which physical row
+    survives is engine-internal, so the query projects to the
+    deterministic quantity — the distinct-key count — which the oracle
+    verifies exactly."""
+    s = events_stream(spark, sf_dir)
+    deduped = (s.withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+               .select("user_id", "event_type", "ts"))
+    drained = run_available_now(deduped, "stream_dedup")
+    return (drained.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_distinct_users")))
+
+
+@register("stream_session", oracle=None, tags=("streaming", "session"))
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under streaming execution (merging session state
+    + watermark). Rows-only: batch-equivalence for sessions is already
+    oracle-checked by events_session; this covers the stateful
+    streaming operator itself."""
+    s = events_stream(spark, sf_dir)
+    agg = (s.withWatermark("ts", "1 hour")
+           .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .select("user_id",
+                   F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("session_start"),
+                   "n_events"))
+    drained = run_available_now(agg, "stream_session")
+    return drained.orderBy("user_id", "session_start")
