@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Headline benchmark — the 10 BASELINE.md queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Protocol mirrors BASELINE.md: one warm-up execution, then median of 3
+timed ``collect()`` runs per query (JVM startup excluded). Prints ONE
+JSON line:
+  {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from integrator_spark.registry import get_queries  # noqa: E402
+from integrator_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "agg_distinct",
+    "window_topn",
+    "rollup_revenue",
+    "events_tumbling",
+    "events_json",
+    "docs_wordcount",
+    "vec_knn",
+]
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf") or 0.1)
+    spark = build_session("integrator-bench")
+    queries = get_queries()
+
+    # Warm the JVM/session on a small query before measuring anything.
+    queries["q1_pricing_summary"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        fn(spark, sf_dir).collect()  # per-query warm-up (plan + IO cache)
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 4)
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

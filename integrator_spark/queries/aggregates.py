@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.num import davg, dsum, sql_davg, sql_dsum
+from ..functions.num import DEC, davg, dsum, sql_davg, sql_dsum
 from ..io import load_table
 from ..registry import register
 
@@ -72,13 +72,25 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """, tags=("agg", "groupingsets"))
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP: hierarchical subtotals + grand total with grouping id."""
+    """ROLLUP: hierarchical subtotals + grand total with grouping id.
+
+    Plan note: rollup expands every input row once per grouping set
+    *before* partial aggregation, so the heavy decimal aggregation is
+    done first as a plain (flag, status) group-by and the rollup runs
+    over the tiny intermediate (decimal sums are exactly associative,
+    so re-aggregating partial sums is bit-identical). At 100 TB this
+    turns a 3x-expand shuffle of the fact table into one normal
+    aggregation + a 6-row rollup.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    return (li.rollup("l_returnflag", "l_linestatus")
+    base = (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.sum(rev.cast(DEC)).alias("_rev")))
+    return (base.rollup("l_returnflag", "l_linestatus")
             .agg(F.grouping_id().alias("gid"),
-                 F.count(F.lit(1)).alias("n_items"),
-                 dsum(rev).alias("revenue")))
+                 F.sum("_n").alias("n_items"),
+                 F.sum("_rev").cast("double").alias("revenue")))
 
 
 @register("cube_revenue", oracle=f"""
