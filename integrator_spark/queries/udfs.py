@@ -1,0 +1,168 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11) — every Python-extension
+mechanism PySpark offers, each on the smallest sensible example:
+
+- scalar pandas_udf (Arrow-vectorized) — the default custom kernel
+- row-at-a-time Python UDF — demonstrated because the surface exists;
+  deliberately on a sampled input (it is the slow path by design)
+- grouped-aggregate pandas_udf (PySpark's UDAF story)
+- grouped-map applyInPandas
+- UDTF (lateral table function, Spark >= 3.5)
+
+mapInPandas is exercised by operators/knn.py and queries/multimodal.py.
+
+Determinism note: UDAF kernels only compute order-insensitive
+quantities (integer sums, max) — a float sum inside a UDAF would
+depend on shuffle arrival order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register("udf_pandas_scalar", oracle="""
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+         AS n_tokens_udf
+FROM documents
+""", tags=("udf",))
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf: token count via pandas str
+    ops on the whole batch (no per-row Python dispatch)."""
+    @F.pandas_udf("long")
+    def count_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.count(" ").add(1).astype("int64")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", count_tokens("text").alias("n_tokens_udf"))
+
+
+@register("udf_python_scalar", oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2
+FROM events
+WHERE event_id % 100 = 0
+""", tags=("udf",))
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the pickle-per-row slow path — kept to
+    a deterministic modulo sample; any hot-path use belongs in a
+    pandas_udf)."""
+    import json
+
+    @F.udf("long")
+    def parse_k_doubled(props: str) -> int:
+        return json.loads(props)["k"] * 2
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    return e.select("event_id", parse_k_doubled("props").alias("k2"))
+
+
+@register("udaf_grouped_agg", oracle="""
+SELECT lang,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars_udaf,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars_udaf
+FROM documents
+GROUP BY lang
+""", tags=("udf", "udaf"))
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (UDAF): the whole group arrives as a
+    Series; kernels compute order-insensitive integer aggregates."""
+    @F.pandas_udf("long")
+    def total_chars(chars: pd.Series) -> int:
+        return int(chars.sum())
+
+    @F.pandas_udf("long")
+    def max_chars(chars: pd.Series) -> int:
+        return int(chars.max())
+
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(total_chars("n_chars").alias("total_chars_udaf"),
+                 max_chars("n_chars").alias("max_chars_udaf")))
+
+
+@register("udf_grouped_map", oracle="""
+SELECT user_id, event_id, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id) <= 2
+""", tags=("udf", "groupedmap"))
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user top-2 events by value,
+    computed in pandas with an explicit deterministic sort (value desc,
+    event_id asc tie-break)."""
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (pdf.sort_values(["value", "event_id"],
+                                ascending=[False, True])
+                .head(2)[["user_id", "event_id", "value"]])
+
+    e = load_table(spark, sf_dir, "events")
+    return (e.select("user_id", "event_id", "value")
+            .groupBy("user_id")
+            .applyInPandas(top2, "user_id long, event_id long, value double"))
+
+
+@register("udtf_expand", oracle="""
+SELECT doc_id, CAST(i AS BIGINT) AS piece_idx,
+       CAST(n_chars * (i + 1) AS BIGINT) AS scaled
+FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 50 = 0),
+     unnest([0, 1, 2]) t(i)
+""", tags=("udf", "udtf"))
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): each input row yields 3 output
+    rows — the lateral-join/set-returning shape with user logic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="piece_idx bigint, scaled bigint")
+    class Expand:
+        def eval(self, n_chars: int):  # noqa: D401
+            for i in range(3):
+                yield i, n_chars * (i + 1)
+
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 50 == 0)
+         .select("doc_id", "n_chars"))
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("expand_pieces", Expand)
+    return spark.sql("""
+        SELECT doc_id, t.piece_idx, t.scaled
+        FROM _udtf_docs, LATERAL expand_pieces(n_chars) t
+    """)
+
+
+@register("sql_entry", oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderstatus
+""", tags=("sql",))
+def sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry point (SURVEY.md §3.2 E3): register the view
+    catalog, run SQL text — same Catalyst pipeline as the DataFrame API."""
+    from ..io import register_views
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql("""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        GROUP BY o_orderstatus
+    """)
+
+
+@register("join_cross", oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""", tags=("join", "cross"))
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product (bounded dims only — a cross join on
+    fact tables is a plan bug, see plans/audit.py)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)

@@ -28,8 +28,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Arrow for every pandas_udf / mapInPandas / applyInPandas boundary.
+    # Arrow for every pandas_udf / mapInPandas / applyInPandas boundary,
+    # and for UDTF evaluation (BatchEvalPythonUDTF -> ArrowEvalPythonUDTF).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # Size shuffles for the local fixture scale (AQE coalesces batch
     # shuffles anyway, but streaming state partitioning is fixed at the
     # first checkpoint and does not go through AQE). On a cluster this

@@ -1,0 +1,113 @@
+"""Unit tests for composite operators on tiny hand-computed frames
+(SURVEY.md §5.2 'engine-added tests')."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from integrator_spark.functions.text import FP_MOD, rolling_fingerprint, word_shingles
+from integrator_spark.operators.asof import asof_join_backward
+from integrator_spark.operators.dedup import (
+    exact_dedup_keep_first,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from integrator_spark.operators.harmonize import (
+    apply_rules,
+    assertion_report,
+    rules_frame,
+)
+from integrator_spark.operators.knn import knn_blocked, knn_bruteforce
+
+
+def test_asof_backward_matches_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "t10"), (1, 25, "t25"), (2, 5, "t5")],
+        "k int, ts int, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (1, 30, 300.0), (3, 1, 999.0)],
+        "k int, rts int, val double")
+    out = asof_join_backward(left, right, on=["k"], left_ts="ts",
+                             right_ts="rts", right_payload=["rts", "val"])
+    rows = {(r.k, r.ts): (r.rts, r.val) for r in out.collect()}
+    assert rows[(1, 10)] == (10, 100.0)   # inclusive <= match
+    assert rows[(1, 25)] == (20, 200.0)   # latest before, not the later 30
+    assert rows[(2, 5)] == (None, None)   # no right rows for key 2
+    assert out.count() == 3               # left-preserving
+
+
+def test_exact_dedup_keeps_first_by_order(spark):
+    df = spark.createDataFrame(
+        [("a", 3, "x"), ("a", 1, "y"), ("b", 2, "z")], "k string, o int, v string")
+    out = exact_dedup_keep_first(df, ["k"], ["o"]).collect()
+    got = {(r.k): (r.o, r.v) for r in out}
+    assert got == {"a": (1, "y"), "b": (2, "z")}
+
+
+def test_ngram_jaccard_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w q")],
+        "doc_id long, text string")
+    out = ngram_jaccard_pairs(docs, k=3, threshold=0.4).collect()
+    assert len(out) == 1
+    r = out[0]
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdf} -> inter 2, union 4
+    assert (r.d1, r.d2, r.n_inter, r.n_a, r.n_b) == (1, 2, 2, 3, 3)
+    assert r.jaccard == 0.5
+
+
+def test_simhash_identical_texts_collide(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark join merge table"), (2, "spark join merge table"),
+         (3, "completely different words here elsewhere")],
+        "doc_id long, text string")
+    out = simhash_pairs(docs, max_hamming=3).collect()
+    assert [(r.d1, r.d2, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+def test_knn_blocked_equals_bruteforce(spark):
+    data = [(i, [float((i * 7 + j * 13) % 11) / 11.0 + 0.1 for j in range(8)])
+            for i in range(12)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    blocked = {r.vec_id: (r.neighbor_id, r.cos_sim)
+               for r in knn_blocked(emb, k=1).collect()}
+    brute = {r.vec_id: (r.neighbor_id, r.cos_sim)
+             for r in knn_bruteforce(emb, k=1).collect()}
+    assert set(blocked) == set(brute) == set(range(12))
+    for vid in blocked:
+        assert blocked[vid][0] == brute[vid][0]
+        assert blocked[vid][1] == pytest.approx(brute[vid][1], abs=2e-6)
+
+
+def test_apply_rules_maps_and_flags_unmapped(spark):
+    df = spark.createDataFrame([("click",), ("error",)], "ev string")
+    rules = rules_frame(spark, [("click", "interaction", "R1")])
+    out = {r.ev: (r.canonical, r.rule_id)
+           for r in apply_rules(df, rules, "ev").collect()}
+    assert out == {"click": ("interaction", "R1"),
+                   "error": ("__unmapped__", None)}
+
+
+def test_assertion_report_counts_violations(spark):
+    ok = spark.range(0)
+    bad = spark.range(3)
+    out = {r.check_name: r.n_violations
+           for r in assertion_report({"ok": ok, "bad": bad}).collect()}
+    assert out == {"ok": 0, "bad": 3}
+
+
+def test_rolling_fingerprint_matches_python_fold(spark):
+    text = "spark scan merge"
+    expected = 0
+    for w in text.split(" "):
+        expected = (expected * 31 + (ord(w[0]) * 7 + len(w))) % FP_MOD
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(rolling_fingerprint("text").alias("fp")).collect()[0].fp
+    assert got == expected
+
+
+def test_word_shingles_dedups_and_orders(spark):
+    df = spark.createDataFrame([("a b a b a b",)], "text string")
+    got = df.select(word_shingles("text", 3).alias("s")).collect()[0].s
+    assert got == ["a|b|a", "b|a|b"]

@@ -1,0 +1,40 @@
+"""Plan-audit gate: scale invariants over every registered query
+(SURVEY.md M5). Streaming queries are excluded (their call drains a
+stream; their plans are covered by execution tests).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from integrator_spark.plans.audit import audit_plan, violations
+from integrator_spark.registry import all_specs
+
+from .conftest import TEST_SF_DIR
+
+SPECS = {n: s for n, s in all_specs().items() if not n.startswith("stream_")}
+
+
+@pytest.mark.parametrize("name", sorted(SPECS), ids=sorted(SPECS))
+def test_plan_has_no_scale_violations(name, spark):
+    df = SPECS[name].fn(spark, TEST_SF_DIR)
+    findings = audit_plan(name, df)
+    bad = violations(findings)
+    assert not bad, f"{name}: {bad}\n{findings.plan[:4000]}"
+
+
+def test_q1_scan_prunes_and_pushes(spark):
+    """The flagship scan must push the shipdate filter into Parquet and
+    read only the referenced columns."""
+    df = SPECS["q1_pricing_summary"].fn(spark, TEST_SF_DIR)
+    f = audit_plan("q1_pricing_summary", df)
+    assert any("l_shipdate" in p for p in f.pushed_filters), f.plan[:2000]
+    assert "l_comment" not in f.plan  # no such column, sanity
+    # Column pruning: partkey/suppkey are never referenced by q1.
+    assert "l_partkey" not in f.plan.split("ReadSchema")[-1]
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = SPECS["q5_nation_revenue"].fn(spark, TEST_SF_DIR)
+    f = audit_plan("q5_nation_revenue", df)
+    assert "BroadcastHashJoin" in f.plan

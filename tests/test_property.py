@@ -1,0 +1,60 @@
+"""Property-based mini-sqllogictest (SURVEY.md §5.2): randomized simple
+predicates evaluated by both engines over the same parquet must agree
+on count and an exact integer checksum. Catches comparison-semantics
+drift (null handling, boundary inclusivity, string collation) that
+fixed queries might miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from integrator_spark.io import load_table
+
+from .conftest import TEST_SF_DIR
+
+STATUSES = ["F", "O", "P"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+predicate = st.fixed_dictionaries({
+    "statuses": st.lists(st.sampled_from(STATUSES), min_size=1, max_size=3,
+                         unique=True),
+    "price_lo": st.integers(min_value=0, max_value=300_000),
+    "price_span": st.integers(min_value=0, max_value=300_000),
+    "priority": st.one_of(st.none(), st.sampled_from(PRIORITIES)),
+    "negate": st.booleans(),
+})
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(p=predicate)
+def test_random_filters_agree_with_duckdb(p, spark, duck):
+    lo, hi = p["price_lo"], p["price_lo"] + p["price_span"]
+    in_list = ", ".join(f"'{s}'" for s in p["statuses"])
+    clauses = [f"o_orderstatus IN ({in_list})",
+               f"o_totalprice BETWEEN {lo} AND {hi}"]
+    if p["priority"] is not None:
+        clauses.append(f"o_orderpriority = '{p['priority']}'")
+    where = " AND ".join(clauses)
+    if p["negate"]:
+        where = f"NOT ({where})"
+
+    o = load_table(spark, TEST_SF_DIR, "orders")
+    cond = (F.col("o_orderstatus").isin(p["statuses"])
+            & F.col("o_totalprice").between(F.lit(lo), F.lit(hi)))
+    if p["priority"] is not None:
+        cond = cond & (F.col("o_orderpriority") == p["priority"])
+    if p["negate"]:
+        cond = ~cond
+    got = (o.filter(cond)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias("chk"))
+           .collect()[0])
+
+    want = duck.execute(
+        f"SELECT COUNT(*), COALESCE(SUM(o_orderkey), 0) FROM orders WHERE {where}"
+    ).fetchone()
+    assert (got.n, got.chk) == want
