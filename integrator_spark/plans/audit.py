@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame
 
 #: Queries allowed to contain a nested-loop/cartesian join: explicit
 #: Cartesian demos and the O(n²) reference kNN kept for comparison.
-CROSS_JOIN_ALLOWED = {"join_cross", "vec_knn_bruteforce", "dedup_embedding"}
+CROSS_JOIN_ALLOWED = {
+    "join_cross",          # explicit Cartesian demo on bounded dims
+    "vec_knn_bruteforce",  # O(n²) reference plan kept for comparison
+    "dedup_embedding",     # broadcast-matmul pair scan
+    "vec_ann_ivf",         # bounded k=16 centroid-probe broadcast
+}
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface
 #: exists; everything else must be JVM or Arrow).

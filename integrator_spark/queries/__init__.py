@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     multimodal,
     relational,
     scalars,
+    scale,
     sources,
     text,
     tpch,

@@ -1,0 +1,139 @@
+"""Scale-pattern queries (SURVEY.md §4 / M5): partition-pruned scans,
+binary-file ingest, salted aggregation, IVF approximate NN — each the
+pattern that keeps its operator family viable at 100 TB, verified at
+fixture scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.num import DEC, dsum, sql_dsum
+from ..io import derived_dir, load_table
+from ..operators.skew import salted_aggregate
+from ..registry import register
+
+
+@register("scan_partition_pruned", oracle=f"""
+SELECT COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+""", tags=("source", "partitioned", "pruning"))
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end: write hive-partitioned, read with a
+    partition-key filter — the scan must touch only the matching
+    directory (asserted in tests/test_plans.py). At 100 TB this is the
+    difference between scanning one status and scanning everything."""
+    path = derived_dir(sf_dir, "orders_by_status_pruned")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (load_table(spark, sf_dir, "orders")
+         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path))
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return df.agg(F.count(F.lit(1)).alias("n_orders"),
+                  dsum("o_totalprice").alias("total"))
+
+
+@register("scan_binaryfile", oracle="""
+SELECT lang || '.txt' AS file_name,
+       CAST(SUM(n_chars) + COUNT(*) - 1 AS BIGINT) AS n_bytes
+FROM documents
+GROUP BY lang
+""", tags=("source", "binary", "multimodal"))
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary ingest via the binaryFile source: one file per
+    language (texts newline-joined in doc_id order), re-read as
+    (path, content) rows — the pattern for image/audio shard ingest.
+    Byte accounting is oracle-checked against the source table."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = (d.groupBy("lang")
+                .agg(F.concat_ws("\n", F.array_sort(
+                    F.collect_list(F.struct("doc_id", "text"))
+                ).getField("text")).alias("blob"))
+                .collect())
+    path = derived_dir(sf_dir, "lang_blobs")
+    os.makedirs(path, exist_ok=True)
+    for row in per_lang:
+        with open(os.path.join(path, f"{row['lang']}.txt"), "wb") as fh:
+            fh.write(row["blob"].encode("utf-8"))
+    df = spark.read.format("binaryFile").load(path)
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.length("content").cast("long").alias("n_bytes"),
+    )
+
+
+@register("agg_salted", oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY event_type
+""", tags=("agg", "skew"))
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the 5 hot event-type keys —
+    the skew shape where one key would otherwise pin a single reducer.
+    Decimal sums re-aggregate exactly, so the result is bit-identical
+    to the plain plan (which is what the oracle computes)."""
+    e = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        e, keys=["event_type"], salt_on="event_id",
+        aggs={
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "total_value": (F.sum(F.col("value").cast(DEC)),
+                            F.sum("total_value").cast("double")),
+        },
+        buckets=8)
+
+
+@register("vec_ann_ivf", oracle=None, tags=("vector", "knn", "approx"))
+def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: k-means coarse quantizer (seeded),
+    vectors inverted into centroid buckets, queries probe their 2
+    nearest centroids, exact HOF cosine only within probed buckets.
+    Rows-only (recall is probe-limited). This is the shuffle-bounded
+    alternative to broadcasting when neither side fits an executor:
+    candidate fan-out is n_queries x nprobe, never n^2."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..operators.knn import _cosine_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "embedding",
+                    array_to_vector("embedding").alias("features"))
+    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="bucket")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "bucket")
+
+    # Distances from every vector to every centroid (16 rows broadcast).
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "bucket int, centroid array<double>")
+    probes = (vecs.crossJoin(F.broadcast(centroids))
+              .select("vec_id",
+                      F.col("embedding").alias("q_emb"),
+                      "bucket",
+                      _cosine_expr(F.col("embedding"),
+                                   F.col("centroid")).alias("_sim")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("bucket"))
+    probed = (probes.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= 2)
+              .select("vec_id", "q_emb", "bucket"))
+
+    cand = assigned.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("c_emb"), "bucket")
+    pairs = (probed.join(cand, "bucket")
+             .filter(F.col("vec_id") != F.col("neighbor_id"))
+             .select("vec_id", "neighbor_id",
+                     _cosine_expr(F.col("q_emb"), F.col("c_emb")).alias("_cos")))
+    w2 = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(),
+                                              F.col("neighbor_id"))
+    return (pairs.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "neighbor_id",
+                    F.round("_cos", 6).alias("approx_cos")))

@@ -148,3 +148,57 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "n_events"))
     drained = run_available_now(agg, "stream_session")
     return drained.orderBy("user_id", "session_start")
+
+
+@register("stream_stateful", oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions
+FROM gaps GROUP BY user_id
+""", tags=("streaming", "stateful"))
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state machine via applyInPandasWithState
+    (SURVEY.md §2.9 'arbitrary state'): each user carries
+    (event_count, session_count, last_ts) state across micro-batches;
+    sessions open on a >= 30-minute gap. On bounded replay every key's
+    history arrives before the final emit, so the emitted state equals
+    the batch islands computation — which the oracle checks exactly."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = 30 * 60 * 1_000_000_000  # pandas datetime64 -> int64 is NANOS
+
+    def track_user(key, pdf_iter, state: GroupState):
+        n_events, n_sessions, last_ns = (
+            state.get if state.exists else (0, 0, None))
+        for pdf in pdf_iter:
+            ts_ns = pdf["ts"].astype("int64").sort_values()
+            for t in ts_ns:
+                if last_ns is None or t - last_ns >= gap_ns:
+                    n_sessions += 1
+                n_events += 1
+                last_ns = int(t)
+        state.update((n_events, n_sessions, last_ns))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_events": [n_events],
+                            "n_sessions": [n_sessions]})
+
+    s = events_stream(spark, sf_dir)
+    tracked = (s.select("user_id", "ts")
+               .withWatermark("ts", "1 hour")
+               .groupBy("user_id")
+               .applyInPandasWithState(
+                   track_user,
+                   outputStructType="user_id long, n_events long, n_sessions long",
+                   stateStructType="n_events long, n_sessions long, last_ns long",
+                   outputMode="append",
+                   timeoutConf=GroupStateTimeout.NoTimeout))
+    return run_available_now(tracked, "stream_stateful")

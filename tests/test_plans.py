@@ -38,3 +38,14 @@ def test_q5_broadcasts_dimensions(spark):
     df = SPECS["q5_nation_revenue"].fn(spark, TEST_SF_DIR)
     f = audit_plan("q5_nation_revenue", df)
     assert "BroadcastHashJoin" in f.plan
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    """The partition-key filter must become a PartitionFilter (directory
+    pruning), not a row-level post-filter."""
+    import re
+    from integrator_spark.plans.audit import plan_string
+    df = SPECS["scan_partition_pruned"].fn(spark, TEST_SF_DIR)
+    plan = plan_string(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan[:2000]
