@@ -101,12 +101,13 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    from ..operators.knn import _cosine_expr
+    from ..operators.knn import _cosine_expr, _dot_expr, _l2_expr
 
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", "embedding",
                     array_to_vector("embedding").alias("features"))
-    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="bucket")
+    km = KMeans(k=16, seed=42, maxIter=8,
+                featuresCol="features", predictionCol="bucket")
     model = km.fit(vecs)
     assigned = model.transform(vecs).select("vec_id", "embedding", "bucket")
 
@@ -123,14 +124,17 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("bucket"))
     probed = (probes.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= 2)
-              .select("vec_id", "q_emb", "bucket"))
+              .select("vec_id", "q_emb", "bucket",
+                      _l2_expr(F.col("q_emb")).alias("_qn")))
 
     cand = assigned.select(F.col("vec_id").alias("neighbor_id"),
-                           F.col("embedding").alias("c_emb"), "bucket")
+                           F.col("embedding").alias("c_emb"), "bucket",
+                           _l2_expr(F.col("embedding")).alias("_cn"))
     pairs = (probed.join(cand, "bucket")
              .filter(F.col("vec_id") != F.col("neighbor_id"))
              .select("vec_id", "neighbor_id",
-                     _cosine_expr(F.col("q_emb"), F.col("c_emb")).alias("_cos")))
+                     (_dot_expr(F.col("q_emb"), F.col("c_emb"))
+                      / (F.col("_qn") * F.col("_cn"))).alias("_cos")))
     w2 = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(),
                                               F.col("neighbor_id"))
     return (pairs.withColumn("_rn", F.row_number().over(w2))
