@@ -117,3 +117,35 @@ def etl_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "events_value_range": e.filter(F.col("value").isNull()),
     }
     return assertion_report(checks)
+
+
+@register("etl_pipeline", oracle=f"""
+SELECT CASE event_type
+         WHEN 'click' THEN 'interaction'
+         WHEN 'view' THEN 'interaction'
+         WHEN 'purchase' THEN 'transaction'
+         WHEN 'signup' THEN 'account'
+         ELSE '__unmapped__' END AS canonical,
+       COUNT(*) AS n_rows,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1
+""", tags=("etl", "pipeline"))
+def etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full integration pipeline end-to-end (ingest → harmonize →
+    validate → publish → re-read): aggregates are computed from the
+    PUBLISHED partitioned parquet, so a match proves the whole flow —
+    not just the harmonize transform — preserved the data."""
+    from ..io import derived_dir
+    from ..pipeline import IntegrationPipeline
+
+    e = load_table(spark, sf_dir, "events")
+    pipe = IntegrationPipeline(spark, rules=EVENT_RULES,
+                               src_col="event_type", batch_id="b1",
+                               key_cols=["event_id", "user_id"])
+    sink = derived_dir(sf_dir, "published_events")
+    result = pipe.run(e, sink)
+    published = spark.read.parquet(result.published_path)
+    return (published.groupBy(F.col("canonical").cast("string").alias("canonical"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 dsum("value").alias("total_value")))

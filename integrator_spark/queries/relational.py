@@ -225,3 +225,34 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL — bag difference (multiplicity-subtracting)."""
     a, b = _setop_sides(spark, sf_dir)
     return a.exceptAll(b)
+
+
+@register("sort_nulls", oracle="""
+WITH j AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_masked
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_custkey, c_name, bal_masked,
+       CAST(row_number() OVER (ORDER BY bal_masked ASC NULLS FIRST, c_custkey)
+            AS BIGINT) AS pos_nulls_first,
+       CAST(row_number() OVER (ORDER BY bal_masked DESC NULLS LAST, c_custkey)
+            AS BIGINT) AS pos_nulls_last
+FROM j
+""", tags=("sort",))
+def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort with explicit null placement. An order-insensitive
+    value hash can't see row order, so the two total orders
+    (asc-nulls-first / desc-nulls-last) are materialized as rank
+    columns — any placement difference between engines changes values."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    masked = F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+    j = c.select("c_custkey", "c_name", masked.alias("bal_masked"))
+    w1 = Window.orderBy(F.col("bal_masked").asc_nulls_first(), F.col("c_custkey"))
+    w2 = Window.orderBy(F.col("bal_masked").desc_nulls_last(), F.col("c_custkey"))
+    return (j.select("c_custkey", "c_name", "bal_masked",
+                     F.row_number().over(w1).cast("long").alias("pos_nulls_first"),
+                     F.row_number().over(w2).cast("long").alias("pos_nulls_last"))
+            .orderBy("pos_nulls_first"))

@@ -111,3 +111,19 @@ def test_word_shingles_dedups_and_orders(spark):
     df = spark.createDataFrame([("a b a b a b",)], "text string")
     got = df.select(word_shingles("text", 3).alias("s")).collect()[0].s
     assert got == ["a|b|a", "b|a|b"]
+
+
+def test_pipeline_validates_and_publishes(spark, tmp_path):
+    from integrator_spark.pipeline import IntegrationPipeline
+    df = spark.createDataFrame(
+        [(1, "click", 1.0), (2, "bogus", 2.0), (3, None, 3.0)],
+        "id long, ev string, v double")
+    pipe = IntegrationPipeline(spark, rules=[("click", "interaction", "R1")],
+                               src_col="ev", batch_id="t1", key_cols=["id"])
+    res = pipe.run(df, str(tmp_path / "out"))
+    assert res.n_published == 3
+    assert res.validation["unmapped_values"] == 2  # bogus + NULL source
+    assert res.validation["null_key_id"] == 0
+    assert not res.is_valid
+    with pytest.raises(ValueError, match="unmapped"):
+        pipe.run(df, str(tmp_path / "out2"), allow_unmapped=False)
