@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     events,
     multimodal,
     relational,
+    relational2,
     scalars,
     scale,
     sources,

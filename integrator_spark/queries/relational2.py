@@ -1,0 +1,155 @@
+"""Second relational batch: HAVING, correlated & IN subqueries
+(Catalyst decorrelation), pivot/unpivot reshaping, generator source,
+null-safe equality join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.num import davg, dsum, sql_davg, sql_dsum
+from ..io import load_table, register_views
+from ..registry import register
+
+
+@register("agg_having", oracle=f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15 AND SUM(o_totalprice) > 1000000
+""", tags=("agg", "having"))
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filtering (HAVING) — a filter over the agg
+    output, pushed nowhere (it can't be), evaluated on the group rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice").alias("total"),
+                 F.sum("o_totalprice").alias("_raw_total"))
+            .filter((F.col("n_orders") >= 15) & (F.col("_raw_total") > 1_000_000))
+            .drop("_raw_total"))
+
+
+@register("subquery_scalar", oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+""", tags=("subquery",))
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders costing more than twice the
+    customer's average. Catalyst decorrelates this into an aggregate +
+    join (no per-row re-execution), exercised through the SQL entry."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql("""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                                    FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+    """)
+
+
+@register("subquery_in", oracle="""
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+""", tags=("subquery",))
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — rewritten by Catalyst to a left-semi join."""
+    register_views(spark, sf_dir, ["part", "lineitem"])
+    return spark.sql("""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    """)
+
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+_PIVOT_CASES = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+    for t in _PIVOT_TYPES)
+
+
+@register("agg_pivot", oracle=f"""
+SELECT user_id % 10 AS user_bucket,
+       {_PIVOT_CASES}
+FROM events
+GROUP BY 1
+""", tags=("agg", "pivot"))
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): event-type counts as columns per user
+    bucket. The explicit value list keeps the plan a single-pass
+    aggregation (an unlisted pivot needs a distinct-values pre-pass)."""
+    e = load_table(spark, sf_dir, "events")
+    pivoted = (e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+               .pivot("event_type", _PIVOT_TYPES)
+               .agg(F.count(F.lit(1))))
+    return pivoted.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _PIVOT_TYPES])
+
+
+@register("agg_unpivot", oracle="""
+SELECT l_returnflag, 'qty' AS measure, {q} AS val FROM lineitem GROUP BY 1
+UNION ALL
+SELECT l_returnflag, 'price', {p} FROM lineitem GROUP BY 1
+UNION ALL
+SELECT l_returnflag, 'disc', {d} FROM lineitem GROUP BY 1
+""".format(q=sql_dsum("l_quantity"), p=sql_dsum("l_extendedprice"),
+           d=sql_dsum("l_discount")), tags=("agg", "unpivot"))
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long): three measure columns become
+    (measure, val) rows via DataFrame.unpivot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (li.groupBy("l_returnflag")
+            .agg(dsum("l_quantity").alias("qty"),
+                 dsum("l_extendedprice").alias("price"),
+                 dsum("l_discount").alias("disc")))
+    return wide.unpivot("l_returnflag", ["qty", "price", "disc"],
+                        "measure", "val")
+
+
+@register("scan_range", oracle="""
+SELECT CAST(i AS BIGINT) AS n,
+       CAST(i * i AS BIGINT) AS n_sq,
+       CAST(SUM(i) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS running
+FROM range(0, 1000) t(i)
+""", tags=("source", "generator"))
+def scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator source: spark.range — the zero-IO relation used for
+    synthetic dimensions, sequence joins, and backfill scaffolding."""
+    from pyspark.sql import Window
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "n")
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    return df.select("n", (F.col("n") * F.col("n")).alias("n_sq"),
+                     F.sum("n").over(w).alias("running"))
+
+
+@register("join_nullsafe", oracle="""
+WITH a AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS st FROM orders
+           WHERE o_orderkey % 40 = 0),
+     b AS (SELECT NULLIF(o_orderstatus, 'P') AS st, COUNT(*) AS n_all
+           FROM orders GROUP BY 1)
+SELECT a.o_orderkey, a.st, b.n_all
+FROM a JOIN b ON a.st IS NOT DISTINCT FROM b.st
+""", tags=("join", "nullsafe"))
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — required when a masked
+    dimension value is itself a legitimate group."""
+    o = load_table(spark, sf_dir, "orders")
+    a = (o.filter(F.col("o_orderkey") % 40 == 0)
+         .select("o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("st")))
+    b = (o.groupBy(F.nullif("o_orderstatus", F.lit("P")).alias("st_b"))
+         .agg(F.count(F.lit(1)).alias("n_all")))
+    return (a.join(b, a.st.eqNullSafe(b.st_b))
+            .select("o_orderkey", "st", "n_all"))
