@@ -104,3 +104,14 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (df.groupBy(F.col("o_orderstatus").cast("string").alias("o_orderstatus"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  dsum("o_totalprice").alias("total")))
+
+
+@register("scan_orc", oracle=_DOCS_AGG_ORACLE, tags=("source", "orc"))
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest (the other built-in columnar format, same pushdown/
+    pruning machinery as parquet): export -> re-read -> aggregate."""
+    path = derived_dir(sf_dir, "documents_orc")
+    (load_table(spark, sf_dir, "documents")
+     .write.mode("overwrite").orc(path))
+    df = spark.read.schema(DOCS_SCHEMA).orc(path)
+    return _docs_agg(df)
