@@ -55,3 +55,43 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: list[str],
     return (filled.filter(F.col("_is_left") == 1)
             .drop("_is_left")
             .withColumnRenamed("_ts", left_ts))
+
+
+def asof_join_grouped_pandas(left: DataFrame, right: DataFrame,
+                             on: list[str], left_ts: str, right_ts: str,
+                             right_payload: list[str]) -> DataFrame:
+    """Alternative as-of implementation: cogroup both sides per key and
+    run ``pd.merge_asof`` inside an Arrow batch (applyInPandas over a
+    cogroup). Same semantics as asof_join_backward; kept as a
+    cross-check and as the template for per-group pandas algorithms
+    that have no window formulation.
+
+    Scale note: each key group must fit in one executor's memory (the
+    window variant has no such constraint), so prefer
+    asof_join_backward unless the per-group logic genuinely needs
+    pandas.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in left.dtypes]
+        + [f"{c} {dict(right.dtypes)[c]}" for c in right_payload])
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_pdf = l_pdf.sort_values(left_ts, kind="mergesort")
+        if len(r_pdf) == 0:
+            for c in right_payload:
+                l_pdf[c] = None
+            return l_pdf
+        r_pdf = (r_pdf[on + [right_ts] + [c for c in right_payload
+                                          if c != right_ts]]
+                 .sort_values(right_ts, kind="mergesort"))
+        merged = pd.merge_asof(
+            l_pdf, r_pdf.drop(columns=on),
+            left_on=left_ts, right_on=right_ts,
+            direction="backward", suffixes=("", "_r"))
+        return merged[list(l_pdf.columns)
+                      + [c for c in right_payload if c not in l_pdf.columns]]
+
+    return (left.groupBy(*on).cogroup(right.groupBy(*on))
+            .applyInPandas(lambda l, r: merge(l, r), out_schema))

@@ -127,3 +127,22 @@ def test_pipeline_validates_and_publishes(spark, tmp_path):
     assert not res.is_valid
     with pytest.raises(ValueError, match="unmapped"):
         pipe.run(df, str(tmp_path / "out2"), allow_unmapped=False)
+
+
+def test_asof_pandas_variant_matches_window_variant(spark):
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.asof import asof_join_grouped_pandas
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id", F.col("ts").alias("v_ts"))
+         .agg(F.max("value").alias("v_value"))
+         .select("user_id", "v_ts", "v_value"))
+    window_out = asof_join_backward(p, v, on=["user_id"], left_ts="ts",
+                                    right_ts="v_ts",
+                                    right_payload=["v_ts", "v_value"])
+    pandas_out = asof_join_grouped_pandas(p, v, on=["user_id"], left_ts="ts",
+                                          right_ts="v_ts",
+                                          right_payload=["v_ts", "v_value"])
+    key = lambda rows: sorted((r.event_id, r.v_ts, r.v_value) for r in rows)  # noqa: E731
+    assert key(window_out.collect()) == key(pandas_out.collect())
