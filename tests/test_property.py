@@ -58,3 +58,27 @@ def test_random_filters_agree_with_duckdb(p, spark, duck):
         f"SELECT COUNT(*), COALESCE(SUM(o_orderkey), 0) FROM orders WHERE {where}"
     ).fetchone()
     assert (got.n, got.chk) == want
+
+
+AGG_KEYS = ["o_orderstatus", "o_orderpriority"]
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(key=st.sampled_from(AGG_KEYS),
+       lo=st.integers(min_value=0, max_value=400_000),
+       use_distinct=st.booleans())
+def test_random_aggregations_agree_with_duckdb(key, lo, use_distinct, spark, duck):
+    """Randomized aggregation grammar: group key x filter x (count |
+    count-distinct | integer checksum) must match DuckDB exactly."""
+    o = load_table(spark, TEST_SF_DIR, "orders").filter(F.col("o_totalprice") >= lo)
+    agg = (F.countDistinct("o_custkey") if use_distinct
+           else F.coalesce(F.sum("o_orderkey"), F.lit(0)))
+    got = sorted((r[0], r[1]) for r in
+                 o.groupBy(key).agg(agg.alias("m")).collect())
+    expr = ("COUNT(DISTINCT o_custkey)" if use_distinct
+            else "COALESCE(SUM(o_orderkey), 0)")
+    want = sorted(duck.execute(
+        f"SELECT {key}, {expr} FROM orders WHERE o_totalprice >= {lo} "
+        f"GROUP BY {key}").fetchall())
+    assert got == want
