@@ -151,3 +151,71 @@ def cosine_pairs_blocked(emb: DataFrame, threshold: float,
 
     return emb.select(id_col, vec_col).mapInPandas(
         pair_batches, "id_a long, id_b long, cos_sim double")
+
+
+def knn_blocked_twosided(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", k: int = 1,
+                         n_blocks: int = 4) -> DataFrame:
+    """Exact top-k when NEITHER side fits in executor memory.
+
+    Plan: hash both sides into ``n_blocks`` deterministic blocks, pair
+    every query block with every candidate block (n_blocks² pairs — a
+    bounded *block-id* cross join, never a row cross join), run one
+    numpy matmul per pair via cogrouped applyInPandas, then reduce the
+    per-pair local top-k to a global top-k per query id with one
+    window. Shuffle volume is n_blocks× the data (each side replicated
+    across its pairings), traded against per-task memory of
+    |block_q| × |block_c| similarities.
+
+    Same exact results as knn_blocked / knn_bruteforce.
+    """
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("_v"),
+                      F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"))
+    pairs_q = spark.range(n_blocks).selectExpr("id AS _qb") \
+        .crossJoin(spark.range(n_blocks).selectExpr("id AS _cb"))
+    pairs_c = spark.range(n_blocks).selectExpr("id AS _qb2") \
+        .crossJoin(spark.range(n_blocks).selectExpr("id AS _cb2"))
+    q_side = (base.join(pairs_q, F.col("_blk") == F.col("_qb"))
+              .select("vec_id", "_v", "_qb", "_cb"))
+    # Candidates replicate once per query block they meet (inherent to
+    # the pairing); cogroup keys must match on both sides: (_qb, _cb).
+    c_side = (base.join(pairs_c, F.col("_blk") == F.col("_cb2"))
+              .select(F.col("vec_id").alias("nbr_id"), F.col("_v").alias("_cv"),
+                      F.col("_qb2").alias("_qb"), F.col("_cb2").alias("_cb")))
+
+    def block_topk(q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "cos_sim"])
+        q_ids = q_pdf["vec_id"].to_numpy()
+        c_ids = c_pdf["nbr_id"].to_numpy()
+        order = np.argsort(c_ids, kind="stable")
+        c_ids = c_ids[order]
+        q = np.array(q_pdf["_v"].tolist(), dtype=np.float64)
+        c = np.array(c_pdf["_cv"].tolist(), dtype=np.float64)[order]
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        sims = q @ c.T
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        rows = []
+        kk = min(k, sims.shape[1])
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            top = np.argpartition(-row, kk - 1)[:kk] if kk < row.size \
+                else np.arange(row.size)
+            top = top[np.lexsort((c_ids[top], -row[top]))][:kk]
+            rows.extend((int(q_ids[r]), int(c_ids[j]), float(row[j]))
+                        for j in top if np.isfinite(row[j]))
+        return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cos_sim"])
+
+    local = (q_side.groupBy("_qb", "_cb")
+             .cogroup(c_side.groupBy("_qb", "_cb"))
+             .applyInPandas(lambda ql, cl: block_topk(ql, cl),
+                            "vec_id long, neighbor_id long, cos_sim double"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
+                                             F.col("neighbor_id"))
+    return (local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("vec_id", "neighbor_id",
+                    F.round("cos_sim", 6).alias("cos_sim")))

@@ -253,3 +253,50 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("chunk_idx").cast("long").alias("chunk_idx"),
                     F.concat_ws(" ", "cw").alias("chunk"),
                     F.size("cw").cast("long").alias("chunk_tokens")))
+
+
+@register("text_unigram_nll", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), freq AS (
+  SELECT word, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM tok) AS p
+  FROM tok GROUP BY word
+), per_doc AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(ROUND(-ln(f.p), 6) AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(*) AS nll
+  FROM tok t JOIN freq f ON t.word = f.word
+  GROUP BY t.doc_id
+)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(per_doc.nll AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_nll
+FROM per_doc JOIN documents d ON d.doc_id = per_doc.doc_id
+GROUP BY d.lang
+""", tags=("text", "lm"))
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram language-model scoring: per-token negative
+    log-likelihood against global unigram frequencies, averaged per
+    document then per language — the cheap perplexity-style quality
+    signal of LLM data pipelines, fully relational (two aggregations +
+    one broadcast join of the vocabulary).
+
+    Determinism: each -ln(p) is rounded to 6 decimals (ln differs by
+    1 ULP across libm implementations) and summed as exact DECIMAL.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    total = tok.count()
+    freq = (tok.groupBy("word")
+            .agg((F.count(F.lit(1)) * F.lit(1.0) / F.lit(float(total))).alias("p")))
+    term = F.round(-F.log(F.col("p")), 6).cast("decimal(38,6)")
+    per_doc = (tok.join(F.broadcast(freq), "word")
+               .groupBy("doc_id")
+               .agg((F.sum(term).cast("double") / F.count(F.lit(1))).alias("nll")))
+    return (per_doc.join(d.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum(F.col("nll").cast("decimal(38,6)"))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  .alias("avg_nll")))

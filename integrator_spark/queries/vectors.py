@@ -74,3 +74,13 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.lit(1.0) - F.col("l2_dist") * F.col("l2_dist") / 2, 6)
                      .alias("approx_cos"))
             .orderBy("vec_id", F.col("approx_cos").desc(), "neighbor_id"))
+
+
+@register("vec_knn_twosided", oracle=_KNN_ORACLE, tags=("vector", "knn"))
+def vec_knn_twosided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact kNN through the two-sided blocked plan (cogrouped
+    block-pair matmuls + segmented top-k reduce) — the strategy that
+    remains exact when NEITHER side fits an executor's memory."""
+    from ..operators.knn import knn_blocked_twosided
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_blocked_twosided(e, k=1, n_blocks=4)
