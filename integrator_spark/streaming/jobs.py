@@ -202,3 +202,37 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                    outputMode="append",
                    timeoutConf=GroupStateTimeout.NoTimeout))
     return run_available_now(tracked, "stream_stateful")
+
+
+@register("stream_foreach_batch", oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""", tags=("streaming", "sink"))
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink — the exactly-once escape hatch: each
+    micro-batch arrives as a *batch* DataFrame with a monotonically
+    increasing batch_id, written idempotently (overwrite-by-batch-id
+    partition) so replays after failure cannot double-count. The
+    re-read aggregate must equal the source aggregate (oracle)."""
+    out_dir = derived_dir(sf_dir, "foreach_batch_out")
+    run_id = uuid.uuid4().hex[:12]
+    target = os.path.join(out_dir, run_id)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent: a retried batch overwrites its own partition.
+        (batch_df.withColumn("_batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .parquet(os.path.join(target, f"batch={batch_id}")))
+
+    s = events_stream(spark, sf_dir).select("event_id", "event_type")
+    q = (s.writeStream
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", os.path.join(target, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    written = spark.read.parquet(os.path.join(target, "batch=*"))
+    return (written.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events")))
