@@ -65,7 +65,7 @@ _REV = "l_extendedprice * (1 - l_discount)"
 
 @register("rollup_revenue", oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       GROUPING(l_returnflag, l_linestatus) AS gid,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        COUNT(*) AS n_items,
        {sql_dsum(_REV)} AS revenue
 FROM lineitem
@@ -88,14 +88,14 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("_n"),
                  F.sum(rev.cast(DEC)).alias("_rev")))
     return (base.rollup("l_returnflag", "l_linestatus")
-            .agg(F.grouping_id().alias("gid"),
+            .agg(F.grouping_id().cast("long").alias("gid"),
                  F.sum("_n").alias("n_items"),
                  F.sum("_rev").cast("double").alias("revenue")))
 
 
 @register("cube_revenue", oracle=f"""
 SELECT c_mktsegment, o_orderstatus,
-       GROUPING(c_mktsegment, o_orderstatus) AS gid,
+       CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
        COUNT(*) AS n_orders,
        {sql_dsum('o_totalprice')} AS total
 FROM customer JOIN orders ON c_custkey = o_custkey
@@ -107,7 +107,7 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (c.join(o, c.c_custkey == o.o_custkey)
             .cube("c_mktsegment", "o_orderstatus")
-            .agg(F.grouping_id().alias("gid"),
+            .agg(F.grouping_id().cast("long").alias("gid"),
                  F.count(F.lit(1)).alias("n_orders"),
                  dsum("o_totalprice").alias("total")))
 

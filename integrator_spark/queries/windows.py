@@ -16,7 +16,9 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
 @register("window_topn", oracle="""
-SELECT o_orderpriority, o_orderkey, o_totalprice, rn, rk, drk
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(rn AS BIGINT) AS rn, CAST(rk AS BIGINT) AS rk,
+       CAST(drk AS BIGINT) AS drk
 FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
          row_number() OVER w AS rn,
@@ -37,9 +39,9 @@ def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (o.select("o_orderpriority", "o_orderkey", "o_totalprice",
-                     F.row_number().over(w).alias("rn"),
-                     F.rank().over(w).alias("rk"),
-                     F.dense_rank().over(w).alias("drk"))
+                     F.row_number().over(w).cast("long").alias("rn"),
+                     F.rank().over(w).cast("long").alias("rk"),
+                     F.dense_rank().over(w).cast("long").alias("drk"))
             .filter(F.col("rn") <= 20))
 
 
