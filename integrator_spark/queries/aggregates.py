@@ -167,3 +167,14 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.groupBy("lang")
             .agg(F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias("sources"),
                  F.count(F.lit(1)).alias("n_docs")))
+
+
+@register("agg_approx_percentile", oracle=None, tags=("agg", "approx", "percentile"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK-sketch) next to the exact percentile —
+    rows-only: sketch interpolation is engine-specific; the exact
+    variant is oracle-checked by agg_percentile."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+                 F.round(F.median("o_totalprice"), 4).alias("p50_exact")))

@@ -84,3 +84,29 @@ def vec_knn_twosided(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.knn import knn_blocked_twosided
     e = load_table(spark, sf_dir, "embeddings")
     return knn_blocked_twosided(e, k=1, n_blocks=4)
+
+
+_KNN5_ORACLE = """
+SELECT a.vec_id,
+       b.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id <> b.vec_id
+QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) DESC,
+             b.vec_id) <= 5
+"""
+
+
+@register("vec_knn5", oracle=_KNN5_ORACLE, tags=("vector", "knn"))
+def vec_knn5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors per vector through the broadcast blocked plan —
+    exercises the k>1 partial-sort branch of the operator against the
+    oracle (vec_knn covers k=1)."""
+    from ..operators.knn import knn_blocked
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_blocked(e, k=5)
