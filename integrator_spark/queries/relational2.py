@@ -153,3 +153,35 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count(F.lit(1)).alias("n_all")))
     return (a.join(b, a.st.eqNullSafe(b.st_b))
             .select("o_orderkey", "st", "n_all"))
+
+
+@register("join_right", oracle="""
+SELECT c_custkey,
+       COUNT(o_orderkey) AS n_orders
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+""", tags=("join",))
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (the mirrored null-extension; customers with no
+    orders keep a zero count)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey, "right")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders")))
+
+
+@register("edge_empty", oracle="""
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders
+WHERE o_totalprice < 0
+GROUP BY o_orderstatus
+""", tags=("edge",))
+def edge_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty result set (no negative prices exist): both engines must
+    agree on zero rows with the declared schema — the degenerate case
+    a comparison harness is most likely to mishandle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_totalprice") < 0)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n")))

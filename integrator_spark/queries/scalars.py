@@ -175,7 +175,11 @@ SELECT event_id,
                           value])['k'][1] AS k_val,
        array_to_string(map_keys(map(['k', 'val'], [0.0, 1.0])), ',') AS key_list,
        map(['k', 'val'], [CAST(json_extract_string(props, '$.k') AS DOUBLE),
-                          value])['val'][1] AS v_val
+                          value])['val'][1] AS v_val,
+       list_aggregate(map_values(map(['k', 'val'],
+           [CAST(json_extract_string(props, '$.k') AS DOUBLE), value])), 'sum')
+         AS vals_sum,
+       map_from_entries([{'k': 'et', 'v': event_type}])['et'][1] AS et_echo
 FROM events
 WHERE event_id % 10 = 0
 """, tags=("scalar", "map"))
@@ -192,6 +196,12 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.map_keys(F.create_map(
             F.lit("k"), F.lit(0.0), F.lit("val"), F.lit(1.0)))).alias("key_list"),
         F.element_at(m, "val").alias("v_val"),
+        F.aggregate(F.map_values(m), F.lit(0.0), lambda a, x: a + x)
+         .alias("vals_sum"),
+        F.element_at(
+            F.map_from_entries(F.array(F.struct(
+                F.lit("et").alias("k"), F.col("event_type").alias("v")))),
+            "et").alias("et_echo"),
     )
 
 
