@@ -69,12 +69,22 @@ def run_available_now(stream_df: DataFrame, name: str,
     Output-mode semantics matter: append withholds windows the
     watermark hasn't closed (so the final open window never emits on a
     bounded replay); complete emits the full aggregation state.
+
+    The checkpoint dir is fixed per query name and wiped before each
+    run: a replay demo must reprocess from scratch (a reused checkpoint
+    would report "no new data"), and per-run unique dirs would grow
+    without bound across repeated verification rounds. The memory-sink
+    table name still gets a unique suffix — memory tables can't be
+    re-registered while a same-named query object lingers in the
+    session.
     """
-    run_id = uuid.uuid4().hex[:12]
-    query_name = f"{name}_{run_id}"
+    import shutil
+
+    query_name = f"{name}_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(
         derived_dir(os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp"), "checkpoints"),
-        query_name)
+        name)
+    shutil.rmtree(checkpoint, ignore_errors=True)
     q = (stream_df.writeStream
          .format("memory")
          .queryName(query_name)
@@ -216,9 +226,9 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     increasing batch_id, written idempotently (overwrite-by-batch-id
     partition) so replays after failure cannot double-count. The
     re-read aggregate must equal the source aggregate (oracle)."""
-    out_dir = derived_dir(sf_dir, "foreach_batch_out")
-    run_id = uuid.uuid4().hex[:12]
-    target = os.path.join(out_dir, run_id)
+    import shutil
+    target = os.path.join(derived_dir(sf_dir, "foreach_batch_out"), "run")
+    shutil.rmtree(target, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Idempotent: a retried batch overwrites its own partition.
