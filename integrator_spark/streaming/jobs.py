@@ -246,3 +246,20 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     written = spark.read.parquet(os.path.join(target, "batch=*"))
     return (written.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+@register("stream_update_counts", oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""", tags=("streaming", "outputmode"))
+def stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode: an unwindowed running aggregation emits only
+    the groups that changed in each micro-batch (vs append's
+    finalized-only and complete's full-state). On a single-batch replay
+    every group changes once, so the sink holds the final counts —
+    which the oracle verifies."""
+    s = events_stream(spark, sf_dir)
+    agg = (s.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    return run_available_now(agg, "stream_update_counts", output_mode="update")

@@ -49,3 +49,26 @@ def test_partitioned_scan_prunes_partitions(spark):
     plan = plan_string(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_orderstatus" in m.group(1), plan[:2000]
+
+
+def test_q3_uses_takeordered_topk(spark):
+    """Top-k must fuse into TakeOrderedAndProject — no global sort
+    materialization before the limit."""
+    from integrator_spark.plans.audit import plan_string
+    df = SPECS["q3_top_orders"].fn(spark, TEST_SF_DIR)
+    assert "TakeOrderedAndProject" in plan_string(df)
+
+
+def test_vec_knn_blocked_plan_has_no_shuffle(spark):
+    """The broadcast blocked-matmul kNN claims zero shuffle: the plan
+    must contain no Exchange at all (scan -> ArrowEvalPython path)."""
+    from integrator_spark.plans.audit import plan_string
+    df = SPECS["vec_knn"].fn(spark, TEST_SF_DIR)
+    plan = plan_string(df)
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_etl_harmonize_broadcasts_rules(spark):
+    from integrator_spark.plans.audit import plan_string
+    df = SPECS["etl_harmonize"].fn(spark, TEST_SF_DIR)
+    assert "BroadcastHashJoin" in plan_string(df)
