@@ -142,3 +142,50 @@ def exact_dedup_keep_first(df: DataFrame, key_cols: list[str],
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "d1",
+                         b_col: str = "d2",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components over an undirected pair graph → (doc_id,
+    cluster_id = min reachable id): the step that turns near-dup PAIRS
+    into dedup GROUPS (keep one representative per cluster).
+
+    Iterative min-label propagation: each round joins current labels
+    across edges and keeps the minimum seen; terminates when no label
+    changes (components' diameters bound the rounds, ~log n with the
+    min-id shortcut in practice). Each round is one shuffle join on a
+    (node, label) table — the standard large-graph CC shape; for
+    planet-scale graphs swap in large-star/small-star contraction with
+    the same interface.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(b_col).alias("src"),
+                              F.col(a_col).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node")))
+    edges = edges.cache()
+    labels = labels.cache()
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src")
+                        .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.src, "left")
+                      .select("node",
+                              F.least("label", F.coalesce("nbr_label", "label"))
+                               .alias("label"))
+                      .cache())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

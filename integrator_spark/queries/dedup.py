@@ -110,3 +110,40 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked-matmul operator — exact results, no O(n²) shuffle."""
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_blocked(e, threshold=0.45)
+
+
+@register("dedup_cluster", oracle="""
+WITH RECURSIVE
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+       FROM words, unnest(range(1, len(w) - 1)) t(i)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+raw_pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+pairs AS (SELECT d1, d2 FROM raw_pairs
+          JOIN cnt ca ON ca.doc_id = d1
+          JOIN cnt cb ON cb.doc_id = d2
+          WHERE n_inter * 1.0 / (ca.n + cb.n - n_inter) >= 0.8),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id AS src, id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+""", tags=("dedup", "neardup", "iterative"))
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: 0.8-Jaccard pairs → connected components →
+    (doc, cluster representative). The Spark side iterates min-label
+    propagation to a fixpoint; the oracle computes the same components
+    with a recursive transitive-closure CTE — an iterative distributed
+    algorithm checked against recursive SQL."""
+    from ..operators.dedup import connected_components
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8).select("d1", "d2")
+    return connected_components(pairs)

@@ -146,3 +146,13 @@ def test_asof_pandas_variant_matches_window_variant(spark):
                                           right_payload=["v_ts", "v_value"])
     key = lambda rows: sorted((r.event_id, r.v_ts, r.v_value) for r in rows)  # noqa: E731
     assert key(window_out.collect()) == key(pandas_out.collect())
+
+
+def test_connected_components_hand_graph(spark):
+    from integrator_spark.operators.dedup import connected_components
+    # components: {1,2,3} (chain), {7,9}, singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "d1 long, d2 long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
