@@ -31,6 +31,7 @@ CROSS_JOIN_ALLOWED = {
     "dedup_embedding",     # broadcast-matmul pair scan
     "vec_ann_ivf",         # bounded k=16 centroid-probe broadcast
     "vec_knn_twosided",    # bounded n_blocks² block-id pairing (not rows)
+    "events_resample",     # bounded grid × event-type expansion
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

@@ -110,3 +110,79 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_rn") == 1)
             .select("user_id", "event_type", "event_id",
                     F.date_format("ts", US_FMT).alias("first_ts")))
+
+
+@register("events_resample", oracle=f"""
+WITH grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-31 00:00:00',
+                                INTERVAL '6 hours')) AS bucket
+), per_type AS (SELECT DISTINCT event_type FROM events),
+obs AS (
+  SELECT event_type, ts, value FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts
+                             ORDER BY event_id DESC) = 1
+)
+SELECT strftime(g.bucket, '{SEC_FMT_DUCK}') AS bucket_start,
+       t.event_type,
+       o.value AS last_value
+FROM grid g
+CROSS JOIN per_type t
+ASOF LEFT JOIN obs o
+  ON o.event_type = t.event_type AND o.ts <= g.bucket
+""", tags=("events", "resample", "timeseries"))
+def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling (the hypertable/time-series pattern): a
+    regular 6-hour grid per event type, forward-filled with the last
+    observation at or before each grid point — grid from sequence(),
+    fill via the as-of operator. NULL before the first observation.
+
+    Ties at identical (type, ts) resolve to the max event_id on both
+    engines, keeping the fill deterministic.
+    """
+    from ..operators.asof import asof_join_backward
+    from ..operators.dedup import exact_dedup_keep_first
+
+    e = load_table(spark, sf_dir, "events")
+    grid = (spark.sql("""
+        SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-31 00:00:00',
+                                INTERVAL 6 HOURS)) AS bucket
+    """))
+    types = e.select("event_type").distinct()
+    grid_t = grid.crossJoin(types)
+    obs = exact_dedup_keep_first(
+        e.select("event_type", F.col("ts").alias("o_ts"),
+                 F.col("value"), "event_id"),
+        key_cols=["event_type", "o_ts"],
+        order_cols=[F.col("event_id").desc()]).drop("event_id")
+    filled = asof_join_backward(
+        grid_t, obs, on=["event_type"], left_ts="bucket",
+        right_ts="o_ts", right_payload=["value"])
+    return filled.select(
+        F.date_format("bucket", SEC_FMT).alias("bucket_start"),
+        "event_type",
+        F.col("value").alias("last_value"))
+
+
+@register("events_rollup_daily", oracle=f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1
+""", tags=("events", "rollup", "timeseries"))
+def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (continuous-aggregate pattern): daily
+    results computed by re-aggregating HOURLY partials rather than the
+    raw stream — exactly how a 100 TB hypertable maintains multi-grain
+    rollups incrementally. Decimal partial sums re-aggregate exactly,
+    so the result matches the direct daily aggregation (the oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("_n"),
+                   F.sum(F.col("value").cast("decimal(38,6)")).alias("_v")))
+    return (hourly.groupBy(F.date_format(F.date_trunc("day", "hour"),
+                                         "yyyy-MM-dd").alias("day"))
+            .agg(F.sum("_n").alias("n_events"),
+                 F.sum("_v").cast("double").alias("total_value")))
