@@ -174,3 +174,44 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
+
+
+Q4_LO, Q4_HI = "1996-01-01", "1996-04-01"
+
+Q4_ORACLE = f"""
+WITH eligible AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{Q4_LO} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{Q4_HI} 00:00:00'
+)
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM eligible
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '{Q4_HI} 00:00:00')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=Q4_ORACLE, tags=("join", "semi", "sql"))
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: date-sliced orders with a correlated EXISTS on late
+    shipments, counted per priority — expressed as SQL text with a CTE
+    (parser → semi-join rewrite path), same Catalyst pipeline as the
+    DataFrame API."""
+    from ..io import register_views
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(f"""
+        WITH eligible AS (
+          SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE o_orderdate >= TIMESTAMP '{Q4_LO} 00:00:00'
+            AND o_orderdate <  TIMESTAMP '{Q4_HI} 00:00:00'
+        )
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM eligible
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > TIMESTAMP '{Q4_HI} 00:00:00')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
