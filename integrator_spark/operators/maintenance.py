@@ -1,0 +1,41 @@
+"""Table-maintenance operators — the jobs that keep a 100 TB parquet
+lake healthy: small-file compaction and schema-evolution reads.
+
+Small files are the dominant operational failure mode of long-running
+ingestion (every streaming micro-batch and every over-parallel write
+leaves shards); compaction rewrites a directory into ~target-sized
+files without changing a single row. Schema evolution is its sibling:
+old batches lack columns that new batches have, and the reader must
+union them without rewriting history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
+                    target_file_mb: int = 128) -> DataFrame:
+    """Rewrite a parquet directory into ~target-sized files.
+
+    File count is derived from actual input bytes (never from row
+    counts); the rewrite is one job with no shuffle — coalesce only
+    narrows partitions. Returns the re-read compacted frame.
+    """
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(src_dir)
+        for f in files if f.endswith(".parquet"))
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_dir)
+    return spark.read.parquet(dst_dir)
+
+
+def read_with_evolution(spark: SparkSession, *batch_dirs: str) -> DataFrame:
+    """Read batches written under evolving schemas as one frame
+    (mergeSchema: missing columns null-fill per batch)."""
+    return (spark.read.option("mergeSchema", True)
+            .parquet(*batch_dirs))

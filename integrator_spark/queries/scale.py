@@ -141,3 +141,57 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_rn") == 1)
             .select("vec_id", "neighbor_id",
                     F.round("_cos", 6).alias("approx_cos")))
+
+
+@register("maint_compact", oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS sum_price,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""", tags=("maintenance", "compaction"))
+def maint_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: shatter lineitem into many
+    small files (the streaming-ingest failure mode), compact to
+    target-sized files, verify the compacted copy is row-identical to
+    the source (oracle aggregates the original table)."""
+    from ..operators.maintenance import compact_parquet
+
+    shattered = derived_dir(sf_dir, "lineitem_shattered")
+    compacted = derived_dir(sf_dir, "lineitem_compacted")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(shattered)
+    df = compact_parquet(spark, shattered, compacted, target_file_mb=16)
+    return df.agg(F.count(F.lit(1)).alias("n_rows"),
+                  dsum("l_extendedprice").alias("sum_price"),
+                  F.countDistinct("l_orderkey").alias("n_orders"))
+
+
+@register("maint_schema_evolution", oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_src0_flagged
+FROM documents
+GROUP BY lang
+""", tags=("maintenance", "evolution"))
+def maint_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: batch 1 written WITHOUT the flag column, batch 2
+    written WITH it; a mergeSchema read unions both (nulls for the old
+    batch) and downstream aggregation treats missing as false — the
+    add-a-column-without-rewriting-history pattern."""
+    from ..operators.maintenance import read_with_evolution
+
+    d = load_table(spark, sf_dir, "documents")
+    b1_dir = derived_dir(sf_dir, "docs_batch1")
+    b2_dir = derived_dir(sf_dir, "docs_batch2")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)          # old schema: no flag
+    b2 = (d.filter(F.col("doc_id") % 2 == 1)         # new schema: + flag
+          .withColumn("src0_flag", F.col("source") == "src0"))
+    b1.write.mode("overwrite").parquet(b1_dir)
+    b2.write.mode("overwrite").parquet(b2_dir)
+    merged = read_with_evolution(spark, b1_dir, b2_dir)
+    # Old-batch rows have NULL flag; recompute it from source for them.
+    flag = F.coalesce(F.col("src0_flag"), F.col("source") == "src0")
+    return (merged.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(flag, 1).otherwise(0)).alias("n_src0_flagged")))
