@@ -149,3 +149,34 @@ def etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (published.groupBy(F.col("canonical").cast("string").alias("canonical"))
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  dsum("value").alias("total_value")))
+
+
+@register("etl_observations", oracle="""
+WITH cube AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         c_mktsegment AS segment,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT yr, segment, 'order_count' AS measure, CAST(n AS DOUBLE) AS value FROM cube
+UNION ALL
+SELECT yr, segment, 'total_price', total FROM cube
+""", tags=("etl", "cube"))
+def etl_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation export — the engine's RDF-Data-Cube analog
+    (SURVEY.md §1.1): the integrated star schema published as LONG-form
+    observations, one row per (dimension tuple, measure, value), the
+    shape the reference emits as qb:Observation triples. Wide cube →
+    unpivot; every observation carries its full dimension key."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cube = (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.year("o_orderdate").cast("long").alias("yr"),
+                     F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("order_count"),
+                 dsum("o_totalprice").alias("total_price")))
+    return (cube.withColumn("order_count", F.col("order_count").cast("double"))
+            .unpivot(["yr", "segment"], ["order_count", "total_price"],
+                     "measure", "value"))

@@ -1,0 +1,44 @@
+"""Unit tests for the foundation modules: loaders, numeric helpers,
+session conf behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from integrator_spark.functions.num import davg, dsum
+from integrator_spark.io import TABLES, load_all, load_table, register_views
+
+from .conftest import TEST_SF_DIR
+
+
+def test_load_all_tables_have_rows_and_ts_types(spark):
+    dfs = load_all(spark, TEST_SF_DIR)
+    assert set(dfs) == set(TABLES)
+    for name, df in dfs.items():
+        assert df.count() > 0, name
+    # events ts must arrive as a usable timestamp despite TIMESTAMP(NANOS)
+    assert dict(dfs["events"].dtypes)["ts"] == "timestamp"
+    assert dict(dfs["embeddings"].dtypes)["embedding"] == "array<float>"
+
+
+def test_register_views_enables_sql(spark):
+    register_views(spark, TEST_SF_DIR, ["nation", "region"])
+    n = spark.sql("SELECT COUNT(*) AS n FROM nation JOIN region "
+                  "ON n_regionkey = r_regionkey").collect()[0].n
+    assert n == 25
+
+
+def test_dsum_is_exact_and_order_independent(spark):
+    vals = [(0.1,)] * 100 + [(0.2,)] * 50
+    df = spark.createDataFrame(vals, "x double")
+    total = df.repartition(7).agg(dsum("x").alias("s")).collect()[0].s
+    assert total == 20.0  # plain double summation would give 20.000000000000004
+    avg = df.repartition(3).agg(davg("x").alias("a")).collect()[0].a
+    assert avg == pytest.approx(20.0 / 150, abs=0)
+
+
+def test_missing_table_raises_clearly(spark):
+    from pyspark.errors.exceptions.captured import AnalysisException
+    with pytest.raises(AnalysisException):
+        load_table(spark, TEST_SF_DIR, "no_such_table").collect()
