@@ -32,6 +32,7 @@ CROSS_JOIN_ALLOWED = {
     "vec_ann_ivf",         # bounded k=16 centroid-probe broadcast
     "vec_knn_twosided",    # bounded n_blocks² block-id pairing (not rows)
     "events_resample",     # bounded grid × event-type expansion
+    "etl_fuzzy_match",     # bounded |variants| × |code list| scoring
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

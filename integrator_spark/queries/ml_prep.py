@@ -1,0 +1,122 @@
+"""ML-data-prep operators: deterministic dataset splitting, quantile
+bucketing windows, join-strategy hints, fuzzy code matching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.num import dsum, sql_dsum
+from ..io import load_table
+from ..registry import register
+
+
+@register("split_train_test", oracle="""
+SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+            IN ('0', '1', '2') THEN 'validation' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+""", tags=("mlprep", "split"))
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation split by content-independent id
+    hash (md5 hex prefix → ~3/16 validation): reproducible across
+    engines, runs, and cluster sizes — the property rand()-based
+    sampling lacks. The same expression assigns any future row of the
+    same id to the same split."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                    .isin("0", "1", "2"), "validation")
+             .otherwise("train"))
+    return (d.groupBy(split.alias("split"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+@register("window_ntile", oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 8) AS pct_rank,
+       ROUND(cume_dist() OVER w, 8) AS cume
+FROM orders
+WHERE o_orderkey % 25 = 0
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""", tags=("window", "ntile"))
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles, percent_rank, cume_dist
+    per priority (total order via the orderkey tie-break; the ratios
+    are exact rationals of identical ints, rounded only for parity)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )
+
+
+@register("join_hinted", oracle=f"""
+SELECT s_nationkey,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice')} AS total
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""", tags=("join", "hint"))
+def join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy override: SHUFFLE_HASH hint forces a
+    shuffled hash join where the optimizer would broadcast — the manual
+    control used when a 'small' side is only small per-partition, or
+    broadcast memory is contended (plan asserted in tests/test_plans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").hint("shuffle_hash")
+    return (li.join(s, li.l_suppkey == s.s_suppkey)
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dsum("l_extendedprice").alias("total")))
+
+
+@register("etl_fuzzy_match", oracle="""
+WITH variants AS (
+  SELECT DISTINCT event_type || CASE WHEN user_id % 3 = 0 THEN 'e'
+                                     WHEN user_id % 3 = 1 THEN 's' ELSE '' END
+           AS messy FROM events
+), canon AS (
+  SELECT unnest(['click', 'view', 'purchase', 'signup', 'error']) AS canonical
+), scored AS (
+  SELECT messy, canonical,
+         CAST(levenshtein(messy, canonical) AS BIGINT) AS dist
+  FROM variants CROSS JOIN canon
+)
+SELECT messy, canonical, dist
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY messy
+                           ORDER BY dist, canonical) = 1
+   AND dist <= 2
+""", tags=("etl", "fuzzy"))
+def etl_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy harmonization: messy variant codes (synthesized typos of
+    event types) matched to the canonical code list by minimum edit
+    distance with a confidence threshold — the technique for mapping
+    historical variant spellings onto standard codes when no exact rule
+    exists. Candidate space is |variants| x |code list| (bounded by the
+    dimension, never the fact table)."""
+    e = load_table(spark, sf_dir, "events")
+    suffix = (F.when(F.col("user_id") % 3 == 0, "e")
+              .when(F.col("user_id") % 3 == 1, "s").otherwise(""))
+    variants = (e.select(F.concat(F.col("event_type"), suffix).alias("messy"))
+                .distinct())
+    canon = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",), ("signup",), ("error",)],
+        "canonical string")
+    scored = (variants.crossJoin(F.broadcast(canon))
+              .select("messy", "canonical",
+                      F.levenshtein("messy", "canonical").cast("long")
+                       .alias("dist")))
+    w = Window.partitionBy("messy").orderBy("dist", "canonical")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("dist") <= 2))
+            .drop("_rn"))

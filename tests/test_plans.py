@@ -72,3 +72,9 @@ def test_etl_harmonize_broadcasts_rules(spark):
     from integrator_spark.plans.audit import plan_string
     df = SPECS["etl_harmonize"].fn(spark, TEST_SF_DIR)
     assert "BroadcastHashJoin" in plan_string(df)
+
+
+def test_join_hinted_uses_shuffled_hash(spark):
+    from integrator_spark.plans.audit import plan_string
+    df = SPECS["join_hinted"].fn(spark, TEST_SF_DIR)
+    assert "ShuffledHashJoin" in plan_string(df)
