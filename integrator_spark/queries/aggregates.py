@@ -178,3 +178,25 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.groupBy("o_orderpriority")
             .agg(F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
                  F.round(F.median("o_totalprice"), 4).alias("p50_exact")))
+
+
+@register("groupingsets_revenue", oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_quantity')} AS total_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""", tags=("agg", "groupingsets"))
+def groupingsets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (chosen key subsets, neither rollup nor
+    cube) through the SQL entry — each set null-extends the other key."""
+    from ..io import register_views
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)

@@ -98,3 +98,25 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(dec_price).over(w_mov).cast("double")
          / F.count(F.lit(1)).over(w_mov)).alias("moving_avg3"),
     )
+
+
+@register("window_range_frame", oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       COUNT(*) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice
+                      RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+         AS n_within_5k_below
+FROM orders
+WHERE o_orderkey % 25 = 0
+""", tags=("window", "frame", "range"))
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-bounded frame (value-based, not row-based): how many
+    orders in the same priority fall within 5000 below the current
+    price. Well-defined under duplicate order keys because RANGE frames
+    depend only on the ordering value."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_totalprice")
+         .rangeBetween(-5000, Window.currentRow))
+    return o.select("o_orderkey", "o_orderpriority", "o_totalprice",
+                    F.count(F.lit(1)).over(w).alias("n_within_5k_below"))
