@@ -43,16 +43,20 @@ def main() -> None:
     sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf") or 0.1)
     spark = build_session("integrator-bench")
     queries = get_queries()
+    # SPARK_GRAFT_BENCH_ALL=1 measures every registered query (single
+    # run each) instead of the BASELINE.md headline protocol.
+    names = sorted(queries) if os.environ.get("SPARK_GRAFT_BENCH_ALL") else HEADLINE
 
     # Warm the JVM/session on a small query before measuring anything.
     queries["q1_pricing_summary"](spark, sf_dir).collect()
 
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
+    runs = 1 if os.environ.get("SPARK_GRAFT_BENCH_ALL") else RUNS
+    for name in names:
         fn = queries[name]
         fn(spark, sf_dir).collect()  # per-query warm-up (plan + IO cache)
         times = []
-        for _ in range(RUNS):
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)

@@ -42,3 +42,15 @@ def test_missing_table_raises_clearly(spark):
     from pyspark.errors.exceptions.captured import AnalysisException
     with pytest.raises(AnalysisException):
         load_table(spark, TEST_SF_DIR, "no_such_table").collect()
+
+
+def test_testing_module_compare_matches_gate(spark):
+    from integrator_spark.testing import compare_with_oracle, duckdb_connection
+    con = duckdb_connection(TEST_SF_DIR)
+    try:
+        r = compare_with_oracle(spark, TEST_SF_DIR, "q1_pricing_summary", con)
+        assert r.ok and r.exact and r.spark_rows == r.oracle_rows
+        r2 = compare_with_oracle(spark, TEST_SF_DIR, "agg_approx_distinct", con)
+        assert r2.ok and r2.rows_only
+    finally:
+        con.close()
