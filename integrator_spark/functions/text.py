@@ -26,15 +26,18 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-grams as '|'-joined strings.
 
     1-based element_at keeps the construction aligned with the oracle's
-    ``w[i] || '|' || w[i+1] ...`` indexing.
+    ``w[i] || '|' || w[i+1] ...`` indexing. Texts with fewer than ``k``
+    tokens yield an EMPTY array (matching the oracle's empty
+    ``range(1, len(w)-1)``) — without the guard, ``F.sequence(1, 0)``
+    builds a descending sequence and ANSI ``element_at`` throws.
     """
     w = tokens(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (k - 1)),
-            lambda i: F.concat_ws("|", *[F.element_at(w, i + j) for j in range(k)]),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (k - 1)),
+        lambda i: F.concat_ws("|", *[F.element_at(w, i + j) for j in range(k)]),
     )
+    return F.when(F.size(w) >= k, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def word_code(word: Column) -> Column:

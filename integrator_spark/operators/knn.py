@@ -32,6 +32,32 @@ from pyspark.sql import functions as F
 KNN_SCHEMA = "vec_id long, neighbor_id long, cos_sim double"
 
 
+def _topk_idx(row: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k sims in ``row``, ties broken by smallest id.
+
+    ``ids`` must be sorted ascending (callers pre-sort the candidate
+    matrix). Exactness under ties: argpartition alone picks an arbitrary
+    subset when equal sims straddle the k-th position, so we partition,
+    read the k-th value as a threshold, keep EVERY index at-or-above it,
+    and only then lexsort (-sim, id) — identical to the window spec
+    ``ORDER BY cos_sim DESC, neighbor_id`` used by knn_bruteforce.
+    Non-finite entries (the masked self-pair) are dropped.
+    """
+    finite = np.isfinite(row)
+    kk = min(k, int(finite.sum()))
+    if kk <= 0:
+        return np.empty(0, dtype=np.int64)
+    masked = np.where(finite, row, -np.inf)
+    if kk < masked.size:
+        part = np.argpartition(-masked, kk - 1)
+        thresh = masked[part[kk - 1]]
+        cand = np.nonzero(finite & (masked >= thresh))[0]
+    else:
+        cand = np.nonzero(finite)[0]
+    order = cand[np.lexsort((ids[cand], -masked[cand]))]
+    return order[:kk]
+
+
 def _dot_expr(a, b):
     """Float64 dot product of two float-array columns (HOF, JVM-side)."""
     to_d = lambda x: x.cast("double")  # noqa: E731
@@ -115,10 +141,9 @@ def knn_blocked(emb: DataFrame, id_col: str = "vec_id",
                     out_rows.append((int(q_ids[r]), int(cand_ids[j]),
                                      round(float(row[j]), 6)))
                 else:
-                    top = np.argpartition(-row, k)[:k]
-                    top = top[np.lexsort((cand_ids[top], -row[top]))]
                     out_rows.extend((int(q_ids[r]), int(cand_ids[j]),
-                                     round(float(row[j]), 6)) for j in top)
+                                     round(float(row[j]), 6))
+                                    for j in _topk_idx(row, cand_ids, k))
             yield pd.DataFrame(out_rows,
                                columns=["vec_id", "neighbor_id", "cos_sim"])
 
@@ -199,14 +224,10 @@ def knn_blocked_twosided(emb: DataFrame, id_col: str = "vec_id",
         sims = q @ c.T
         sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
         rows = []
-        kk = min(k, sims.shape[1])
         for r in range(sims.shape[0]):
             row = sims[r]
-            top = np.argpartition(-row, kk - 1)[:kk] if kk < row.size \
-                else np.arange(row.size)
-            top = top[np.lexsort((c_ids[top], -row[top]))][:kk]
             rows.extend((int(q_ids[r]), int(c_ids[j]), float(row[j]))
-                        for j in top if np.isfinite(row[j]))
+                        for j in _topk_idx(row, c_ids, k))
         return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cos_sim"])
 
     local = (q_side.groupBy("_qb", "_cb")

@@ -48,18 +48,31 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary ingest via the binaryFile source: one file per
     language (texts newline-joined in doc_id order), re-read as
     (path, content) rows — the pattern for image/audio shard ingest.
-    Byte accounting is oracle-checked against the source table."""
+    Byte accounting is oracle-checked against the source table.
+
+    Staging is distributed (foreachPartition on the executors); the
+    one-blob-per-language agg is what the byte oracle needs here — a
+    real 100 TB shard stage would write many bounded-size files per key
+    (``write.partitionBy(key).text``) instead of one giant row."""
     d = load_table(spark, sf_dir, "documents")
     per_lang = (d.groupBy("lang")
                 .agg(F.concat_ws("\n", F.array_sort(
                     F.collect_list(F.struct("doc_id", "text"))
-                ).getField("text")).alias("blob"))
-                .collect())
+                ).getField("text")).alias("blob")))
     path = derived_dir(sf_dir, "lang_blobs")
-    os.makedirs(path, exist_ok=True)
-    for row in per_lang:
-        with open(os.path.join(path, f"{row['lang']}.txt"), "wb") as fh:
-            fh.write(row["blob"].encode("utf-8"))
+
+    def write_lang_files(rows) -> None:
+        # Runs ON THE EXECUTORS (foreachPartition): each partition writes
+        # its languages' shard files directly — no blob ever transits the
+        # driver, so staging scales with executor count, not driver heap.
+        # Assumes `path` is shared storage (true in local mode; on a
+        # cluster this is the DFS mount, same assumption binaryFile makes).
+        os.makedirs(path, exist_ok=True)
+        for row in rows:
+            with open(os.path.join(path, f"{row['lang']}.txt"), "wb") as fh:
+                fh.write(row["blob"].encode("utf-8"))
+
+    per_lang.repartition(8, "lang").foreachPartition(write_lang_files)
     df = spark.read.format("binaryFile").load(path)
     return df.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),

@@ -61,7 +61,32 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_available_now(stream_df: DataFrame, name: str,
+def _reap_stale_checkpoints(ckpt_root: str, name: str) -> None:
+    """Remove checkpoint dirs left by dead processes (same query name,
+    different pid) so repeated verification rounds don't grow unbounded."""
+    import shutil
+
+    prefix = f"{name}_pid"
+    try:
+        entries = os.listdir(ckpt_root)
+    except OSError:
+        return
+    for entry in entries:
+        if not entry.startswith(prefix):
+            continue
+        try:
+            pid = int(entry[len(prefix):])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)          # alive -> leave its checkpoint alone
+        except OSError:
+            shutil.rmtree(os.path.join(ckpt_root, entry), ignore_errors=True)
+
+
+def run_available_now(stream_df: DataFrame, sf_dir: str, name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drain a streaming DataFrame into a memory sink with a fresh
     checkpoint and return the materialized batch result.
@@ -70,10 +95,13 @@ def run_available_now(stream_df: DataFrame, name: str,
     watermark hasn't closed (so the final open window never emits on a
     bounded replay); complete emits the full aggregation state.
 
-    The checkpoint dir is fixed per query name and wiped before each
-    run: a replay demo must reprocess from scratch (a reused checkpoint
-    would report "no new data"), and per-run unique dirs would grow
-    without bound across repeated verification rounds. The memory-sink
+    The checkpoint dir is derived from the ``sf_dir`` the query was
+    invoked with (NOT an env var — two runs against different sf dirs
+    must not share state) plus the process id (two concurrent runs of
+    the same query must not clobber each other's live checkpoint), and
+    wiped before each run: a replay demo must reprocess from scratch —
+    a reused checkpoint would report "no new data". Stale dirs from
+    dead pids are reaped so the tree stays bounded. The memory-sink
     table name still gets a unique suffix — memory tables can't be
     re-registered while a same-named query object lingers in the
     session.
@@ -81,9 +109,9 @@ def run_available_now(stream_df: DataFrame, name: str,
     import shutil
 
     query_name = f"{name}_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(
-        derived_dir(os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp"), "checkpoints"),
-        name)
+    ckpt_root = derived_dir(sf_dir, "checkpoints")
+    _reap_stale_checkpoints(ckpt_root, name)
+    checkpoint = os.path.join(ckpt_root, f"{name}_pid{os.getpid()}")
     shutil.rmtree(checkpoint, ignore_errors=True)
     q = (stream_df.writeStream
          .format("memory")
@@ -119,7 +147,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                     .alias("bucket_start"),
                    "event_type", "n_events", "total_value"))
-    return run_available_now(agg, "stream_tumbling", output_mode="complete")
+    return run_available_now(agg, sf_dir, "stream_tumbling", output_mode="complete")
 
 
 @register("stream_dedup", oracle="""
@@ -137,7 +165,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = (s.withWatermark("ts", "1 hour")
                .dropDuplicatesWithinWatermark(["user_id", "event_type"])
                .select("user_id", "event_type", "ts"))
-    drained = run_available_now(deduped, "stream_dedup")
+    drained = run_available_now(deduped, sf_dir, "stream_dedup")
     return (drained.groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("n_distinct_users")))
 
@@ -156,7 +184,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
                     .alias("session_start"),
                    "n_events"))
-    drained = run_available_now(agg, "stream_session")
+    drained = run_available_now(agg, sf_dir, "stream_session")
     return drained.orderBy("user_id", "session_start")
 
 
@@ -189,13 +217,21 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     def track_user(key, pdf_iter, state: GroupState):
         n_events, n_sessions, last_ns = (
             state.get if state.exists else (0, 0, None))
-        for pdf in pdf_iter:
-            ts_ns = pdf["ts"].astype("int64").sort_values()
-            for t in ts_ns:
-                if last_ns is None or t - last_ns >= gap_ns:
-                    n_sessions += 1
-                n_events += 1
-                last_ns = int(t)
+        # Accumulate EVERY Arrow chunk for the key, then sort once —
+        # per-chunk sorting would make the gap fold depend on chunk
+        # boundaries. Across micro-batches the fold is still
+        # arrival-order (inherent to incremental state); on bounded
+        # availableNow replay all rows land in one batch, so the result
+        # equals the ORDER BY ts oracle.
+        import numpy as np
+        chunks = [pdf["ts"].astype("int64").to_numpy() for pdf in pdf_iter]
+        ts_all = np.sort(np.concatenate(chunks)) if chunks else \
+            np.empty(0, dtype=np.int64)
+        for t in ts_all:
+            if last_ns is None or t - last_ns >= gap_ns:
+                n_sessions += 1
+            n_events += 1
+            last_ns = int(t)
         state.update((n_events, n_sessions, last_ns))
         yield pd.DataFrame({"user_id": [key[0]],
                             "n_events": [n_events],
@@ -211,7 +247,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                    stateStructType="n_events long, n_sessions long, last_ns long",
                    outputMode="append",
                    timeoutConf=GroupStateTimeout.NoTimeout))
-    return run_available_now(tracked, "stream_stateful")
+    return run_available_now(tracked, sf_dir, "stream_stateful")
 
 
 @register("stream_foreach_batch", oracle="""
@@ -262,4 +298,4 @@ def stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir)
     agg = (s.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("n_events")))
-    return run_available_now(agg, "stream_update_counts", output_mode="update")
+    return run_available_now(agg, sf_dir, "stream_update_counts", output_mode="update")

@@ -113,6 +113,45 @@ def test_word_shingles_dedups_and_orders(spark):
     assert got == ["a|b|a", "b|a|b"]
 
 
+def test_word_shingles_short_text_yields_empty(spark):
+    # Under ANSI mode an unguarded sequence(1, size-2) on a 2-token doc
+    # would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT; the oracle's
+    # range() yields no shingles, and so must we.
+    df = spark.createDataFrame(
+        [("only two",), ("one",), ("",), ("just enough here",)], "text string")
+    got = [r.s for r in df.select(word_shingles("text", 3).alias("s")).collect()]
+    assert got == [[], [], [], ["just|enough|here"]]
+
+
+def test_knn_blocked_k_equals_candidate_count(spark):
+    # k == number of other vectors: argpartition(-row, k) would raise
+    # ValueError; the masked self-pair must never be emitted.
+    data = [(i, [float((i * 7 + j * 13) % 11) / 11.0 + 0.1 for j in range(8)])
+            for i in range(4)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    for k in (3, 4, 10):                   # == n-1, == n, > n
+        rows = knn_blocked(emb, k=k).collect()
+        per_q = {}
+        for r in rows:
+            assert r.neighbor_id != r.vec_id
+            per_q.setdefault(r.vec_id, []).append(r.neighbor_id)
+        assert all(sorted(v) == [i for i in range(4) if i != q]
+                   for q, v in per_q.items())
+
+
+def test_knn_blocked_tie_break_matches_bruteforce(spark):
+    # Duplicate vectors force exact similarity ties; both paths must
+    # resolve them identically (cos_sim DESC, neighbor_id ASC).
+    base = [1.0, 2.0, 3.0, 4.0]
+    other = [4.0, 3.0, 2.0, 1.0]
+    data = [(0, base), (1, base), (2, base), (3, base), (4, other)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    key = lambda rows: sorted((r.vec_id, r.neighbor_id) for r in rows)  # noqa: E731
+    for k in (1, 2, 3):
+        assert key(knn_blocked(emb, k=k).collect()) == \
+            key(knn_bruteforce(emb, k=k).collect())
+
+
 def test_pipeline_validates_and_publishes(spark, tmp_path):
     from integrator_spark.pipeline import IntegrationPipeline
     df = spark.createDataFrame(
