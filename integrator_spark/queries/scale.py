@@ -104,46 +104,61 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("vec_ann_ivf", oracle=None, tags=("vector", "knn", "approx"))
-def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate NN: k-means coarse quantizer (seeded),
-    vectors inverted into centroid buckets, queries probe their 2
-    nearest centroids, exact HOF cosine only within probed buckets.
-    Rows-only (recall is probe-limited). This is the shuffle-bounded
-    alternative to broadcasting when neither side fits an executor:
-    candidate fan-out is n_queries x nprobe, never n^2."""
+def vec_ann_ivf(spark: SparkSession, sf_dir: str,
+                n_clusters: int = 16, n_assign: int = 3,
+                n_probe: int = 6) -> DataFrame:
+    """IVF approximate NN with multi-assignment: k-means coarse
+    quantizer over L2-normalized vectors (seeded), each DB vector
+    inverted into its ``n_assign`` nearest centroid buckets, each query
+    probing its ``n_probe`` nearest — exact HOF cosine only inside
+    probed buckets. Rows-only; measured recall@1 lives in
+    vec_ann_recall (asserted >= 0.9 in tests).
+
+    Candidate fan-out is n x n_probe x avg_bucket x n_assign — bounded
+    by the dials, never n². The dials are a recall/cost trade that is
+    DATA-dependent: the synthetic fixture is isotropic (no cluster
+    structure, true-NN cosine ~0.37 vs bulk ~0.0 +- 0.125), the
+    adversarial case for IVF, so hitting 0.9+ recall needs deep probing
+    (assign=3/probe=6 -> 0.97 here). On real clustered embeddings the
+    same index reaches that recall at probe=1-2 with a tiny scan
+    fraction — which is the regime that makes IVF the 100 TB path.
+    """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
 
     from ..operators.knn import _cosine_expr, _dot_expr, _l2_expr
 
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", "embedding",
-                    array_to_vector("embedding").alias("features"))
-    km = KMeans(k=16, seed=42, maxIter=8,
+    vecs = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
+        e.select("vec_id", "embedding",
+                 array_to_vector("embedding").alias("raw")))
+    km = KMeans(k=n_clusters, seed=42, maxIter=8,
                 featuresCol="features", predictionCol="bucket")
     model = km.fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "embedding", "bucket")
 
-    # Distances from every vector to every centroid (16 rows broadcast).
+    # Rank every (vector, centroid) pair once (centroids broadcast);
+    # the top-n_assign ranks build the inverted index, the top-n_probe
+    # ranks pick the query's probe set.
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "bucket int, centroid array<double>")
-    probes = (vecs.crossJoin(F.broadcast(centroids))
-              .select("vec_id",
-                      F.col("embedding").alias("q_emb"),
-                      "bucket",
-                      _cosine_expr(F.col("embedding"),
-                                   F.col("centroid")).alias("_sim")))
+    sims = (e.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(centroids))
+            .select("vec_id", "embedding", "bucket",
+                    _cosine_expr(F.col("embedding"),
+                                 F.col("centroid")).alias("_sim")))
     w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("bucket"))
-    probed = (probes.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") <= 2)
-              .select("vec_id", "q_emb", "bucket",
-                      _l2_expr(F.col("q_emb")).alias("_qn")))
+    ranked = sims.withColumn("_rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("_rn") <= n_assign).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"), "bucket",
+        _l2_expr(F.col("embedding")).alias("_cn"))
+    probed = ranked.filter(F.col("_rn") <= n_probe).select(
+        "vec_id", F.col("embedding").alias("q_emb"), "bucket",
+        _l2_expr(F.col("embedding")).alias("_qn"))
 
-    cand = assigned.select(F.col("vec_id").alias("neighbor_id"),
-                           F.col("embedding").alias("c_emb"), "bucket",
-                           _l2_expr(F.col("embedding")).alias("_cn"))
-    pairs = (probed.join(cand, "bucket")
+    pairs = (probed.join(assigned, "bucket")
              .filter(F.col("vec_id") != F.col("neighbor_id"))
              .select("vec_id", "neighbor_id",
                      (_dot_expr(F.col("q_emb"), F.col("c_emb"))
@@ -152,7 +167,8 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               F.col("neighbor_id"))
     return (pairs.withColumn("_rn", F.row_number().over(w2))
             .filter(F.col("_rn") == 1)
-            .select("vec_id", "neighbor_id",
+            .select("vec_id",
+                    F.col("neighbor_id").cast("long").alias("neighbor_id"),
                     F.round("_cos", 6).alias("approx_cos")))
 
 
