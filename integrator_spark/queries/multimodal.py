@@ -1,17 +1,19 @@
 """Multimodal column handling (SURVEY.md §2.10): opaque binary payloads
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The container has no image/audio codecs, so the *decode kernels* for
-non-text mime types are stubs (clearly marked NotImplementedError) —
-but every piece of Spark plumbing is real and tested: the
-binary+struct column model, the mapInPandas batch iteration, the UDF
-signature/schema contract, and the downstream relational aggregation.
-A real pipeline drops in PIL/ffmpeg inside ``_decode_payload`` without
-touching anything else.
+Text and image (PNG/BMP header) decode are REAL — pure-stdlib struct
+parsing, no codec libs needed. Audio/video decode stays a clearly
+marked NotImplementedError gate (no ffmpeg in the container); the
+Spark plumbing — binary+struct column model, mapInPandas batch
+iteration, UDF schema contract, downstream relational aggregation —
+is identical for every mime type, so a real pipeline drops PIL/ffmpeg
+into ``_decode_payload`` without touching anything else.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,13 +26,66 @@ from ..registry import register
 DECODED_SCHEMA = ("doc_id long, mime string, lang string, "
                   "n_bytes long, first_byte long, ok boolean")
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def make_png(width: int, height: int, fill: int = 0x7F) -> bytes:
+    """A valid 8-bit RGB PNG. IDAT uses zlib level 0 (stored blocks), so
+    for raw size L = height*(1+3*width) <= 65535 the file size is the
+    closed form 68 + L — which lets a SQL oracle verify byte accounting
+    without running zlib."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([fill]) * (3 * width) for _ in range(height))
+    idat = zlib.compress(raw, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def make_bmp(width: int, height: int, fill: int = 0x7F) -> bytes:
+    """A valid bottom-up 24bpp BMP (BITMAPINFOHEADER). File size is
+    54 + height * rowsize with rowsize = 4*floor((3*width+3)/4)."""
+    rowsize = (3 * width + 3) // 4 * 4
+    pixels = (bytes([fill]) * (3 * width)
+              + b"\x00" * (rowsize - 3 * width)) * height
+    file_size = 54 + len(pixels)
+    header = (b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(pixels), 2835, 2835, 0, 0))
+    return header + pixels
+
+
+def parse_image_dims(payload: bytes, mime: str) -> tuple[int, int]:
+    """Header-metadata decode for PNG and BMP — the byte-level parsing a
+    100 TB image pipeline runs BEFORE any pixel decode (dedup by dims,
+    filter thumbnails, route by size). Raises ValueError on a payload
+    that doesn't match its declared mime."""
+    if mime == "image/png":
+        if payload[:8] != PNG_SIG or payload[12:16] != b"IHDR":
+            raise ValueError("not a PNG")
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h)
+    if mime == "image/bmp":
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP")
+        w, h = struct.unpack("<ii", payload[18:26])
+        return int(w), abs(int(h))
+    raise ValueError(f"unsupported image mime: {mime}")
+
 
 def _decode_payload(payload: bytes, mime: str) -> tuple[int, int, bool]:
-    """Per-item decode kernel. Text decodes for real; image/audio/video
-    decode is STUBBED — the Spark-side contract (schema, batching,
-    partitioning) is identical for all mime types."""
+    """Per-item decode kernel. Text and image headers decode for real;
+    audio/video decode is GATED — the Spark-side contract (schema,
+    batching, partitioning) is identical for all mime types."""
     if mime.startswith("text/"):
         return len(payload), payload[0] if payload else -1, True
+    if mime in {"image/png", "image/bmp"}:
+        w, h = parse_image_dims(payload, mime)
+        return len(payload), w * h, True   # first_byte slot carries n_pixels
     if mime.split("/", 1)[0] in {"image", "audio", "video"}:
         raise NotImplementedError(
             f"no codec for {mime} in this container — plug PIL/ffmpeg in here")
@@ -64,6 +119,66 @@ def build_multimodal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(F.lit("source"), F.col("source"),
                      F.lit("lang"), F.col("lang")).alias("meta"),
     )
+
+
+@register("multimodal_image_meta", oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'image/png' END AS mime,
+       CAST((n_chars % 64) + 8 AS BIGINT) AS width,
+       CAST((doc_id % 32) + 8 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 54 + ((doc_id % 32) + 8)
+                     * (((3 * ((n_chars % 64) + 8) + 3) // 4) * 4)
+            ELSE 68 + ((doc_id % 32) + 8)
+                     * (1 + 3 * ((n_chars % 64) + 8))
+       END AS BIGINT) AS n_bytes
+FROM documents
+""", tags=("multimodal", "image"))
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-metadata extraction round trip, fully decoded — no stub:
+    synthesize one REAL image per document (even doc_ids a 24bpp BMP,
+    odd a zlib-level-0 PNG; dimensions derived from (n_chars, doc_id)),
+    then parse the binary headers back in a second Arrow stage. The
+    oracle recomputes width/height AND the exact file byte size in
+    closed form from the source table, so a single flipped byte in
+    either codec fails the gate.
+
+    Both stages are mapInPandas over the binary column — the payload
+    never leaves Arrow, the driver never sees a blob, and each batch is
+    independent (embarrassingly parallel at 100 TB)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].astype("int64")
+            widths = (pdf["n_chars"].astype("int64") % 64) + 8
+            heights = (doc_ids % 32) + 8
+            payloads, mimes = [], []
+            for d, w, h in zip(doc_ids, widths, heights):
+                if d % 2 == 0:
+                    payloads.append(make_bmp(int(w), int(h)))
+                    mimes.append("image/bmp")
+                else:
+                    payloads.append(make_png(int(w), int(h)))
+                    mimes.append("image/png")
+            yield pd.DataFrame({"doc_id": doc_ids, "mime": mimes,
+                                "payload": payloads})
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [parse_image_dims(p, m)
+                    for p, m in zip(pdf["payload"], pdf["mime"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "mime": pdf["mime"],
+                "width": pd.Series([d[0] for d in dims], dtype="int64"),
+                "height": pd.Series([d[1] for d in dims], dtype="int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+            })
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    images = d.mapInPandas(synth, "doc_id long, mime string, payload binary")
+    return images.mapInPandas(
+        extract, "doc_id long, mime string, width long, height long, n_bytes long")
 
 
 @register("multimodal_ingest", oracle="""
