@@ -144,6 +144,81 @@ def exact_dedup_keep_first(df: DataFrame, key_cols: list[str],
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def connected_components_star(pairs: DataFrame, a_col: str = "d1",
+                              b_col: str = "d2",
+                              max_iterations: int = 50) -> DataFrame:
+    """Planet-scale connected components via alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", 2014) — same interface and output contract
+    as :func:`connected_components` (doc_id, cluster_id = component
+    min), property-tested equivalent on fuzzed graphs.
+
+    Why a second path: min-label propagation needs O(diameter) rounds,
+    so a 100 TB corpus whose dup graph has a long chain (boilerplate
+    templates often do) stalls it. Star contraction converges in
+    O(log² n) rounds *independent of diameter*, and every round is the
+    same primitive — one groupBy-min plus one join — so it inherits
+    AQE skew handling. At fixpoint the edge set IS the answer: every
+    edge points (node → component-min) and one extra pass labels roots.
+
+    - large-star: for each node u, hook every LARGER neighbor v > u to
+      m = min(Γ(u) ∪ {u}). Keeps large components shrinking in
+      parallel without creating cycles.
+    - small-star: orient edges (hi → lo); hook hi and all its smaller
+      neighbors to their collective min. Flattens local chains.
+
+    Convergence detection is a (count, xxhash64-sum) checksum of the
+    edge set — one cheap aggregate per round instead of a full
+    ``exceptAll``; the fixpoint is exact because the edge set itself
+    stops changing.
+    """
+    # Lineage is truncated each round with an eager localCheckpoint:
+    # the logical plan otherwise doubles per iteration (edges appears
+    # twice per round) and exponential plans OOM the driver long before
+    # the data does. On a real cluster swap in reliable checkpointing
+    # (spark.sparkContext.setCheckpointDir + .checkpoint()) to also
+    # survive executor loss.
+    edges = (pairs.select(F.col(a_col).cast("long").alias("u"),
+                          F.col(b_col).cast("long").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint(eager=True))
+    prev_sig = None
+    for _ in range(max_iterations):
+        # large-star over the symmetric neighborhood
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        large = (sym.join(mins, "u")
+                 .withColumn("_m", F.least(F.col("_mn"), F.col("u")))
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        # small-star over (hi -> lo) oriented edges
+        oriented = large.select(F.greatest(F.col("u"), F.col("v")).alias("hi"),
+                                F.least(F.col("u"), F.col("v")).alias("lo"))
+        mins2 = oriented.groupBy("hi").agg(F.min("lo").alias("_m"))
+        new_edges = (oriented.join(mins2, "hi")
+                     .select(F.col("lo").alias("u"), F.col("_m").alias("v"))
+                     .unionByName(mins2.select(F.col("hi").alias("u"),
+                                               F.col("_m").alias("v")))
+                     .filter(F.col("u") != F.col("v")).distinct()
+                     .localCheckpoint(eager=True))
+        sig = new_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+        edges.unpersist()
+        edges = new_edges
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+    return (edges.select(F.col("u").alias("doc_id"),
+                         F.col("v").alias("cluster_id"))
+            .unionByName(edges.select(F.col("v").alias("doc_id"),
+                                      F.col("v").alias("cluster_id")))
+            .distinct())
+
+
 def connected_components(pairs: DataFrame, a_col: str = "d1",
                          b_col: str = "d2",
                          max_iterations: int = 20) -> DataFrame:
@@ -167,8 +242,11 @@ def connected_components(pairs: DataFrame, a_col: str = "d1",
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
-    edges = edges.cache()
-    labels = labels.cache()
+    # Eager localCheckpoint (not plain cache) truncates lineage: the
+    # label plan otherwise grows by one join per round and the driver
+    # OOMs generating exponential plan trees on high-diameter graphs.
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src")
@@ -178,7 +256,7 @@ def connected_components(pairs: DataFrame, a_col: str = "d1",
                       .select("node",
                               F.least("label", F.coalesce("nbr_label", "label"))
                                .alias("label"))
-                      .cache())
+                      .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
                    .filter(F.col("n.label") != F.col("o.label"))

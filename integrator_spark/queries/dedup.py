@@ -112,7 +112,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blocked(e, threshold=0.45)
 
 
-@register("dedup_cluster", oracle="""
+_CLUSTER_ORACLE = """
 WITH RECURSIVE
 words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id,
@@ -136,7 +136,11 @@ reach AS (
 )
 SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
 FROM reach GROUP BY src
-""", tags=("dedup", "neardup", "iterative"))
+"""
+
+
+@register("dedup_cluster", oracle=_CLUSTER_ORACLE,
+          tags=("dedup", "neardup", "iterative"))
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: 0.8-Jaccard pairs → connected components →
     (doc, cluster representative). The Spark side iterates min-label
@@ -147,3 +151,17 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8).select("d1", "d2")
     return connected_components(pairs)
+
+
+@register("dedup_cluster_star", oracle=_CLUSTER_ORACLE,
+          tags=("dedup", "neardup", "iterative"))
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering through the planet-scale path: alternating
+    large-star/small-star contraction (O(log² n) rounds independent of
+    component diameter) instead of min-label propagation. Shares
+    dedup_cluster's recursive-CTE oracle, so the driver checks both
+    algorithms against the same ground truth."""
+    from ..operators.dedup import connected_components_star
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8).select("d1", "d2")
+    return connected_components_star(pairs)
