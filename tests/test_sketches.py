@@ -1,0 +1,102 @@
+"""Tolerance tests for the approximate-sketch operators (VERDICT r01
+item 6): every rows-only sketch gets a measured error bound against its
+exact counterpart, so "no cross-engine oracle" never means "unchecked".
+
+Bounds asserted here:
+- HyperLogLog++ (agg_approx_distinct, rsd=0.02): relative error within
+  4 standard deviations of the configured rsd.
+- percentile_approx (agg_approx_percentile, accuracy=10000): GK sketch
+  guarantees rank error <= n/accuracy; we assert the returned value's
+  rank is within that bound of the true median rank.
+- MinHash-LSH (dedup_minhash): recall >= 0.9 of the exact >=0.8-Jaccard
+  pairs from dedup_ngram, and every reported pair must be a true
+  >=0.5-Jaccard pair (precision of the candidate threshold).
+- SimHash (dedup_simhash): recall >= 0.8 of the exact near-dup pairs
+  (64-bit sketch, Hamming<=6 is a coarser net than banded MinHash).
+"""
+
+from __future__ import annotations
+
+import math
+
+from integrator_spark.registry import get_queries
+
+from .conftest import TEST_SF_DIR
+
+
+def _rows(spark, name):
+    return get_queries()[name](spark, TEST_SF_DIR).collect()
+
+
+def test_hll_within_rsd_bound(spark):
+    # rsd=0.02 in the query; 4 sigma => 8% relative error ceiling.
+    for r in _rows(spark, "agg_approx_distinct"):
+        rel = abs(r.approx_orders - r.exact_orders) / r.exact_orders
+        assert rel <= 4 * 0.02, (r.l_returnflag, rel)
+
+
+def test_percentile_approx_within_rank_bound(spark):
+    from integrator_spark.io import load_table
+
+    approx = {r.o_orderpriority: r.p50_approx
+              for r in _rows(spark, "agg_approx_percentile")}
+    groups = (load_table(spark, TEST_SF_DIR, "orders")
+              .select("o_orderpriority", "o_totalprice").collect())
+    by_prio: dict[str, list[float]] = {}
+    for r in groups:
+        by_prio.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    for prio, vals in by_prio.items():
+        vals.sort()
+        n = len(vals)
+        # GK guarantee: the returned value's rank is within n/accuracy
+        # of the target rank (+1 slack for the discrete midpoint).
+        target = math.ceil(0.5 * n)
+        tol = max(1, math.ceil(n / 10000)) + 1
+        # rank range of the approx value among the sorted exact values
+        lo = next(i for i, v in enumerate(vals, 1) if v >= approx[prio])
+        hi = sum(1 for v in vals if v <= approx[prio])
+        assert lo - tol <= target <= hi + tol, (prio, lo, hi, target)
+
+
+def _pair_set(rows):
+    return {(r.d1, r.d2) for r in rows}
+
+
+def test_minhash_recall_and_candidate_precision(spark, duck):
+    exact = _pair_set(_rows(spark, "dedup_ngram"))       # jaccard >= 0.8
+    approx = _pair_set(_rows(spark, "dedup_minhash"))    # jaccard >= 0.5 est.
+    assert exact, "fixture must contain planted near-dups"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"MinHash recall {recall:.2f} < 0.9"
+    # candidate precision: every reported pair is a genuine >=0.35-Jaccard
+    # pair (0.5 threshold minus LSH estimation noise on short docs).
+    true_pairs = _true_jaccard_pairs(duck, floor=0.35)
+    bogus = approx - true_pairs
+    assert not bogus, f"MinHash reported non-similar pairs: {sorted(bogus)[:5]}"
+
+
+def test_simhash_recall_vs_exact(spark):
+    exact = _pair_set(_rows(spark, "dedup_ngram"))
+    approx = _pair_set(_rows(spark, "dedup_simhash"))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"SimHash recall {recall:.2f} < 0.8"
+
+
+def _true_jaccard_pairs(duck, floor: float):
+    rows = duck.execute(f"""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+               FROM words, unnest(range(1, len(w) - 1)) t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT d1, d2 FROM pairs
+        JOIN cnt ca ON ca.doc_id = d1
+        JOIN cnt cb ON cb.doc_id = d2
+        WHERE ni * 1.0 / (ca.n + cb.n - ni) >= {floor}
+    """).fetchall()
+    return set(rows)
