@@ -195,7 +195,7 @@ def groupingsets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n_items,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
                  AS total_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))

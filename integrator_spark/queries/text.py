@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.num import davg, sql_davg
+from ..functions.num import DEC, davg, sql_davg
 from ..functions.text import FP_MOD, STOPWORDS, rolling_fingerprint, tokens
 from ..io import load_table
 from ..registry import register
@@ -111,7 +111,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 8)
     tfidf_dec = (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))) \
-        .cast("decimal(38,6)")
+        .cast(DEC)
     return (tf.join(F.broadcast(df), "word")
             .groupBy("word", "df")
             .agg(F.sum("tf").alias("total_tf"),
@@ -201,7 +201,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("lang", quality.alias("quality"))
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.sum(F.col("quality").cast("decimal(38,6)"))
+                 F.round(F.sum(F.col("quality").cast(DEC))
                           .cast("double") / F.count(F.lit(1)), 6)
                   .alias("avg_quality"),
                  F.sum(F.when(F.col("quality") > 0.75, 1).otherwise(0))
@@ -290,13 +290,13 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = tok.count()
     freq = (tok.groupBy("word")
             .agg((F.count(F.lit(1)) * F.lit(1.0) / F.lit(float(total))).alias("p")))
-    term = F.round(-F.log(F.col("p")), 6).cast("decimal(38,6)")
+    term = F.round(-F.log(F.col("p")), 6).cast(DEC)
     per_doc = (tok.join(F.broadcast(freq), "word")
                .groupBy("doc_id")
                .agg((F.sum(term).cast("double") / F.count(F.lit(1))).alias("nll")))
     return (per_doc.join(d.select("doc_id", "lang"), "doc_id")
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.sum(F.col("nll").cast("decimal(38,6)"))
+                 F.round(F.sum(F.col("nll").cast(DEC))
                           .cast("double") / F.count(F.lit(1)), 6)
                   .alias("avg_nll")))
