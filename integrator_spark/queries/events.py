@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.num import dsum, sql_dsum
+from ..functions.num import DEC, dsum, sql_dsum
 from ..io import load_table
 from ..registry import register
 
@@ -181,8 +181,71 @@ def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
               .agg(F.count(F.lit(1)).alias("_n"),
-                   F.sum(F.col("value").cast("decimal(38,6)")).alias("_v")))
+                   F.sum(F.col("value").cast(DEC)).alias("_v")))
     return (hourly.groupBy(F.date_format(F.date_trunc("day", "hour"),
                                          "yyyy-MM-dd").alias("day"))
             .agg(F.sum("_n").alias("n_events"),
                  F.sum("_v").cast("double").alias("total_value")))
+
+
+@register("events_funnel", oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT s1.user_id, MIN(e.ts) AS t2
+  FROM s1 JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+   AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+  GROUP BY s1.user_id
+), s3 AS (
+  SELECT s2.user_id, MIN(e.ts) AS t3
+  FROM s2 JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+   AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+  GROUP BY s2.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM s1
+  UNION ALL SELECT '2_click_1h', COUNT(*) FROM s2
+  UNION ALL SELECT '3_purchase_1h', COUNT(*) FROM s3
+)
+""", tags=("events", "funnel"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analytics: users who viewed, then clicked
+    within 1 h of their first view, then purchased within 1 h of that
+    first click — first-touch semantics at each stage.
+
+    Each stage is a per-user MIN + an event-time range join whose left
+    side only shrinks, so the plan is three shuffle-bounded
+    aggregations — never a per-user collect or a cross join. At 100 TB
+    the range join keys on user_id (the natural partitioning of an
+    event stream), and AQE handles the hot-user skew."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, prev_ts: str, etype: str,
+                    out_ts: str) -> DataFrame:
+        p = prev.alias("p")
+        cond = ((F.col("e.user_id") == F.col("p.user_id")) &
+                (F.col("e.event_type") == etype) &
+                (F.col("e.ts") > F.col(f"p.{prev_ts}")) &
+                (F.col("e.ts") <= F.col(f"p.{prev_ts}")
+                 + F.expr("interval 1 hour")))
+        return (e.alias("e").join(p, cond)
+                .groupBy(F.col("p.user_id").alias("user_id"))
+                .agg(F.min("e.ts").alias(out_ts)))
+
+    s1 = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = first_after(s1, "t1", "click", "t2")
+    s3 = first_after(s2, "t2", "purchase", "t3")
+    counts = [s1.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit("1_view").alias("stage"), "n_users"),
+              s2.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit("2_click_1h").alias("stage"), "n_users"),
+              s3.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit("3_purchase_1h").alias("stage"), "n_users")]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out

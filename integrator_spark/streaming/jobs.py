@@ -299,3 +299,46 @@ def stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (s.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("n_events")))
     return run_available_now(agg, sf_dir, "stream_update_counts", output_mode="update")
+
+
+@register("stream_join", oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+""", tags=("streaming", "join"))
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to purchases by the same
+    user within the following hour, both sides genuinely streaming.
+
+    The event-time range condition plus per-side watermarks is what
+    bounds the join state at scale — without them Spark must buffer
+    both streams forever. Inner-join matches emit eagerly (no watermark
+    wait), so a bounded replay produces exactly the batch join and the
+    oracle checks it row-for-row. At 100 TB-rate streams the state
+    store holds only ~1 h of clicks + purchases per key."""
+    clicks = (events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "1 hour"))
+    purchases = (events_stream(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "1 hour"))
+    joined = (clicks.join(
+        purchases,
+        F.expr("p_user = c_user AND "
+               "p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"),
+        "inner")
+        .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id"))
+    return run_available_now(joined, sf_dir, "stream_join")
