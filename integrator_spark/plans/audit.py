@@ -34,6 +34,7 @@ CROSS_JOIN_ALLOWED = {
     "vec_knn_twosided",    # bounded n_blocks² block-id pairing (not rows)
     "events_resample",     # bounded grid × event-type expansion
     "etl_fuzzy_match",     # bounded |variants| × |code list| scoring
+    "ml_quantile_bins",    # 1-row min/max bounds frame broadcast to fact
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

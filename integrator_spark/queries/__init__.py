@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     dedup,
     etl,
     events,
+    graph,
     ml_prep,
     multimodal,
     relational,

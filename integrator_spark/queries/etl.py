@@ -180,3 +180,55 @@ def etl_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cube.withColumn("order_count", F.col("order_count").cast("double"))
             .unpivot(["yr", "segment"], ["order_count", "total_price"],
                      "measure", "value"))
+
+
+@register("etl_merge_upsert", oracle="""
+WITH updates AS (
+  SELECT c_custkey AS key,
+         c_acctbal + 100.0 AS acctbal,
+         'UPDATED' AS mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000 AS key,
+         0.0 AS acctbal,
+         'NEW' AS mktsegment
+  FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT COALESCE(u.key, c.c_custkey) AS key,
+       COALESCE(u.acctbal, c.c_acctbal) AS acctbal,
+       COALESCE(u.mktsegment, c.c_mktsegment) AS mktsegment,
+       CASE WHEN c.c_custkey IS NULL THEN 'insert'
+            WHEN u.key IS NULL THEN 'keep'
+            ELSE 'update' END AS op
+FROM customer c
+FULL OUTER JOIN updates u ON u.key = c.c_custkey
+""", tags=("etl", "merge"))
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / SCD-1 upsert expressed relationally: a full-outer join of
+    the current dimension with a change set, COALESCE picking the
+    update when present — update-in-place, insert-new, keep-unmatched
+    in one pass, each row tagged with the op it took.
+
+    This is the engine-agnostic core of what Delta/Iceberg MERGE INTO
+    compiles to; on a lake-format table the same change-set frame feeds
+    the native MERGE (sources/connectors.py gate). Scale: one shuffle
+    on the merge key for the fact side; a small change set broadcasts
+    and the shuffle disappears entirely."""
+    c = load_table(spark, sf_dir, "customer")
+    updates = (c.filter(F.col("c_custkey") % 7 == 0)
+               .select(F.col("c_custkey").alias("key"),
+                       (F.col("c_acctbal") + 100.0).alias("acctbal"),
+                       F.lit("UPDATED").alias("mktsegment"))
+               .unionAll(
+                   c.filter(F.col("c_custkey") % 13 == 0)
+                   .select((F.col("c_custkey") + 10000000).alias("key"),
+                           F.lit(0.0).alias("acctbal"),
+                           F.lit("NEW").alias("mktsegment"))))
+    merged = c.join(updates, updates["key"] == c["c_custkey"], "full_outer")
+    return merged.select(
+        F.coalesce(updates["key"], c["c_custkey"]).alias("key"),
+        F.coalesce(updates["acctbal"], c["c_acctbal"]).alias("acctbal"),
+        F.coalesce(updates["mktsegment"], c["c_mktsegment"]).alias("mktsegment"),
+        F.when(c["c_custkey"].isNull(), "insert")
+         .when(updates["key"].isNull(), "keep")
+         .otherwise("update").alias("op"))

@@ -120,3 +120,69 @@ def etl_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("dist") <= 2))
             .drop("_rn"))
+
+
+@register("sample_stratified", oracle="""
+WITH sized AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang, source
+FROM sized
+WHERE rn <= CEIL(0.2 * n)
+""", tags=("mlprep", "sample"))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly ceil(20%) of every
+    lang stratum, chosen by md5-of-id rank — reproducible across
+    engines, runs, and cluster sizes, and stable under re-partitioning
+    (none of which holds for df.sampleBy). One window shuffle on the
+    stratum key; at 100 TB swap the exact per-stratum rank for the
+    md5-prefix threshold variant (split_train_test) to avoid the
+    within-stratum sort entirely."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wn = Window.partitionBy("lang")
+    return (d.select("doc_id", "lang", "source",
+                     F.row_number().over(w).alias("_rn"),
+                     F.count(F.lit(1)).over(wn).alias("_n"))
+            .filter(F.col("_rn") <= F.ceil(0.2 * F.col("_n")))
+            .drop("_rn", "_n"))
+
+
+@register("ml_quantile_bins", oracle="""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+)
+SELECT LEAST(CAST(FLOOR((o_totalprice - lo) * 10.0 / (hi - lo)) AS BIGINT),
+             9) AS bin,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS bin_min,
+       ROUND(MAX(o_totalprice), 2) AS bin_max
+FROM orders, bounds
+GROUP BY 1
+""", tags=("mlprep", "binning"))
+def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width feature binning (10-bin histogram of order value):
+    global min/max reduced first, broadcast back as a 1-row frame, then
+    a pure-expression bucket id — two passes, no per-row Python, no
+    sort. The identical IEEE double expression runs in both engines, so
+    bin edges are bit-deterministic. (Equal-*frequency* binning is
+    window_ntile; this is its constant-memory cousin for monitoring
+    histograms at 100 TB.)"""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_totalprice").alias("lo"),
+                   F.max("o_totalprice").alias("hi"))
+    bin_id = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) * 10.0
+                / (F.col("hi") - F.col("lo"))).cast("long"),
+        F.lit(9).cast("long"))
+    return (o.crossJoin(F.broadcast(bounds))
+            .groupBy(bin_id.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+                 F.round(F.max("o_totalprice"), 2).alias("bin_max")))

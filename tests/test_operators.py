@@ -269,3 +269,47 @@ def test_cc_star_converges_on_long_chain(spark):
     got = {r.doc_id: r.cluster_id
            for r in connected_components_star(pairs).collect()}
     assert got == {i: 0 for i in range(60)}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # The Spark PageRank must agree with a dense NumPy power iteration
+    # (same damping, same dangling redistribution) on fuzzed digraphs.
+    import random
+
+    import numpy as np
+
+    from integrator_spark.operators.graph import pagerank
+
+    for seed in (5, 19):
+        rnd = random.Random(seed)
+        edges = list({(a, b) for a, b in
+                      ((rnd.randrange(25), rnd.randrange(25))
+                       for _ in range(60)) if a != b})
+        nodes = sorted({x for e in edges for x in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        M = np.zeros((n, n))
+        for a, b in edges:
+            M[idx[b], idx[a]] = 1.0
+        deg = M.sum(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            M = np.where(deg > 0, M / deg, 0.0)
+        r = np.full(n, 1.0 / n)
+        d = 0.85
+        for _ in range(10):
+            dang = r[deg == 0].sum()
+            r = (1 - d) / n + d * (M @ r + dang / n)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {row.node: row.rank for row in pagerank(df).collect()}
+        for v in nodes:
+            assert abs(got[v] - r[idx[v]]) < 1e-9, (seed, v)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_query_conserves_mass(spark):
+    from integrator_spark.registry import get_queries
+    from .conftest import TEST_SF_DIR
+    rows = get_queries()["graph_pagerank"](spark, TEST_SF_DIR).collect()
+    assert rows, "similarity graph must be non-empty"
+    # top-50 of a small graph == all nodes; every rank positive
+    assert all(r.rank > 0 for r in rows)
