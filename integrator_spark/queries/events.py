@@ -249,3 +249,41 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionAll(c)
     return out
+
+
+@register("events_outliers", oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu,
+         (CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+          - CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+            * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+         / (COUNT(*) - 1) AS var
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.mu) / sqrt(s.var), 6) AS zscore
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE abs((e.value - s.mu) / sqrt(s.var)) > 2.5
+""", tags=("events", "outliers"))
+def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (|z| > 2.5) — the data-quality
+    screen a training pipeline runs on numeric telemetry.
+
+    stddev_samp over doubles is partial-order-dependent, so the variance
+    is built from decimal-exact SUM(x) and SUM(x*x) instead
+    (E[x2] - E[x]2 on bit-identical operands) — the z-scores come out
+    deterministic on any cluster size, and the oracle mirrors the same
+    formula. One aggregation + one broadcast join back to the facts."""
+    e = load_table(spark, sf_dir, "events")
+    sum_v = F.sum(F.col("value").cast(DEC)).cast("double")
+    sum_v2 = F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double")
+    n = F.count(F.lit(1))
+    stats = (e.groupBy(F.col("event_type").alias("et"))
+             .agg((sum_v / n).alias("mu"),
+                  ((sum_v2 - sum_v * sum_v / n) / (n - 1)).alias("var")))
+    z = (F.col("value") - F.col("mu")) / F.sqrt(F.col("var"))
+    return (e.join(F.broadcast(stats), F.col("event_type") == F.col("et"))
+            .filter(F.abs(z) > 2.5)
+            .select("event_id", "event_type", "value",
+                    F.round(z, 6).alias("zscore")))

@@ -202,3 +202,78 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum("n_bytes").alias("total_bytes"),
                  F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok")))
+
+
+def make_wav(sample_rate: int, n_samples: int) -> bytes:
+    """A valid RIFF/WAVE file, PCM16 mono, deterministic sawtooth
+    samples. File size is the closed form 44 + 2*n_samples, so a SQL
+    oracle can verify byte accounting without parsing RIFF."""
+    data = b"".join(struct.pack("<h", (i * 257) % 32768 - 16384)
+                    for i in range(n_samples))
+    byte_rate = sample_rate * 2
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    byte_rate, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def parse_wav_meta(payload: bytes) -> tuple[int, int, int]:
+    """Header-metadata decode for WAV: (sample_rate, n_samples,
+    duration_ms) — the audio analog of parse_image_dims (route/filter
+    by duration before any costly signal decode)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    _, fmt, channels, rate, _, block, bits = struct.unpack(
+        "<IHHIIHH", payload[16:36])
+    if fmt != 1:
+        raise ValueError("not PCM")
+    data_len = struct.unpack("<I", payload[40:44])[0]
+    n_samples = data_len // block
+    return int(rate), int(n_samples), n_samples * 1000 // rate
+
+
+@register("multimodal_audio_meta", oracle="""
+SELECT doc_id,
+       CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+       CAST((n_chars % 100 + 10) * 16 AS BIGINT) AS n_samples,
+       CAST(((n_chars % 100 + 10) * 16 * 1000)
+            // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms,
+       CAST(44 + 2 * (n_chars % 100 + 10) * 16 AS BIGINT) AS n_bytes
+FROM documents
+""", tags=("multimodal", "audio"))
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-metadata extraction round trip, fully decoded: synthesize
+    one REAL PCM16 WAV per document (rate and length derived from
+    (doc_id, n_chars)), then parse the RIFF headers back in a second
+    Arrow stage. The oracle recomputes rate, sample count, integer
+    duration, and the exact file byte size in closed form from the
+    source table. Same two-stage mapInPandas shape as
+    multimodal_image_meta — payloads never leave Arrow."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].astype("int64")
+            rates = 8000 + (doc_ids % 4) * 4000
+            counts = (pdf["n_chars"].astype("int64") % 100 + 10) * 16
+            payloads = [make_wav(int(r), int(n))
+                        for r, n in zip(rates, counts)]
+            yield pd.DataFrame({"doc_id": doc_ids, "payload": payloads})
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_wav_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate": pd.Series([m[0] for m in metas], dtype="int64"),
+                "n_samples": pd.Series([m[1] for m in metas], dtype="int64"),
+                "duration_ms": pd.Series([m[2] for m in metas], dtype="int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+            })
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    wavs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return wavs.mapInPandas(
+        extract, "doc_id long, sample_rate long, n_samples long, "
+                 "duration_ms long, n_bytes long")

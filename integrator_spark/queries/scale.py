@@ -224,3 +224,48 @@ def maint_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (merged.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.when(flag, 1).otherwise(0)).alias("n_src0_flagged")))
+
+
+@register("join_salted", oracle=f"""
+WITH dim AS (
+  SELECT event_type AS det, COUNT(*) AS type_total
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(MIN(d.type_total) AS BIGINT) AS type_total,
+       {sql_dsum('e.value')} AS total_value
+FROM events e JOIN dim d ON d.det = e.event_type
+GROUP BY e.event_type
+""", tags=("join", "skew"))
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skewed join: the fact side has only 5 hot join keys, so a
+    plain sort-merge join pins each key's entire volume on one reducer.
+    Salting splits every hot key 8 ways — fact rows get
+    salt = xxhash64(event_id) % 8, the dim side is exploded once per
+    salt value — and the join key becomes (key, salt), spreading each
+    hot key over 8 reducers. Re-aggregating afterwards restores the
+    per-key result, bit-identical to the unsalted plan (decimal sums
+    are associative), which is what the oracle computes.
+
+    The merge hint forces the shuffle join the demo is about (with a
+    5-row dim Spark would rightly broadcast — the salt pattern is for
+    when BOTH sides are too big to broadcast; AQE skew-join does this
+    rebalancing automatically for sort-merge joins, salting is the
+    explicit fallback when AQE's split granularity isn't enough)."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = 8
+    dim = e.groupBy(F.col("event_type").alias("det")) \
+           .agg(F.count(F.lit(1)).alias("type_total"))
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+    fact = e.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(buckets)).cast("int"))
+    joined = fact.hint("merge").join(
+        dim_salted,
+        (fact["event_type"] == dim_salted["det"])
+        & (fact["salt"] == dim_salted["salt"]))
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("type_total").alias("type_total"),
+                 dsum("value").alias("total_value")))

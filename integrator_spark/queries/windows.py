@@ -120,3 +120,30 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rangeBetween(-5000, Window.currentRow))
     return o.select("o_orderkey", "o_orderpriority", "o_totalprice",
                     F.count(F.lit(1)).over(w).alias("n_within_5k_below"))
+
+
+@register("window_time_range", oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""", tags=("window", "frame", "time"))
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per-user trailing-hour event count and
+    decimal-exact value sum — the sliding-window feature shape (events
+    in the last hour before each event) that tumbling windows cannot
+    express. Spark range frames need a numeric ordering, so the frame
+    orders on epoch microseconds with a [-3.6e9, 0] bound — exactly the
+    inclusive [ts - 1h, ts] interval the oracle's RANGE INTERVAL frame
+    defines (ties share the frame in both engines). One shuffle on
+    user_id; state per row is the frame aggregate, not the row set."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_1h"))
