@@ -6,7 +6,7 @@ as broadcast joins + assertion queries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.num import dsum, sql_dsum
@@ -232,3 +232,57 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(c["c_custkey"].isNull(), "insert")
          .when(updates["key"].isNull(), "keep")
          .otherwise("update").alias("op"))
+
+
+@register("etl_scd2", oracle="""
+WITH hist AS (
+  SELECT o_custkey AS key,
+         o_orderdate AS eff_from,
+         o_orderpriority AS attr,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), dedup AS (SELECT key, eff_from, attr FROM hist WHERE rn = 1),
+versioned AS (
+  SELECT key, attr,
+         strftime(eff_from, '%Y-%m-%d') AS eff_from,
+         COALESCE(strftime(lead(eff_from) OVER (PARTITION BY key
+                                                ORDER BY eff_from),
+                           '%Y-%m-%d'), '9999-12-31') AS eff_to
+  FROM dedup
+)
+SELECT key, attr, eff_from, eff_to,
+       CASE WHEN eff_to = '9999-12-31' THEN TRUE ELSE FALSE END AS is_current
+FROM versioned
+WHERE key % 50 = 0
+""", tags=("etl", "scd"))
+def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: a change history (latest order
+    priority per customer per day, deterministic keep-last) becomes
+    versioned rows with [eff_from, eff_to) validity ranges via
+    lead() over the change sequence — open versions get the sentinel
+    end date and an is_current flag.
+
+    This is the versioned-dimension core of warehouse loads: one window
+    shuffle on the dimension key, no self-join (the lead() formulation
+    replaces the classic correlated next-change subquery). The key%50
+    slice keeps the checked output compact; the plan is identical
+    without it."""
+    o = load_table(spark, sf_dir, "orders")
+    w_keep = Window.partitionBy("o_custkey", "o_orderdate") \
+                   .orderBy(F.col("o_orderkey").desc())
+    dedup = (o.withColumn("_rn", F.row_number().over(w_keep))
+             .filter(F.col("_rn") == 1)
+             .select(F.col("o_custkey").alias("key"),
+                     F.col("o_orderdate").alias("eff_from_ts"),
+                     F.col("o_orderpriority").alias("attr")))
+    w_seq = Window.partitionBy("key").orderBy("eff_from_ts")
+    eff_to = F.coalesce(
+        F.date_format(F.lead("eff_from_ts").over(w_seq), "yyyy-MM-dd"),
+        F.lit("9999-12-31"))
+    return (dedup.select(
+        "key", "attr",
+        F.date_format("eff_from_ts", "yyyy-MM-dd").alias("eff_from"),
+        eff_to.alias("eff_to"))
+        .withColumn("is_current", F.col("eff_to") == "9999-12-31")
+        .filter(F.col("key") % 50 == 0))

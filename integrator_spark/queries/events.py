@@ -287,3 +287,41 @@ def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.abs(z) > 2.5)
             .select("event_id", "event_type", "value",
                     F.round(z, 6).alias("zscore")))
+
+
+@register("events_retention", oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day FROM events
+  GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_day,
+         datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_n
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(day_n AS BIGINT) AS day_n,
+       COUNT(*) AS n_active
+FROM activity
+WHERE day_n <= 7
+GROUP BY 1, 2
+""", tags=("events", "retention"))
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each subsequent day they return (day 0..7) — the triangle chart
+    behind every growth dashboard. Two aggregations + one equi join on
+    user_id (the event stream's natural key); the DISTINCT collapses
+    multi-event days before counting, so the join output, not the raw
+    stream, is the shuffled volume."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day")))
+    activity = (e.join(firsts, "user_id")
+                .select("user_id", "cohort_day",
+                        F.datediff(F.date_trunc("day", "ts"), "cohort_day")
+                         .alias("day_n"))
+                .distinct())
+    return (activity.filter(F.col("day_n") <= 7)
+            .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+                     F.col("day_n").cast("long").alias("day_n"))
+            .agg(F.count(F.lit(1)).alias("n_active")))
