@@ -286,3 +286,68 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff_to.alias("eff_to"))
         .withColumn("is_current", F.col("eff_to") == "9999-12-31")
         .filter(F.col("key") % 50 == 0))
+
+
+@register("etl_profile", oracle="""
+SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS n_nulls,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+       CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate),
+       strftime(MIN(o_orderdate), '%Y-%m-%d'),
+       strftime(MAX(o_orderdate), '%Y-%m-%d')
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+""", tags=("etl", "profile"))
+def etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality fingerprint an integration
+    pipeline records before accepting a source): null count, distinct
+    count, typed min/max per column — computed in ONE pass as a single
+    wide aggregation, then unpivoted to long form. The oracle computes
+    each column independently; the engine reads the table once
+    regardless of column count (the thing that matters when the table
+    is 100 TB and the profile covers 300 columns)."""
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    wide = o.agg(
+        n.alias("n_rows"),
+        (n - F.count("o_custkey")).alias("nulls_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("min_custkey"),
+        F.max("o_custkey").cast("string").alias("max_custkey"),
+        (n - F.count("o_totalprice")).alias("nulls_totalprice"),
+        F.countDistinct("o_totalprice").alias("nd_totalprice"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("min_totalprice"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("max_totalprice"),
+        (n - F.count("o_orderdate")).alias("nulls_orderdate"),
+        F.countDistinct("o_orderdate").alias("nd_orderdate"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_orderdate"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_orderdate"),
+        (n - F.count("o_orderpriority")).alias("nulls_priority"),
+        F.countDistinct("o_orderpriority").alias("nd_priority"),
+        F.min("o_orderpriority").alias("min_priority"),
+        F.max("o_orderpriority").alias("max_priority"),
+    )
+    stack_expr = F.expr("""stack(4,
+        'o_custkey',      nulls_custkey,    nd_custkey,    min_custkey,    max_custkey,
+        'o_totalprice',   nulls_totalprice, nd_totalprice, min_totalprice, max_totalprice,
+        'o_orderdate',    nulls_orderdate,  nd_orderdate,  min_orderdate,  max_orderdate,
+        'o_orderpriority',nulls_priority,   nd_priority,   min_priority,   max_priority
+    ) AS (col, n_nulls, n_distinct, min_s, max_s)""")
+    return wide.select(stack_expr, "n_rows") \
+               .select("col", "n_rows", "n_nulls", "n_distinct",
+                       "min_s", "max_s")

@@ -160,3 +160,24 @@ def vec_knn5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.knn import knn_blocked
     e = load_table(spark, sf_dir, "embeddings")
     return knn_blocked(e, k=5)
+
+
+@register("vec_pca", oracle=None, tags=("vector", "pca"))
+def vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction over the embedding corpus: fit on
+    the d×d Gram matrix (one Arrow pass + a 4 KB driver
+    eigendecomposition — see operators/pca.py), project every vector
+    onto the top-2 components in a second pass, report per-label
+    projection centroids. Rows-only: eigendecomposition has no
+    ANSI-SQL oracle; tests/test_operators.py checks the full fit +
+    projection against direct NumPy PCA to 1e-6."""
+    from ..operators.pca import fit_pca, project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    comps, _, _ = fit_pca(e, dim=64, k=2)
+    proj = project(e.select("vec_id", "label", "embedding"), comps)
+    return (proj.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.avg("pc1"), 5).alias("pc1_mean"),
+                 F.round(F.avg("pc2"), 5).alias("pc2_mean"))
+            .orderBy("label"))

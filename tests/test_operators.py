@@ -313,3 +313,38 @@ def test_pagerank_query_conserves_mass(spark):
     assert rows, "similarity graph must be non-empty"
     # top-50 of a small graph == all nodes; every rank positive
     assert all(r.rank > 0 for r in rows)
+
+
+def test_pca_matches_numpy(spark):
+    import numpy as np
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.pca import fit_pca, project
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings")
+    comps, vals, n = fit_pca(e, dim=64, k=2)
+    m = np.vstack([r.embedding for r in
+                   e.select("embedding").collect()]).astype("float64")
+    assert n == len(m)
+    cov = np.cov(m, rowvar=False, bias=True)
+    ref_vals, ref_vecs = np.linalg.eigh(cov)
+    order = np.argsort(ref_vals)[::-1][:2]
+    ref = ref_vecs[:, order].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(vals, ref_vals[order], atol=1e-6)
+    assert np.allclose(comps, ref, atol=1e-6)
+    # projection round-trip on a sample
+    proj = project(e.select("vec_id", "embedding"), comps)
+    sample = proj.orderBy("vec_id").limit(5).collect()
+    ids = [r.vec_id for r in e.select("vec_id").orderBy("vec_id")
+           .limit(5).collect()]
+    by_id = {r.vec_id: r.embedding for r in
+             e.select("vec_id", "embedding").filter(F.col("vec_id")
+                                                    .isin(ids)).collect()}
+    for r in sample:
+        want = np.array(by_id[r.vec_id], dtype="float64") @ comps.T
+        assert abs(r.pc1 - want[0]) < 1e-6 and abs(r.pc2 - want[1]) < 1e-6
