@@ -215,3 +215,30 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """)
+
+
+@register("q6_forecast_revenue", oracle=f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 24
+""", tags=("agg", "tpch"))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-efficiency query — every predicate
+    (date range, discount band, quantity cap) must reach the parquet
+    reader as a pushed filter, and the plan is filter → one global
+    agg, no shuffle beyond the final 1-row reduce. The query that most
+    directly measures 'did the engine read only what it needed' at
+    100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1994-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 24))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"))
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items")))

@@ -147,3 +147,48 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_1h"))
+
+
+@register("window_ewma", oracle="""
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         lag(value, 1) OVER w AS v1,
+         lag(value, 2) OVER w AS v2,
+         lag(value, 3) OVER w AS v3,
+         lag(value, 4) OVER w AS v4
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       ROUND((value
+              + 0.5 * COALESCE(v1, 0)
+              + 0.25 * COALESCE(v2, 0)
+              + 0.125 * COALESCE(v3, 0)
+              + 0.0625 * COALESCE(v4, 0))
+             / (1 + 0.5 * (CASE WHEN v1 IS NULL THEN 0 ELSE 1 END)
+                  + 0.25 * (CASE WHEN v2 IS NULL THEN 0 ELSE 1 END)
+                  + 0.125 * (CASE WHEN v3 IS NULL THEN 0 ELSE 1 END)
+                  + 0.0625 * (CASE WHEN v4 IS NULL THEN 0 ELSE 1 END)),
+             6) AS ewma5
+FROM lagged
+""", tags=("window", "ewma"))
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average (decay 0.5 over
+    the trailing 5 events per user) built from explicit lag() taps with
+    per-row renormalization at sequence starts — the smoothed-feature
+    shape for telemetry/training features. Fixed taps keep the weights
+    exact powers of two, so the arithmetic is bit-identical across
+    engines with only a display rounding; one window shuffle on
+    user_id. (An unbounded EWMA is inherently sequential — that
+    variant belongs in applyInPandas, cf. stream_stateful.)"""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    taps = [(F.col("value"), F.lit(1.0))]
+    for i, wgt in ((1, 0.5), (2, 0.25), (3, 0.125), (4, 0.0625)):
+        taps.append((F.lag("value", i).over(w), F.lit(wgt)))
+    num = sum((F.coalesce(v, F.lit(0.0)) * wt for v, wt in taps),
+              F.lit(0.0))
+    den = sum((F.when(v.isNull(), 0.0).otherwise(wt) for v, wt in taps),
+              F.lit(0.0))
+    return e.select("user_id", "event_id",
+                    F.round(num / den, 6).alias("ewma5"))
