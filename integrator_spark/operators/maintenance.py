@@ -39,3 +39,45 @@ def read_with_evolution(spark: SparkSession, *batch_dirs: str) -> DataFrame:
     (mergeSchema: missing columns null-fill per batch)."""
     return (spark.read.option("mergeSchema", True)
             .parquet(*batch_dirs))
+
+
+def write_snapshot(df, root: str, version: int) -> None:
+    """Write one immutable snapshot of a table (``v=N`` directory +
+    manifest) — the minimal time-travel layout: every version is a
+    complete, self-describing copy; readers never see a partial write
+    because the manifest is committed last (rename is atomic on a
+    POSIX/DFS dir). Lake formats (Delta/Iceberg) refine this with
+    delta logs + shared data files; the read contract is the same."""
+    import json
+    import os
+
+    path = os.path.join(root, f"v={version}")
+    df.write.mode("overwrite").parquet(path)
+    manifest = {"version": version, "path": path}
+    tmp = os.path.join(root, f"_manifest.v{version}.json.tmp")
+    final = os.path.join(root, f"_manifest.v{version}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, final)
+
+
+def read_snapshot(spark, root: str, version: int | None = None):
+    """Time-travel read: a specific version, or the latest committed
+    manifest when ``version`` is None. Only versions with a committed
+    manifest are visible — an interrupted write leaves no manifest and
+    is invisible, which is the whole point."""
+    import json
+    import os
+
+    manifests = sorted(f for f in os.listdir(root)
+                       if f.startswith("_manifest.v") and f.endswith(".json"))
+    if not manifests:
+        raise FileNotFoundError(f"no committed snapshots under {root}")
+    if version is None:
+        chosen = manifests[-1]
+    else:
+        chosen = f"_manifest.v{version}.json"
+        if chosen not in manifests:
+            raise FileNotFoundError(f"version {version} not committed")
+    with open(os.path.join(root, chosen)) as fh:
+        return spark.read.parquet(json.load(fh)["path"])

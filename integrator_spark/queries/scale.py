@@ -269,3 +269,98 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min("type_total").alias("type_total"),
                  dsum("value").alias("total_value")))
+
+
+@register("join_bucketed", oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""", tags=("join", "bucketing"))
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both tables written bucketed+sorted on
+    the join key (external parquet under _derived, catalog entries in
+    the session's in-memory catalog), then joined WITHOUT any shuffle
+    exchange — the physical layout strategy for repeated fact-fact
+    joins at 100 TB, where shuffling either side every query is the
+    dominant cost. The bucket spec must match (8 buckets, same key,
+    both sides) or Spark silently falls back to a shuffle; the
+    zero-Exchange property is machine-asserted in
+    tests/test_bucketing.py, and the join result is oracle-checked
+    here. Broadcast is disabled for the join so the demo exercises the
+    bucketed path even at fixture scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = derived_dir(sf_dir, "bucketed")
+    pid_sfx = f"_{os.getpid()}"
+    for name, df, key in (("b_orders", o, "o_custkey"),
+                          ("b_customer", c, "c_custkey")):
+        (df.write.bucketBy(8, key).sortBy(key)
+         .option("path", os.path.join(base, name))
+         .mode("overwrite").saveAsTable(name + pid_sfx))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (spark.table("b_orders" + pid_sfx)
+                  .join(spark.table("b_customer" + pid_sfx),
+                        F.col("o_custkey") == F.col("c_custkey"))
+                  .groupBy("c_mktsegment")
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.sum(F.col("o_totalprice").cast(DEC))
+                        .cast("double").alias("total")))
+        # Materialize while broadcast is disabled: the plan must be
+        # EXECUTED under the no-broadcast conf for the bucketed
+        # (zero-exchange) join path to actually run — a lazily returned
+        # frame would re-plan after the conf is restored below.
+        return joined.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@register("maint_time_travel", oracle="""
+SELECT 1 AS version, COUNT(*) AS n_rows,
+       CAST(0 AS BIGINT) AS n_updated, CAST(0 AS BIGINT) AS n_new
+FROM customer
+UNION ALL
+SELECT 2,
+       COUNT(*) + (SELECT COUNT(*) FROM customer WHERE c_custkey % 13 = 0),
+       (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 = 0),
+       (SELECT COUNT(*) FROM customer WHERE c_custkey % 13 = 0)
+FROM customer
+""", tags=("maintenance", "timetravel"))
+def maint_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning + time travel: v1 = the dimension as loaded;
+    v2 = after a MERGE upsert (same change set as etl_merge_upsert).
+    Both versions stay independently readable through committed
+    manifests (operators/maintenance.py — an interrupted write leaves
+    no manifest and is invisible), and the query reads BOTH snapshots
+    back, proving v1 is untouched by v2's rewrite. The oracle derives
+    each version's row accounting from the source table."""
+    from ..operators.maintenance import read_snapshot, write_snapshot
+
+    c = load_table(spark, sf_dir, "customer")
+    root = derived_dir(sf_dir, "tt_customer")
+    write_snapshot(c.select("c_custkey", "c_mktsegment"), root, 1)
+    updates = (c.filter(F.col("c_custkey") % 7 == 0)
+               .select("c_custkey", F.lit("UPDATED").alias("c_mktsegment")))
+    inserts = (c.filter(F.col("c_custkey") % 13 == 0)
+               .select((F.col("c_custkey") + 10000000).alias("c_custkey"),
+                       F.lit("NEW").alias("c_mktsegment")))
+    v1 = read_snapshot(spark, root, 1)
+    merged = (v1.join(updates.withColumnRenamed("c_mktsegment", "_new"),
+                      "c_custkey", "left")
+              .select("c_custkey",
+                      F.coalesce("_new", "c_mktsegment").alias("c_mktsegment"))
+              .unionByName(inserts))
+    write_snapshot(merged, root, 2)
+
+    def stats(ver: int) -> DataFrame:
+        s = read_snapshot(spark, root, ver)
+        return s.agg(F.lit(ver).cast("int").alias("version"),
+                     F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(F.when(F.col("c_mktsegment") == "UPDATED", 1)
+                           .otherwise(0)).cast("long").alias("n_updated"),
+                     F.sum(F.when(F.col("c_mktsegment") == "NEW", 1)
+                           .otherwise(0)).cast("long").alias("n_new"))
+    return stats(1).unionAll(stats(2))
