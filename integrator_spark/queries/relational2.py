@@ -185,3 +185,31 @@ def edge_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.filter(F.col("o_totalprice") < 0)
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("edge_all_null", oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       COUNT(nullif(o_totalprice, o_totalprice)) AS n_nonnull,
+       CAST(SUM(nullif(o_totalprice, o_totalprice)) AS DOUBLE) AS sum_null,
+       CAST(MIN(nullif(o_totalprice, o_totalprice)) AS DOUBLE) AS min_null,
+       COALESCE(CAST(AVG(nullif(o_totalprice, o_totalprice)) AS DOUBLE),
+                -1.0) AS avg_or_default
+FROM orders
+GROUP BY o_orderpriority
+""", tags=("edge", "nulls"))
+def edge_all_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge semantics: every aggregate over an all-NULL column —
+    COUNT(col)=0, SUM/MIN/AVG=NULL (not 0), COALESCE default applied —
+    must agree between engines. The all-NULL column is synthesized with
+    nullif(x, x) so the query runs on the standard fixture. Guards the
+    null-handling contract every outer-join/gap-fill pipeline leans on."""
+    o = load_table(spark, sf_dir, "orders")
+    nul = F.expr("nullif(o_totalprice, o_totalprice)")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count(nul).alias("n_nonnull"),
+                 F.sum(nul).cast("double").alias("sum_null"),
+                 F.min(nul).cast("double").alias("min_null"),
+                 F.coalesce(F.avg(nul).cast("double"), F.lit(-1.0))
+                  .alias("avg_or_default")))

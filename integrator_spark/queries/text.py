@@ -300,3 +300,25 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("nll").cast(DEC))
                           .cast("double") / F.count(F.lit(1)), 6)
                   .alias("avg_nll")))
+
+
+@register("text_topk_sketch", oracle=None, tags=("text", "sketch", "approx"))
+def text_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via count-min sketch next to exact counts: the
+    top-20 words' exact frequencies joined with their CMS point
+    estimates (operators/sketch.py — a 4x1024 linear sketch merged
+    element-wise across executors; 32 KB of state for any corpus size).
+    Rows-only: the sketch layout is engine-specific;
+    tests/test_sketches.py asserts the CM guarantee (never
+    underestimates; overestimate bounded by eN) against the exact
+    column carried alongside."""
+    from ..operators.sketch import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("word"))
+    matrix = cms_build(tok, "word")
+    top = (tok.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+           .orderBy(F.col("exact_n").desc(), "word").limit(20).collect())
+    rows = [(r.word, r.exact_n, cms_estimate(matrix, r.word)) for r in top]
+    return spark.createDataFrame(rows, "word string, exact_n long, est_n long") \
+        .orderBy("word")

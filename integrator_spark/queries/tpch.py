@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.num import davg, dsum, sql_davg, sql_dsum
+from ..functions.num import DEC, davg, dsum, sql_davg, sql_dsum
 from ..io import load_table
 from ..registry import register
 
@@ -242,3 +242,52 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"))
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_items")))
+
+
+@register("q18_large_orders", oracle=f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 212
+)
+SELECT c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice,
+       {sql_dsum('l.l_quantity')} AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""", tags=("tpch", "join", "having"))
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): a HAVING-filtered semi-join
+    feeding a three-way join + re-aggregation.
+
+    Scale posture: the `big` order-key set is produced by one
+    aggregation of lineitem and is tiny relative to the fact tables, so
+    it LEFT SEMI joins (no row multiplication) before the expensive
+    customer join; the final top-100 is TakeOrderedAndProject. The
+    quantity threshold is tuned to the fixture's scale so the result is
+    non-empty at sf0.001+."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
+           .filter(F.col("_q") > 212)
+           .select("l_orderkey"))
+    return (o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "o_orderkey", "left_semi")
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("c_custkey", "o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                      .alias("o_orderdate"),
+                     "o_totalprice")
+            .agg(dsum("l_quantity").alias("total_qty"))
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(100))

@@ -13,6 +13,8 @@ Bounds asserted here:
   >=0.5-Jaccard pair (precision of the candidate threshold).
 - SimHash (dedup_simhash): recall >= 0.8 of the exact near-dup pairs
   (64-bit sketch, Hamming<=6 is a coarser net than banded MinHash).
+- Count-min (text_topk_sketch): never underestimates, overestimate
+  bounded by 4N/w against the exact counts carried in the output.
 """
 
 from __future__ import annotations
@@ -100,3 +102,22 @@ def _true_jaccard_pairs(duck, floor: float):
         WHERE ni * 1.0 / (ca.n + cb.n - ni) >= {floor}
     """).fetchall()
     return set(rows)
+
+
+def test_countmin_guarantee(spark):
+    # CM sketch never underestimates; overestimate <= 4*N/w with the
+    # 4-row min (each row's expected collision mass is N/w; the min of
+    # 4 independent rows exceeding 4x that is vanishingly unlikely).
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.sketch import CMS_WIDTH
+    from pyspark.sql import functions as F
+    from integrator_spark.functions.text import tokens
+
+    rows = _rows(spark, "text_topk_sketch")
+    assert len(rows) == 20
+    n_tokens = (load_table(spark, TEST_SF_DIR, "documents")
+                .select(F.explode(tokens("text")).alias("w")).count())
+    slack = 4 * n_tokens / CMS_WIDTH
+    for r in rows:
+        assert r.est_n >= r.exact_n, (r.word, "underestimate!")
+        assert r.est_n - r.exact_n <= slack, (r.word, r.est_n, r.exact_n)
