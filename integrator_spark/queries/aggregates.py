@@ -200,3 +200,79 @@ def groupingsets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     """)
+
+
+@register("agg_regression", oracle="""
+WITH t AS (
+  SELECT event_type,
+         CAST(hour(ts) AS DOUBLE) AS x,
+         value AS y
+  FROM events
+), s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 8)
+         AS intercept
+FROM s
+""", tags=("agg", "regression"))
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression (value vs hour-of-day) from
+    closed-form sufficient statistics — n, Σx, Σy, Σxy, Σx² — each a
+    decimal-exact sum, so slope/intercept are deterministic on any
+    cluster (the built-in regr_slope aggregates doubles and is not).
+    One hash aggregation; the regression math is a projection. This is
+    how model-ish statistics stay cheap at 100 TB: sufficient
+    statistics shuffle, never rows."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    n = F.count(F.lit(1))
+    sx = F.sum(x.cast(DEC)).cast("double")
+    sy = F.sum(y.cast(DEC)).cast("double")
+    sxy = F.sum((x * y).cast(DEC)).cast("double")
+    sxx = F.sum((x * x).cast(DEC)).cast("double")
+    s = (e.groupBy("event_type")
+         .agg(n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+              sxy.alias("sxy"), sxx.alias("sxx")))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select("event_type", "n",
+                    F.round(slope, 8).alias("slope"),
+                    F.round(intercept, 8).alias("intercept"))
+
+
+@register("agg_quantile_array", oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75,
+       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS q95
+FROM orders
+GROUP BY o_orderpriority
+""", tags=("agg", "percentile"))
+def agg_quantile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile profile in ONE aggregation: percentile() with an
+    array of probabilities computes all four cut points in a single
+    pass/shuffle (vs four separate sorted aggregations) — the quantile
+    fan-out pattern for monitoring dashboards over wide fact tables.
+    Exact interpolated quantiles, same definition both engines."""
+    e = load_table(spark, sf_dir, "orders")
+    q = F.percentile("o_totalprice",
+                     F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75),
+                             F.lit(0.95)))
+    return (e.groupBy("o_orderpriority")
+            .agg(q.alias("_q"))
+            .select("o_orderpriority",
+                    F.round(F.col("_q")[0], 4).alias("q25"),
+                    F.round(F.col("_q")[1], 4).alias("q50"),
+                    F.round(F.col("_q")[2], 4).alias("q75"),
+                    F.round(F.col("_q")[3], 4).alias("q95")))

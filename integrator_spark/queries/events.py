@@ -325,3 +325,37 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
                      F.col("day_n").cast("long").alias("day_n"))
             .agg(F.count(F.lit(1)).alias("n_active")))
+
+
+@register("events_sessionize", oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_no
+FROM flagged
+""", tags=("events", "session"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization: assign every event its per-user session
+    NUMBER (gap >= 30 min starts a new one) via the classic
+    flag-then-running-sum — two window passes over ONE shuffle on
+    user_id (same partitioning, Spark reuses the exchange). The
+    aggregate view of the same sessions is events_session; this is the
+    row-level labeling a feature pipeline joins back onto raw events."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(F.lag("ts").over(w).isNull()
+                    | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (e.select("user_id", "event_id", is_new.alias("_new"), "ts")
+            .select("user_id", "event_id",
+                    F.sum("_new").over(run).cast("long").alias("session_no")))

@@ -78,3 +78,27 @@ def test_join_hinted_uses_shuffled_hash(spark):
     from integrator_spark.plans.audit import plan_string
     df = SPECS["join_hinted"].fn(spark, TEST_SF_DIR)
     assert "ShuffledHashJoin" in plan_string(df)
+
+
+def test_q6_pushes_all_predicates(spark):
+    """Q6 is the scan-efficiency probe: the date range, discount band,
+    and quantity cap must ALL reach the parquet reader."""
+    df = SPECS["q6_forecast_revenue"].fn(spark, TEST_SF_DIR)
+    f = audit_plan("q6_forecast_revenue", df)
+    pushed = " ".join(f.pushed_filters)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, f.pushed_filters)
+    # and only the 4 referenced columns are read
+    schema = f.plan.split("ReadSchema")[-1]
+    assert "l_orderkey" not in schema and "l_comment" not in schema
+
+
+def test_sessionize_reuses_one_exchange(spark):
+    """Both window passes partition on user_id — the plan must contain
+    exactly one shuffle exchange, not two."""
+    import re
+    from integrator_spark.plans.audit import plan_string
+    df = SPECS["events_sessionize"].fn(spark, TEST_SF_DIR)
+    plan = plan_string(df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan[:3000]
