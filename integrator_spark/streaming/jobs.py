@@ -342,3 +342,35 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner")
         .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id"))
     return run_available_now(joined, sf_dir, "stream_join")
+
+
+@register("stream_static_join", oracle="""
+WITH dim AS (
+  SELECT user_id, strftime(date_trunc('day', MIN(ts)), '%Y-%m-%d')
+           AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT e.event_type, d.cohort_day, COUNT(*) AS n_events
+FROM events e JOIN dim d ON d.user_id = e.user_id
+GROUP BY e.event_type, d.cohort_day
+""", tags=("streaming", "join"))
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming event feed enriched against a
+    STATIC dimension frame (per-user cohort day, computed batch-side) —
+    the broadcast-per-microbatch enrichment every streaming pipeline
+    does for user/device/geo lookups. No watermark needed on the static
+    side (it has no event time); the stream side aggregates after the
+    join, so complete output mode emits the final counts on bounded
+    replay, which the oracle verifies exactly."""
+    from ..io import load_table
+
+    dim = (load_table(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.date_format(F.date_trunc("day", F.min("ts")),
+                              "yyyy-MM-dd").alias("cohort_day")))
+    s = events_stream(spark, sf_dir)
+    agg = (s.join(F.broadcast(dim), "user_id")
+           .groupBy("event_type", "cohort_day")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    return run_available_now(agg, sf_dir, "stream_static_join",
+                             output_mode="complete")
