@@ -291,3 +291,109 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(dsum("l_quantity").alias("total_qty"))
             .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
             .limit(100))
+
+
+@register("q10_returned_items", oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       c.c_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""", tags=("tpch", "join"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item losses): lineitem filtered to returns,
+    date-sliced orders, customer + broadcast nation, top-20 customers
+    by lost revenue. The order-date and returnflag filters both push
+    into their scans BEFORE the join, so the join input is the sliced
+    minority of both fact tables; nation broadcasts; top-20 fuses into
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (li.filter(F.col("l_returnflag") == "R")
+            .join(o.filter(
+                (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+                & (F.col("o_orderdate") < F.to_timestamp(F.lit("1995-07-01")))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+            .agg(dsum(rev).alias("revenue"))
+            .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
+@register("q14_promo_effect", oracle=f"""
+SELECT ROUND(100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {sql_dsum('l_extendedprice * (1 - l_discount)')}, 6)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-03-01 00:00:00'
+""", tags=("tpch", "join"))
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional revenue ratio over a
+    date-sliced lineitem joined to part. The part side broadcasts (it
+    is the dimension); the CASE lives inside the decimal-exact sums so
+    the ratio is deterministic. One shuffle-free broadcast join + a
+    1-row global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    sliced = li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1995-03-01"))))
+    return (sliced.join(F.broadcast(p),
+                        F.col("l_partkey") == F.col("p_partkey"))
+            .agg((F.round(F.lit(100.0) * dsum(promo) / dsum(rev), 6))
+                 .alias("promo_revenue_pct"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@register("q19_branded_revenue", oracle=f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 45)
+""", tags=("tpch", "join"))
+def q19_branded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs predicate
+    spanning both join sides): the disjunction cannot be pushed below
+    the join as-is, but each disjunct's SINGLE-side conjuncts can —
+    Catalyst derives p_brand IN (...) and quantity range filters for
+    the scans, then applies the full residual on the join output. The
+    plan-shape check every optimizer gets wrong first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 45)))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .filter(cond)
+            .agg(dsum(rev).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
