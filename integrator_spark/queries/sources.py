@@ -115,3 +115,33 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
      .write.mode("overwrite").orc(path))
     df = spark.read.schema(DOCS_SCHEMA).orc(path)
     return _docs_agg(df)
+
+
+@register("scan_custom_source", oracle=f"""
+SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY user_id % 8
+""", tags=("source", "custom"))
+def scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource round trip (Spark 4
+    pyspark.sql.datasource API): events staged as fixed-width binary
+    "binrec" shards (written distributed, one shard per partition),
+    read back through the registered `binrec` format — one
+    InputPartition per shard, offset-math record splitting — and
+    aggregated. The oracle computes the same aggregate from the
+    original table, so a single corrupted/dropped record fails the
+    gate. This is the no-JVM-connector path for proprietary wire
+    formats (sources/binrec.py)."""
+    from ..io import derived_dir
+    from ..sources import binrec
+
+    e = load_table(spark, sf_dir, "events")
+    out = derived_dir(sf_dir, "binrec_events")
+    binrec.stage_binrec(e.repartition(4), out)
+    binrec.register(spark)
+    raw = spark.read.format("binrec").option("path", out).load()
+    return (raw.groupBy((F.col("user_id") % 8).cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("total_value")))
