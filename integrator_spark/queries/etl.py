@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.num import dsum, sql_dsum
+from ..functions.num import DEC, dsum, sql_dsum
 from ..io import load_table
 from ..operators.harmonize import (
     apply_rules,
@@ -351,3 +351,42 @@ def etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(stack_expr, "n_rows") \
                .select("col", "n_rows", "n_nulls", "n_distinct",
                        "min_s", "max_s")
+
+
+@register("etl_observe_metrics", oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+WHERE o_totalprice > 1000
+GROUP BY o_orderstatus
+""", tags=("etl", "observe"))
+def etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime metric observation (df.observe + Observation): the
+    pipeline's row count and value total are collected AS the query
+    executes — zero extra passes over the data, the monitoring pattern
+    for long ETL chains at 100 TB (a separate count() would re-read the
+    table). The observed metrics are cross-checked against the
+    returned aggregate inside the query body, so a divergence between
+    what the job observed and what it returned fails loudly; the
+    oracle then verifies the returned aggregate itself."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("etl_metrics")
+    filtered = (o.filter(F.col("o_totalprice") > 1000)
+                .observe(obs,
+                         F.count(F.lit(1)).alias("n_rows"),
+                         F.sum(F.col("o_totalprice").cast(DEC))
+                          .cast("double").alias("sum_total")))
+    result = (filtered.groupBy("o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("n_orders"),
+                   dsum("o_totalprice").alias("total"))
+              .localCheckpoint(eager=True))  # force execution -> metrics
+    got = obs.get
+    check = result.agg(F.sum("n_orders").alias("n"),
+                       F.sum(F.col("total").cast(DEC)).cast("double")
+                        .alias("t")).collect()[0]
+    assert got["n_rows"] == check.n, (got, check)
+    assert abs(got["sum_total"] - check.t) < 1e-6, (got, check)
+    return result

@@ -166,3 +166,41 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").select("r_name")
     n = load_table(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(n)
+
+
+@register("udf_arrow_map", oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+WHERE n_chars >= 64
+GROUP BY lang
+""", tags=("udf", "arrow"))
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy end of the Python UDF spectrum — the
+    kernel receives pyarrow RecordBatches directly (no pandas
+    conversion), computes token counts with Arrow compute kernels, and
+    emits batches. For string-heavy 100 TB corpora this skips the
+    pandas object-boxing that mapInPandas pays on text columns. The
+    relational tail (filter + groupBy) stays JVM-side and the oracle
+    recomputes everything in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            toks = pc.list_value_length(
+                pc.split_pattern(tbl.column("text"), " "))
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("lang").combine_chunks(),
+                 pc.cast(toks, pa.int64()).combine_chunks(),
+                 tbl.column("n_chars").combine_chunks()],
+                names=["lang", "n_tokens", "n_chars"])
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text", "n_chars")
+    mapped = d.mapInArrow(kernel, "lang string, n_tokens long, n_chars long")
+    return (mapped.filter(F.col("n_chars") >= 64)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
