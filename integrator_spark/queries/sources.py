@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.num import dsum, sql_dsum
+from ..functions.num import davg, dsum, sql_davg, sql_dsum
 from ..io import derived_dir, load_table
 from ..registry import register
 
@@ -145,3 +145,33 @@ def scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (raw.groupBy((F.col("user_id") % 8).cast("long").alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  dsum("value").alias("total_value")))
+
+
+@register("scan_xml", oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {sql_davg('n_chars')} AS avg_chars
+FROM documents
+GROUP BY lang
+""", tags=("source", "xml"))
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in XML source round trip (native in Spark 4 — no
+    spark-xml package): documents exported as XML row elements via
+    to_xml (distributed text sink, one shard per partition), read back
+    with rowTag row discovery + explicit schema, and aggregated. The
+    oracle computes the same aggregate from the original table, so any
+    escaping/round-trip loss fails the gate."""
+    d = load_table(spark, sf_dir, "documents")
+    out = derived_dir(sf_dir, "xml_docs")
+    (d.select("doc_id", "lang", "n_chars")
+     .write.format("xml")
+     .option("rootTag", "docs").option("rowTag", "doc")
+     .mode("overwrite").save(out))
+    back = (spark.read.format("xml").option("rowTag", "doc")
+            .schema("doc_id long, lang string, n_chars long")
+            .load(out))
+    return (back.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 davg("n_chars").alias("avg_chars")))

@@ -374,3 +374,37 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n_events")))
     return run_available_now(agg, sf_dir, "stream_static_join",
                              output_mode="complete")
+
+
+@register("stream_state_inspect", oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""", tags=("streaming", "statestore"))
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection (Spark 4 `statestore` read format): run
+    a streaming aggregation to a checkpoint, then read the aggregation
+    STATE itself back as a DataFrame — the debugging/ops path for
+    inspecting what a live 100 TB streaming job holds in state without
+    touching the job. On a bounded replay the final state is exactly
+    the batch aggregate, which the oracle verifies."""
+    import shutil
+
+    ckpt_root = derived_dir(sf_dir, "checkpoints")
+    _reap_stale_checkpoints(ckpt_root, "state_inspect")
+    ckpt = os.path.join(ckpt_root, f"state_inspect_pid{os.getpid()}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (agg.writeStream.format("memory")
+         .queryName(f"state_inspect_{uuid.uuid4().hex[:8]}")
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    # the state value struct names fields after the PHYSICAL aggregate
+    # (count(1)), not the output alias — introspect positionally.
+    val_field = state.schema["value"].dataType.names[0]
+    return state.select(F.col("key.event_type").alias("event_type"),
+                        F.col(f"value.`{val_field}`").alias("n_events"))
