@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.num import DEC
 from ..io import load_table
 from ..registry import register
 
@@ -204,3 +205,32 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens")))
+
+
+@register("ps_api_groupby", oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderstatus
+""", tags=("api", "pandas"))
+def ps_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark: the same groupby expressed in pandas idiom
+    (`psdf.groupby(...).agg(...)`) compiles to the identical
+    distributed plan — the migration surface for pandas codebases (no
+    collect; the pandas-shaped frame IS a DataFrame underneath). The
+    decimal-exact total is applied on the way back to Spark so the
+    result hash-matches the engine's conventions."""
+    import pyspark.pandas as ps  # noqa: F401
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice")
+    psdf = o.pandas_api()
+    counts = psdf.groupby("o_orderstatus").size()
+    sdf_counts = counts.rename("n_orders").to_frame().reset_index() \
+        .to_spark()
+    totals = (o.groupBy("o_orderstatus")
+              .agg(F.sum(F.col("o_totalprice").cast(DEC))
+                   .cast("double").alias("total")))
+    return sdf_counts.join(totals, "o_orderstatus") \
+        .select("o_orderstatus", "n_orders", "total")

@@ -411,3 +411,18 @@ def test_sessionize_matches_pandas_reference(spark):
             want[(u, r.event_id)] = sess
             prev = r.ts
     assert got == want
+
+
+def test_binrec_rejects_corrupt_shard(spark, tmp_path):
+    import pytest
+
+    from integrator_spark.sources import binrec
+
+    out = str(tmp_path / "br")
+    import os
+    os.makedirs(out)
+    with open(os.path.join(out, "bad.bin"), "wb") as fh:
+        fh.write(b"\x01\x02\x03")  # not a multiple of the record size
+    binrec.register(spark)
+    with pytest.raises(Exception, match="corrupt shard"):
+        (spark.read.format("binrec").option("path", out).load()).collect()
