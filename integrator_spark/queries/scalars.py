@@ -260,3 +260,27 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("k").alias("max_k"),
                  F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
                   .alias("n_even_k")))
+
+
+@register("array_explode_variants", oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id % 100 = 0
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS pos,
+       w[i] AS word
+FROM words, unnest(range(1, len(w) + 1)) t(i)
+""", tags=("scalar", "explode"))
+def array_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode): every token with its 0-based
+    array position — the table-function family (explode / posexplode /
+    inline and their _outer null-preserving variants) behind all
+    array-to-rows transforms. The generator runs inside codegen, never
+    in Python."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 100 == 0)
+    from ..functions.text import tokens
+    return (d.select("doc_id", F.posexplode(tokens("text"))
+                     .alias("pos", "word"))
+            .select("doc_id", F.col("pos").cast("long").alias("pos"), "word"))

@@ -364,3 +364,35 @@ def maint_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum(F.when(F.col("c_mktsegment") == "NEW", 1)
                            .otherwise(0)).cast("long").alias("n_new"))
     return stats(1).unionAll(stats(2))
+
+
+@register("scan_zorder", oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+WHERE user_id BETWEEN 2 AND 10
+  AND event_id BETWEEN 100 AND 5000
+GROUP BY event_type
+""", tags=("scan", "layout"))
+def scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered layout: events rewritten
+    range-partitioned on the bit-interleave of (user_id, event_id), so
+    every parquet file covers a compact 2-D tile and a 2-D box filter
+    prunes by footer stats in BOTH dimensions (operators/layout.py —
+    what OPTIMIZE ZORDER BY does, on stock Spark). The query reads the
+    clustered copy with a 2-D filter; the oracle computes the same
+    slice from the source table, so the rewrite must be lossless.
+    tests/test_operators.py measures the actual file-skip win vs a
+    1-D-sorted layout from the parquet footers."""
+    from ..operators.layout import write_zordered
+
+    e = load_table(spark, sf_dir, "events")
+    out = derived_dir(sf_dir, "events_zorder")
+    write_zordered(e, out, "user_id", "event_id", n_files=16)
+    z = spark.read.parquet(out)
+    return (z.filter(F.col("user_id").between(2, 10)
+                     & F.col("event_id").between(100, 5000))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("total_value")))

@@ -192,3 +192,28 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.lit(0.0))
     return e.select("user_id", "event_id",
                     F.round(num / den, 6).alias("ewma5"))
+
+
+@register("window_distinct_count", oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(DISTINCT event_type) OVER w AS BIGINT)
+         AS n_types_so_far
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+""", tags=("window", "distinct"))
+def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a running window — a feature Spark's window
+    functions reject outright (COUNT(DISTINCT ...) OVER is unsupported)
+    but a training-feature pipeline wants constantly ("how many event
+    types has this user produced so far"). Expressed as
+    size(collect_set(...)) over the frame: same semantics, one window
+    pass, set state bounded by the type cardinality (5 here — never
+    use this for high-cardinality columns; sketch it instead)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long")
+         .alias("n_types_so_far"))

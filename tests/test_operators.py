@@ -426,3 +426,35 @@ def test_binrec_rejects_corrupt_shard(spark, tmp_path):
     binrec.register(spark)
     with pytest.raises(Exception, match="corrupt shard"):
         (spark.read.format("binrec").option("path", out).load()).collect()
+
+
+def test_zorder_prunes_more_files_than_1d_sort(spark, tmp_path):
+    # The 2-D box filter must overlap strictly fewer z-ordered files
+    # than files sorted by user_id alone (where event_id min/max spans
+    # everything in every file).
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.layout import (
+        files_overlapping,
+        write_zordered,
+    )
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "events")
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(e, zpath, "user_id", "event_id", n_files=16)
+    (e.repartitionByRange(16, "user_id").sortWithinPartitions("user_id")
+     .write.mode("overwrite").parquet(spath))
+    # filter on the SECOND dimension: the 1-D user-sorted layout has
+    # zero pruning power there (every file spans all event_ids), while
+    # z-order tiles bound both dimensions.
+    box = dict(col_a="user_id", lo_a=0, hi_a=3,
+               col_b="event_id", lo_b=100, hi_b=200)
+    z_hit, z_tot = files_overlapping(zpath, **box)
+    s_hit, s_tot = files_overlapping(spath, **box)
+    # range partitioner may merge sparse ranges; compare hit fractions
+    assert z_tot >= 10 and s_tot >= 10
+    assert z_hit / z_tot < s_hit / s_tot, (z_hit, z_tot, s_hit, s_tot)
+    # and the clustered copy is lossless
+    assert spark.read.parquet(zpath).count() == e.count()
