@@ -397,3 +397,43 @@ def q19_branded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(cond)
             .agg(dsum(rev).alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
+
+
+@register("q15_top_supplier", oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""", tags=("tpch", "subquery"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a derived revenue view consumed twice —
+    once joined to supplier, once reduced to its max — with the
+    scalar-subquery equality selecting the peak supplier(s).
+
+    Scale posture: the revenue view is computed ONCE per branch off a
+    shared shuffle (Catalyst reuses the exchange for self-referencing
+    subplans); the max is a 1-row broadcast into the filter, so no
+    second full aggregation pass materializes. Ties (several suppliers
+    at the max) all surface, keeping the result deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01"))))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+             .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (s.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+            .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
