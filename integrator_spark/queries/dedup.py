@@ -165,3 +165,55 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8).select("d1", "d2")
     return connected_components_star(pairs)
+
+
+@register("dedup_substring_spans", oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+           || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+           AS gram
+  FROM words, unnest(range(1, len(w) - 6)) t(i)
+),
+span_stats AS (
+  SELECT gram,
+         COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         CAST(MIN(doc_id) AS BIGINT) AS example_doc
+  FROM grams
+  GROUP BY gram
+)
+SELECT gram, n_occurrences, n_docs, example_doc
+FROM span_stats
+WHERE n_docs >= 2
+ORDER BY n_occurrences DESC, gram
+LIMIT 50
+""", tags=("dedup", "substring"))
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: 8-token spans appearing in >= 2
+    distinct documents — the repeated-passage signal behind
+    train-data substring dedup (boilerplate, licenses, templates leave
+    long shared spans that document-level Jaccard misses when the rest
+    of the doc differs). Sliding 8-gram generation is a pure column
+    expression (transform over a sequence — no Python); the groupBy
+    shuffles (gram, doc_id) pairs, cost proportional to corpus token
+    count, and the output is bounded to the top-50 hottest spans. At
+    100 TB the same plan runs with a frequency floor (HAVING n >= k)
+    pushed into a partial-agg-friendly count."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    k = 8
+    idx = F.sequence(F.lit(0), F.size(w) - k)
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j + 1) for j in range(k)]))
+    grams = (d.filter(F.size(w) >= k)
+             .select("doc_id", F.explode(gram).alias("gram")))
+    return (grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.min("doc_id").alias("example_doc"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy(F.col("n_occurrences").desc(), "gram")
+            .limit(50))
