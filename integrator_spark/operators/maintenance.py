@@ -81,3 +81,27 @@ def read_snapshot(spark, root: str, version: int | None = None):
             raise FileNotFoundError(f"version {version} not committed")
     with open(os.path.join(root, chosen)) as fh:
         return spark.read.parquet(json.load(fh)["path"])
+
+
+def vacuum_snapshots(root: str, keep: int) -> list[int]:
+    """Retention cleanup for write_snapshot trees: keep the newest
+    ``keep`` committed versions, delete older data dirs AND their
+    manifests (manifest first, so a reader never sees a manifest whose
+    data is gone). Returns the versions removed."""
+    import json
+    import os
+    import shutil
+
+    manifests = sorted(
+        (f for f in os.listdir(root)
+         if f.startswith("_manifest.v") and f.endswith(".json")),
+        key=lambda f: int(f[len("_manifest.v"):-len(".json")]))
+    doomed = manifests[:-keep] if keep else manifests
+    removed = []
+    for mf in doomed:
+        with open(os.path.join(root, mf)) as fh:
+            meta = json.load(fh)
+        os.remove(os.path.join(root, mf))          # manifest first
+        shutil.rmtree(meta["path"], ignore_errors=True)
+        removed.append(meta["version"])
+    return removed

@@ -408,3 +408,35 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     val_field = state.schema["value"].dataType.names[0]
     return state.select(F.col("key.event_type").alias("event_type"),
                         F.col(f"value.`{val_field}`").alias("n_events"))
+
+
+@register("stream_sliding", oracle=f"""
+WITH spans AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+           - INTERVAL 30 MINUTE * CAST(n AS INT) AS win_start,
+         value
+  FROM events, unnest([0, 1]) t(n)
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM spans
+GROUP BY win_start
+""", tags=("streaming", "sliding"))
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows through the real streaming path: 1-hour windows
+    every 30 minutes (each event lands in 2 windows), watermarked,
+    complete-mode drain. The oracle rebuilds the same overlapping
+    window assignment relationally: every event belongs to exactly two
+    slide-aligned windows (its 30-min bucket and the one before), so
+    it explodes each row into both. Batch analog: events_sliding."""
+    s = events_stream(spark, sf_dir)
+    agg = (s.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"))
+           .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"),
+                   "n_events", "total_value"))
+    return run_available_now(agg, sf_dir, "stream_sliding",
+                             output_mode="complete")

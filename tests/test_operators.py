@@ -458,3 +458,44 @@ def test_zorder_prunes_more_files_than_1d_sort(spark, tmp_path):
     assert z_hit / z_tot < s_hit / s_tot, (z_hit, z_tot, s_hit, s_tot)
     # and the clustered copy is lossless
     assert spark.read.parquet(zpath).count() == e.count()
+
+
+def test_vacuum_keeps_newest_versions(spark, tmp_path):
+    import pytest
+
+    from integrator_spark.operators.maintenance import (
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+    root = str(tmp_path / "vt")
+    for v, n in ((1, 3), (2, 5), (3, 7)):
+        write_snapshot(spark.range(n), root, v)
+    assert vacuum_snapshots(root, keep=2) == [1]
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, 1)
+    assert read_snapshot(spark, root, 2).count() == 5
+    assert read_snapshot(spark, root).count() == 7
+
+
+def test_merge_upsert_matches_dict_reference(spark):
+    # Fuzz the MERGE shape: random current/update key sets; the
+    # full-outer+coalesce result must equal a dict-based reference.
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(13)
+    current = {k: rnd.randrange(100) for k in rnd.sample(range(50), 30)}
+    updates = {k: rnd.randrange(100, 200)
+               for k in rnd.sample(range(70), 25)}
+    cur_df = spark.createDataFrame(list(current.items()), "key long, val long")
+    upd_df = spark.createDataFrame(list(updates.items()), "key long, val long")
+    merged = (cur_df.alias("c")
+              .join(upd_df.alias("u"), F.col("c.key") == F.col("u.key"),
+                    "full_outer")
+              .select(F.coalesce("u.key", "c.key").alias("key"),
+                      F.coalesce("u.val", "c.val").alias("val")))
+    got = {r.key: r.val for r in merged.collect()}
+    want = {**current, **updates}
+    assert got == want
