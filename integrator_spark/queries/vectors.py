@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.num import DEC
 from ..io import load_table
 from ..operators.knn import knn_blocked, knn_bruteforce
 from ..registry import register
@@ -181,3 +182,42 @@ def vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("pc1"), 5).alias("pc1_mean"),
                  F.round(F.avg("pc2"), 5).alias("pc2_mean"))
             .orderBy("label"))
+
+
+@register("vec_stats", oracle="""
+WITH norms AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS l2
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(l2 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_norm,
+       ROUND(MIN(l2), 6) AS min_norm,
+       ROUND(MAX(l2), 6) AS max_norm
+FROM norms
+GROUP BY label
+""", tags=("vector", "stats"))
+def vec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus statistics: per-label L2-norm profile computed
+    with array higher-order functions (aggregate over x*x — JVM-side,
+    no Python). Per-row norms are bit-identical across engines (same
+    doubles, same array order), and the norm aggregation goes through
+    the decimal-exact mean. The pre-index sanity check every vector
+    pipeline runs: un-normalized or degenerate labels show up here
+    before they poison ANN recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norms = e.select(F.col("label").cast("long").alias("label"),
+                     F.sqrt(sq_sum).alias("l2"))
+    return (norms.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.sum(F.col("l2").cast(DEC)).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_norm"),
+                 F.round(F.min("l2"), 6).alias("min_norm"),
+                 F.round(F.max("l2"), 6).alias("max_norm")))
