@@ -390,3 +390,52 @@ def etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert got["n_rows"] == check.n, (got, check)
     assert abs(got["sum_total"] - check.t) < 1e-6, (got, check)
     return result
+
+
+@register("etl_golden_record", oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_recent,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn_value
+  FROM events
+)
+SELECT user_id,
+       MAX(CASE WHEN rn_recent = 1 THEN event_type END) AS latest_type,
+       MAX(CASE WHEN rn_recent = 1
+                THEN strftime(ts, '%Y-%m-%d %H:%M:%S.%f') END) AS latest_ts,
+       ROUND(MAX(CASE WHEN rn_value = 1 THEN value END), 4) AS peak_value,
+       COUNT(*) AS n_events
+FROM ranked
+GROUP BY user_id
+""", tags=("etl", "survivorship"))
+def etl_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: one consolidated row per entity
+    where DIFFERENT attributes survive from DIFFERENT source rows —
+    the most recent event donates the type/timestamp, the peak event
+    donates the value (each under its own deterministic tie-break).
+    This is the attribute-level merge step of master-data integration
+    (exact dedup keeps whole rows; survivorship composes fields). One
+    window shuffle on the entity key, both rankings over the same
+    partitioning, then a conditional aggregation collapses to one row
+    per key."""
+    e = load_table(spark, sf_dir, "events")
+    w_recent = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    w_value = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id")
+    ranked = e.select(
+        "user_id", "event_type", "value", "ts",
+        F.row_number().over(w_recent).alias("rn_recent"),
+        F.row_number().over(w_value).alias("rn_value"))
+    recent = F.when(F.col("rn_recent") == 1, F.col("event_type"))
+    recent_ts = F.when(
+        F.col("rn_recent") == 1,
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    peak = F.when(F.col("rn_value") == 1, F.col("value"))
+    return (ranked.groupBy("user_id")
+            .agg(F.max(recent).alias("latest_type"),
+                 F.max(recent_ts).alias("latest_ts"),
+                 F.round(F.max(peak), 4).alias("peak_value"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -322,3 +322,46 @@ def text_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(r.word, r.exact_n, cms_estimate(matrix, r.word)) for r in top]
     return spark.createDataFrame(rows, "word string, exact_n long, est_n long") \
         .orderBy("word")
+
+
+@register("text_bigram_lm", oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bigrams AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM words, unnest(range(1, len(w))) t(i)
+),
+uni AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1),
+bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2)
+SELECT bi.w1, bi.w2, bi.c12,
+       ROUND(bi.c12 * 1.0 / uni.c1, 8) AS p_w2_given_w1
+FROM bi JOIN uni ON uni.w1 = bi.w1
+WHERE bi.c12 >= 20
+ORDER BY bi.c12 DESC, bi.w1, bi.w2
+LIMIT 50
+""", tags=("text", "lm"))
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: conditional probabilities
+    P(w2|w1) from two aggregations + a join — the count-based core of
+    n-gram LM training (KenLM-style) as pure relational algebra. The
+    probability is an exact rational of identical ints in both engines
+    (rounded only for display); the frequency floor keeps the checked
+    output compact while the full conditional table is the same plan
+    without the filter."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    idx = F.sequence(F.lit(0), F.size(w) - 2)
+    pairs = F.transform(idx, lambda i: F.struct(
+        F.element_at(w, i + 1).alias("w1"),
+        F.element_at(w, i + 2).alias("w2")))
+    bigrams = (d.filter(F.size(w) >= 2)
+               .select(F.explode(pairs).alias("bg"))
+               .select("bg.w1", "bg.w2"))
+    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    return (bi.join(uni, "w1")
+            .filter(F.col("c12") >= 20)
+            .select("w1", "w2", "c12",
+                    F.round(F.col("c12") / F.col("c1"), 8)
+                     .alias("p_w2_given_w1"))
+            .orderBy(F.col("c12").desc(), "w1", "w2")
+            .limit(50))
