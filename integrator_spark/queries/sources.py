@@ -175,3 +175,44 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
                  davg("n_chars").alias("avg_chars")))
+
+
+@register("scan_csv_malformed", oracle="""
+SELECT 'good' AS kind, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 10 <> 3
+UNION ALL
+SELECT 'corrupt', COUNT(*), CAST(NULL AS BIGINT)
+FROM documents WHERE doc_id % 10 = 3
+""", tags=("source", "robustness"))
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling (PERMISSIVE mode + columnNameOfCorruptRecord):
+    a CSV export where every doc_id%10==3 row is deliberately mangled
+    (wrong column count) must load WITHOUT failing the job, parking the
+    broken lines in the corrupt-record column for quarantine — the
+    only survivable posture when 100 TB of vendor CSV contains the
+    inevitable bad rows (FAILFAST is for curated data; a single bad
+    row would kill a day-long job). The oracle reconstructs the
+    good/corrupt accounting from the clean source."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = derived_dir(sf_dir, "csv_malformed")
+    mangled = d.select(
+        F.when(F.col("doc_id") % 10 == 3,
+               F.concat_ws("|", "doc_id", "lang"))  # wrong delimiter+arity
+        .otherwise(F.concat_ws(",", "doc_id", "lang", "n_chars"))
+        .alias("value"))
+    mangled.write.mode("overwrite").text(out)
+    parsed = (spark.read
+              .schema("doc_id long, lang string, n_chars long, _bad string")
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_bad")
+              .csv(out))
+    # cache: PERMISSIVE corrupt-column frames must not be re-parsed per
+    # branch (Spark requires referencing _bad only alongside a cache/
+    # materialization; this also keeps the two branches consistent).
+    parsed = parsed.cache()
+    kind = F.when(F.col("_bad").isNull(), "good").otherwise("corrupt")
+    return (parsed.groupBy(kind.alias("kind"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("n_chars").alias("total_chars")))
