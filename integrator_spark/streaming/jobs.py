@@ -440,3 +440,54 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "n_events", "total_value"))
     return run_available_now(agg, sf_dir, "stream_sliding",
                              output_mode="complete")
+
+
+@register("stream_join_outer", oracle="""
+WITH c AS (SELECT user_id cu, event_id cid, ts cts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id pu, event_id pid, ts pts FROM events
+      WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT MAX(cts) FROM c), (SELECT MAX(pts) FROM p))
+              - INTERVAL 1 HOUR AS w),
+matched AS (
+  SELECT cu, cid, pid FROM c JOIN p
+    ON pu = cu AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+)
+SELECT cu AS user_id, cid AS click_id, CAST(pid AS BIGINT) AS purchase_id
+FROM matched
+UNION ALL
+SELECT cu, cid, CAST(NULL AS BIGINT)
+FROM c, wm
+WHERE cid NOT IN (SELECT cid FROM matched)
+  AND cts + INTERVAL 1 HOUR < w
+""", tags=("streaming", "join", "outer"))
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: matched pairs emit eagerly (as in
+    stream_join); an UNMATCHED click emits with a null purchase only
+    once the watermark proves no future purchase can match it
+    (wm > c_ts + 1h) — clicks newer than the horizon stay in state and
+    are withheld, which is correct, not lossy: on a live stream they
+    resolve later. The oracle encodes exactly that semantics: the
+    final watermark is min(max click ts, max purchase ts) - 1h delay,
+    and the null-extended rows are the unmatched clicks older than
+    wm - 1h. This is the part of outer streaming joins every
+    first-time user trips over, verified here row-for-row."""
+    clicks = (events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "1 hour"))
+    purchases = (events_stream(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "1 hour"))
+    joined = (clicks.join(
+        purchases,
+        F.expr("p_user = c_user AND "
+               "p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"),
+        "left_outer")
+        .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id"))
+    return run_available_now(joined, sf_dir, "stream_join_outer")
