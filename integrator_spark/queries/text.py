@@ -365,3 +365,47 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("p_w2_given_w1"))
             .orderBy(F.col("c12").desc(), "w1", "w2")
             .limit(50))
+
+
+@register("text_keywords", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         ROUND(tf.tf * ln(n_docs * 1.0 / df.df), 8) AS tfidf
+  FROM tf JOIN df ON df.word = tf.word CROSS JOIN n
+)
+SELECT doc_id, word, tfidf,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rk
+      FROM scored)
+WHERE rk <= 3 AND doc_id % 20 = 0
+""", tags=("text", "keywords"))
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document — the
+    tf-idf relational core composed with a per-doc ranking window (the
+    classic summarize/tag step before indexing a corpus). The idf join
+    broadcasts the vocabulary; the window shuffles on doc_id; rounding
+    happens BEFORE ranking so the rank ties break identically in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 8)
+    scored = (tf.join(F.broadcast(df), "word")
+              .select("doc_id", "word", tfidf.alias("tfidf")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter((F.col("rk") <= 3) & (F.col("doc_id") % 20 == 0))
+            .select("doc_id", "word", "tfidf", "rk"))

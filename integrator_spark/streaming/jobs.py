@@ -491,3 +491,35 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer")
         .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id"))
     return run_available_now(joined, sf_dir, "stream_join_outer")
+
+
+@register("stream_tumbling_append", oracle=f"""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+GROUP BY 1, 2
+""", tags=("streaming", "outputmode"))
+def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed aggregation: ONLY windows the watermark has
+    closed (window end <= final watermark) ever emit — the still-open
+    tail windows are withheld, which is append mode working as
+    designed, not data loss (complete-mode variant: stream_tumbling).
+    The oracle reproduces the exact emission rule: final watermark =
+    max event time - 10 min delay, windows ending after it excluded.
+    Together with stream_join_outer this pins down both of the
+    watermark-gated emission behaviors users hit first."""
+    s = events_stream(spark, sf_dir)
+    agg = (s.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"))
+           .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("bucket_start"),
+                   "event_type", "n_events", "total_value"))
+    return run_available_now(agg, sf_dir, "stream_tumbling_append",
+                             output_mode="append")
