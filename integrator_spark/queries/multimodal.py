@@ -277,3 +277,100 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wavs.mapInPandas(
         extract, "doc_id long, sample_rate long, n_samples long, "
                  "duration_ms long, n_bytes long")
+
+
+def make_mp4(timescale: int, duration: int) -> bytes:
+    """A minimal valid ISO-BMFF (MP4) file: ftyp + moov(mvhd) + empty
+    mdat. mvhd (version 0) carries the movie timescale and duration.
+    File size is the closed form 24 + 112 + 8 = 144 bytes,
+    letting a SQL oracle verify byte accounting without a video lib."""
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd_payload = (b"\x00\x00\x00\x00"            # version+flags
+                    + struct.pack(">II", 0, 0)      # ctime, mtime
+                    + struct.pack(">II", timescale, duration)
+                    + struct.pack(">I", 0x00010000)  # rate 1.0
+                    + struct.pack(">H", 0x0100)      # volume
+                    + b"\x00" * 70)                  # reserved+matrix+next
+    moov = box(b"moov", box(b"mvhd", mvhd_payload))
+    mdat = box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[int, int, int]:
+    """Walk the top-level ISO-BMFF boxes, find moov/mvhd, return
+    (timescale, duration, duration_ms) — the container-header read a
+    video pipeline does before ever touching a codec."""
+    def walk(data: bytes, want: bytes):
+        off = 0
+        while off + 8 <= len(data):
+            size, typ = struct.unpack(">I4s", data[off:off + 8])
+            if size < 8:
+                raise ValueError("corrupt box size")
+            if typ == want:
+                return data[off + 8:off + size]
+            off += size
+        raise ValueError(f"box {want!r} not found")
+
+    if parse_box_type(payload) != b"ftyp":
+        raise ValueError("not an MP4 (no leading ftyp)")
+    moov = walk(payload, b"moov")
+    mvhd = walk(moov, b"mvhd")
+    timescale, duration = struct.unpack(">II", mvhd[12:20])
+    return timescale, duration, duration * 1000 // timescale
+
+
+def parse_box_type(payload: bytes) -> bytes:
+    return payload[4:8] if len(payload) >= 8 else b""
+
+
+@register("multimodal_video_meta", oracle="""
+SELECT doc_id,
+       CAST(600 + (doc_id % 3) * 300 AS BIGINT) AS timescale,
+       CAST((n_chars % 500 + 50) * 30 AS BIGINT) AS duration_ticks,
+       CAST(((n_chars % 500 + 50) * 30 * 1000)
+            // (600 + (doc_id % 3) * 300) AS BIGINT) AS duration_ms,
+       CAST(144 AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id % 4 = 0
+""", tags=("multimodal", "video"))
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-metadata extraction round trip, fully decoded: synthesize
+    one REAL minimal MP4 per (sampled) document — ISO-BMFF ftyp/moov/
+    mvhd/mdat boxes with timescale and duration derived from (doc_id,
+    n_chars) — then walk the box tree back in a second Arrow stage.
+    With make_png/make_bmp (image) and make_wav (audio) this completes
+    the multimodal column triple with real header codecs and zero
+    stubs; the oracle recomputes timescale/duration/bytes in closed
+    form."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].astype("int64")
+            ts = 600 + (doc_ids % 3) * 300
+            dur = (pdf["n_chars"].astype("int64") % 500 + 50) * 30
+            payloads = [make_mp4(int(t), int(d))
+                        for t, d in zip(ts, dur)]
+            yield pd.DataFrame({"doc_id": doc_ids, "payload": payloads})
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_mp4_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "timescale": pd.Series([m[0] for m in metas], dtype="int64"),
+                "duration_ticks": pd.Series([m[1] for m in metas],
+                                            dtype="int64"),
+                "duration_ms": pd.Series([m[2] for m in metas],
+                                         dtype="int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+            })
+
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 4 == 0).select("doc_id", "n_chars"))
+    vids = d.mapInPandas(synth, "doc_id long, payload binary")
+    return vids.mapInPandas(
+        extract, "doc_id long, timescale long, duration_ticks long, "
+                 "duration_ms long, n_bytes long")
