@@ -276,3 +276,27 @@ def agg_quantile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("_q")[1], 4).alias("q50"),
                     F.round(F.col("_q")[2], 4).alias("q75"),
                     F.round(F.col("_q")[3], 4).alias("q95")))
+
+
+@register("agg_modern_funcs", oracle="""
+SELECT event_type,
+       CAST(count_if(value > 100) AS BIGINT) AS n_big,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(value > 450) AS any_huge,
+       CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+         AS n_even_users
+FROM events
+GROUP BY event_type
+""", tags=("agg", "modern"))
+def agg_modern_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern aggregate-function pack: count_if, bool_and/bool_or,
+    and FILTER-style conditional counting — all single-pass partial
+    aggregates (no expansion, no second scan), identical names and
+    semantics in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.count_if(F.col("value") > 100).alias("n_big"),
+                 F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+                 F.bool_or(F.col("value") > 450).alias("any_huge"),
+                 F.count_if(F.col("user_id") % 2 == 0)
+                  .alias("n_even_users")))

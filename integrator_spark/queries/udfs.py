@@ -234,3 +234,34 @@ def ps_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("double").alias("total")))
     return sdf_counts.join(totals, "o_orderstatus") \
         .select("o_orderstatus", "n_orders", "total")
+
+
+@register("udaf_window", oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             6) AS udaf_avg5
+FROM events
+WHERE user_id % 5 = 0
+""", tags=("udf", "window"))
+def udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF applied OVER A WINDOW FRAME: the grouped-agg Arrow
+    UDF runs once per frame (trailing 5 rows per user) — custom Python
+    aggregation logic composed with Spark's windowing machinery instead
+    of reimplementing frames in Python. The kernel is a plain
+    numpy mean; the oracle uses the built-in AVG over the identical
+    frame (5-value means are exact in both engines; rounded only for
+    display)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def np_mean(v: pd.Series) -> float:
+        return float(np.mean(v.to_numpy()))
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, Window.currentRow))
+    return e.select("event_id", "user_id",
+                    F.round(np_mean("value").over(w), 6).alias("udaf_avg5"))
