@@ -300,3 +300,28 @@ def agg_modern_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.bool_or(F.col("value") > 450).alias("any_huge"),
                  F.count_if(F.col("user_id") % 2 == 0)
                   .alias("n_even_users")))
+
+
+@register("agg_hll_sketch", oracle=None, tags=("agg", "approx", "sketch"))
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistable, MERGEABLE distinct-count sketches (Spark 4 Datasketches
+    HLL): per-event-type sketches built once, then UNIONED into a global
+    estimate without revisiting the data — the incremental-rollup
+    pattern for distinct users across arbitrary slices (store the
+    sketch column per partition/day; any later union answers any
+    slice). Rows-only: the sketch encoding is engine-specific;
+    tests/test_sketches.py bounds both the per-group and the
+    union-merged estimates against exact distinct counts."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = (e.groupBy("event_type")
+                .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                     F.countDistinct("user_id").alias("exact_users")))
+    merged = per_type.agg(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.max(F.lit(None).cast("long")).alias("exact_users_merged"))
+    per_type_out = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        F.col("exact_users").cast("long").alias("exact_users_merged"))
+    return per_type_out.unionAll(merged).orderBy("event_type")

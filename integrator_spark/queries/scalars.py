@@ -284,3 +284,24 @@ def array_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id", F.posexplode(tokens("text"))
                      .alias("pos", "word"))
             .select("doc_id", F.col("pos").cast("long").alias("pos"), "word"))
+
+
+@register("date_tz_convert", oracle="""
+SELECT CAST(hour(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York')
+            AS BIGINT) AS local_hour,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+""", tags=("scalar", "timezone"))
+def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion parity: UTC event times shifted to a
+    DST-observing zone (America/New_York) and histogrammed by local
+    hour — both engines resolve the shift through the IANA tzdb, so a
+    mismatch here means a tz-handling bug, the single most common
+    cross-engine divergence in time analytics. (The fixture spans
+    January 2024: EST, UTC-5.)"""
+    e = load_table(spark, sf_dir, "events")
+    local = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"),
+                               F.col("ts"))
+    return (e.groupBy(F.hour(local).cast("long").alias("local_hour"))
+            .agg(F.count(F.lit(1)).alias("n_events")))

@@ -121,3 +121,22 @@ def test_countmin_guarantee(spark):
     for r in rows:
         assert r.est_n >= r.exact_n, (r.word, "underestimate!")
         assert r.est_n - r.exact_n <= slack, (r.word, r.est_n, r.exact_n)
+
+
+def test_hll_sketch_union_bound(spark):
+    # Datasketches HLL: per-group estimates AND the union-merged global
+    # estimate must sit within 5% of the exact distinct counts.
+    from integrator_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in _rows(spark, "agg_hll_sketch")}
+    e = load_table(spark, TEST_SF_DIR, "events")
+    exact_global = e.agg(F.countDistinct("user_id")).collect()[0][0]
+    for et, r in rows.items():
+        if et == "__all__":
+            rel = abs(r.approx_users - exact_global) / exact_global
+            assert rel <= 0.05, ("union", r.approx_users, exact_global)
+        else:
+            rel = abs(r.approx_users - r.exact_users_merged) \
+                / max(r.exact_users_merged, 1)
+            assert rel <= 0.05, (et, r.approx_users, r.exact_users_merged)
