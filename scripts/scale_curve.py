@@ -24,6 +24,7 @@ from integrator_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from integrator_spark.operators.graph import pagerank  # noqa: E402
 from integrator_spark.operators.knn import knn_blocked  # noqa: E402
 from integrator_spark.session import build_session  # noqa: E402
 
@@ -67,16 +68,42 @@ def main() -> None:
         n_knn = knn_blocked(e, k=1).count()
         timings["vec_knn_blocked"] = time.perf_counter() - t0
 
+        # substring spans: cost tracks corpus tokens (gram shuffle)
+        t0 = time.perf_counter()
+        w = F.split(F.col("text"), " ")
+        idx = F.sequence(F.lit(0), F.size(w) - 8)
+        gram = F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j + 1) for j in range(8)]))
+        n_spans = (d.filter(F.size(w) >= 8)
+                   .select("doc_id", F.explode(gram).alias("gram"))
+                   .groupBy("gram")
+                   .agg(F.countDistinct("doc_id").alias("nd"))
+                   .filter(F.col("nd") >= 2).count())
+        timings["substring_spans"] = time.perf_counter() - t0
+
+        # pagerank over the k-inflated similarity graph (log-round joins)
+        t0 = time.perf_counter()
+        from integrator_spark.operators.dedup import ngram_jaccard_pairs
+        pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5).select("d1", "d2")
+        edges = pairs.unionByName(pairs.select(F.col("d2").alias("d1"),
+                                               F.col("d1").alias("d2")))
+        n_pr = pagerank(edges, src="d1", dst="d2", iterations=5).count()
+        timings["pagerank5"] = time.perf_counter() - t0
+
         rows.append((k, k * n_docs, k * n_emb, timings,
                      dict(exact_groups=n_exact, mh_pairs=n_mh,
-                          sh_pairs=n_sh, knn=n_knn)))
+                          sh_pairs=n_sh, knn=n_knn, spans=n_spans,
+                          pr_nodes=n_pr)))
 
-    print("| k | docs | vectors | dedup_exact s | minhash s | simhash s | knn s |")
-    print("| - | ---- | ------- | ------------- | --------- | --------- | ----- |")
+    print("| k | docs | vectors | dedup_exact s | minhash s | simhash s "
+          "| knn s | spans s | pagerank s |")
+    print("| - | ---- | ------- | ------------- | --------- | --------- "
+          "| ----- | ------- | ---------- |")
     for k, nd, ne, t, out in rows:
         print(f"| {k} | {nd} | {ne} | {t['dedup_exact']:.1f} | "
               f"{t['dedup_minhash']:.1f} | {t['dedup_simhash']:.1f} | "
-              f"{t['vec_knn_blocked']:.1f} |")
+              f"{t['vec_knn_blocked']:.1f} | {t['substring_spans']:.1f} | "
+              f"{t['pagerank5']:.1f} |")
     print()
     for k, nd, ne, t, out in rows:
         print(f"k={k}: outputs {out}")
