@@ -439,3 +439,47 @@ def etl_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(recent_ts).alias("latest_ts"),
                  F.round(F.max(peak), 4).alias("peak_value"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+@register("etl_cdc_apply", oracle="""
+WITH log AS (
+  SELECT user_id AS key, ts, event_id AS seq,
+         CASE WHEN event_type IN ('click', 'view') THEN 'upsert'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'upsert' END AS op,
+         value AS val
+  FROM events
+),
+latest AS (
+  SELECT key, op, val
+  FROM log
+  QUALIFY row_number() OVER (PARTITION BY key
+                             ORDER BY ts DESC, seq DESC) = 1
+)
+SELECT key, ROUND(val, 4) AS val
+FROM latest
+WHERE op <> 'delete'
+ORDER BY key
+""", tags=("etl", "cdc"))
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application (Debezium-shaped): a change stream of
+    upserts/deletes per key collapses to final table state by taking
+    the LAST operation per key in (ts, seq) order — a delete as the
+    last op removes the key entirely, anything else materializes its
+    value. One window shuffle on the key; contrast with
+    etl_merge_upsert (set-based MERGE) — CDC apply must respect
+    per-key operation ORDER, not just presence. The events fixture
+    stands in for the change log (error = tombstone)."""
+    e = load_table(spark, sf_dir, "events")
+    log = e.select(
+        F.col("user_id").alias("key"), "ts",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "delete")
+         .otherwise("upsert").alias("op"),
+        F.col("value").alias("val"))
+    w = Window.partitionBy("key").orderBy(F.col("ts").desc(),
+                                          F.col("seq").desc())
+    return (log.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("op") != "delete"))
+            .select("key", F.round("val", 4).alias("val"))
+            .orderBy("key"))

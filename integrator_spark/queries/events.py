@@ -359,3 +359,31 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.select("user_id", "event_id", is_new.alias("_new"), "ts")
             .select("user_id", "event_id",
                     F.sum("_new").over(run).cast("long").alias("session_no")))
+
+
+@register("events_transitions", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       COUNT(*) AS n_transitions
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""", tags=("events", "sequence"))
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of consecutive event-type
+    pairs per user timeline (the first-order Markov statistics behind
+    next-action prediction and funnel-drop diagnosis). One window
+    shuffle on user_id + one aggregation — sequential pattern mining's
+    base case, fully relational."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.select(F.col("event_type").alias("from_type"),
+                     F.lead("event_type").over(w).alias("to_type"))
+            .filter(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("n_transitions")))
