@@ -387,3 +387,44 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("to_type").isNotNull())
             .groupBy("from_type", "to_type")
             .agg(F.count(F.lit(1)).alias("n_transitions")))
+
+
+@register("events_heatmap", oracle="""
+SELECT CAST(isodow(ts) AS BIGINT) AS weekday,
+       CAST(SUM(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS h00_05,
+       CAST(SUM(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END)
+            AS BIGINT) AS h06_11,
+       CAST(SUM(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END)
+            AS BIGINT) AS h12_17,
+       CAST(SUM(CASE WHEN hour(ts) >= 18 THEN 1 ELSE 0 END) AS BIGINT)
+         AS h18_23
+FROM events
+GROUP BY 1
+""", tags=("events", "heatmap"))
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: ISO weekday × 6-hour daypart crosstab via
+    pivot on derived time keys — the wide (dashboard-shaped) cousin of
+    the long-form aggregations; the pivot's value set is declared
+    explicitly so the plan is a single aggregation, no distinct-scan
+    to discover columns."""
+    e = load_table(spark, sf_dir, "events")
+    part = (F.when(F.hour("ts") < 6, "h00_05")
+            .when(F.hour("ts") < 12, "h06_11")
+            .when(F.hour("ts") < 18, "h12_17")
+            .otherwise("h18_23"))
+    return (e.select(F.dayofweek("ts").alias("_dow"),
+                     F.col("ts"), part.alias("part"))
+            .select(
+                # dayofweek is 1=Sunday; convert to ISO 1=Monday
+                F.when(F.col("_dow") == 1, 7).otherwise(F.col("_dow") - 1)
+                 .cast("long").alias("weekday"), "part")
+            .groupBy("weekday")
+            .pivot("part", ["h00_05", "h06_11", "h12_17", "h18_23"])
+            .count()
+            .na.fill(0)
+            .select("weekday",
+                    F.col("h00_05").cast("long").alias("h00_05"),
+                    F.col("h06_11").cast("long").alias("h06_11"),
+                    F.col("h12_17").cast("long").alias("h12_17"),
+                    F.col("h18_23").cast("long").alias("h18_23")))
