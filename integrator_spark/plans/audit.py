@@ -35,6 +35,7 @@ CROSS_JOIN_ALLOWED = {
     "events_resample",     # bounded grid × event-type expansion
     "etl_fuzzy_match",     # bounded |variants| × |code list| scoring
     "ml_quantile_bins",    # 1-row min/max bounds frame broadcast to fact
+    "text_bm25",           # 1-row corpus-stats frame broadcast to tf matrix
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

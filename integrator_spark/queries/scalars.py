@@ -305,3 +305,29 @@ def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("ts"))
     return (e.groupBy(F.hour(local).cast("long").alias("local_hour"))
             .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+@register("scalar_try_funcs", oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_totalprice / NULLIF(CAST(o_orderkey % 10 AS DOUBLE), 0) AS safe_div,
+       TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+       TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS good_cast
+FROM orders
+WHERE o_orderkey % 50 = 0
+""", tags=("scalar", "ansi"))
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe scalar arithmetic: under Spark 4's default ANSI mode a
+    division by zero or invalid cast ABORTS the job, so pipelines over
+    dirty data use the try_* family — try_divide and try_cast return
+    NULL where strict mode throws (mirrored by NULLIF-guarded division
+    and TRY_CAST in the oracle). The null-on-zero rows prove the
+    non-aborting path end-to-end."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.try_divide("o_totalprice",
+                     (F.col("o_orderkey") % 10).cast("double"))
+         .alias("safe_div"),
+        F.try_to_number("o_orderpriority", F.lit("999")).cast("long")
+         .alias("bad_cast"),
+        F.col("o_orderkey").cast("string").cast("long").alias("good_cast"))

@@ -409,3 +409,73 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter((F.col("rk") <= 3) & (F.col("doc_id") % 20 == 0))
             .select("doc_id", "word", "tfidf", "rk"))
+
+
+@register("text_bm25", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dlen AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS avgdl
+  FROM dl
+), df AS (
+  SELECT word, COUNT(*) AS df FROM tf
+  WHERE word IN ('spark', 'stream', 'window') GROUP BY word
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl)))
+           AS bm25
+  FROM tf
+  JOIN df ON df.word = tf.word
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(bm25, 6) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""", tags=("text", "ranking"))
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (k1=1.2, b=0.75) for a fixed 3-term query — the
+    standard lexical retrieval scorer, fully relational: term
+    frequencies join document frequencies and length normalization, no
+    index structure needed for batch scoring. The probabilistic idf
+    (ln(1 + (N-df+.5)/(df+.5))) and the length-normalized tf saturate
+    exactly as in Robertson-Sparck Jones; scores are identical IEEE
+    expressions in both engines, rounded for display. The per-query
+    cost is one broadcast of the |query|-row df table against the
+    (doc, term) matrix — batch-scoring 100 TB is a join, not an index
+    lookup."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "stream", "window"]
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("dlen").cast(DEC)).cast("double")
+         / F.count(F.lit(1))).alias("avgdl"))
+    df = (tf.filter(F.col("word").isin(terms))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("df")))
+    k1, b = 1.2, 0.75
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    score_term = (idf * F.col("tf") * (k1 + 1)
+                  / (F.col("tf") + k1 * (1 - b + b * F.col("dlen")
+                                         / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(df), "word")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.sum(score_term).alias("bm25")))
+    return (scored.select("doc_id", F.round("bm25", 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), "doc_id").limit(20))
