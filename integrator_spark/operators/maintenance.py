@@ -69,8 +69,10 @@ def read_snapshot(spark, root: str, version: int | None = None):
     import json
     import os
 
-    manifests = sorted(f for f in os.listdir(root)
-                       if f.startswith("_manifest.v") and f.endswith(".json"))
+    manifests = sorted(
+        (f for f in os.listdir(root)
+         if f.startswith("_manifest.v") and f.endswith(".json")),
+        key=lambda f: int(f[len("_manifest.v"):-len(".json")]))
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {root}")
     if version is None:

@@ -282,7 +282,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def make_mp4(timescale: int, duration: int) -> bytes:
     """A minimal valid ISO-BMFF (MP4) file: ftyp + moov(mvhd) + empty
     mdat. mvhd (version 0) carries the movie timescale and duration.
-    File size is the closed form 24 + 112 + 8 = 144 bytes,
+    File size is the closed form 24 + 116 + 8 = 148 bytes,
     letting a SQL oracle verify byte accounting without a video lib."""
     def box(typ: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + typ + payload
@@ -293,7 +293,9 @@ def make_mp4(timescale: int, duration: int) -> bytes:
                     + struct.pack(">II", timescale, duration)
                     + struct.pack(">I", 0x00010000)  # rate 1.0
                     + struct.pack(">H", 0x0100)      # volume
-                    + b"\x00" * 70)                  # reserved+matrix+next
+                    # Version-0 mvhd tail: reserved(2+8) + matrix(36)
+                    # + pre_defined(24) + next_track_ID(4) = 74 bytes.
+                    + b"\x00" * 74)
     moov = box(b"moov", box(b"mvhd", mvhd_payload))
     mdat = box(b"mdat", b"")
     return ftyp + moov + mdat
@@ -332,7 +334,7 @@ SELECT doc_id,
        CAST((n_chars % 500 + 50) * 30 AS BIGINT) AS duration_ticks,
        CAST(((n_chars % 500 + 50) * 30 * 1000)
             // (600 + (doc_id % 3) * 300) AS BIGINT) AS duration_ms,
-       CAST(144 AS BIGINT) AS n_bytes
+       CAST(148 AS BIGINT) AS n_bytes
 FROM documents
 WHERE doc_id % 4 = 0
 """, tags=("multimodal", "video"))

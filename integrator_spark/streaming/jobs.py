@@ -82,8 +82,12 @@ def _reap_stale_checkpoints(ckpt_root: str, name: str) -> None:
             continue
         try:
             os.kill(pid, 0)          # alive -> leave its checkpoint alone
-        except OSError:
+        except ProcessLookupError:
+            # Only a definitively-dead pid is reaped: PermissionError
+            # means a live process owned by another user — leave it.
             shutil.rmtree(os.path.join(ckpt_root, entry), ignore_errors=True)
+        except OSError:
+            pass
 
 
 def run_available_now(stream_df: DataFrame, sf_dir: str, name: str,

@@ -371,6 +371,19 @@ def test_snapshot_commit_protocol(spark, tmp_path):
     assert read_snapshot(spark, root, 1).count() == 5   # v1 untouched
 
 
+def test_snapshot_latest_is_numeric_not_lexicographic(spark, tmp_path):
+    # v10 sorts lexicographically BEFORE v2 — "latest" must use the
+    # numeric version, matching vacuum_snapshots' retention order.
+    from integrator_spark.operators.maintenance import (
+        read_snapshot,
+        write_snapshot,
+    )
+    root = str(tmp_path / "tt10")
+    for v in (1, 2, 9, 10):
+        write_snapshot(spark.range(v * 10), root, v)
+    assert read_snapshot(spark, root).count() == 100    # v10, not v9
+
+
 def test_sessionize_matches_pandas_reference(spark):
     # Fuzz: random timestamps per user; the Spark session numbering must
     # equal a straightforward pandas groupby-sort-cumsum reference.
