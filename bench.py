@@ -2,9 +2,17 @@
 """Headline benchmark — the 10 BASELINE.md queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Protocol mirrors BASELINE.md: one warm-up execution, then median of 3
-timed ``collect()`` runs per query (JVM startup excluded). Prints ONE
-JSON line:
+Protocol mirrors BASELINE.md: one warm-up execution, then the median of
+5 timed runs per query (JVM startup excluded). Each timed run REBUILDS
+the DataFrame and collects it — deliberately: repeated collect() on one
+DataFrame object reuses the prior run's shuffle files (Spark stage
+skipping), which skips every pre-exchange stage and under-measures
+multi-stage queries by 10-100x (measured: naive crossJoin kNN re-collect
+35 ms vs 77 s fresh). Rebuilding pays Catalyst analysis per run — the
+same cost the BASELINE.md naive column paid, so ratios stay
+like-for-like. Median-of-5 instead of median-of-3 damps the run-to-run
+JVM/OS noise that moved round-2 numbers ~16% with byte-identical plans.
+Prints ONE JSON line:
   {"metric": "headline_total_sec", "value": N, "unit": "sec",
    "queries": {...per-query seconds...}, "sf": 0.1}
 """
@@ -35,7 +43,7 @@ HEADLINE = [
     "vec_knn",
 ]
 
-RUNS = 3
+RUNS = 5
 
 
 def main() -> None:
@@ -54,11 +62,11 @@ def main() -> None:
     runs = 1 if os.environ.get("SPARK_GRAFT_BENCH_ALL") else RUNS
     for name in names:
         fn = queries[name]
-        fn(spark, sf_dir).collect()  # per-query warm-up (plan + IO cache)
+        fn(spark, sf_dir).collect()  # per-query warm-up (JIT + IO cache)
         times = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).collect()  # fresh build: no shuffle reuse
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 4)
 

@@ -42,6 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk size of one fixture table (file or directory of parts) —
+    the zero-job size estimate behind the engine's physical-strategy
+    routing (rollup pre-agg, long-vs-decimal exact sums, kNN broadcast
+    budget). None when the path isn't locally stat-able (object store);
+    callers must treat None as 'assume big' and pick the scale path."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(e.stat().st_size for e in os.scandir(path)
+                       if e.is_file())
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
 def load_all(spark: SparkSession, sf_dir: str,
              tables: list[str] | None = None) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in (tables or TABLES)}

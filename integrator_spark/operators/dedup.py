@@ -34,11 +34,31 @@ from ..functions.text import word_shingles
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                         threshold: float = 0.8,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """Exact word-k-gram Jaccard similarity for all candidate pairs."""
+                        text_col: str = "text",
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity for all candidate pairs.
+
+    ``max_doc_freq`` is the hot-shingle skew guard: a shingle appearing
+    in more than that many documents (a stop-phrase — boilerplate
+    headers, licence blocks) is dropped from the shingle sets before
+    the equality join. Without it, one shingle shared by m documents
+    alone creates m(m-1)/2 join rows — the classic candidate-explosion
+    / skewed-key failure at corpus scale. With it, per-shingle join
+    fan-out is bounded by max_doc_freq², and Jaccard is computed
+    exactly over the FILTERED sets (standard stop-shingle semantics —
+    ubiquitous tokens carry no dedup signal anyway). ``None`` (default)
+    keeps unfiltered exact behavior."""
     sh = (docs.select(F.col(id_col).alias("doc_id"),
                       word_shingles(F.col(text_col), k).alias("_sh"))
           .select("doc_id", F.explode("_sh").alias("shingle")))
+    if max_doc_freq is not None:
+        hot = (sh.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_doc_freq)
+               .select("shingle"))
+        # Broadcast left-anti: the hot list is tiny by construction
+        # (only pathological keys exceed the cutoff).
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -107,9 +127,19 @@ def _simhash_series(texts: pd.Series) -> pd.Series:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_band_freq: int | None = None) -> DataFrame:
     """SimHash near-dup pairs: banded candidate join + exact Hamming
-    distance filter (bit_count of xor, JVM-side)."""
+    distance filter (bit_count of xor, JVM-side).
+
+    ``max_band_freq`` is the hot-band skew guard: a (band, value) bucket
+    holding more than that many documents (near-identical boilerplate
+    collapsing whole corpora into one bucket) is dropped from candidate
+    generation, bounding the self-join fan-out at max_band_freq² per
+    bucket. Emitted pairs keep their exact Hamming distance — the guard
+    only limits which pairs are *considered* (pairs colliding solely on
+    dropped hot bands are missed: recall, not precision, is traded).
+    ``None`` (default) keeps full candidate generation."""
     # Created lazily: pandas_udf needs an active session to parse the DDL.
     simhash_udf = F.pandas_udf(_simhash_series, "long")
     sh = docs.select(F.col(id_col).alias("doc_id"),
@@ -123,6 +153,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
             for i in range(_N_BANDS)
         ])).alias("b"),
     ).select("doc_id", "simhash", "b.band", "b.val")
+    if max_band_freq is not None:
+        hot = (bands.groupBy("band", "val")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_band_freq)
+               .select("band", "val"))
+        bands = bands.join(F.broadcast(hot), ["band", "val"], "left_anti")
     left = bands.select(F.col("doc_id").alias("d1"),
                         F.col("simhash").alias("h1"), "band", "val")
     right = bands.select(F.col("doc_id").alias("d2"),

@@ -150,6 +150,44 @@ def knn_blocked(emb: DataFrame, id_col: str = "vec_id",
     return emb.select(id_col, vec_col).mapInPandas(topk_batches, KNN_SCHEMA)
 
 
+#: Broadcast-plan ceiling: candidate cells (rows x dims) the driver may
+#: collect + broadcast. 64M float64 cells ~ 512 MB — the documented
+#: knn_blocked bound (~1e6 x dim-64). Above it, knn_exact switches to
+#: the two-sided blocked plan automatically.
+MAX_BROADCAST_CELLS = 64_000_000
+
+
+def knn_exact(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", k: int = 1,
+              max_broadcast_cells: int = MAX_BROADCAST_CELLS,
+              est_cells: int | None = None) -> DataFrame:
+    """Exact top-k with automatic physical-plan selection.
+
+    Routes on a size estimate: below ``max_broadcast_cells`` the
+    broadcast matmul plan (zero exchanges); above it, the two-sided
+    blocked plan with ``n_blocks`` sized so a single candidate block
+    stays under the broadcast budget. All three exact strategies are
+    bit-identical, so routing is purely physical — the 100 TB corpus
+    takes the cogrouped path without the driver ever materializing the
+    matrix.
+
+    ``est_cells`` (rows × dims) lets callers route from metadata (e.g.
+    source parquet bytes / 4) without running any job; when omitted, a
+    cheap count+dim aggregate provides the estimate.
+    """
+    import math
+
+    if est_cells is not None and est_cells <= max_broadcast_cells:
+        return knn_blocked(emb, id_col, vec_col, k)
+    stats = emb.agg(F.count(F.lit(1)).alias("n"),
+                    F.first(F.size(F.col(vec_col))).alias("dim")).first()
+    n, dim = int(stats["n"] or 0), int(stats["dim"] or 0)
+    if n * dim <= max_broadcast_cells:
+        return knn_blocked(emb, id_col, vec_col, k)
+    n_blocks = max(2, math.ceil(n * dim / max_broadcast_cells))
+    return knn_blocked_twosided(emb, id_col, vec_col, k, n_blocks=n_blocks)
+
+
 def cosine_pairs_blocked(emb: DataFrame, threshold: float,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

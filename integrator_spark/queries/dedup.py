@@ -75,6 +75,50 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=3, threshold=0.8)
 
 
+@register("dedup_ngram_guarded", oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+       FROM words, unnest(range(1, len(w) - 1)) t(i)),
+cold AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2,
+       ROUND(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS jaccard,
+       n_inter,
+       ca.n AS n_a,
+       cb.n AS n_b
+FROM pairs
+JOIN cnt ca ON ca.doc_id = d1
+JOIN cnt cb ON cb.doc_id = d2
+WHERE n_inter * 1.0 / (ca.n + cb.n - n_inter) >= 0.8
+""", tags=("dedup", "neardup", "skew"))
+def dedup_ngram_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram with the hot-shingle skew guard engaged (document
+    frequency cutoff 25): stop-phrase shingles are dropped before the
+    candidate join, bounding per-key fan-out at corpus scale — the form
+    you'd actually run on 100 TB of crawl text. The oracle applies the
+    identical DF cutoff, so this is exact over the filtered sets."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=3, threshold=0.8, max_doc_freq=25)
+
+
+@register("dedup_simhash_guarded", oracle=None,
+          tags=("dedup", "neardup", "approx", "skew"))
+def dedup_simhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash with the hot-band guard (bucket cutoff 50):
+    (band, value) buckets holding more than 50 docs are excluded from
+    candidate generation, bounding the banded self-join against
+    boilerplate-collapsed corpora. Rows-only like dedup_simhash;
+    emitted Hamming distances stay exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return (simhash_pairs(d, max_hamming=6, max_band_freq=50)
+            .orderBy("d1", "d2"))
+
+
 @register("dedup_minhash", oracle=None, tags=("dedup", "neardup", "approx"))
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (spark.ml, seeded). Rows-only:

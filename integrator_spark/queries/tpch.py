@@ -10,9 +10,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.num import DEC, davg, dsum, sql_davg, sql_dsum
-from ..io import load_table
+from ..functions.num import DEC, davg, dsum, dsum_money, sql_davg, sql_dsum
+from ..io import load_table, table_bytes
 from ..registry import register
+
+
+def _msum(sf_dir: str):
+    """Size-routed exact sum for this sf_dir's lineitem-derived money/
+    quantity expressions (all non-negative, <=6-dp grid — see
+    functions/num.py dsum_grid): long micro-accumulator at bench scale,
+    decimal accumulator at cluster scale, bit-identical values."""
+    b = table_bytes(sf_dir, "lineitem")
+    return lambda c: dsum_money(c, b)
 
 Q1_CUTOFF = "2000-12-01"
 
@@ -44,6 +53,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet reader (PushedFilters), only 8 of 11 columns are read.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    msum = _msum(sf_dir)
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
     # avg_* are derived from the sums in a post-projection rather than
@@ -54,11 +64,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(Q1_CUTOFF)))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            dsum("l_discount").alias("_sum_disc"),
+            msum("l_quantity").alias("sum_qty"),
+            msum("l_extendedprice").alias("sum_base_price"),
+            msum(disc_price).alias("sum_disc_price"),
+            msum(charge).alias("sum_charge"),
+            msum("l_discount").alias("_sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .select(
@@ -108,12 +118,13 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.to_timestamp(F.lit(Q3_DATE)))
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.to_timestamp(F.lit(Q3_DATE)))
+    msum = _msum(sf_dir)
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(msum(revenue).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -161,6 +172,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    msum = _msum(sf_dir)
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
@@ -171,7 +183,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(msum(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 

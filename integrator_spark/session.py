@@ -71,7 +71,14 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing (driver-owned) session."""
+    """Apply runtime-settable confs to an existing (driver-owned) session.
+
+    Memoized per session object: every query entry point calls this
+    (often several times via load_table), and the ~10 py4j conf.set
+    round trips cost 20-100 ms per *query build* — pure overhead once
+    the session is configured."""
+    if getattr(spark, "_integrator_confs_applied", False):
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -82,6 +89,10 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
         _ship_package(spark)
     except Exception:
         # Local-mode sessions launched from the repo root still work via CWD.
+        pass
+    try:
+        spark._integrator_confs_applied = True
+    except Exception:
         pass
     return spark
 

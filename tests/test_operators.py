@@ -521,3 +521,121 @@ def test_int8_quantization_recall(spark):
     assert row.n_vectors > 0
     assert row.recall_at_1 >= 0.9, row
     assert row.memory_ratio_fp32_int8 == 4.0
+
+
+def test_rollup_long_and_decimal_accumulators_agree(spark, monkeypatch):
+    # rollup_revenue routes its exact sum by input size: long
+    # micro-accumulator at bench scale, decimal accumulator at cluster
+    # scale. Both must be bit-identical (grid-data proof in
+    # functions/num.py dsum_grid).
+    from integrator_spark.functions import num
+    from integrator_spark.queries import aggregates as agg
+    from integrator_spark.testing import canonical_strings
+
+    sf = "/root/testdata/sf0.001"
+    long_path = canonical_strings(agg.rollup_revenue(spark, sf).toPandas())
+    monkeypatch.setattr(num, "LONG_SUM_MAX_BYTES", 0)
+    dec_df = agg.rollup_revenue(spark, sf)
+    preagg_plan = dec_df._jdf.queryExecution().optimizedPlan().toString()
+    assert preagg_plan.count("Aggregate") >= 2   # pre-agg rewrite intact
+    assert long_path == canonical_strings(dec_df.toPandas())
+
+
+def test_knn_exact_routes_by_size_and_matches(spark):
+    # Small budget -> two-sided blocked route; big budget -> broadcast.
+    # Both must equal bruteforce exactly (ids) and to fp tolerance (sims).
+    from integrator_spark.operators.knn import knn_exact
+
+    data = [(i, [float((i * 7 + j * 13) % 11) / 11.0 + 0.1 for j in range(8)])
+            for i in range(16)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    brute = {(r.vec_id, r.neighbor_id) for r in knn_bruteforce(emb, k=2).collect()}
+    # 16 rows x 8 dims = 128 cells > 64 -> must take knn_blocked_twosided
+    routed = knn_exact(emb, k=2, max_broadcast_cells=64)
+    assert "cogroup" in routed._jdf.queryExecution().analyzed().toString().lower()
+    assert {(r.vec_id, r.neighbor_id) for r in routed.collect()} == brute
+    # comfortably under budget -> the zero-exchange broadcast plan
+    bcast = knn_exact(emb, k=2, max_broadcast_cells=1_000_000)
+    assert "cogroup" not in bcast._jdf.queryExecution().analyzed().toString().lower()
+    assert {(r.vec_id, r.neighbor_id) for r in bcast.collect()} == brute
+
+
+def test_int8_quantization_stores_tinyint_and_roundtrips(spark, tmp_path):
+    # The stored form must be a real array<tinyint> (+ one scalar scale);
+    # a parquet round trip preserves it and dequantize recovers vectors
+    # to within the quantization step.
+    import numpy as np
+
+    from integrator_spark.io import load_table
+    from integrator_spark.queries.vectors import (
+        dequantize_int8,
+        quantize_embeddings_int8,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qe, scale = quantize_embeddings_int8(e)
+    assert dict(qe.dtypes)["q_embedding"] == "array<tinyint>"
+    path = str(tmp_path / "int8")
+    qe.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["q_embedding"] == "array<tinyint>"
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in e.select("vec_id", "embedding").limit(50).collect()}
+    deq = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in dequantize_int8(back, scale)
+           .select("vec_id", "embedding").collect()}
+    step = 1.0 / scale
+    for vid, v in orig.items():
+        assert np.max(np.abs(deq[vid] - v)) <= step / 2 + 1e-9
+
+
+def test_hot_shingle_guard_bounds_candidates(spark):
+    # 40 docs all sharing one stop phrase, each with unique content.
+    # Unguarded: the shared shingles alone create 40*39/2 candidate
+    # pairs; guarded: zero (no rare shingle is shared), while a genuine
+    # near-dup pair sharing RARE shingles must survive the guard.
+    stop = "all rights reserved by the corpus"
+    docs = [(i, f"{stop} unique{i}a unique{i}b unique{i}c") for i in range(40)]
+    docs += [(100, f"{stop} rare one two three four five"),
+             (101, f"{stop} rare one two three four six")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    unguarded = ngram_jaccard_pairs(df, k=3, threshold=0.0)
+    guarded = ngram_jaccard_pairs(df, k=3, threshold=0.0, max_doc_freq=5)
+    n_un, n_g = unguarded.count(), guarded.count()
+    assert n_un >= 40 * 39 // 2          # candidate explosion is real
+    got = {(r.d1, r.d2) for r in guarded.collect()}
+    assert got == {(100, 101)}           # bounded, true pair survives
+    assert n_g < n_un / 100
+
+
+def test_hot_band_guard_bounds_simhash_candidates(spark):
+    # Identical texts collapse every band into one hot bucket; the
+    # guard must drop them while distinct-text pairs are unaffected.
+    same = [(i, "identical boilerplate text repeated everywhere") for i in range(30)]
+    same += [(200, "the quick brown fox jumps over a lazy dog near the river bank today here"),
+             (201, "the quick brown fox jumps over a lazy dog near the river bank today there")]
+    df = spark.createDataFrame(same, "doc_id long, text string")
+    unguarded = simhash_pairs(df, max_hamming=10)
+    guarded = simhash_pairs(df, max_hamming=10, max_band_freq=5)
+    assert unguarded.count() >= 30 * 29 // 2
+    got = {(r.d1, r.d2) for r in guarded.collect()}
+    assert (200, 201) in got
+    assert all(d1 >= 200 for d1, _ in got)   # hot cluster fully dropped
+
+
+def test_grid_sum_equals_decimal_sum_on_fixture(spark, monkeypatch):
+    # The long micro-accumulator must be BIT-identical to the decimal
+    # path on every headline money query, at the SF the oracle gate
+    # uses. Forcing LONG_SUM_MAX_BYTES=0 flips every routed sum to the
+    # decimal path; outputs must not change at all.
+    from integrator_spark.functions import num
+    from integrator_spark.registry import get_queries
+    from integrator_spark.testing import canonical_strings
+
+    qs = get_queries()
+    sf = "/root/testdata/sf0.01"
+    names = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue"]
+    fast = {n: canonical_strings(qs[n](spark, sf).toPandas()) for n in names}
+    monkeypatch.setattr(num, "LONG_SUM_MAX_BYTES", 0)
+    for n in names:
+        assert fast[n] == canonical_strings(qs[n](spark, sf).toPandas()), n

@@ -1,0 +1,59 @@
+"""Structural streaming assertions that the oracle gate can't express:
+micro-batch counts and watermark drop metrics (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import TEST_SF_DIR
+
+
+def test_late_data_dropped_across_micro_batches(spark):
+    # stream_late_data must (a) run >= 2 non-empty micro-batches,
+    # (b) drop exactly the staged late rows via the watermark, and
+    # (c) still match its closed-form oracle (checked by test_oracle).
+    from integrator_spark.io import load_table
+    from integrator_spark.registry import get_queries
+    from integrator_spark.streaming import jobs
+
+    result = get_queries()["stream_late_data"](spark, TEST_SF_DIR)
+    emitted = result.agg(F.sum("n_events")).collect()[0][0]
+
+    e = load_table(spark, TEST_SF_DIR, "events")
+    mx = e.agg(F.max("ts")).collect()[0][0]
+    n_late = e.filter(
+        (F.col("event_id") % jobs.LATE_MOD == 0)
+        & (F.col("ts") < F.lit(mx) - F.expr(f"INTERVAL {jobs.LATE_HOURS} HOURS"))
+    ).count()
+    assert n_late > 0, "fixture must stage a non-empty late batch"
+
+    progresses = jobs.LAST_RUN_PROGRESS
+    fed = [p for p in progresses if p.numInputRows > 0]
+    assert len(fed) >= 3, "late file must arrive in its own micro-batch"
+    dropped = sum(op.numRowsDroppedByWatermark
+                  for p in progresses for op in p.stateOperators)
+    assert dropped == n_late
+    # emitted rows cover only on-time rows in watermark-closed windows
+    total = e.count()
+    assert emitted < total - n_late          # open tail windows withheld
+    assert emitted > 0
+
+
+def test_stream_stateful_tws_gate_or_equivalence(spark):
+    # Where the TWS protobuf worker exists, the port must equal the
+    # applyInPandasWithState implementation exactly; where it doesn't
+    # (this container), the gate must raise a clear NotImplementedError
+    # rather than crash the JVM mid-query.
+    import pytest
+
+    from integrator_spark.registry import get_queries
+    from integrator_spark.streaming.jobs import stream_stateful_tws, tws_available
+
+    if not tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stream_stateful_tws(spark, TEST_SF_DIR)
+        return
+    old = get_queries()["stream_stateful"](spark, TEST_SF_DIR)
+    new = stream_stateful_tws(spark, TEST_SF_DIR)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(old) == key(new)
