@@ -9,9 +9,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.num import DEC, dsum, sql_dsum
-from ..io import load_table
+from ..functions.num import DEC, dsum, dsum_money, sql_dsum
+from ..io import load_table, table_bytes
 from ..registry import register
+
+
+def _vsum(sf_dir: str):
+    """Size-routed exact sum for events.value — a non-negative 2-dp
+    amount column (measured: every value at sf0.1 equals round(value, 2);
+    FIXTURES.md events schema), so the dsum_grid equivalence holds.
+    Arbitrary-precision measures must keep dsum()."""
+    b = table_bytes(sf_dir, "events")
+    return lambda c: dsum_money(c, b)
 
 SEC_FMT = "yyyy-MM-dd HH:mm:ss"
 SEC_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -33,7 +42,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 dsum("value").alias("total_value"))
+                 _vsum(sf_dir)("value").alias("total_value"))
             .select(F.date_format("w.start", SEC_FMT).alias("bucket_start"),
                     "event_type", "n_events", "total_value"))
 

@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.num import davg, sql_davg
+from ..functions.num import davg, davg_money, sql_davg
+from ..io import table_bytes
 from ..io import load_table
 from ..registry import register
 
@@ -226,7 +227,10 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.withColumn("_k", k)
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 davg(F.col("_k").cast("double")).alias("avg_k"),
+                 # _k is a small non-negative JSON integer (0-99) — trivially
+                 # on the grid, so the long-accumulator route applies.
+                 davg_money(F.col("_k").cast("double"),
+                            table_bytes(sf_dir, "events")).alias("avg_k"),
                  F.sum(F.when(F.col("_k") > 50, 1).otherwise(0)).alias("n_k_gt50")))
 
 

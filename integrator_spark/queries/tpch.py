@@ -251,7 +251,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1995-01-01")))
         & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.09)
         & (F.col("l_quantity") < 24))
-        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"))
+        .agg(_msum(sf_dir)(F.col("l_extendedprice") * F.col("l_discount"))
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_items")))
 
@@ -300,7 +300,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.date_format("o_orderdate", "yyyy-MM-dd")
                       .alias("o_orderdate"),
                      "o_totalprice")
-            .agg(dsum("l_quantity").alias("total_qty"))
+            .agg(_msum(sf_dir)("l_quantity").alias("total_qty"))
             .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
             .limit(100))
 
@@ -340,7 +340,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(c, F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-            .agg(dsum(rev).alias("revenue"))
+            .agg(_msum(sf_dir)(rev).alias("revenue"))
             .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
             .orderBy(F.col("revenue").desc(), "c_custkey")
             .limit(20))
@@ -371,7 +371,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1995-03-01"))))
     return (sliced.join(F.broadcast(p),
                         F.col("l_partkey") == F.col("p_partkey"))
-            .agg((F.round(F.lit(100.0) * dsum(promo) / dsum(rev), 6))
+            .agg((F.round(F.lit(100.0) * _msum(sf_dir)(promo) / _msum(sf_dir)(rev), 6))
                  .alias("promo_revenue_pct"),
                  F.count(F.lit(1)).alias("n_items")))
 
@@ -407,7 +407,7 @@ def q19_branded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 45)))
     return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
             .filter(cond)
-            .agg(dsum(rev).alias("revenue"),
+            .agg(_msum(sf_dir)(rev).alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
 
 
@@ -442,7 +442,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01"))))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .agg(_msum(sf_dir)(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
              .alias("total_revenue")))
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (s.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
