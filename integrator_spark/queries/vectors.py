@@ -184,6 +184,61 @@ def vec_knn5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(e, k=5, est_cells=_emb_cells_estimate(sf_dir))
 
 
+@register("vec_ann_graph", oracle=None, tags=("vector", "knn", "approx",
+                                              "graph"))
+def vec_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN (third member of the triad after LSH and IVF):
+    a distributed NN-Descent k-NN graph — the structure an HNSW-class
+    searcher navigates — built purely from self-joins + windowed top-k
+    (operators/ann_graph.py). Returns each vector's approximate top-5
+    neighborhood. Rows-only: hash-seeded init + exact rescoring is
+    deterministic (gate-checked) but not ANSI-SQL-expressible;
+    graph quality is measured by vec_ann_graph_recall.
+
+    Built at working degree 15 then truncated to 5 — NN-Descent needs
+    the wider frontier during construction (degree-5 build converges to
+    recall ~0.48; degree-15 reaches 0.996 in 4 rounds, measured at the
+    fixture) because neighbor-of-neighbor proposals flow through the
+    extra edges."""
+    from ..operators.ann_graph import nn_descent
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (nn_descent(e, k=15, iters=4)
+            .filter(F.col("rank") <= 5)
+            .orderBy("vec_id", "rank"))
+
+
+@register("vec_ann_graph_recall", oracle=None,
+          tags=("vector", "knn", "approx", "graph", "quality"))
+def vec_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1 of the NN-Descent graph against exact kNN (same
+    value-based hit rule as vec_ann_recall: a query whose best graph
+    neighbor ties the true nearest similarity counts as a hit).
+    Registered separately so vec_ann_recall's historical output stays
+    byte-stable across rounds; tests assert recall >= 0.9 here too."""
+    from pyspark.sql import Window
+
+    from ..operators.ann_graph import nn_descent
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = (vec_knn(spark, sf_dir)
+             .select("vec_id", F.col("cos_sim").alias("_best")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
+                                             "neighbor_id")
+    top1 = (nn_descent(e, k=15, iters=4)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", F.col("cos_sim").alias("_got")))
+    return (exact.join(top1, "vec_id", "left")
+            .agg(F.count(F.lit(1)).alias("n_queries"),
+                 F.sum(F.when(F.col("_got") >= F.col("_best") - 1e-6, 1)
+                        .otherwise(0)).alias("n_hits"))
+            .select(F.lit("nn_descent").alias("method"), "n_queries",
+                    "n_hits",
+                    F.round(F.col("n_hits") / F.col("n_queries"), 4)
+                     .alias("recall_at_1")))
+
+
 @register("vec_pca", oracle=None, tags=("vector", "pca"))
 def vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA dimensionality reduction over the embedding corpus: fit on

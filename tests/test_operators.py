@@ -639,3 +639,27 @@ def test_grid_sum_equals_decimal_sum_on_fixture(spark, monkeypatch):
     monkeypatch.setattr(num, "LONG_SUM_MAX_BYTES", 0)
     for n in names:
         assert fast[n] == canonical_strings(qs[n](spark, sf).toPandas()), n
+
+
+def test_nn_descent_recall_at_least_090(spark):
+    # Graph-ANN quality gate, matching the LSH/IVF recall assertion.
+    from integrator_spark.registry import get_queries
+    from .conftest import TEST_SF_DIR
+    row = get_queries()["vec_ann_graph_recall"](spark, TEST_SF_DIR).collect()[0]
+    assert row.method == "nn_descent"
+    assert row.n_queries > 0
+    assert row.recall_at_1 >= 0.9, row
+
+
+def test_nn_descent_graph_shape(spark):
+    # Every node gets exactly min(5, n-1) ranked neighbors, no self
+    # edges, ranks contiguous from 1.
+    from integrator_spark.registry import get_queries
+    from .conftest import TEST_SF_DIR
+    rows = get_queries()["vec_ann_graph"](spark, TEST_SF_DIR).collect()
+    per = {}
+    for r in rows:
+        assert r.vec_id != r.neighbor_id
+        per.setdefault(r.vec_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    assert {len(v) for v in per.values()} == {5}
