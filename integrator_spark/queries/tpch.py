@@ -449,3 +449,237 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
             .select("s_suppkey", "s_name", "total_revenue")
             .orderBy("s_suppkey"))
+
+
+Q7_N1, Q7_N2 = "NATION_1", "NATION_2"
+
+Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_dsum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{Q7_N1}' AND n2.n_name = '{Q7_N2}')
+      OR (n1.n_name = '{Q7_N2}' AND n2.n_name = '{Q7_N1}'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=Q7_ORACLE, tags=("tpch", "join"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional two-nation trade flows
+    by ship year. The disjunctive nation pair predicate lands AFTER the
+    two broadcast nation joins (it references both sides), but both
+    nation dims broadcast, so the only shuffles remain the
+    lineitem⋈orders and orders⋈customer fact joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("_sk"),
+                              F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("_ck"),
+                              F.col("n_name").alias("cust_nation")))
+    msum = _msum(sf_dir)
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    pair = (((F.col("supp_nation") == Q7_N1) & (F.col("cust_nation") == Q7_N2))
+            | ((F.col("supp_nation") == Q7_N2) & (F.col("cust_nation") == Q7_N1)))
+    return (li
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .join(n1, F.col("s_nationkey") == F.col("_sk"))
+            .join(n2, F.col("c_nationkey") == F.col("_ck"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(msum(vol).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+Q8_TYPE, Q8_REGION = "PROMO", "ASIA"
+
+Q8_ORACLE = f"""
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = '{Q7_N1}'
+                           THEN CAST(volume AS DECIMAL(38,6)) ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_TYPE}'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=Q8_ORACLE, tags=("tpch", "join"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share of
+    a part-type's revenue inside one customer region, per order year —
+    an 8-way join with a conditional-over-total ratio. Part filters to
+    the PROMO slice before joining (pushed), every dim broadcasts, and
+    the share is exact-decimal in both numerator and denominator so the
+    division is bit-stable cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    vol = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("volume")
+    base = (li
+            .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(n.select(F.col("n_nationkey").alias("_ck"),
+                                       F.col("n_regionkey").alias("_crk"))),
+                  F.col("c_nationkey") == F.col("_ck"))
+            .join(F.broadcast(r), F.col("_crk") == F.col("r_regionkey"))
+            .join(F.broadcast(n.select(F.col("n_nationkey").alias("_sk"),
+                                       F.col("n_name").alias("nation"))),
+                  F.col("s_nationkey") == F.col("_sk"))
+            .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                    vol, "nation"))
+    national = F.when(F.col("nation") == Q7_N1,
+                      F.col("volume").cast(DEC)).otherwise(F.lit(0).cast(DEC))
+    return (base.groupBy("o_year")
+            .agg(F.round(F.sum(national).cast("double")
+                         / F.sum(F.col("volume").cast(DEC)).cast("double"), 6)
+                 .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_order_distribution", oracle=Q13_ORACLE, tags=("tpch", "join",
+                                                             "outer"))
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): LEFT OUTER join so
+    customers with zero orders survive into the c_count=0 bucket, then
+    a second aggregation over the counts — the canonical two-level
+    histogram. COUNT(o_orderkey) (not COUNT(*)) is what zeroes the
+    no-order customers. (The spec's o_comment NOT LIKE filter is
+    dropped — the fixture carries no comment column.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+                .groupBy(c.c_custkey)
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+Q17_BRAND = "Brand#23"
+
+Q17_ORACLE = f"""
+SELECT {sql_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = '{Q17_BRAND}'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("q17_small_quantity", oracle=Q17_ORACLE, tags=("tpch", "subquery"))
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems under 20% of
+    their part's average quantity. The correlated scalar subquery
+    decorrelates into a per-part average joined back to the fact — the
+    textbook rewrite Catalyst cannot skip, made explicit here. avg is
+    plain double: the 0.2x threshold comparison has slack >> fp error
+    (quantities are integers), and the final sum is exact.
+    (Brand-only filter: the fixture has no p_container.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    per_part = (li.groupBy(F.col("l_partkey").alias("_pk"))
+                .agg(F.avg("l_quantity").alias("_avg_qty")))
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(per_part, F.col("l_partkey") == F.col("_pk"))
+            .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+            .agg((_msum(sf_dir)("l_extendedprice") / F.lit(7.0))
+                 .alias("avg_yearly")))
+
+
+Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("q22_global_sales_opportunity", oracle=Q22_ORACLE,
+          tags=("tpch", "subquery", "anti"))
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with no RECENT order (none since 1999 — the fixture's
+    customers almost all ordered at least once, so the spec's
+    never-ordered predicate would be a degenerate 0-row query), grouped
+    by nation (standing in for the spec's phone country code — the
+    fixture has no c_phone). Shape:
+    scalar aggregate broadcast into a filter + LEFT ANTI join against
+    the orders fact — the anti join is the scale-critical piece
+    (NOT EXISTS over 1.5 M orders must become a join, not a per-row
+    probe). c_acctbal can be negative, so the exact total uses the
+    decimal path, not the non-negative grid shortcut."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("_ab")))
+    return (c.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("_ab"))
+            .join(o.filter(F.col("o_orderdate")
+                           >= F.to_timestamp(F.lit("1999-01-01"))),
+                  c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 dsum("c_acctbal").alias("totacctbal"))
+            .orderBy("c_nationkey"))
