@@ -36,6 +36,74 @@ from pyspark.sql import functions as F
 from .knn import _dot_expr
 
 
+def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
+                     k: int = 1, beam: int = 8, hops: int = 3,
+                     n_entries: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     exclude_self: bool = False) -> DataFrame:
+    """Batch beam search over a k-NN graph for OUT-OF-SAMPLE queries —
+    the HNSW-style navigate step, reshaped for Spark: instead of one
+    sequential walk per query, every hop is one relational round over
+    ALL queries at once (join current beam to the graph's adjacency,
+    score proposals, keep the best ``beam`` per query), so Q concurrent
+    searches cost H joins total, not Q·H sequential probes.
+
+    Entry points are the ``n_entries`` smallest corpus ids (fixed and
+    deterministic — a production index would persist medoid entries the
+    same way). Per hop the candidate frontier is bounded by
+    Q · beam · degree; with k-NN-graph degree ~15 and beam 8 that is
+    ~120 proposals per query per hop, independent of corpus size — the
+    whole point of graph ANN. Returns (query_id, neighbor_id, cos_sim,
+    rank) with the usual (cos DESC, id ASC) tie-break."""
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    b = (base.select(F.col(id_col).cast("long").alias("cand"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double") / norm)
+                      .alias("_bv"))
+         .localCheckpoint(eager=True))
+    q = (queries.select(F.col(id_col).cast("long").alias("qid"),
+                        F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double") / norm)
+                         .alias("_qv"))
+         .localCheckpoint(eager=True))
+    adj = graph.select(F.col("vec_id").alias("cand"),
+                       F.col("neighbor_id").alias("_nbr"))
+
+    entries = F.broadcast(b.orderBy("cand").limit(n_entries).select("cand"))
+    # Bounded broadcast nested-loop: every query × n_entries entry rows.
+    frontier = q.select("qid").join(entries)
+
+    def score_and_beam(cand: DataFrame, width: int) -> DataFrame:
+        if exclude_self:
+            # in-corpus evaluation: a query must not return itself
+            cand = cand.filter(F.col("qid") != F.col("cand"))
+        scored = (cand.join(q, "qid").join(b, "cand")
+                  .select("qid", "cand",
+                          _dot_expr(F.col("_qv"), F.col("_bv")).alias("_cos")))
+        w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(),
+                                              F.col("cand"))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= width)
+                .localCheckpoint(eager=True))
+
+    best = score_and_beam(frontier, beam)
+    for _ in range(hops):
+        expand = (best.select("qid", "cand").join(adj, "cand")
+                  .select("qid", F.col("_nbr").alias("cand")))
+        cand = expand.unionByName(best.select("qid", "cand")).distinct()
+        new_best = score_and_beam(cand, beam)
+        best.unpersist()
+        best = new_best
+    return (best.filter(F.col("_rn") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("cand").alias("neighbor_id"),
+                    F.round("_cos", 6).alias("cos_sim"),
+                    F.col("_rn").cast("int").alias("rank")))
+
+
 def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
                id_col: str = "vec_id", vec_col: str = "embedding",
                seed: int = 42) -> DataFrame:

@@ -663,3 +663,21 @@ def test_nn_descent_graph_shape(spark):
         per.setdefault(r.vec_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
     assert {len(v) for v in per.values()} == {5}
+
+
+def test_graph_ann_search_recall_at_least_090(spark):
+    # Out-of-sample navigate over the NN-Descent graph must find the
+    # true nearest neighbor (value-based hit) for >= 90% of queries.
+    from pyspark.sql import functions as F
+
+    from integrator_spark.registry import get_queries
+    from .conftest import TEST_SF_DIR
+    qs = get_queries()
+    exact = qs["vec_knn"](spark, TEST_SF_DIR).select(
+        F.col("vec_id").alias("query_id"), F.col("cos_sim").alias("_best"))
+    got = qs["vec_ann_graph_search"](spark, TEST_SF_DIR) \
+        .filter(F.col("rank") == 1)
+    r = exact.join(got, "query_id", "left").agg(
+        F.avg(F.when(F.col("cos_sim") >= F.col("_best") - 1e-6, 1.0)
+              .otherwise(0.0)).alias("r")).collect()[0].r
+    assert r >= 0.9, r
