@@ -82,3 +82,24 @@ def test_random_aggregations_agree_with_duckdb(key, lo, use_distinct, spark, duc
         f"SELECT {key}, {expr} FROM orders WHERE o_totalprice >= {lo} "
         f"GROUP BY {key}").fetchall())
     assert got == want
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(values=st.lists(
+    st.decimals(min_value="0", max_value="999999.99", places=2),
+    min_size=1, max_size=200))
+def test_grid_long_sum_equals_decimal_sum(values, spark):
+    # Property behind dsum_grid: for non-negative values on a 2-dp grid
+    # (money), the long micro-accumulator and the DECIMAL(18,6) cast
+    # path produce THE SAME double, including after a 2-dp x 2-dp
+    # product (4-dp grid). Exercises ties, tiny and near-max magnitudes.
+    from integrator_spark.functions.num import dsum, dsum_grid
+
+    rows = [(float(v), float(v) * 0.07) for v in values]  # 2dp and 4dp
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = df.agg(dsum_grid("a").alias("ga"), dsum("a").alias("da"),
+                 dsum_grid(F.col("a") * (1 - F.lit(0.07))).alias("gp"),
+                 dsum(F.col("a") * (1 - F.lit(0.07))).alias("dp")).collect()[0]
+    assert got.ga == got.da
+    assert got.gp == got.dp
