@@ -683,3 +683,41 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("numcust"),
                  dsum("c_acctbal").alias("totacctbal"))
             .orderBy("c_nationkey"))
+
+
+Q12_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS late_count,
+       COUNT(*) AS line_count,
+       ROUND(CAST(SUM(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS late_share
+FROM (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q12_shipping_delay", oracle=Q12_ORACLE, tags=("tpch", "join"))
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 in spirit (shipping-mode priority audit): per order
+    priority, how many lineitems shipped more than 90 days after the
+    order — conditional counting over a fact-fact join. (The spec
+    buckets by l_shipmode against commit/receipt dates; the fixture
+    carries none of those columns, so order→ship delay stands in.)
+    Integer date arithmetic (datediff) is exact cross-engine; the late
+    share is an exact-integer ratio, bit-stable under ROUND."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.when(F.datediff("l_shipdate", "o_orderdate") > 90, 1).otherwise(0)
+    return (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum(late).cast("long").alias("late_count"),
+                 F.count(F.lit(1)).alias("line_count"),
+                 F.round(F.sum(late).cast("double") / F.count(F.lit(1)), 6)
+                  .alias("late_share"))
+            .orderBy("o_orderpriority"))

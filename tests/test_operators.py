@@ -681,3 +681,14 @@ def test_graph_ann_search_recall_at_least_090(spark):
         F.avg(F.when(F.col("cos_sim") >= F.col("_best") - 1e-6, 1.0)
               .otherwise(0.0)).alias("r")).collect()[0].r
     assert r >= 0.9, r
+
+
+def test_knn_exact_none_estimate_falls_back_to_stats_job(spark):
+    # est_cells=None (non-local source) must still route correctly via
+    # the count+dim aggregate instead of crashing or guessing.
+    from integrator_spark.operators.knn import knn_exact
+
+    data = [(i, [float(i + j) for j in range(4)]) for i in range(6)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    out = knn_exact(emb, k=1, est_cells=None)
+    assert out.count() == 6
