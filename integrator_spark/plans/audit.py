@@ -38,6 +38,7 @@ CROSS_JOIN_ALLOWED = {
     "text_bm25",           # 1-row corpus-stats frame broadcast to tf matrix
     "vec_ann_graph_search",  # bounded 16-row entry-point set × queries
     "q22_global_sales_opportunity",  # 1-row global-avg frame broadcast
+    "skew_profile",        # two 1-row summary frames joined
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

@@ -396,3 +396,45 @@ def scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  dsum("value").alias("total_value")))
+
+
+@register("skew_profile", oracle="""
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+), stats AS (
+  SELECT COUNT(*) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS total_rows,
+         CAST(MAX(n) AS BIGINT) AS max_n,
+         ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_n
+  FROM per_key
+)
+SELECT n_keys, total_rows, max_n, avg_n,
+       ROUND(max_n / avg_n, 6) AS skew_ratio,
+       (SELECT CAST(MIN(o_custkey) AS BIGINT) FROM per_key
+        WHERE n = (SELECT MAX(n) FROM per_key)) AS hottest_key
+FROM stats
+""", tags=("scale", "skew", "diagnostics"))
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostics — the profiling pass you
+    run BEFORE choosing salting / AQE-skew-join / broadcast on a 100 TB
+    key: per-key cardinality distribution reduced to (key count, max,
+    avg, max/avg skew ratio, hottest key). One shuffle on the key, then
+    a 1-row reduce; the hottest-key lookup ties deterministically to
+    the smallest key. A ratio near 1 means uniform keys; >> 1 flags the
+    keys the skew guards in operators/skew.py and dedup's
+    max_doc_freq/max_band_freq exist for."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    mx = per_key.agg(F.max("n").alias("_mx"))
+    hottest = (per_key.join(F.broadcast(mx), F.col("n") == F.col("_mx"))
+               .agg(F.min("o_custkey").cast("long").alias("hottest_key")))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_n"),
+        F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6).alias("avg_n"))
+    return (stats.join(F.broadcast(hottest))
+            .select("n_keys", "total_rows", "max_n", "avg_n",
+                    F.round(F.col("max_n") / F.col("avg_n"), 6)
+                     .alias("skew_ratio"),
+                    "hottest_key"))

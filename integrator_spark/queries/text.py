@@ -479,3 +479,45 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(score_term).alias("bm25")))
     return (scored.select("doc_id", F.round("bm25", 6).alias("bm25"))
             .orderBy(F.col("bm25").desc(), "doc_id").limit(20))
+
+
+@register("text_entropy", oracle="""
+WITH tok AS (
+  SELECT d.lang, unnest(string_split(d.text, ' ')) AS word
+  FROM documents d
+), lang_tot AS (
+  SELECT lang, COUNT(*) AS total FROM tok GROUP BY lang
+), freq AS (
+  SELECT t.lang, t.word, COUNT(*) AS n
+  FROM tok t GROUP BY t.lang, t.word
+)
+SELECT f.lang,
+       CAST(lt.total AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab,
+       ROUND(CAST(SUM(CAST(f.n * ROUND(-ln(f.n * 1.0 / lt.total), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) / lt.total, 6)
+         AS entropy_nats
+FROM freq f JOIN lang_tot lt ON lt.lang = f.lang
+GROUP BY f.lang, lt.total
+""", tags=("text", "quality"))
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token Shannon entropy — the vocabulary-diversity
+    quality signal (low entropy flags boilerplate/templated slices of a
+    training corpus, high entropy flags noise). H = Σ n_w·(-ln p_w)/N
+    computed as integer-count × 6-dp-rounded log summed in exact
+    DECIMAL — the same determinism recipe as text_unigram_nll (libm ln
+    differs by 1 ULP across engines; the integer weights and the
+    rounded log keep every term on the 6-dp grid)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens("text")).alias("word"))
+    lang_tot = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
+    freq = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    term = (F.col("n")
+            * F.round(-F.log(F.col("n") / F.col("total")), 6)).cast(DEC)
+    return (freq.join(F.broadcast(lang_tot), "lang")
+            .groupBy("lang", "total")
+            .agg(F.count(F.lit(1)).alias("vocab"),
+                 F.round(F.sum(term).cast("double") / F.col("total"), 6)
+                  .alias("entropy_nats"))
+            .select("lang", F.col("total").alias("n_tokens"), "vocab",
+                    "entropy_nats"))
