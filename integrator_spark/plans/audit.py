@@ -39,6 +39,8 @@ CROSS_JOIN_ALLOWED = {
     "vec_ann_graph_search",  # bounded 16-row entry-point set × queries
     "q22_global_sales_opportunity",  # 1-row global-avg frame broadcast
     "skew_profile",        # two 1-row summary frames joined
+    "stats_chi2",          # 1-row grand-total frame broadcast to cells
+    "stats_histogram",     # 1-row min/max bounds frame broadcast to fact
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

@@ -213,3 +213,115 @@ def edge_all_null(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(nul).cast("double").alias("min_null"),
                  F.coalesce(F.avg(nul).cast("double"), F.lit(-1.0))
                   .alias("avg_or_default")))
+
+
+@register("stats_chi2", oracle="""
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+), tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs),
+rows_ AS (SELECT lang, CAST(SUM(o) AS DOUBLE) AS rt FROM obs GROUP BY lang),
+cols_ AS (SELECT source, CAST(SUM(o) AS DOUBLE) AS ct FROM obs GROUP BY source)
+SELECT COUNT(*) AS n_cells,
+       CAST((SELECT COUNT(*) FROM rows_) - 1 AS BIGINT)
+         * CAST((SELECT COUNT(*) FROM cols_) - 1 AS BIGINT) AS dof,
+       CAST(SUM(CAST(ROUND(POW(o - rt * ct / n, 2) / (rt * ct / n), 6)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+FROM obs JOIN rows_ USING (lang) JOIN cols_ USING (source), tot
+""", tags=("stats",))
+def stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic between two categorical
+    columns (documents.lang x documents.source) from the contingency
+    table: chi2 = sum over cells of (O-E)^2/E with E = row_tot *
+    col_tot / N. Every count is an integer, so expected values and
+    per-cell terms are identical doubles across engines; terms are
+    6-dp-rounded and summed in exact DECIMAL so the 100-cell total is
+    order-independent. The pre-training sanity check that a corpus
+    dimension (language) isn't accidentally confounded with a pipeline
+    dimension (source shard)."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    n = obs.agg(F.sum("o").cast("double").alias("_n"))
+    rt = obs.groupBy("lang").agg(F.sum("o").cast("double").alias("_rt"))
+    ct = obs.groupBy("source").agg(F.sum("o").cast("double").alias("_ct"))
+    e = F.col("_rt") * F.col("_ct") / F.col("_n")
+    term = F.round(F.pow(F.col("o") - e, 2) / e, 6).cast("decimal(38,6)")
+    return (obs.join(F.broadcast(rt), "lang")
+            .join(F.broadcast(ct), "source")
+            .join(F.broadcast(n))
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 ((F.countDistinct("lang") - 1)
+                  * (F.countDistinct("source") - 1)).cast("long").alias("dof"),
+                 F.sum(term).cast("double").alias("chi2")))
+
+
+@register("stats_histogram", oracle="""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+)
+SELECT CAST(LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0))
+                       AS BIGINT), 19) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS bin_min,
+       ROUND(MAX(o_totalprice), 2) AS bin_max
+FROM orders, bounds
+GROUP BY 1
+ORDER BY 1
+""", tags=("stats", "histogram"))
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order totals: global min/max from
+    a 1-row broadcast, bin = floor((x-lo)/width) clamped so the max
+    lands in the last bin. Both engines compute the identical IEEE
+    doubles from identical inputs, so bin edges agree exactly —
+    complements the equi-depth ml_quantile_bins."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_totalprice").alias("_lo"),
+                   F.max("o_totalprice").alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(20.0)
+    bin_ = F.least(F.floor((F.col("o_totalprice") - F.col("_lo")) / width),
+                   F.lit(19)).cast("long")
+    return (o.join(F.broadcast(bounds))
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+                 F.round(F.max("o_totalprice"), 2).alias("bin_max"))
+            .orderBy("bin"))
+
+
+@register("stats_column_profile", oracle="""
+SELECT 'o_custkey' AS col, COUNT(*) - COUNT(o_custkey) AS n_nulls,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+""", tags=("stats", "profile"))
+def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (nulls, exact distinct, min/max as
+    strings) for a selection of orders columns — the DESCRIBE-ANALYZE
+    style pass a pipeline runs on arrival. One aggregation per column
+    unioned; at 100 TB the same shape runs all columns in ONE pass via
+    multiple aggregate expressions (done here as a union so each row's
+    provenance stays a plain subquery the oracle mirrors)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"))
+
+    out = profile("o_custkey")
+    for c in ("o_orderstatus", "o_orderpriority"):
+        out = out.unionByName(profile(c))
+    return out
