@@ -41,6 +41,7 @@ CROSS_JOIN_ALLOWED = {
     "skew_profile",        # two 1-row summary frames joined
     "stats_chi2",          # 1-row grand-total frame broadcast to cells
     "stats_histogram",     # 1-row min/max bounds frame broadcast to fact
+    "join_size_estimate",  # 1-row actual-size frame joined to summary
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

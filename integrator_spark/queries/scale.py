@@ -438,3 +438,51 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("max_n") / F.col("avg_n"), 6)
                      .alias("skew_ratio"),
                     "hottest_key"))
+
+
+@register("join_size_estimate", oracle="""
+WITH o_keys AS (
+  SELECT o_orderkey AS k, COUNT(*) AS n_o FROM orders GROUP BY 1
+), l_keys AS (
+  SELECT l_orderkey AS k, COUNT(*) AS n_l FROM lineitem GROUP BY 1
+), sampled AS (
+  SELECT o.k, o.n_o * l.n_l AS contrib
+  FROM o_keys o JOIN l_keys l ON o.k = l.k
+  WHERE o.k % 100 = 0
+), actual AS (
+  SELECT CAST(SUM(o.n_o * l.n_l) AS BIGINT) AS rows_
+  FROM o_keys o JOIN l_keys l ON o.k = l.k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS sampled_keys,
+       CAST(SUM(contrib) * 100 AS BIGINT) AS est_join_rows,
+       (SELECT rows_ FROM actual) AS actual_join_rows,
+       ROUND(ABS(SUM(contrib) * 100.0 - (SELECT rows_ FROM actual))
+             / (SELECT rows_ FROM actual), 4) AS rel_error
+FROM sampled
+""", tags=("scale", "diagnostics", "join"))
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output cardinality estimation from a deterministic 1% key
+    sample — the pre-flight check before launching a 100 TB fact-fact
+    join: |A ⋈ B| = Σ_k n_A(k)·n_B(k), estimated by summing only keys
+    with k % 100 == 0 and scaling. The estimate touches two key-count
+    aggregates and a sampled join of key COUNTS (never the fact rows);
+    the query also computes the true size so rel_error is reported
+    honestly (the fixture's uniform ~4 lineitems/order keeps it ~1%).
+    Modulo sampling is engine-agnostic-deterministic, unlike engine
+    hash functions."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_o"))
+    lk = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_l"))
+    joined = ok.join(lk, "k").select(
+        "k", (F.col("n_o") * F.col("n_l")).alias("contrib"))
+    actual = joined.agg(F.sum("contrib").cast("long").alias("_actual"))
+    sampled = joined.filter(F.col("k") % 100 == 0)
+    return (sampled.join(F.broadcast(actual))
+            .agg(F.count(F.lit(1)).alias("sampled_keys"),
+                 (F.sum("contrib") * 100).cast("long").alias("est_join_rows"),
+                 F.first("_actual").alias("actual_join_rows"),
+                 F.round(F.abs(F.sum("contrib") * 100.0 - F.first("_actual"))
+                         / F.first("_actual"), 4).alias("rel_error")))
