@@ -437,3 +437,55 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("h06_11").cast("long").alias("h06_11"),
                     F.col("h12_17").cast("long").alias("h12_17"),
                     F.col("h18_23").cast("long").alias("h18_23")))
+
+
+@register("events_session_dynamic", oracle=f"""
+WITH gapped AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN INTERVAL '10 minutes'
+              WHEN event_type = 'purchase' THEN INTERVAL '60 minutes'
+              ELSE INTERVAL '30 minutes' END AS gap
+  FROM events
+), marked AS (
+  SELECT user_id, ts, gap,
+         CASE WHEN MAX(ts + gap) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR ts >= MAX(ts + gap) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_session
+  FROM gapped
+), sessions AS (
+  SELECT user_id, ts, gap,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '{US_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts + gap), '{US_FMT_DUCK}') AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""", tags=("events", "window", "session"))
+def events_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT inactivity gap (clicks close
+    after 10 min, purchases hold the session 60 min, everything else
+    30) — F.session_window with a conditional gap column, the Spark-4
+    dynamic-gap surface. Each event extends the session to ts + its own
+    gap; overlapping extents merge. The oracle reproduces that exactly
+    with a running MAX(ts + gap) islands construction (the plain
+    lag-diff trick is WRONG here: a long-gap event can bridge over a
+    short-gap successor)."""
+    e = load_table(spark, sf_dir, "events")
+    gap = (F.when(F.col("event_type") == "click", "10 minutes")
+           .when(F.col("event_type") == "purchase", "60 minutes")
+           .otherwise("30 minutes"))
+    return (e.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.date_format("s.start", US_FMT).alias("session_start"),
+                    F.date_format("s.end", US_FMT).alias("session_end"),
+                    "n_events"))

@@ -737,3 +737,26 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "event_type", "n_events", "total_value"))
     return run_available_now(agg, sf_dir, "stream_tumbling_append",
                              output_mode="append")
+
+
+@register("stream_session_dynamic", oracle=None, tags=("streaming", "session"))
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows under streaming execution — the
+    stateful merge now has to unify sessions whose extents depend on
+    each event's type (batch analog + oracle: events_session_dynamic).
+    Rows-only like stream_session; bounded availableNow replay makes
+    the final state equal the batch computation, and the determinism
+    gate pins it run-to-run."""
+    s = events_stream(spark, sf_dir)
+    gap = (F.when(F.col("event_type") == "click", "10 minutes")
+           .when(F.col("event_type") == "purchase", "60 minutes")
+           .otherwise("30 minutes"))
+    agg = (s.withWatermark("ts", "1 hour")
+           .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .select("user_id",
+                   F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("session_start"),
+                   "n_events"))
+    drained = run_available_now(agg, sf_dir, "stream_session_dynamic")
+    return drained.orderBy("user_id", "session_start")
