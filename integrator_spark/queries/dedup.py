@@ -261,3 +261,69 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_docs") >= 2)
             .orderBy(F.col("n_occurrences").desc(), "gram")
             .limit(50))
+
+
+@register("decontaminate_report", oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+           || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+           AS gram
+  FROM words, unnest(range(1, len(w) - 6)) t(i)
+),
+eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+),
+train_hits AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+  FROM grams g JOIN eval_grams e ON g.gram = e.gram
+  WHERE g.doc_id % 50 <> 0
+  GROUP BY g.doc_id
+),
+doc_grams AS (
+  SELECT doc_id, COUNT(DISTINCT gram) AS n_grams
+  FROM grams WHERE doc_id % 50 <> 0 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_shared_grams,
+       d.n_grams,
+       ROUND(t.n_shared_grams * 1.0 / d.n_grams, 6) AS contamination
+FROM train_hits t JOIN doc_grams d ON d.doc_id = t.doc_id
+WHERE t.n_shared_grams >= 3
+ORDER BY contamination DESC, t.doc_id
+LIMIT 100
+""", tags=("dedup", "decontamination"))
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the LLM-pipeline step that strips
+    training documents overlapping an evaluation set: every 50th doc
+    plays the held-out benchmark; training docs sharing >= 3 distinct
+    8-token spans with it are reported with their contamination ratio
+    (shared grams / own grams). The span join is an equality join on
+    the gram (cost tracks collisions, never |train| x |eval|), and the
+    eval gram set is DISTINCT-reduced before joining — at 100 TB it
+    broadcasts (benchmarks are small; the corpus is not)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    k = 8
+    idx = F.sequence(F.lit(0), F.size(w) - k)
+    gram_arr = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j + 1) for j in range(k)]))
+    grams = (d.filter(F.size(w) >= k)
+             .select("doc_id", F.explode(gram_arr).alias("gram")))
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    train = grams.filter(~is_eval)
+    hits = (train.join(F.broadcast(eval_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("n_shared_grams")))
+    doc_grams = (train.groupBy("doc_id")
+                 .agg(F.countDistinct("gram").alias("n_grams")))
+    return (hits.join(doc_grams, "doc_id")
+            .filter(F.col("n_shared_grams") >= 3)
+            .select("doc_id", "n_shared_grams", "n_grams",
+                    F.round(F.col("n_shared_grams") / F.col("n_grams"), 6)
+                     .alias("contamination"))
+            .orderBy(F.col("contamination").desc(), "doc_id")
+            .limit(100))

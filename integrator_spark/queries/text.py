@@ -521,3 +521,62 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("entropy_nats"))
             .select("lang", F.col("total").alias("n_tokens"), "vocab",
                     "entropy_nats"))
+
+
+@register("text_repetition_filter", oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bigrams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM words, unnest(range(1, len(w))) t(i)
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         COUNT(*) AS n_distinct,
+         MAX(cnt) AS top_gram_n
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM bigrams GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       n_grams,
+       ROUND(1.0 - n_distinct * 1.0 / n_grams, 6) AS dup_gram_frac,
+       ROUND(top_gram_n * 1.0 / n_grams, 6) AS top_gram_frac,
+       CAST(CASE WHEN 1.0 - n_distinct * 1.0 / n_grams > 0.2
+                   OR top_gram_n * 1.0 / n_grams > 0.18
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM per_doc
+WHERE n_grams >= 10
+ORDER BY dup_gram_frac DESC, doc_id
+LIMIT 200
+""", tags=("text", "quality", "filter"))
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per-document duplicate
+    bigram fraction (1 - distinct/total) and most-frequent-bigram share
+    — the signals that catch keyword-stuffed and loop-generated text
+    that length/stopword heuristics (text_quality) miss. Documents
+    exceeding either threshold are flagged for removal. Pure
+    split/explode/two-level aggregation; per-doc state is its own
+    bigram multiset, so the shuffle key is doc_id and skew is bounded
+    by the longest document."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(w) - 2)
+    gram = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(w, i + 1), F.element_at(w, i + 2)))
+    bigrams = (d.filter(F.size(w) >= 2)
+               .select("doc_id", F.explode(gram).alias("g")))
+    counts = bigrams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (counts.groupBy("doc_id")
+               .agg(F.sum("cnt").alias("n_grams"),
+                    F.count(F.lit(1)).alias("n_distinct"),
+                    F.max("cnt").alias("top_gram_n")))
+    dup_frac = F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 6)
+    top_frac = F.round(F.col("top_gram_n") / F.col("n_grams"), 6)
+    return (per_doc.filter(F.col("n_grams") >= 10)
+            .select("doc_id", "n_grams",
+                    dup_frac.alias("dup_gram_frac"),
+                    top_frac.alias("top_gram_frac"),
+                    F.when((dup_frac > 0.2) | (top_frac > 0.18), 1)
+                     .otherwise(0).cast("long").alias("flagged"))
+            .orderBy(F.col("dup_gram_frac").desc(), "doc_id")
+            .limit(200))
