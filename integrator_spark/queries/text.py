@@ -580,3 +580,76 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .otherwise(0).cast("long").alias("flagged"))
             .orderBy(F.col("dup_gram_frac").desc(), "doc_id")
             .limit(200))
+
+
+@register("text_pii_redact", oracle="""
+WITH injected AS (
+  -- the fixture corpus carries no PII, so a deterministic synthetic
+  -- contact line is appended to every 3rd document; the op under test
+  -- is the detection + redaction, which both engines then apply to
+  -- identical inputs
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com or +1-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+              ELSE text END AS text
+  FROM documents
+), redacted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS n_emails,
+         len(regexp_extract_all(text, '\\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+[a-z]',
+                                       '<EMAIL>', 'g'),
+                        '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+  FROM injected
+)
+SELECT CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+       CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(SUM(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_email_redacted,
+       CAST(SUM(len(clean) - len(text)) AS BIGINT) AS length_delta
+FROM redacted JOIN injected USING (doc_id)
+""", tags=("text", "pii", "filter"))
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass every training corpus
+    gets: regex-extract emails/phone numbers, replace with typed
+    placeholder tokens, report counts and the redaction length delta.
+    The fixture has no real PII, so a deterministic synthetic contact
+    line is appended to every 3rd document FIRST (identically in both
+    engines) — the operator under test is the redaction itself.
+    Patterns stay in the regex subset where Java and RE2 semantics
+    coincide (character classes, bounded repeats — no backrefs or
+    lookaround, which also keeps them linear-time at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    phone_tail = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    injected = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com or +1-555-"), phone_tail,
+                        F.lit(".")))
+         .otherwise(F.col("text")).alias("text"))
+    email_re = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+    phone_re = r"\+1-[0-9]{3}-[0-9]{4}"
+    red = injected.select(
+        "doc_id", "text",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0)))
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), F.lit(0)))
+         .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"),
+            phone_re, "<PHONE>").alias("clean"))
+    return red.agg(
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_phones").cast("long").alias("total_phones"),
+        F.sum(F.when(F.col("n_emails") + F.col("n_phones") > 0, 1)
+              .otherwise(0)).cast("long").alias("docs_with_pii"),
+        F.sum(F.when(F.col("clean").contains("<EMAIL>"), 1).otherwise(0))
+         .cast("long").alias("docs_email_redacted"),
+        F.sum(F.length("clean") - F.length("text")).cast("long")
+         .alias("length_delta"))
