@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     sources,
     text,
     tpch,
+    tpch2,
     udfs,
     vectors,
     windows,
