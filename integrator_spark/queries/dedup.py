@@ -327,3 +327,77 @@ def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("contamination"))
             .orderBy(F.col("contamination").desc(), "doc_id")
             .limit(100))
+
+
+_INCR_ORACLE = """
+WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
+     corpus_md5 AS (SELECT DISTINCT md5(text) AS h
+                    FROM documents WHERE doc_id % 10 < 8)
+SELECT doc_id, lang, source FROM (
+  SELECT b.doc_id, b.lang, b.source,
+         row_number() OVER (PARTITION BY md5(b.text)
+                            ORDER BY b.doc_id) AS rn
+  FROM batch b LEFT JOIN corpus_md5 ON md5(b.text) = h
+  WHERE h IS NULL
+) WHERE rn = 1
+"""
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE,
+          tags=("dedup", "incremental"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — accept only NEW content from a fresh crawl
+    batch: docs already in the corpus index (deterministic 80/20 split
+    on doc_id) are rejected by content hash, then a keep-first pass
+    drops within-batch copies. This is the steady-state pipeline op:
+    the corpus is never re-clustered, each batch anti-joins the index.
+    Shape: hash projection on both sides, LEFT ANTI on the corpus hash
+    set, one window on the batch side only (the corpus never flows
+    through the window)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus_h = (d.filter(F.col("doc_id") % 10 < 8)
+                .select(F.md5("text").alias("_h")).distinct())
+    batch = (d.filter(F.col("doc_id") % 10 >= 8)
+             .withColumn("_h", F.md5("text")))
+    novel = batch.join(corpus_h, "_h", "left_anti")
+    w = Window.partitionBy("_h").orderBy("doc_id")
+    return (novel.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "lang", "source"))
+
+
+@register("dedup_incremental_bloom", oracle=_INCR_ORACLE,
+          tags=("dedup", "incremental", "bloom"))
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same accepted set as ``dedup_incremental``, produced the way a
+    100 TB deployment would: a Bloom filter of the corpus hashes
+    (mergeable bit arrays, one distributed pass, OR'd on the driver —
+    see operators/bloom.py) rides a broadcast to split the batch into
+    definite-new rows (filter miss — skip the join entirely) and
+    maybe-duplicate rows (~1% fpp) that alone pay the exact
+    verification anti-join. The filter is advisory: correctness comes
+    from the verification join, so the oracle is identical. The only
+    driver-side materialization is the bit array itself (corpus-count
+    scalar + m/8 bytes), never corpus rows."""
+    from pyspark.sql import Window
+
+    from ..operators.bloom import bloom_maybe_contains, build_bloom
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus_h = (d.filter(F.col("doc_id") % 10 < 8)
+                .select(F.md5("text").alias("_h")).distinct())
+    n_est = corpus_h.count()
+    bits, m, k = build_bloom(corpus_h, "_h", n_est)
+    batch = (d.filter(F.col("doc_id") % 10 >= 8)
+             .withColumn("_h", F.md5("text")))
+    probed = bloom_maybe_contains(batch, "_h", bits, m, k)
+    definite_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+    verified_new = (probed.filter(F.col("_maybe")).drop("_maybe")
+                    .join(corpus_h, "_h", "left_anti"))
+    novel = definite_new.unionByName(verified_new)
+    w = Window.partitionBy("_h").orderBy("doc_id")
+    return (novel.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "lang", "source"))

@@ -186,3 +186,50 @@ def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.min("o_totalprice"), 2).alias("bin_min"),
                  F.round(F.max("o_totalprice"), 2).alias("bin_max")))
+
+
+MIX_TARGET = 0.6
+
+MIX_ORACLE = f"""
+WITH counts AS (SELECT source, COUNT(*) AS _n FROM documents GROUP BY source),
+     tot AS (SELECT SUM(_n) AS _all, SUM(SQRT(_n)) AS _sw FROM counts),
+     quota AS (SELECT source,
+                      CAST(FLOOR({MIX_TARGET} * _all * SQRT(_n) / _sw)
+                           AS BIGINT) AS _q
+               FROM counts, tot)
+SELECT doc_id, source, lang FROM (
+  SELECT d.doc_id, d.source, d.lang, q._q,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                     d.doc_id) AS rn
+  FROM documents d JOIN quota q ON d.source = q.source
+) WHERE rn <= _q
+"""
+
+
+@register("mix_weighted", oracle=MIX_ORACLE, tags=("mlprep", "mixing"))
+def mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing — compose a training corpus at target
+    mixture proportions: per-source quotas ∝ sqrt(source size) (the
+    standard rebalancing that upweights small sources without letting
+    any source dominate), filled deterministically by md5-of-id rank so
+    the same mixture reproduces on any cluster. Quota derivation is two
+    tiny aggregates (per-source counts × one global row) broadcast back
+    onto the fact; per-source selection is one window — no sampling
+    randomness, no driver loop. At 100 TB the quota frame stays
+    |sources| rows and the single fact shuffle is the rank window."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(F.sum("_n").alias("_all"),
+                     F.sum(F.sqrt("_n")).alias("_sw"))
+    quota = (counts.join(F.broadcast(tot))
+             .select("source",
+                     F.floor(F.lit(MIX_TARGET) * F.col("_all")
+                             * F.sqrt("_n") / F.col("_sw"))
+                     .cast("long").alias("_q")))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (d.join(F.broadcast(quota), "source")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("_q"))
+            .select("doc_id", "source", "lang"))

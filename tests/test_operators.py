@@ -692,3 +692,38 @@ def test_knn_exact_none_estimate_falls_back_to_stats_job(spark):
     emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
     out = knn_exact(emb, k=1, est_cells=None)
     assert out.count() == 6
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every inserted key must probe True (no false negatives — the
+    correctness contract); disjoint keys mostly probe False (the
+    pruning that makes the incremental-dedup pre-filter worthwhile)."""
+    from integrator_spark.operators.bloom import (
+        bloom_maybe_contains,
+        build_bloom,
+    )
+
+    corpus = spark.range(500).select(
+        F.md5(F.col("id").cast("string")).alias("h"))
+    bits, m, k = build_bloom(corpus, "h", 500)
+
+    probed_in = bloom_maybe_contains(corpus, "h", bits, m, k)
+    assert probed_in.filter(~F.col("_maybe")).count() == 0
+
+    fresh = spark.range(500, 1500).select(
+        F.md5(F.col("id").cast("string")).alias("h"))
+    survivors = bloom_maybe_contains(fresh, "h", bits, m, k) \
+        .filter(F.col("_maybe")).count()
+    # 1000 disjoint keys at ~1% target fpp: generous ceiling of 5%.
+    assert survivors <= 50, f"bloom pruned too little: {survivors}/1000"
+
+
+def test_bloom_build_is_partitioning_invariant(spark):
+    """The OR-merge of per-partition bit arrays must not depend on how
+    rows are distributed — same bits from 1 partition or 8."""
+    from integrator_spark.operators.bloom import build_bloom
+
+    keys = spark.range(200).select(F.md5(F.col("id").cast("string")).alias("h"))
+    bits1, m1, k1 = build_bloom(keys.coalesce(1), "h", 200)
+    bits8, m8, k8 = build_bloom(keys.repartition(8), "h", 200)
+    assert (bits1, m1, k1) == (bits8, m8, k8)
