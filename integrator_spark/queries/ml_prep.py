@@ -233,3 +233,65 @@ def mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= F.col("_q"))
             .select("doc_id", "source", "lang"))
+
+
+PIPE_MIN_WORDS = 30
+PIPE_KEEP = 0.8
+
+PIPE_ORACLE = f"""
+WITH filtered AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+  WHERE lang = 'en' AND len(string_split(text, ' ')) >= {PIPE_MIN_WORDS}
+), deduped AS (
+  SELECT doc_id, source, n_words FROM (
+    SELECT doc_id, source, n_words,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+), quota AS (
+  SELECT source, CAST(CEIL({PIPE_KEEP} * COUNT(*)) AS BIGINT) AS _q
+  FROM deduped GROUP BY source
+)
+SELECT doc_id, source, n_words FROM (
+  SELECT d.doc_id, d.source, d.n_words, q._q,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                     d.doc_id) AS rn
+  FROM deduped d JOIN quota q ON d.source = q.source
+) WHERE rn <= _q
+"""
+
+
+@register("pipeline_pretrain", oracle=PIPE_ORACLE,
+          tags=("mlprep", "pipeline", "flagship"))
+def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-corpus assembly in ONE lazy plan:
+    language filter → length floor → exact dedup (keep-first) →
+    per-source 80% cap by deterministic md5 rank. The point is
+    composition: each stage is a DataFrame-in/DataFrame-out operator,
+    so Catalyst sees the whole pipeline at once — the lang/length
+    predicates push into the scan BELOW the dedup window, and no stage
+    materializes. At 100 TB the plan is two fact shuffles (dedup hash,
+    per-source rank) plus one broadcast quota join — the same shape a
+    production corpus build runs nightly."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    filtered = (d.filter(F.col("lang") == "en")
+                .withColumn("n_words", n_words)
+                .filter(F.col("n_words") >= PIPE_MIN_WORDS)
+                .select("doc_id", "source", "text", "n_words"))
+    w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (filtered.withColumn("_rn", F.row_number().over(w_dedup))
+               .filter(F.col("_rn") == 1)
+               .select("doc_id", "source", "n_words"))
+    quota = (deduped.groupBy("source")
+             .agg(F.ceil(F.lit(PIPE_KEEP) * F.count(F.lit(1)))
+                  .cast("long").alias("_q")))
+    w_rank = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (deduped.join(F.broadcast(quota), "source")
+            .withColumn("_rn", F.row_number().over(w_rank))
+            .filter(F.col("_rn") <= F.col("_q"))
+            .select("doc_id", "source", "n_words"))

@@ -377,3 +377,37 @@ def dequantize_int8(qe: DataFrame, scale: float,
         .cast("array<float>")
     cols = [c for c in qe.columns if c != "q_embedding"]
     return qe.select(*cols, deq.alias(out_col))
+
+
+@register("vec_centroids", oracle="""
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(pos AS INTEGER) AS pos,
+       COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS centroid_val
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+GROUP BY label, pos
+""", tags=("vector", "agg"))
+def vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension) —
+    the building block for topic prototypes, cluster drift monitoring,
+    and IVF coarse-quantizer seeding. posexplode turns the array into
+    (pos, val) pairs so the mean is a plain hash aggregate on
+    (label, pos): one shuffle whose width is |labels| x dim regardless
+    of corpus size, with map-side partial sums doing the heavy
+    reduction. Float values go through cast-to-double then the
+    decimal-exact sum (same path as vec_stats) so centroids are
+    bit-identical across engines and partitionings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.col("label").cast("long").alias("label"),
+                  F.posexplode("embedding").alias("pos", "val"))
+    return (ex.groupBy("label", "pos")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.sum(F.col("val").cast("double").cast(DEC))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("centroid_val")))
