@@ -325,3 +325,88 @@ def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("o_orderstatus", "o_orderpriority"):
         out = out.unionByName(profile(c))
     return out
+
+
+_AB_STATS = """
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS x
+  FROM events GROUP BY user_id
+"""
+
+AB_ORACLE = f"""
+WITH per_user AS ({_AB_STATS}),
+arms AS (
+  SELECT arm, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM per_user GROUP BY arm
+), wide AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+         MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+         MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+         MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+  FROM arms
+)
+SELECT n0, n1,
+       ROUND(sx0 / n0, 6) AS mean0,
+       ROUND(sx1 / n1, 6) AS mean1,
+       ROUND((sx0 / n0 - sx1 / n1)
+             / SQRT(((sxx0 - sx0 * sx0 / n0) / (n0 - 1)) / n0
+                    + ((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1), 6)
+         AS t_stat,
+       ROUND(POW(((sxx0 - sx0 * sx0 / n0) / (n0 - 1)) / n0
+                 + ((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1, 2)
+             / (POW(((sxx0 - sx0 * sx0 / n0) / (n0 - 1)) / n0, 2) / (n0 - 1)
+                + POW(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1, 2) / (n1 - 1)),
+             6) AS welch_df
+FROM wide
+"""
+
+
+@register("stats_ab_test", oracle=AB_ORACLE, tags=("stats", "abtest"))
+def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-test between experiment arms (user_id parity)
+    on per-user total event value — the analysis unit is the USER, the
+    standard guard against within-user correlation inflating
+    significance. Three aggregations, all map-side-combinable: per-user
+    sums (exact decimal), per-arm (n, Σx, Σx²) with the products
+    6-dp-rounded into exact decimal sums so the arm moments are
+    order-independent, then a 2-row conditional pivot into one row of
+    closed-form statistics. Every post-aggregate expression is the
+    same double arithmetic in the same order in both engines. At
+    100 TB nothing leaves the executors but two moment rows."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.sum(F.col("value").cast("decimal(38,6)"))
+                     .cast("double").alias("x"))
+                .select((F.col("user_id") % 2).cast("long").alias("arm"),
+                        "x"))
+    arms = (per_user.groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("x").cast("decimal(38,6)"))
+                 .cast("double").alias("sx"),
+                 F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+                 .cast("double").alias("sxx")))
+
+    def pick(col: str, arm: int):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    wide = arms.agg(pick("n", 0).alias("n0"), pick("n", 1).alias("n1"),
+                    pick("sx", 0).alias("sx0"), pick("sx", 1).alias("sx1"),
+                    pick("sxx", 0).alias("sxx0"),
+                    pick("sxx", 1).alias("sxx1"))
+    n0, n1 = F.col("n0"), F.col("n1")
+    sx0, sx1 = F.col("sx0"), F.col("sx1")
+    se0 = ((F.col("sxx0") - sx0 * sx0 / n0) / (n0 - F.lit(1))) / n0
+    se1 = ((F.col("sxx1") - sx1 * sx1 / n1) / (n1 - F.lit(1))) / n1
+    return wide.select(
+        "n0", "n1",
+        F.round(sx0 / n0, 6).alias("mean0"),
+        F.round(sx1 / n1, 6).alias("mean1"),
+        F.round((sx0 / n0 - sx1 / n1) / F.sqrt(se0 + se1), 6)
+         .alias("t_stat"),
+        F.round(F.pow(se0 + se1, 2)
+                / (F.pow(se0, 2) / (n0 - F.lit(1))
+                   + F.pow(se1, 2) / (n1 - F.lit(1))), 6).alias("welch_df"))
