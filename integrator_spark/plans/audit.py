@@ -40,6 +40,7 @@ CROSS_JOIN_ALLOWED = {
     "q22_global_sales_opportunity",  # 1-row global-avg frame broadcast
     "q11_important_parts",  # 1-row global-cutoff frame broadcast to agg
     "mix_weighted",        # 1-row corpus-total frame joined to source counts
+    "stats_mannwhitney",   # 1-row tie-correction frame joined to rank sums
     "skew_profile",        # two 1-row summary frames joined
     "stats_chi2",          # 1-row grand-total frame broadcast to cells
     "stats_histogram",     # 1-row min/max bounds frame broadcast to fact

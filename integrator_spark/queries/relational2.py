@@ -410,3 +410,142 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(se0 + se1, 2)
                 / (F.pow(se0, 2) / (n0 - F.lit(1))
                    + F.pow(se1, 2) / (n1 - F.lit(1))), 6).alias("welch_df"))
+
+
+MW_ORACLE = f"""
+WITH per_user AS ({_AB_STATS}),
+ranked AS (
+  SELECT arm, x,
+         row_number() OVER (ORDER BY x, arm) AS rn
+  FROM per_user
+), avg_ranks AS (
+  SELECT arm, x, AVG(rn) OVER (PARTITION BY x) AS r
+  FROM ranked
+), ties AS (
+  SELECT COALESCE(SUM(t * t * t - t), 0) AS tie_term FROM (
+    SELECT COUNT(*) AS t FROM per_user GROUP BY x HAVING COUNT(*) > 1
+  )
+), sums AS (
+  SELECT COUNT(CASE WHEN arm = 0 THEN 1 END) AS n0,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS n1,
+         SUM(CASE WHEN arm = 1 THEN r END) AS r1
+  FROM avg_ranks
+)
+SELECT n0, n1,
+       ROUND(r1 - n1 * (n1 + 1) / 2.0, 6) AS u_stat,
+       ROUND((r1 - n1 * (n1 + 1) / 2.0 - n0 * n1 / 2.0)
+             / SQRT(n0 * n1 / 12.0
+                    * ((n0 + n1 + 1)
+                       - tie_term / (CAST(n0 + n1 AS DOUBLE)
+                                     * (n0 + n1 - 1)))), 6) AS z_stat
+FROM sums, ties
+"""
+
+
+@register("stats_mannwhitney", oracle=MW_ORACLE, tags=("stats", "abtest"))
+def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between the same experiment arms
+    as stats_ab_test — the non-parametric companion for metrics too
+    skewed for a t-test (per-user revenue usually is). Average ranks
+    with the tie-corrected normal approximation. The global rank
+    window runs over the PER-USER aggregate (cardinality |users|, the
+    events fact never enters a single-partition sort); tie groups and
+    rank sums reduce to one row. Rank-of-x ties broken by arm only to
+    make row_number deterministic; tied x values then share their
+    AVG rank, so the statistic is the textbook tie-averaged one."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.sum(F.col("value").cast("decimal(38,6)"))
+                     .cast("double").alias("x"))
+                .select((F.col("user_id") % 2).cast("long").alias("arm"),
+                        "x"))
+    rn = F.row_number().over(Window.orderBy("x", "arm"))
+    ranked = per_user.withColumn("rn", rn)
+    r = F.avg("rn").over(Window.partitionBy("x"))
+    avg_ranks = ranked.withColumn("r", r)
+    ties = (per_user.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(F.coalesce(F.sum(F.col("t") * F.col("t") * F.col("t")
+                                  - F.col("t")), F.lit(0))
+                 .alias("tie_term")))
+    sums = avg_ranks.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("r"))).alias("r1"))
+    n0, n1, r1 = F.col("n0"), F.col("n1"), F.col("r1")
+    u = r1 - n1 * (n1 + F.lit(1)) / F.lit(2.0)
+    mu = n0 * n1 / F.lit(2.0)
+    var = (n0 * n1 / F.lit(12.0)
+           * ((n0 + n1 + F.lit(1))
+              - F.col("tie_term") / ((n0 + n1).cast("double")
+                                     * (n0 + n1 - F.lit(1)))))
+    return (sums.join(F.broadcast(ties))
+            .select("n0", "n1",
+                    F.round(u, 6).alias("u_stat"),
+                    F.round((u - mu) / F.sqrt(var), 6).alias("z_stat")))
+
+
+PROP_THRESHOLD = 14
+
+PROP_ORACLE = f"""
+WITH conv AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {PROP_THRESHOLD} THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+), wide AS (
+  SELECT COUNT(CASE WHEN arm = 0 THEN 1 END) AS n0,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN converted END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN arm = 1 THEN converted END) AS BIGINT) AS c1
+  FROM conv
+)
+SELECT n0, n1, c0, c1,
+       ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+       ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+       ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+             / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+FROM wide
+"""
+
+
+@register("stats_proportion_test", oracle=PROP_ORACLE,
+          tags=("stats", "abtest"))
+def stats_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion (is the user a heavy
+    purchaser — >= 14 purchase events, the fixture's median) between
+    the same arms — the binary-outcome member of the A/B pack (t-test:
+    means; Mann-Whitney: distributions; this: rates), with the
+    pooled-variance denominator. Conversion collapses per user first
+    (a thresholded count — map-side combinable), counts collapse per
+    arm; all integer arithmetic until the final closed-form doubles,
+    so cross-engine equality is trivial."""
+    e = load_table(spark, sf_dir, "events")
+    conv = (e.groupBy("user_id")
+            .agg(F.when(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                              .otherwise(0)) >= PROP_THRESHOLD, 1)
+                 .otherwise(0).alias("converted"))
+            .select((F.col("user_id") % 2).cast("long").alias("arm"),
+                    "converted"))
+    wide = conv.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")))
+        .cast("long").alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")))
+        .cast("long").alias("c1"))
+    n0, n1 = F.col("n0"), F.col("n1")
+    c0, c1 = F.col("c0"), F.col("c1")
+    p0 = c0.cast("double") / n0
+    p1 = c1.cast("double") / n1
+    pp = (c0 + c1).cast("double") / (n0 + n1)
+    z = (p0 - p1) / F.sqrt(pp * (F.lit(1) - pp)
+                           * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+    return wide.select("n0", "n1", "c0", "c1",
+                       F.round(p0, 6).alias("rate0"),
+                       F.round(p1, 6).alias("rate1"),
+                       F.round(z, 6).alias("z_stat"))
