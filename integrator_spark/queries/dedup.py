@@ -401,3 +401,63 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (novel.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("doc_id", "lang", "source"))
+
+
+PARA_CHUNK = 12  #: words per pseudo-paragraph (corpus text is one line)
+
+_PARA_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (
+  SELECT doc_id, i AS chunk_id,
+         array_to_string(ws[i * {PARA_CHUNK} + 1 : i * {PARA_CHUNK} + {PARA_CHUNK}], ' ') AS chunk
+  FROM w, unnest(range(0, CAST(ceil(len(ws) / {PARA_CHUNK}.0) AS BIGINT))) t(i)
+),
+keep AS (
+  SELECT * FROM ch
+  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) = 1
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks_kept,
+       string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text
+FROM keep
+GROUP BY doc_id
+"""
+
+
+@register("dedup_paragraph", oracle=_PARA_ORACLE, tags=("dedup",))
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicated-paragraph removal: split every document
+    into ``PARA_CHUNK``-word chunks (the corpus has no newlines, so
+    fixed word windows stand in for paragraphs), keep each distinct
+    chunk only at its first (doc_id, chunk_id) occurrence corpus-wide,
+    and reassemble the surviving chunks into a cleaned text. Documents
+    whose every chunk already appeared elsewhere vanish — exactly how
+    boilerplate and mirrored pages die in a web-corpus pipeline.
+
+    Chunking is pure HOF (sequence/slice/array_join inside one
+    projection — no word-level explode, so the pre-shuffle width is
+    docs x chunks, not docs x words). The only shuffle partitions by
+    chunk hash; a pathological stop-phrase chunk would skew it, and the
+    same broadcast left-anti hot-list guard as ngram_jaccard_pairs
+    (operators/dedup.py max_doc_freq) applies unchanged at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = F.expr(f"""
+        transform(
+          sequence(0, int(ceil(size(split(text, ' ')) / {PARA_CHUNK}.0)) - 1),
+          i -> struct(
+            cast(i AS bigint) AS chunk_id,
+            array_join(slice(split(text, ' '), i * {PARA_CHUNK} + 1,
+                             {PARA_CHUNK}), ' ') AS chunk))
+    """)
+    e = (d.select("doc_id", F.explode(chunks).alias("c"))
+         .select("doc_id", F.col("c.chunk_id"), F.col("c.chunk")))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_id")
+    kept = (e.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    return (kept.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("chunk_id", "chunk"))),
+                         lambda s: s.chunk), " ").alias("clean_text")))

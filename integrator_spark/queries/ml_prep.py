@@ -295,3 +295,82 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("_rn", F.row_number().over(w_rank))
             .filter(F.col("_rn") <= F.col("_q"))
             .select("doc_id", "source", "n_words"))
+
+
+PACK_SEQ_LEN = 512     #: tokens per packed training sequence
+PACK_BUCKET = 64       #: doc_ids per cumsum bucket (two-phase prefix sum)
+
+PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         doc_id // {PACK_BUCKET} AS bucket
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n_tokens, bucket,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in_bucket
+  FROM t
+),
+b AS (SELECT bucket, SUM(n_tokens) AS btot FROM t GROUP BY bucket),
+boff AS (
+  SELECT bucket,
+         COALESCE(SUM(btot) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bucket_off
+  FROM b
+)
+SELECT w.doc_id,
+       CAST(w.n_tokens AS BIGINT) AS n_tokens,
+       CAST(boff.bucket_off + w.cum_in_bucket AS BIGINT) AS global_start,
+       CAST((boff.bucket_off + w.cum_in_bucket) // {PACK_SEQ_LEN} AS BIGINT)
+         AS first_seq,
+       CAST((boff.bucket_off + w.cum_in_bucket + w.n_tokens - 1)
+            // {PACK_SEQ_LEN} AS BIGINT) AS last_seq,
+       CAST((boff.bucket_off + w.cum_in_bucket + w.n_tokens - 1)
+            // {PACK_SEQ_LEN}
+            - (boff.bucket_off + w.cum_in_bucket) // {PACK_SEQ_LEN} + 1
+            AS BIGINT) AS n_seqs_spanned
+FROM w JOIN boff USING (bucket)
+"""
+
+
+@register("corpus_pack_sequences", oracle=PACK_ORACLE,
+          tags=("mlprep", "packing"))
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    end-to-end in doc_id order and cut into fixed ``PACK_SEQ_LEN``-token
+    training sequences; each doc gets its global token offset and the
+    sequence ids it spans. The load-bearing scale choice is the prefix
+    sum: a single global ``Window.orderBy(doc_id)`` would funnel 100 TB
+    through ONE task, so the cumsum runs two-phase — a per-bucket
+    window (bucket = doc_id div PACK_BUCKET, parallel across buckets)
+    plus a bucket-offset table that is tiny by construction (n_docs /
+    PACK_BUCKET rows, one narrow single-partition window) broadcast
+    back onto the fact. Same decomposition MPI calls scan-then-add;
+    both phases stay declarative so Catalyst fuses them with the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"))
+    w_in = (Window.partitionBy("bucket").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    t = t.withColumn("cum_in_bucket",
+                     F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+    btot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    w_b = (Window.orderBy("bucket")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff = btot.withColumn(
+        "bucket_off", F.coalesce(F.sum("btot").over(w_b), F.lit(0)))
+    start = F.col("bucket_off") + F.col("cum_in_bucket")
+    end_tok = start + F.col("n_tokens") - 1
+    return (t.join(F.broadcast(boff.select("bucket", "bucket_off")),
+                   "bucket")
+            .select(
+                "doc_id", "n_tokens",
+                start.cast("long").alias("global_start"),
+                F.floor(start / PACK_SEQ_LEN).cast("long").alias("first_seq"),
+                F.floor(end_tok / PACK_SEQ_LEN).cast("long").alias("last_seq"),
+                (F.floor(end_tok / PACK_SEQ_LEN)
+                 - F.floor(start / PACK_SEQ_LEN) + 1)
+                .cast("long").alias("n_seqs_spanned")))
