@@ -4,14 +4,24 @@ Maps the reference's ingest stage (raw RDF cell data fetched from a
 triple store — SURVEY.md §1.1/§3.1) onto Spark sources: Parquet is the
 primary format; CSV/JSON scans live in ``queries/sources.py``.
 
-The one physical quirk: ``events.parquet`` stores TIMESTAMP(NANOS),
-which Spark 4.1.2's Parquet reader rejects outright. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as a
-long (nanos since epoch); we convert with exact integer division to
-microseconds (``ts div 1000`` — no float round-trip, so no precision
-loss) and rebuild a TimestampType column. DuckDB reads the same file
-natively as TIMESTAMP_NS, so both engines agree at microsecond
-precision after the conversion.
+The one physical quirk: ``events.parquet``'s ``ts`` column has changed
+physical type across driver fixture generations (``timestamp[ns]``
+in rounds 1-2, ``timestamp[us]`` from round 3 on), so the loader
+normalizes whatever arrives to a session-TZ ``TIMESTAMP``:
+
+- ``bigint`` — TIMESTAMP(NANOS) read under
+  ``spark.sql.legacy.parquet.nanosAsLong=true``; exact integer
+  division to micros (``ts div 1000``, no float round-trip) then
+  ``timestamp_micros``.
+- ``timestamp_ntz`` — the ``timestamp[us]`` (isAdjustedToUTC=false)
+  footer type. Under the UTC session timezone (session.py) a cast to
+  ``timestamp`` is a pure reinterpretation of the same micros value,
+  matching DuckDB's naive TIMESTAMP reading of the same file.
+- ``timestamp`` — already what we want; pass through.
+
+``normalize_events_ts`` is the single place this lives — the batch
+loader and the streaming source (streaming/jobs.py) both call it, so a
+future fixture-type change is again a one-site fix.
 """
 
 from __future__ import annotations
@@ -32,13 +42,27 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to session-TZ TIMESTAMP
+    regardless of the fixture's physical type (see module docstring).
+    Shared by the batch loader and the streaming source so the
+    fixture-type handling exists in exactly one place."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # TIMESTAMP(NANOS) read as long; exact integer ns -> us.
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        # timestamp[us] footer; UTC session tz makes this cast exact.
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with schema fix-ups applied."""
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long; exact integer ns -> us.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

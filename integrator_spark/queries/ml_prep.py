@@ -277,7 +277,9 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source rank) plus one broadcast quota join — the same shape a
     production corpus build runs nightly."""
     d = load_table(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.col("text"), " "))
+    # cast("long"): F.size is INT but the DuckDB oracle's len() is
+    # BIGINT — align declared dtypes for schema parity.
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
     filtered = (d.filter(F.col("lang") == "en")
                 .withColumn("n_words", n_words)
                 .filter(F.col("n_words") >= PIPE_MIN_WORDS)

@@ -24,21 +24,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.num import dsum, sql_dsum
-from ..io import derived_dir
+from ..io import derived_dir, normalize_events_ts
 from ..registry import register
 from ..session import ensure_runtime_confs
-
-#: Schema of events.parquet as the streaming reader sees it with
-#: nanosAsLong active (ts arrives as raw nanos, converted after read).
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded view of the events table via the file streaming source.
@@ -46,23 +34,54 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source wants a *directory* it can watch for arriving files
     (that's the replay model: drop parquet files in, the stream picks
     them up). The fixture is a single file, so stage a copy into a
-    derived source directory once."""
+    derived source directory once.
+
+    readStream requires an explicit schema, and the fixture's ``ts``
+    physical type has changed across driver generations (raw nanos-long
+    in rounds 1-2, timestamp[us]/NTZ from round 3) — so instead of
+    hardcoding it, read the staged file's footer with a zero-job batch
+    ``spark.read`` and reuse that schema, then route through the same
+    ``normalize_events_ts`` the batch loader uses."""
     ensure_runtime_confs(spark)
     src_dir = derived_dir(sf_dir, "events_stream_src")
     src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+    if not os.path.exists(dst) or not _fingerprint_ok(src_dir, src):
         import shutil
         os.makedirs(src_dir, exist_ok=True)
         shutil.copyfile(src, dst)
+        _write_fingerprint(src_dir, src)
+    raw_schema = spark.read.parquet(src_dir).schema   # footer-only, no job
     raw = (spark.readStream
-           .schema(EVENTS_RAW_SCHEMA)
+           .schema(raw_schema)
            .parquet(src_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
+
+
+def _src_fingerprint(src: str) -> str:
+    st = os.stat(src)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _write_fingerprint(stage_dir: str, src: str) -> None:
+    with open(os.path.join(stage_dir, "_SRC_FINGERPRINT"), "w") as fh:
+        fh.write(_src_fingerprint(src))
+
+
+def _fingerprint_ok(stage_dir: str, src: str) -> bool:
+    """True iff the stage was built from the CURRENT fixture file. The
+    driver has regenerated fixtures mid-build before (the round-3
+    nanos→micros ts change) — size+mtime fingerprinting makes every
+    staged copy self-invalidating instead of silently stale."""
+    try:
+        with open(os.path.join(stage_dir, "_SRC_FINGERPRINT")) as fh:
+            return fh.read().strip() == _src_fingerprint(src)
+    except OSError:
+        return False
 
 
 #: Staged-file schema: ts is already a proper TIMESTAMP (the staging
-#: write converts the raw nanos), unlike EVENTS_RAW_SCHEMA.
+#: write goes through load_table's normalization first).
 EVENTS_STAGED_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.TimestampType()),
@@ -101,9 +120,10 @@ def stage_events_late_replay(spark: SparkSession, sf_dir: str) -> str:
     from ..io import load_table
 
     stage = derived_dir(sf_dir, "events_late_src")
+    src = os.path.join(sf_dir, "events.parquet")
     done = os.path.join(stage, "_STAGED_3FILE")            # "_" files are
-    if os.path.exists(done):                         # invisible to the
-        return stage                                 # file source
+    if os.path.exists(done) and _fingerprint_ok(stage, src):   # invisible to
+        return stage                                           # the source
     e = load_table(spark, sf_dir, "events")
     mx = e.agg(F.max("ts")).collect()[0][0]
     is_late = ((F.col("event_id") % LATE_MOD == 0)
@@ -122,6 +142,7 @@ def stage_events_late_replay(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
         # deterministic mtimes: the source lists oldest-first
         os.utime(final, (1_000_000_000 + idx * 100,) * 2)
+    _write_fingerprint(stage, src)
     with open(done, "w") as fh:
         fh.write("ok")
     return stage
