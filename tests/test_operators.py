@@ -560,6 +560,32 @@ def test_knn_exact_routes_by_size_and_matches(spark):
     assert {(r.vec_id, r.neighbor_id) for r in bcast.collect()} == brute
 
 
+def test_cosine_pairs_exact_routes_by_size_and_matches(spark):
+    # Same routing contract as knn_exact: over budget -> two-sided
+    # cogrouped block plan (no driver-side matrix collect); under ->
+    # broadcast matmul. Both must emit the identical pair set.
+    from integrator_spark.operators.knn import (
+        cosine_pairs_blocked,
+        cosine_pairs_exact,
+    )
+
+    data = [(i, [float((i * 7 + j * 13) % 11) / 11.0 + 0.1 for j in range(8)])
+            for i in range(16)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    want = {(r.id_a, r.id_b, r.cos_sim)
+            for r in cosine_pairs_blocked(emb, threshold=0.9).collect()}
+    assert want and all(a < b for a, b, _ in want)
+    # 128 cells > 64 -> must route to the cogrouped two-sided plan
+    routed = cosine_pairs_exact(emb, threshold=0.9, max_broadcast_cells=64)
+    assert "cogroup" in routed._jdf.queryExecution().analyzed().toString().lower()
+    assert {(r.id_a, r.id_b, r.cos_sim) for r in routed.collect()} == want
+    # comfortably under budget -> broadcast plan, no cogroup
+    bcast = cosine_pairs_exact(emb, threshold=0.9,
+                               max_broadcast_cells=1_000_000)
+    assert "cogroup" not in bcast._jdf.queryExecution().analyzed().toString().lower()
+    assert {(r.id_a, r.id_b, r.cos_sim) for r in bcast.collect()} == want
+
+
 def test_int8_quantization_stores_tinyint_and_roundtrips(spark, tmp_path):
     # The stored form must be a real array<tinyint> (+ one scalar scale);
     # a parquet round trip preserves it and dequantize recovers vectors
