@@ -216,14 +216,20 @@ FROM events
 GROUP BY event_type
 """, tags=("scalar", "json"))
 def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction (typed from_json) and casts.
+    """JSON path extraction and casts.
 
-    Plan note: the JSON document is parsed ONCE per row into a struct
-    column and both measures read from it — a second per-measure parse
-    (get_json_object) measured 2.4x slower at sf0.1.
+    Plan note: the key is extracted ONCE per row into ``_k`` and both
+    measures read from it. For this fixture's trivial single-key
+    payload (``{"k": N}``), ``get_json_object`` beats the schema-based
+    ``from_json`` parser (re-measured at sf0.1/local[32] 2026-08-13:
+    0.44 s vs 0.59 s — an earlier round measured the opposite on the
+    ns-fixture generation; trust the paired re-measurement). For wide
+    multi-key payloads where several fields are read, prefer one
+    ``from_json`` struct — the crossover is the number of extracted
+    keys, not document size.
     """
     e = load_table(spark, sf_dir, "events")
-    k = F.from_json("props", "k INT").getField("k")
+    k = F.get_json_object("props", "$.k").cast("int")
     return (e.withColumn("_k", k)
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
