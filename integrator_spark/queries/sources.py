@@ -106,6 +106,47 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("o_totalprice").alias("total")))
 
 
+@register("jdbc_roundtrip", oracle="""
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+""", tags=("source", "jdbc"))
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JDBC source+sink integration (no mock): write nation into an
+    embedded Derby database (the Derby jars ship inside every stock
+    Spark distribution), read it back as a PARTITIONED JDBC scan, and
+    aggregate; matching the parquet-side oracle proves the SQL-typed
+    round-trip is lossless.
+
+    Scale posture: the read declares partitionColumn/bounds — without
+    them a JDBC scan is ONE task regardless of cluster size (the #1
+    production JDBC mistake). The write's parallelism is the upstream
+    partition count (one connection+transaction per partition). The
+    embedded engine is per-JVM (hence the per-process db path — Derby
+    holds an exclusive lock); production swaps the URL/driver for a
+    server-grade database, same plan."""
+    import os
+
+    from ..sources.connectors import DERBY_DRIVER, derby_url, write_jdbc
+
+    db = os.path.join(derived_dir(sf_dir, "jdbc"), f"db_{os.getpid()}")
+    url = derby_url(db)
+    n = load_table(spark, sf_dir, "nation")
+    write_jdbc(n, url, "nation", driver=DERBY_DRIVER)
+    back = (spark.read.format("jdbc")
+            .option("url", url).option("dbtable", "nation")
+            .option("driver", DERBY_DRIVER)
+            .option("partitionColumn", "n_nationkey")
+            .option("lowerBound", "0").option("upperBound", "32")
+            .option("numPartitions", "4")
+            .load())
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n_nations"),
+                 F.min("n_name").alias("first_name")))
+
+
 @register("scan_orc", oracle=_DOCS_AGG_ORACLE, tags=("source", "orc"))
 def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC ingest (the other built-in columnar format, same pushdown/

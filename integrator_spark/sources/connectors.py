@@ -33,6 +33,44 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
             "add it via spark.jars and re-call") from exc
 
 
+#: Embedded-Derby JDBC driver — ships in Spark's own jars/ directory
+#: (derby*.jar, pulled in for the Hive metastore), so unlike
+#: Postgres/MySQL this JDBC path is runnable in ANY stock Spark
+#: deployment with zero extra jars. Single-JVM embedded engine: right
+#: for tests and local tools; point ``read_jdbc``/``write_jdbc`` at a
+#: server-grade URL + driver in production.
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_dir: str) -> str:
+    """JDBC URL for an embedded Derby database at ``db_dir`` (created on
+    first use). The database is locked by one JVM at a time — callers
+    should derive the path per-process when concurrent suites may run."""
+    return f"jdbc:derby:{db_dir};create=true"
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               driver: str | None = None, mode: str = "overwrite",
+               **options) -> None:
+    """JDBC sink. At scale, batch size and transaction shape are the
+    knobs (``batchsize``, ``isolationLevel``, ``truncate``) — a plain
+    overwrite DROPs and re-CREATEs the table, losing indexes; pass
+    ``truncate=true`` to keep DDL. Each input partition writes its own
+    connection/transaction, so upstream ``repartition(n)`` is the
+    parallelism control."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver is not None:
+        w = w.option("driver", driver)
+    for k, v in options.items():
+        w = w.option(k, v)
+    try:
+        w.mode(mode).save()
+    except Exception as exc:
+        raise NotImplementedError(
+            "JDBC driver jar not on the classpath in this environment; "
+            "add it via spark.jars and re-call") from exc
+
+
 def read_kafka_stream(spark: SparkSession, bootstrap: str,
                       topic: str) -> DataFrame:
     """Kafka streaming source — the production stand-in for the file

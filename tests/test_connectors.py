@@ -28,6 +28,32 @@ def test_jdbc_gate_raises_documented_error(spark):
                   partition_column="id", num_partitions=4).collect()
 
 
+def test_jdbc_derby_roundtrip_partitioned(spark, tmp_path):
+    # Real JDBC integration (VERDICT r3 stretch): embedded Derby ships
+    # in Spark's jars, so write+partitioned-read must actually work.
+    from integrator_spark.sources.connectors import (
+        DERBY_DRIVER,
+        derby_url,
+        write_jdbc,
+    )
+
+    url = derby_url(str(tmp_path / "db"))
+    src = spark.range(0, 100).selectExpr("id", "id % 7 AS grp")
+    write_jdbc(src, url, "t", driver=DERBY_DRIVER)
+    back = (spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "t").option("driver", DERBY_DRIVER)
+            .option("partitionColumn", "id").option("lowerBound", "0")
+            .option("upperBound", "100").option("numPartitions", "4").load())
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    assert back.agg({"id": "sum"}).first()[0] == 4950
+    # overwrite is idempotent
+    write_jdbc(src.filter("id < 10"), url, "t", driver=DERBY_DRIVER)
+    assert (spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "t").option("driver", DERBY_DRIVER)
+            .load().count() == 10)
+
+
 def test_kafka_gate_raises_documented_error(spark):
     with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
         read_kafka_stream(spark, "broker:9092", "events")
