@@ -376,3 +376,45 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.floor(end_tok / PACK_SEQ_LEN)
                  - F.floor(start / PACK_SEQ_LEN) + 1)
                 .cast("long").alias("n_seqs_spanned")))
+
+
+SHUFFLE_ORACLE = """
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR)) AS skey,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+            - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+@register("corpus_shuffle", oracle=SHUFFLE_ORACLE, tags=("mlprep", "shuffle"))
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order
+    randomization every pretraining run needs, as a rank every engine
+    reproduces: order by ``md5(doc_id)`` (seedable by salting the hash
+    input) and emit each doc's position.
+
+    The scale choice is the same as corpus_pack_sequences: a global
+    ``ROW_NUMBER() OVER (ORDER BY md5)`` funnels the corpus through one
+    task, so the rank runs two-phase — md5 keys are uniform, so the
+    first two hex chars give 256 equal-width range buckets whose
+    (bucket, key) order IS the key order; rank within bucket in
+    parallel, add broadcast bucket offsets (256-row prefix sum). At
+    100 TB this is one shuffle on a uniform key plus a broadcast —
+    no skew by construction, since the bucketing key is the hash
+    itself."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("skey"))
+    t = t.withColumn("_b", F.substring("skey", 1, 2))
+    w_in = Window.partitionBy("_b").orderBy("skey")
+    t = t.withColumn("_rank_in", F.row_number().over(w_in))
+    bcnt = t.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_b = (Window.orderBy("_b")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff = bcnt.withColumn("_off", F.coalesce(F.sum("_n").over(w_b), F.lit(0)))
+    return (t.join(F.broadcast(boff.select("_b", "_off")), "_b")
+            .select("doc_id", "skey",
+                    (F.col("_off") + F.col("_rank_in") - 1)
+                    .cast("long").alias("shuffle_pos")))
