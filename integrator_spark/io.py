@@ -94,10 +94,28 @@ def register_views(spark: SparkSession, sf_dir: str,
     Mirrors the reference's SPARQL-endpoint surface (SURVEY.md §1.2):
     after registration, the full analytical surface is available via
     ``spark.sql`` over these names.
-    """
-    dfs = load_all(spark, sf_dir, tables)
-    for name, df in dfs.items():
-        df.createOrReplaceTempView(name)
+
+    Memoized per (session, table, sf_dir): every SQL-text query calls
+    this, and re-doing load_table + createOrReplaceTempView is a
+    handful of py4j round trips per table per query build (~100 ms for
+    a 6-table query) for an identical catalog state. A table is
+    re-registered only when a different sf_dir asks for it. All
+    fixture-named views in the engine go through here; query-private
+    views use '_'-prefixed names and are unaffected."""
+    try:
+        cache = spark._integrator_view_dirs
+    except AttributeError:
+        cache = {}
+        try:
+            spark._integrator_view_dirs = cache
+        except Exception:
+            pass
+    dfs = {}
+    for name in (tables or TABLES):
+        if cache.get(name) != sf_dir:
+            dfs[name] = load_table(spark, sf_dir, name)
+            dfs[name].createOrReplaceTempView(name)
+            cache[name] = sf_dir
     return dfs
 
 

@@ -132,27 +132,27 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization). Revenue is a decimal-exact sum, so the top-10
     cut is bit-deterministic vs the oracle.
     """
-    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.to_timestamp(F.lit(Q3_DATE)))
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.to_timestamp(F.lit(Q3_DATE)))
-    msum = _msum(sf_dir)
-    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(msum(revenue).alias("revenue"))
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
-        )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
-    )
+    # SQL-text form for the same reason as q1: identical plan, ~55%
+    # less fresh-plan build time than the py4j Column chain (measured
+    # 1.8 s -> 0.8 s at sf0.1; see BENCH_NOTES_r04.md).
+    from ..io import register_views
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    s = _sql_msum(sf_dir)
+    return spark.sql(f"""
+        SELECT l_orderkey,
+               {s('l_extendedprice * (1 - l_discount)')} AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+          AND l_shipdate  > TIMESTAMP '{Q3_DATE} 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """)
 
 
 Q5_LO, Q5_HI = "1996-01-01", "1997-01-01"
@@ -183,28 +183,30 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 10 MB threshold); the only real shuffles are customer⋈orders
     and orders⋈lineitem. The region filter prunes before the joins.
     """
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.to_timestamp(F.lit(Q5_LO)))
-        & (F.col("o_orderdate") < F.to_timestamp(F.lit(Q5_HI))))
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    msum = _msum(sf_dir)
-    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp),
-              (F.col("l_suppkey") == F.col("s_suppkey"))
-              & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(msum(revenue).alias("revenue"))
-        .orderBy(F.col("revenue").desc())
-    )
+    # SQL-text form (same plan incl. the broadcast hints, ~35% less
+    # fresh-plan build time — see q1/q3 and BENCH_NOTES_r04.md).
+    from ..io import register_views
+    register_views(spark, sf_dir,
+                   ["customer", "orders", "lineitem", "supplier",
+                    "nation", "region"])
+    s = _sql_msum(sf_dir)
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(supplier), BROADCAST(nation),
+                   BROADCAST(region) */
+               n_name,
+               {s('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '{Q5_LO} 00:00:00'
+          AND o_orderdate <  TIMESTAMP '{Q5_HI} 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC
+        """)
 
 
 Q4_LO, Q4_HI = "1996-01-01", "1996-04-01"
