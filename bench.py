@@ -58,26 +58,63 @@ def main() -> None:
     # Warm the JVM/session on a small query before measuring anything.
     queries["q1_pricing_summary"](spark, sf_dir).collect()
 
+    # Paired naive twins (scripts/baseline_naive.py) measured in the
+    # SAME session, interleaved with the engine runs: the engine/naive
+    # ratio is then protocol-proof — ambient host noise and session
+    # warm state hit both columns identically. (The r2→r3 driver-bench
+    # "drift" was exactly this cross-session artifact; see
+    # BENCH_NOTES_r04.md.)
+    naive = {}
+    try:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "baseline_naive",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "baseline_naive.py"))
+        bn = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bn)
+        bn.spark = spark
+        naive = bn.QUERIES
+    except Exception:
+        pass  # bench still reports engine numbers alone
+
     per_query: dict[str, float] = {}
+    per_naive: dict[str, float] = {}
     runs = 1 if os.environ.get("SPARK_GRAFT_BENCH_ALL") else RUNS
-    for name in names:
-        fn = queries[name]
-        fn(spark, sf_dir).collect()  # per-query warm-up (JIT + IO cache)
+
+    def measure(fn, n_runs: int, warm: bool = True) -> float:
+        if warm:
+            fn().collect()  # warm-up (JIT + IO cache)
         times = []
-        for _ in range(runs):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()  # fresh build: no shuffle reuse
+            fn().collect()  # fresh build: no shuffle reuse
             times.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(times), 4)
+        return round(statistics.median(times), 4)
+
+    for name in names:
+        per_query[name] = measure(lambda: queries[name](spark, sf_dir), runs)
+        if name in naive:
+            # single unwarmed run: an auxiliary reference column, and
+            # the naive kNN crossJoin alone costs ~77 s at sf0.1 —
+            # median-of-5 on it would dominate the whole bench.
+            per_naive[name] = measure(lambda: naive[name](sf_dir),
+                                      1, warm=False)
 
     spark.stop()
-    print(json.dumps({
+    out = {
         "metric": "headline_total_sec",
         "value": round(sum(per_query.values()), 4),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-    }))
+    }
+    if per_naive:
+        out["naive_same_session"] = per_naive
+        out["naive_total_sec"] = round(sum(per_naive.values()), 4)
+        out["paired_ratio"] = round(
+            sum(per_query[n] for n in per_naive) / max(sum(per_naive.values()), 1e-9), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
