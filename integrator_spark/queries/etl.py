@@ -483,3 +483,35 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("_rn") == 1) & (F.col("op") != "delete"))
             .select("key", F.round("val", 4).alias("val"))
             .orderBy("key"))
+
+
+@register("etl_table_checksum", oracle="""
+SELECT source,
+       COUNT(*) AS n_rows,
+       CAST(bit_xor(CAST(CONCAT('0x',
+              substr(md5(CONCAT_WS('|', doc_id, text, lang, source,
+                                   n_chars)), 1, 15)) AS BIGINT))
+            AS BIGINT) AS checksum
+FROM documents
+GROUP BY source
+""", tags=("etl", "integrity"))
+def etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table checksum — the replication/migration
+    validation primitive: per-shard (source) row count + an
+    order-independent digest, comparable across engines, clusters and
+    copies without moving any data.
+
+    Digest = bit_xor of a 60-bit md5 prefix of each row's canonical
+    '|'-joined rendering: XOR is commutative/associative (partial
+    aggregation order never matters) and never overflows, so the
+    digest is exact at any scale; the shuffle carries |shards| rows of
+    (count, 8-byte checksum) regardless of table size. Two sides of a
+    replication disagree => checksums differ with probability
+    1 - 2^-60 per shard. Exact-typed columns only (ints/strings here)
+    — float columns must be rounded to a canonical rendering first."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr("bit_xor(CAST(conv(substring(md5(concat_ws('|', "
+                        "doc_id, text, lang, source, n_chars)), 1, 15), "
+                        "16, 10) AS BIGINT))").alias("checksum")))

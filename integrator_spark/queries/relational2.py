@@ -549,3 +549,62 @@ def stats_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(p0, 6).alias("rate0"),
                        F.round(p1, 6).alias("rate1"),
                        F.round(z, 6).alias("z_stat"))
+
+
+CORR_ORACLE = f"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         {sql_dsum('l_quantity')} AS sq,
+         {sql_dsum('l_extendedprice')} AS sp,
+         {sql_dsum('l_discount')} AS sd,
+         {sql_dsum('l_quantity * l_quantity')} AS sqq,
+         {sql_dsum('l_extendedprice * l_extendedprice')} AS spp,
+         {sql_dsum('l_discount * l_discount')} AS sdd,
+         {sql_dsum('l_quantity * l_extendedprice')} AS sqp,
+         {sql_dsum('l_quantity * l_discount')} AS sqd,
+         {sql_dsum('l_extendedprice * l_discount')} AS spd
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND((n*sqp - sq*sp) / SQRT((n*sqq - sq*sq) * (n*spp - sp*sp)), 6)
+    AS corr_qty_price,
+  ROUND((n*sqd - sq*sd) / SQRT((n*sqq - sq*sq) * (n*sdd - sd*sd)), 6)
+    AS corr_qty_disc,
+  ROUND((n*spd - sp*sd) / SQRT((n*spp - sp*sp) * (n*sdd - sd*sd)), 6)
+    AS corr_price_disc
+FROM s
+"""
+
+
+@register("stats_correlation", oracle=CORR_ORACLE, tags=("stats", "profile"))
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures,
+    computed from EXACT decimal sufficient statistics rather than the
+    built-in ``corr`` — a float ``corr`` accumulates in partial-agg
+    order and differs in the last bits across engines/partitionings;
+    the closed form over bit-identical exact sums is deterministic
+    everywhere, the same trick as stats_ab_test.
+
+    Scale posture: one map-side-combined pass producing 10 scalars
+    (n + 9 sums); the correlation arithmetic runs on a 1-row frame.
+    Sum capacity: per-row products ≤1e10 on this schema, DECIMAL(28,6)
+    accumulators hold ~1e22 — a 1e12-row table stays exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("sq"), dsum(p).alias("sp"), dsum(d).alias("sd"),
+        dsum(q * q).alias("sqq"), dsum(p * p).alias("spp"),
+        dsum(d * d).alias("sdd"), dsum(q * p).alias("sqp"),
+        dsum(q * d).alias("sqd"), dsum(p * d).alias("spd"))
+    n = F.col("n")
+    def corr(sxy, sx, sy, sxx, syy):
+        return F.round(
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / F.sqrt((n * F.col(sxx) - F.col(sx) * F.col(sx))
+                     * (n * F.col(syy) - F.col(sy) * F.col(sy))), 6)
+    return s.select(
+        n.cast("long").alias("n"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"))

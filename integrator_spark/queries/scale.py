@@ -486,3 +486,42 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.first("_actual").alias("actual_join_rows"),
                  F.round(F.abs(F.sum("contrib") * 100.0 - F.first("_actual"))
                          / F.first("_actual"), 4).alias("rel_error")))
+
+
+@register("diag_join_skew", oracle="""
+WITH per_key AS (
+  SELECT o_custkey AS key, COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_per_key,
+       ROUND(median(CAST(n AS DOUBLE)), 4) AS p50_per_key,
+       ROUND(quantile_cont(CAST(n AS DOUBLE), 0.99), 4) AS p99_per_key,
+       ROUND(MAX(n) / median(CAST(n AS DOUBLE)), 4) AS skew_ratio,
+       CAST(SUM(n * n) AS BIGINT) AS selfjoin_rows
+FROM per_key
+""", tags=("scale", "diagnostic"))
+def diag_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the pre-flight check before any big
+    join at 100 TB: per-key cardinality distribution (max / p50 / p99,
+    max:median skew ratio) plus the exact row count a self-equi-join on
+    this key would produce (Σ n² — the quantity that explodes under
+    skew). Feeds the routing decision between the plain, salted
+    (join_salted) and AQE-skew paths.
+
+    Scale posture: one partial-aggregated groupBy on the key, then a
+    handful of scalar aggregates over |keys| rows — the diagnosis
+    never touches more than the key-count distribution, so it costs a
+    fraction of the join it protects."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = (o.groupBy(F.col("o_custkey").alias("key"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    return (per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_per_key"),
+        F.round(F.median(F.col("n").cast("double")), 4).alias("p50_per_key"),
+        F.round(F.percentile(F.col("n").cast("double"), 0.99), 4)
+         .alias("p99_per_key"),
+        F.round(F.max("n") / F.median(F.col("n").cast("double")), 4)
+         .alias("skew_ratio"),
+        F.sum(F.col("n") * F.col("n")).alias("selfjoin_rows")))
