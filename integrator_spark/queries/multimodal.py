@@ -439,3 +439,63 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wavs.mapInPandas(
         decode, "doc_id long, n_samples long, peak long, sum_abs long, "
                 "rms double")
+
+
+@register("multimodal_image_decode", oracle="""
+SELECT doc_id,
+       CAST((n_chars % 64) + 8 AS BIGINT) AS width,
+       CAST((doc_id % 32) + 8 AS BIGINT) AS height,
+       CAST(((n_chars % 64) + 8) * ((doc_id % 32) + 8) AS BIGINT)
+         AS n_pixels,
+       CAST((doc_id % 251) * 3 * ((n_chars % 64) + 8) * ((doc_id % 32) + 8)
+            AS BIGINT) AS sum_subpixels,
+       ROUND(CAST(doc_id % 251 AS DOUBLE), 4) AS mean_subpixel
+FROM documents
+""", tags=("multimodal", "image"))
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode — the step beyond multimodal_image_meta's
+    header parse: synthesize a 24bpp BMP per document with a
+    doc-derived fill byte, then decode the pixel array with numpy —
+    including the part codec-free decoding actually gets wrong in the
+    wild, stripping each row's 4-byte alignment padding — and emit
+    pixel statistics. The oracle recomputes the exact sums in closed
+    form from the source columns, so a padding byte leaking into the
+    statistics fails the hash.
+
+    Scale posture: identical to the audio decode — payloads stay in
+    Arrow batches, the kernel is one frombuffer + reshape + slice +
+    sum per image, and swapping synth for a real binaryFile scan of
+    image shards changes nothing downstream (PNG/JPEG decode plugs in
+    behind the documented library gate)."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].astype("int64")
+            ws = (pdf["n_chars"].astype("int64") % 64) + 8
+            hs = (doc_ids % 32) + 8
+            payloads = [make_bmp(int(w), int(h), fill=int(i) % 251)
+                        for w, h, i in zip(ws, hs, doc_ids)]
+            yield pd.DataFrame({"doc_id": doc_ids, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = struct.unpack("<ii", payload[18:26])
+                h = abs(h)
+                rowsize = (3 * w + 3) // 4 * 4
+                arr = (np.frombuffer(payload[54:], dtype=np.uint8)
+                       .reshape(h, rowsize)[:, :3 * w])   # strip pad bytes
+                total = int(arr.astype(np.int64).sum())
+                rows.append((int(doc_id), w, h, w * h, total,
+                             round(total / (3 * w * h), 4)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_pixels",
+                "sum_subpixels", "mean_subpixel"])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bmps = d.mapInPandas(synth, "doc_id long, payload binary")
+    return bmps.mapInPandas(
+        decode, "doc_id long, width long, height long, n_pixels long, "
+                "sum_subpixels long, mean_subpixel double")
