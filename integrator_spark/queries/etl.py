@@ -515,3 +515,47 @@ def etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("bit_xor(CAST(conv(substring(md5(concat_ws('|', "
                         "doc_id, text, lang, source, n_chars)), 1, 15), "
                         "16, 10) AS BIGINT))").alias("checksum")))
+
+
+MATVIEW_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+FROM orders
+"""
+
+
+@register("etl_matview_refresh", oracle=MATVIEW_ORACLE + "GROUP BY o_orderpriority",
+          tags=("etl", "incremental"))
+def etl_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance via partial-aggregate
+    algebra — at 100 TB you refresh a rollup from the day's delta, you
+    do not rescan history. The base materialization (orders with
+    o_orderkey % 10 != 0) and the delta batch (the remaining 10%) are
+    each aggregated to mergeable partials (count, exact decimal sum,
+    max), then MERGED group-wise: counts and decimal sums add, max
+    takes greatest. The oracle is the full recompute over ALL of
+    orders, so the test proves merge(base_agg, delta_agg) ==
+    full_agg exactly — the algebraic property that makes map-side
+    combine, AQE stage retries, and this refresh pattern all correct.
+
+    Scale posture: the refresh cost is |delta| + |groups|, independent
+    of the base table size; partials stay mergeable because the sum is
+    the exact decimal accumulator (a float sum would drift between the
+    merged and recomputed paths)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (df.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.sum(F.col("o_totalprice").cast(DEC)).alias("_dec_sum"),
+                     F.max("o_orderkey").alias("max_orderkey")))
+
+    base = partial(o.filter(F.col("o_orderkey") % 10 != 0))   # materialized
+    delta = partial(o.filter(F.col("o_orderkey") % 10 == 0))  # new batch
+    return (base.unionByName(delta)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("n_orders").alias("n_orders"),
+                 F.sum("_dec_sum").cast("double").alias("total_price"),
+                 F.max("max_orderkey").alias("max_orderkey")))
