@@ -81,6 +81,19 @@ def main() -> None:
                    .filter(F.col("nd") >= 2).count())
         timings["substring_spans"] = time.perf_counter() - t0
 
+        # two-sided cosine pair scan, forced above the broadcast budget
+        # (the round-4 replacement for the driver-collect scale-killer).
+        # 64k-cell budget -> 2 blocks at k=1 up to 8 at k=4: realistic
+        # block counts, not the degenerate hundreds a tiny budget gives.
+        # NOTE: output pair count itself grows ~k² under duplicate
+        # inflation (every copy pairs with every copy), so wall time is
+        # expected to track OUTPUT here, not stay flat.
+        t0 = time.perf_counter()
+        from integrator_spark.operators.knn import cosine_pairs_exact
+        n_cp = cosine_pairs_exact(e, threshold=0.45,
+                                  max_broadcast_cells=64_000).count()
+        timings["cosine_pairs_twosided"] = time.perf_counter() - t0
+
         # pagerank over the k-inflated similarity graph (log-round joins)
         t0 = time.perf_counter()
         from integrator_spark.operators.dedup import ngram_jaccard_pairs
@@ -93,17 +106,17 @@ def main() -> None:
         rows.append((k, k * n_docs, k * n_emb, timings,
                      dict(exact_groups=n_exact, mh_pairs=n_mh,
                           sh_pairs=n_sh, knn=n_knn, spans=n_spans,
-                          pr_nodes=n_pr)))
+                          cp_pairs=n_cp, pr_nodes=n_pr)))
 
     print("| k | docs | vectors | dedup_exact s | minhash s | simhash s "
-          "| knn s | spans s | pagerank s |")
+          "| knn s | spans s | cospairs2s s | pagerank s |")
     print("| - | ---- | ------- | ------------- | --------- | --------- "
-          "| ----- | ------- | ---------- |")
+          "| ----- | ------- | ------------ | ---------- |")
     for k, nd, ne, t, out in rows:
         print(f"| {k} | {nd} | {ne} | {t['dedup_exact']:.1f} | "
               f"{t['dedup_minhash']:.1f} | {t['dedup_simhash']:.1f} | "
               f"{t['vec_knn_blocked']:.1f} | {t['substring_spans']:.1f} | "
-              f"{t['pagerank5']:.1f} |")
+              f"{t['cosine_pairs_twosided']:.1f} | {t['pagerank5']:.1f} |")
     print()
     for k, nd, ne, t, out in rows:
         print(f"k={k}: outputs {out}")
