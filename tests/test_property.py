@@ -103,3 +103,63 @@ def test_grid_long_sum_equals_decimal_sum(values, spark):
                  dsum(F.col("a") * (1 - F.lit(0.07))).alias("dp")).collect()[0]
     assert got.ga == got.da
     assert got.gp == got.dp
+
+
+def test_corpus_shuffle_is_a_permutation(spark):
+    # The two-phase rank must be a bijection onto 0..n-1 (no gaps, no
+    # collisions across bucket boundaries) and must equal the sorted
+    # order of the md5 keys themselves.
+    from integrator_spark.queries.ml_prep import corpus_shuffle
+
+    rows = corpus_shuffle(spark, "/root/testdata/sf0.001").collect()
+    pos = sorted(r.shuffle_pos for r in rows)
+    assert pos == list(range(len(rows)))
+    by_key = [r.shuffle_pos for r in sorted(rows, key=lambda r: r.skey)]
+    assert by_key == list(range(len(rows)))
+
+
+def test_table_checksum_detects_single_row_change(spark):
+    # Flipping ONE row's content must change that shard's checksum and
+    # leave every other shard's untouched.
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    digest = F.expr("bit_xor(CAST(conv(substring(md5(concat_ws('|', "
+                    "doc_id, text, lang, source, n_chars)), 1, 15), "
+                    "16, 10) AS BIGINT))")
+    base = {r.source: r.c for r in
+            d.groupBy("source").agg(digest.alias("c")).collect()}
+    target = d.orderBy("doc_id").first()
+    mutated = d.withColumn(
+        "text", F.when(F.col("doc_id") == target.doc_id,
+                       F.concat(F.col("text"), F.lit("x")))
+                 .otherwise(F.col("text")))
+    after = {r.source: r.c for r in
+             mutated.groupBy("source").agg(digest.alias("c")).collect()}
+    assert after[target.source] != base[target.source]
+    for src, c in base.items():
+        if src != target.source:
+            assert after[src] == c
+
+
+def test_cosine_pairs_twosided_invariant_to_block_count(spark):
+    # The pair set must be identical for any n_blocks — block layout is
+    # purely physical.
+    from integrator_spark.operators.knn import (
+        cosine_pairs_blocked,
+        cosine_pairs_twosided,
+    )
+
+    data = [(i, [float((i * 5 + j * 11) % 13) / 13.0 + 0.05
+                 for j in range(6)]) for i in range(24)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    want = {(r.id_a, r.id_b) for r in
+            cosine_pairs_blocked(emb, threshold=0.85).collect()}
+    assert want
+    for nb in (2, 3, 5):
+        got = {(r.id_a, r.id_b) for r in
+               cosine_pairs_twosided(emb, threshold=0.85,
+                                     n_blocks=nb).collect()}
+        assert got == want, nb
