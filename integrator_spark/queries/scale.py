@@ -525,3 +525,57 @@ def diag_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("n") / F.median(F.col("n").cast("double")), 4)
          .alias("skew_ratio"),
         F.sum(F.col("n") * F.col("n")).alias("selfjoin_rows")))
+
+
+@register("maint_snapshot_diff", oracle="""
+SELECT 'added' AS change, COUNT(*) AS n_rows
+FROM customer WHERE c_custkey % 13 = 0
+UNION ALL
+SELECT 'removed', COUNT(*) FROM customer WHERE c_custkey % 11 = 0
+UNION ALL
+SELECT 'changed', COUNT(*)
+FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 != 0
+UNION ALL
+SELECT 'unchanged', COUNT(*)
+FROM customer
+WHERE c_custkey % 7 != 0 AND c_custkey % 11 != 0
+""", tags=("maintenance", "timetravel"))
+def maint_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version row-level DIFF over the snapshot store — the
+    change-audit primitive behind every lakehouse 'what changed between
+    v1 and v2' question (CDC backfill validation, incremental consumer
+    catch-up). v2 applies deletes (%11), updates (%7) and inserts
+    (%13) to v1; the diff is ONE full outer join on the key
+    classifying each row as added / removed / changed / unchanged, and
+    the oracle recomputes the class populations in closed form from
+    the source predicates.
+
+    Scale posture: the diff is a single key-partitioned join between
+    two snapshot scans — no driver-side manifest walk of row data; at
+    100 TB the same plan runs partition-parallel, and a key-bucketed
+    snapshot layout would make it a zero-shuffle zipper join."""
+    from ..operators.maintenance import read_snapshot, write_snapshot
+
+    c = load_table(spark, sf_dir, "customer")
+    root = derived_dir(sf_dir, "diff_customer")
+    base = c.select("c_custkey", "c_acctbal")
+    write_snapshot(base, root, 1)
+    v2 = (base.filter(F.col("c_custkey") % 11 != 0)          # deletes
+          .withColumn("c_acctbal",
+                      F.when(F.col("c_custkey") % 7 == 0,    # updates
+                             F.col("c_acctbal") + 1.0)
+                       .otherwise(F.col("c_acctbal")))
+          .unionByName(                                      # inserts
+              c.filter(F.col("c_custkey") % 13 == 0)
+              .select((F.col("c_custkey") + 10000000).alias("c_custkey"),
+                      "c_acctbal")))
+    write_snapshot(v2, root, 2)
+    a = read_snapshot(spark, root, 1).withColumnRenamed("c_acctbal", "_v1")
+    b = read_snapshot(spark, root, 2).withColumnRenamed("c_acctbal", "_v2")
+    change = (F.when(F.col("_v1").isNull(), "added")
+              .when(F.col("_v2").isNull(), "removed")
+              .when(F.col("_v1") != F.col("_v2"), "changed")
+              .otherwise("unchanged"))
+    return (a.join(b, "c_custkey", "full_outer")
+            .groupBy(change.alias("change"))
+            .agg(F.count(F.lit(1)).alias("n_rows")))
