@@ -476,3 +476,41 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.array_sort(F.collect_list(
                              F.struct("chunk_id", "chunk"))),
                          lambda s: s.chunk), " ").alias("clean_text")))
+
+
+@register("dedup_candidate_recall", oracle=None,
+          tags=("dedup", "neardup", "quality"))
+def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of each approximate near-dup candidate generator
+    against the exact 3-gram Jaccard >= 0.8 pair set — the dedup analog
+    of vec_ann_recall: before MinHash-LSH or SimHash replaces the exact
+    shingle join at 100 TB, this is the number that says what fraction
+    of true near-duplicates the banded candidates still reach.
+
+    Rows-only by design (the candidate sets depend on engine hash
+    internals); tests assert recall == 1.0 for MinHash at these dials
+    and report SimHash alongside. All three pair sets are bucketed
+    candidate joins — computing the report costs no all-pairs work."""
+    from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = (ngram_jaccard_pairs(d, k=3, threshold=0.8)
+             .select("d1", "d2"))
+    methods = {
+        "minhash_lsh": minhash_lsh_pairs(d, k=3, jaccard_dist=0.5)
+                       .select("d1", "d2"),
+        "simhash": simhash_pairs(d, max_hamming=6).select("d1", "d2"),
+    }
+    reports = []
+    for name, cand in methods.items():
+        hit = truth.join(cand, ["d1", "d2"], "left_semi")
+        reports.append(
+            truth.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
+                hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(F.lit(name).alias("method"), "n_true", "n_hit",
+                    F.round(F.col("n_hit") / F.col("n_true"), 4)
+                     .alias("recall")))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")

@@ -753,3 +753,15 @@ def test_bloom_build_is_partitioning_invariant(spark):
     bits1, m1, k1 = build_bloom(keys.coalesce(1), "h", 200)
     bits8, m8, k8 = build_bloom(keys.repartition(8), "h", 200)
     assert (bits1, m1, k1) == (bits8, m8, k8)
+
+
+def test_dedup_candidate_recall_minhash_full(spark):
+    # At the registered dials, MinHash-LSH candidates must reach EVERY
+    # exact Jaccard>=0.8 pair (recall 1.0); SimHash is reported
+    # alongside and must stay above 0.8 on the fixture corpus.
+    from integrator_spark.registry import get_queries
+    rows = {r.method: r for r in
+            get_queries()["dedup_candidate_recall"](
+                spark, "/root/testdata/sf0.001").collect()}
+    assert rows["minhash_lsh"].recall == 1.0, rows
+    assert rows["simhash"].recall >= 0.8, rows
