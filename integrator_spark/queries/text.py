@@ -653,3 +653,51 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("long").alias("docs_email_redacted"),
         F.sum(F.length("clean") - F.length("text")).cast("long")
          .alias("length_delta"))
+
+
+@register("corpus_quality_filter", oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+         + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                        w -> list_contains({_STOP_DUCK}, w)))
+                        * 1.0 / len(string_split(text, ' ')))
+         + 0.3 * least((length(text) * 1.0
+                        / len(string_split(text, ' '))) / 8.0, 1.0)
+           AS quality
+  FROM documents
+), thr AS (
+  SELECT quantile_cont(quality, 0.75) AS t FROM q
+)
+SELECT doc_id, lang, ROUND(quality, 6) AS quality
+FROM q, thr
+WHERE quality >= t
+""", tags=("text", "quality", "mlprep"))
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold corpus selection — 'keep the top quality
+    quartile', the standard filter stage between scoring and training:
+    score every document (text_quality's formula), reduce the corpus to
+    ONE threshold scalar (exact p75), broadcast it back, filter.
+
+    Determinism: both engines interpolate the same percentile
+    definition over identical doubles, so the threshold and therefore
+    the selected set match exactly. Scale posture: pass 1 is a
+    map-side-combined percentile reduce to one row; pass 2 is a
+    broadcast-join filter the scan absorbs — no sort, no shuffle of
+    documents. At 100 TB swap the exact percentile for
+    approx_percentile(1e-4) and re-validate the cut size; the plan
+    shape is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    n_ch = F.length("text")
+    quality = (F.lit(0.4) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+               + F.lit(0.3) * (F.lit(1.0) - n_stop * F.lit(1.0) / n_tokens)
+               + F.lit(0.3) * F.least((n_ch * F.lit(1.0) / n_tokens) / F.lit(8.0),
+                                      F.lit(1.0)))
+    scored = d.select("doc_id", "lang", quality.alias("quality"))
+    thr = scored.agg(F.percentile("quality", 0.75).alias("t"))
+    return (scored.join(F.broadcast(thr))
+            .filter(F.col("quality") >= F.col("t"))
+            .select("doc_id", "lang", F.round("quality", 6).alias("quality")))
