@@ -58,11 +58,23 @@ def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table with schema fix-ups applied."""
+    """Load one fixture table with schema fix-ups applied.
+
+    Contract: every timestamp column leaves the loader as session-TZ
+    TIMESTAMP, never TIMESTAMP_NTZ and never a raw long — the r3
+    fixture regeneration proved the physical types change between
+    rounds, and TIMESTAMP-only functions (unix_micros, to_utc_timestamp)
+    reject NTZ at analysis time. Under the UTC session timezone the
+    NTZ→TIMESTAMP cast is a pure reinterpretation, so DuckDB (which
+    reads the same files as naive TIMESTAMP) still agrees bit-for-bit.
+    """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events_ts(df)
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -45,6 +45,8 @@ CROSS_JOIN_ALLOWED = {
     "stats_chi2",          # 1-row grand-total frame broadcast to cells
     "stats_histogram",     # 1-row min/max bounds frame broadcast to fact
     "join_size_estimate",  # 1-row actual-size frame joined to summary
+    "corpus_quality_filter",   # 1-row p75-threshold frame broadcast to scan
+    "dedup_candidate_recall",  # two 1-row count frames crossJoined per method
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface
