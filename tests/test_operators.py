@@ -66,6 +66,77 @@ def test_simhash_identical_texts_collide(spark):
     assert [(r.d1, r.d2, r.hamming) for r in out] == [(1, 2, 0)]
 
 
+def test_simhash_batch_kernel_matches_scalar_reference():
+    """The vectorized Arrow-batch SimHash kernel must be bit-identical
+    to the scalar md5 reference on both internal paths (dense
+    bincount+matmul for small vocab, gather+reduceat for large),
+    including empty docs, repeated tokens, and multi-space runs."""
+    import pandas as pd
+
+    from integrator_spark.operators.dedup import _simhash64, _simhash_batch
+
+    small_vocab = pd.Series([
+        "", " ", "  a  b ", "single",
+        "spark join merge table", "spark join merge table",
+        " ".join(["same"] * 5000),
+        "a b c d e " * 40,
+    ])
+    got = _simhash_batch(small_vocab)
+    assert list(got.values) == [_simhash64(t) for t in small_vocab]
+    assert str(got.dtype) == "int64"
+    # Force the gather+reduceat path: n_docs * n_vocab must exceed the
+    # dense-path budget (1<<23 cells) while the vocab itself stays small
+    # enough that the md5 loop is cheap (3000 docs x 3000 shared tokens).
+    shared = [f"tok{i}" for i in range(3000)]
+    big_vocab = pd.Series(
+        [" ".join(shared[(i * 7 + j) % 3000] for j in range(40))
+         for i in range(3000)])
+    sample_idx = [0, 1500, 2999]
+    got_big = _simhash_batch(big_vocab)
+    assert [got_big.iloc[i] for i in sample_idx] == \
+        [_simhash64(big_vocab.iloc[i]) for i in sample_idx]
+
+
+def test_route_exact_plan_boundary():
+    """The broadcast/twosided routing decision at the documented budget:
+    exactly at MAX_BROADCAST_CELLS stays broadcast, one cell over goes
+    two-sided with a block count sized to fit the budget."""
+    from integrator_spark.operators.knn import (
+        MAX_BROADCAST_CELLS,
+        route_exact_plan,
+    )
+
+    assert route_exact_plan(1_000_000, 64) == ("broadcast", 1)
+    assert route_exact_plan(MAX_BROADCAST_CELLS, 1) == ("broadcast", 1)
+    plan, nb = route_exact_plan(MAX_BROADCAST_CELLS + 1, 1)
+    assert (plan, nb) == ("twosided", 2)
+    plan, nb = route_exact_plan(1_100_000, 64)  # 70.4M cells > 64M
+    assert plan == "twosided" and nb == 2
+    plan, nb = route_exact_plan(10_000_000, 64)  # 640M cells
+    assert plan == "twosided" and nb == 10
+
+
+def test_knn_exact_routes_to_twosided_plan(spark):
+    """Above the cell budget knn_exact must select the cogrouped
+    two-sided physical plan (FlatMapCoGroupsInPandas), and below it the
+    broadcast mapInPandas plan — asserted on the actual Spark plan."""
+    from integrator_spark.operators.knn import knn_exact
+
+    data = [(i, [float((i * 7 + j * 13) % 11) / 11.0 + 0.1 for j in range(8)])
+            for i in range(20)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    small_budget = knn_exact(emb, k=1, max_broadcast_cells=40)  # 160 cells > 40
+    assert "FlatMapCoGroupsInPandas" in small_budget._jdf.queryExecution() \
+        .executedPlan().toString()
+    big_budget = knn_exact(emb, k=1, max_broadcast_cells=10_000)
+    assert "MapInPandas" in big_budget._jdf.queryExecution() \
+        .executedPlan().toString()
+    # and the routed plans agree with brute force
+    brute = {r.vec_id: r.neighbor_id for r in knn_bruteforce(emb, k=1).collect()}
+    assert {r.vec_id: r.neighbor_id for r in small_budget.collect()} == brute
+    assert {r.vec_id: r.neighbor_id for r in big_budget.collect()} == brute
+
+
 def test_knn_blocked_equals_bruteforce(spark):
     data = [(i, [float((i * 7 + j * 13) % 11) / 11.0 + 0.1 for j in range(8)])
             for i in range(12)]
