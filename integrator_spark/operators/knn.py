@@ -107,9 +107,28 @@ def knn_bruteforce(emb: DataFrame, id_col: str = "vec_id",
 
 
 def _collect_matrix(emb: DataFrame, id_col: str, vec_col: str):
-    pdf = emb.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    """Materialize (ids, L2-normalized float64 matrix) for broadcast.
+
+    Arrow-batched: ``toArrow()`` streams executor-serialized Arrow
+    record batches to the driver (no row pickling, no pandas object
+    boxing), and the embedding matrix is built by reshaping the list
+    column's contiguous values buffer — one zero-copy view + one
+    vectorized astype instead of a per-row ``tolist()`` walk. The
+    driver still holds one matrix copy (inherent to sc.broadcast), but
+    the transfer and decode are columnar end-to-end, bounded by the
+    caller's MAX_BROADCAST_CELLS routing budget.
+    """
+    tbl = emb.select(id_col, vec_col).toArrow()
+    ids = tbl.column(id_col).to_numpy()
+    vecs = tbl.column(vec_col).combine_chunks()  # single ListArray
+    if len(vecs) == 0:
+        return ids, np.empty((0, 0), dtype=np.float64)
+    lengths = vecs.value_lengths().to_numpy()
+    dim = int(lengths[0])
+    if not (lengths == dim).all():
+        raise ValueError("ragged embedding column")
+    flat = vecs.flatten().to_numpy(zero_copy_only=False)
+    mat = flat.astype(np.float64).reshape(len(ids), dim)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     return ids, mat
 
@@ -157,6 +176,24 @@ def knn_blocked(emb: DataFrame, id_col: str = "vec_id",
 MAX_BROADCAST_CELLS = 64_000_000
 
 
+def route_exact_plan(n: int, dim: int,
+                     max_broadcast_cells: int = MAX_BROADCAST_CELLS
+                     ) -> tuple[str, int]:
+    """Pure physical-plan routing decision shared by ``knn_exact`` and
+    ``cosine_pairs_exact``: returns ``("broadcast", 1)`` when the
+    n×dim candidate matrix fits the broadcast budget, else
+    ``("twosided", n_blocks)`` with n_blocks sized so one block stays
+    under the budget. Unit-testable without a session; the scale tests
+    pin the boundary (== budget → broadcast, budget+1 cell → twosided).
+    """
+    import math
+
+    if n * dim <= max_broadcast_cells:
+        return ("broadcast", 1)
+    return ("twosided",
+            max(2, math.ceil(n * dim / max_broadcast_cells)))
+
+
 def knn_exact(emb: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", k: int = 1,
               max_broadcast_cells: int = MAX_BROADCAST_CELLS,
@@ -175,16 +212,14 @@ def knn_exact(emb: DataFrame, id_col: str = "vec_id",
     source parquet bytes / 4) without running any job; when omitted, a
     cheap count+dim aggregate provides the estimate.
     """
-    import math
-
     if est_cells is not None and est_cells <= max_broadcast_cells:
         return knn_blocked(emb, id_col, vec_col, k)
     stats = emb.agg(F.count(F.lit(1)).alias("n"),
                     F.first(F.size(F.col(vec_col))).alias("dim")).first()
     n, dim = int(stats["n"] or 0), int(stats["dim"] or 0)
-    if n * dim <= max_broadcast_cells:
+    plan, n_blocks = route_exact_plan(n, dim, max_broadcast_cells)
+    if plan == "broadcast":
         return knn_blocked(emb, id_col, vec_col, k)
-    n_blocks = max(2, math.ceil(n * dim / max_broadcast_cells))
     return knn_blocked_twosided(emb, id_col, vec_col, k, n_blocks=n_blocks)
 
 
@@ -287,16 +322,14 @@ def cosine_pairs_exact(emb: DataFrame, threshold: float,
     broadcast matmul (``cosine_pairs_blocked``); above it, the
     two-sided cogrouped block plan — never an unconditional full-matrix
     collect (the round-3 verdict's one scale-killer)."""
-    import math
-
     if est_cells is not None and est_cells <= max_broadcast_cells:
         return cosine_pairs_blocked(emb, threshold, id_col, vec_col)
     stats = emb.agg(F.count(F.lit(1)).alias("n"),
                     F.first(F.size(F.col(vec_col))).alias("dim")).first()
     n, dim = int(stats["n"] or 0), int(stats["dim"] or 0)
-    if n * dim <= max_broadcast_cells:
+    plan, n_blocks = route_exact_plan(n, dim, max_broadcast_cells)
+    if plan == "broadcast":
         return cosine_pairs_blocked(emb, threshold, id_col, vec_col)
-    n_blocks = max(2, math.ceil(n * dim / max_broadcast_cells))
     return cosine_pairs_twosided(emb, threshold, id_col, vec_col,
                                  n_blocks=n_blocks)
 
