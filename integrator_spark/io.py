@@ -113,7 +113,15 @@ def register_views(spark: SparkSession, sf_dir: str,
     a 6-table query) for an identical catalog state. A table is
     re-registered only when a different sf_dir asks for it. All
     fixture-named views in the engine go through here; query-private
-    views use '_'-prefixed names and are unaffected."""
+    views use '_'-prefixed names and are unaffected.
+
+    The memo is validated against the live catalog: a cache hit only
+    skips re-registration if the view still exists (anything may
+    dropTempView / replace a fixture name between calls — without the
+    check the cache silently desyncs and SQL-text queries bind to a
+    missing view). Single-threaded per session by design, like the
+    SparkSession catalog API itself: concurrent builders should derive
+    per-thread sessions via ``spark.newSession()``."""
     try:
         cache = spark._integrator_view_dirs
     except AttributeError:
@@ -124,7 +132,7 @@ def register_views(spark: SparkSession, sf_dir: str,
             pass
     dfs = {}
     for name in (tables or TABLES):
-        if cache.get(name) != sf_dir:
+        if cache.get(name) != sf_dir or not spark.catalog.tableExists(name):
             dfs[name] = load_table(spark, sf_dir, name)
             dfs[name].createOrReplaceTempView(name)
             cache[name] = sf_dir

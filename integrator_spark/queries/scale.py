@@ -576,6 +576,16 @@ def maint_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
               .when(F.col("_v2").isNull(), "removed")
               .when(F.col("_v1") != F.col("_v2"), "changed")
               .otherwise("unchanged"))
-    return (a.join(b, "c_custkey", "full_outer")
-            .groupBy(change.alias("change"))
-            .agg(F.count(F.lit(1)).alias("n_rows")))
+    observed = (a.join(b, "c_custkey", "full_outer")
+                .groupBy(change.alias("change"))
+                .agg(F.count(F.lit(1)).alias("n_rows")))
+    # Emit all 4 change classes even when a class is empty (the oracle's
+    # COUNT over an empty predicate is 0 rows-with-0, not absence) —
+    # left-join the observed counts onto the fixed class frame.
+    classes = spark.createDataFrame(
+        [("added",), ("removed",), ("changed",), ("unchanged",)],
+        "change string")
+    return (classes.join(observed, "change", "left")
+            .select("change",
+                    F.coalesce("n_rows", F.lit(0)).cast("long")
+                     .alias("n_rows")))

@@ -671,7 +671,7 @@ WITH q AS (
 )
 SELECT doc_id, lang, ROUND(quality, 6) AS quality
 FROM q, thr
-WHERE quality >= t
+WHERE ROUND(quality, 6) >= ROUND(t, 6)
 """, tags=("text", "quality", "mlprep"))
 def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-threshold corpus selection — 'keep the top quality
@@ -680,8 +680,11 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE threshold scalar (exact p75), broadcast it back, filter.
 
     Determinism: both engines interpolate the same percentile
-    definition over identical doubles, so the threshold and therefore
-    the selected set match exactly. Scale posture: pass 1 is a
+    definition over identical doubles, and the boundary comparison is
+    made on 6-decimal-ROUNDED quality and threshold on BOTH sides —
+    the interpolated p75 can differ between Spark and DuckDB in the
+    last ulp, which would otherwise flip boundary-row membership.
+    Scale posture: pass 1 is a
     map-side-combined percentile reduce to one row; pass 2 is a
     broadcast-join filter the scan absorbs — no sort, no shuffle of
     documents. At 100 TB swap the exact percentile for
@@ -699,5 +702,5 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select("doc_id", "lang", quality.alias("quality"))
     thr = scored.agg(F.percentile("quality", 0.75).alias("t"))
     return (scored.join(F.broadcast(thr))
-            .filter(F.col("quality") >= F.col("t"))
+            .filter(F.round("quality", 6) >= F.round("t", 6))
             .select("doc_id", "lang", F.round("quality", 6).alias("quality")))

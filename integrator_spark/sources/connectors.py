@@ -9,6 +9,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Error-text markers that genuinely mean "the driver/package jar is not
+#: on the classpath". Only these are translated into the documented
+#: NotImplementedError gate — anything else (Derby exclusive-lock
+#: contention, SQL/type errors, network failures) re-raises unchanged so
+#: real failures are never misdiagnosed as a missing jar.
+_MISSING_DRIVER_MARKERS = (
+    "ClassNotFoundException",
+    "NoClassDefFoundError",
+    "No suitable driver",
+    "Failed to find data source",
+    "DATA_SOURCE_NOT_FOUND",
+)
+
+
+def _is_missing_driver(exc: Exception) -> bool:
+    return any(m in str(exc) for m in _MISSING_DRIVER_MARKERS)
+
 
 def read_jdbc(spark: SparkSession, url: str, table: str,
               partition_column: str | None = None,
@@ -27,10 +44,12 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
         reader = reader.option(k, v)
     try:
         return reader.load()
-    except Exception as exc:  # driver jar absent in this container
-        raise NotImplementedError(
-            "JDBC driver jar not on the classpath in this environment; "
-            "add it via spark.jars and re-call") from exc
+    except Exception as exc:
+        if _is_missing_driver(exc):  # driver jar absent in this container
+            raise NotImplementedError(
+                "JDBC driver jar not on the classpath in this environment; "
+                "add it via spark.jars and re-call") from exc
+        raise
 
 
 #: Embedded-Derby JDBC driver — ships in Spark's own jars/ directory
@@ -66,9 +85,11 @@ def write_jdbc(df: DataFrame, url: str, table: str,
     try:
         w.mode(mode).save()
     except Exception as exc:
-        raise NotImplementedError(
-            "JDBC driver jar not on the classpath in this environment; "
-            "add it via spark.jars and re-call") from exc
+        if _is_missing_driver(exc):
+            raise NotImplementedError(
+                "JDBC driver jar not on the classpath in this environment; "
+                "add it via spark.jars and re-call") from exc
+        raise
 
 
 def read_kafka_stream(spark: SparkSession, bootstrap: str,
@@ -81,9 +102,12 @@ def read_kafka_stream(spark: SparkSession, bootstrap: str,
                 .option("subscribe", topic)
                 .load())
     except Exception as exc:
-        raise NotImplementedError(
-            "spark-sql-kafka package not on the classpath in this "
-            "environment; add org.apache.spark:spark-sql-kafka-0-10") from exc
+        if _is_missing_driver(exc):
+            raise NotImplementedError(
+                "spark-sql-kafka package not on the classpath in this "
+                "environment; add org.apache.spark:spark-sql-kafka-0-10"
+            ) from exc
+        raise
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
@@ -91,5 +115,7 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("delta").load(path)
     except Exception as exc:
-        raise NotImplementedError(
-            "delta-spark not installed in this environment") from exc
+        if _is_missing_driver(exc):
+            raise NotImplementedError(
+                "delta-spark not installed in this environment") from exc
+        raise

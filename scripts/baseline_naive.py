@@ -67,10 +67,13 @@ def q3(sf):
 
 
 def q5(sf):
+    # Same date window as the engine's q5_nation_revenue — imported so
+    # the paired engine/naive ratio compares identical work.
+    from integrator_spark.queries.tpch import Q5_HI, Q5_LO
     c, s, n, r = (_t(sf, t) for t in ("customer", "supplier", "nation", "region"))
     o = _t(sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")))
+        (F.col("o_orderdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_HI).cast("timestamp")))
     li = _t(sf, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (c.join(o, c.c_custkey == o.o_custkey)
