@@ -58,6 +58,22 @@ def _topk_idx(row: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
     return order[:kk]
 
 
+#: Per-task sims-buffer budget (cells): the q-chunk × |candidates|
+#: similarity matrix a blocked kernel materializes at once. 8M float64
+#: cells ≈ 64 MB per concurrent task — at 1M+ candidates an unchunked
+#: 10k-row Arrow batch would need an 80 GB sims buffer, so every matmul
+#: kernel iterates q in chunks of MAX_SIMS_CELLS // n_candidates rows.
+MAX_SIMS_CELLS = 8_000_000
+
+
+def _q_chunks(n_rows: int, n_cand: int):
+    """Yield (lo, hi) row slices sized so hi-lo × n_cand stays under the
+    sims budget (always at least one row per chunk)."""
+    step = max(1, MAX_SIMS_CELLS // max(1, n_cand))
+    for lo in range(0, n_rows, step):
+        yield lo, min(lo + step, n_rows)
+
+
 def _dot_expr(a, b):
     """Float64 dot product of two float-array columns (HOF, JVM-side)."""
     to_d = lambda x: x.cast("double")  # noqa: E731
@@ -146,23 +162,25 @@ def knn_blocked(emb: DataFrame, id_col: str = "vec_id",
         order = np.lexsort((cand_ids,))
         cand_ids, cand = cand_ids[order], cand[order]
         for pdf in batches:
-            q_ids = pdf[id_col].to_numpy()
-            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ cand.T                             # [batch, n_cand]
-            self_mask = q_ids[:, None] == cand_ids[None, :]
-            sims[self_mask] = -np.inf
+            all_ids = pdf[id_col].to_numpy()
+            all_q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            all_q /= np.linalg.norm(all_q, axis=1, keepdims=True)
             out_rows = []
-            for r in range(sims.shape[0]):
-                row = sims[r]
-                if k == 1:
-                    j = int(row.argmax())                 # first max = smallest id
-                    out_rows.append((int(q_ids[r]), int(cand_ids[j]),
-                                     round(float(row[j]), 6)))
-                else:
-                    out_rows.extend((int(q_ids[r]), int(cand_ids[j]),
-                                     round(float(row[j]), 6))
-                                    for j in _topk_idx(row, cand_ids, k))
+            for lo, hi in _q_chunks(len(all_ids), len(cand_ids)):
+                q_ids, q = all_ids[lo:hi], all_q[lo:hi]
+                sims = q @ cand.T                         # [chunk, n_cand]
+                self_mask = q_ids[:, None] == cand_ids[None, :]
+                sims[self_mask] = -np.inf
+                for r in range(sims.shape[0]):
+                    row = sims[r]
+                    if k == 1:
+                        j = int(row.argmax())             # first max = smallest id
+                        out_rows.append((int(q_ids[r]), int(cand_ids[j]),
+                                         round(float(row[j]), 6)))
+                    else:
+                        out_rows.extend((int(q_ids[r]), int(cand_ids[j]),
+                                         round(float(row[j]), 6))
+                                        for j in _topk_idx(row, cand_ids, k))
             yield pd.DataFrame(out_rows,
                                columns=["vec_id", "neighbor_id", "cos_sim"])
 
@@ -177,21 +195,31 @@ MAX_BROADCAST_CELLS = 64_000_000
 
 
 def route_exact_plan(n: int, dim: int,
-                     max_broadcast_cells: int = MAX_BROADCAST_CELLS
-                     ) -> tuple[str, int]:
+                     max_broadcast_cells: int = MAX_BROADCAST_CELLS,
+                     min_tasks: int = 1) -> tuple[str, int]:
     """Pure physical-plan routing decision shared by ``knn_exact`` and
     ``cosine_pairs_exact``: returns ``("broadcast", 1)`` when the
     n×dim candidate matrix fits the broadcast budget, else
     ``("twosided", n_blocks)`` with n_blocks sized so one block stays
     under the budget. Unit-testable without a session; the scale tests
     pin the boundary (== budget → broadcast, budget+1 cell → twosided).
+
+    ``min_tasks`` (callers pass the cluster's default parallelism) lifts
+    n_blocks to ~sqrt(min_tasks) so the cogrouped plan yields at least
+    ~min_tasks block-pair tasks — a 70M-cell input on a 1000-core
+    cluster should not run as 4 giant tasks. Block count trades shuffle
+    replication (n_blocks× the data) for per-task memory and
+    parallelism; the budget term is the floor, the parallelism term
+    only ever raises it.
     """
     import math
 
     if n * dim <= max_broadcast_cells:
         return ("broadcast", 1)
-    return ("twosided",
-            max(2, math.ceil(n * dim / max_broadcast_cells)))
+    n_blocks = max(2,
+                   math.ceil(n * dim / max_broadcast_cells),
+                   math.ceil(math.sqrt(max(1, min_tasks))))
+    return ("twosided", n_blocks)
 
 
 def knn_exact(emb: DataFrame, id_col: str = "vec_id",
@@ -217,7 +245,9 @@ def knn_exact(emb: DataFrame, id_col: str = "vec_id",
     stats = emb.agg(F.count(F.lit(1)).alias("n"),
                     F.first(F.size(F.col(vec_col))).alias("dim")).first()
     n, dim = int(stats["n"] or 0), int(stats["dim"] or 0)
-    plan, n_blocks = route_exact_plan(n, dim, max_broadcast_cells)
+    plan, n_blocks = route_exact_plan(
+        n, dim, max_broadcast_cells,
+        min_tasks=emb.sparkSession.sparkContext.defaultParallelism)
     if plan == "broadcast":
         return knn_blocked(emb, id_col, vec_col, k)
     return knn_blocked_twosided(emb, id_col, vec_col, k, n_blocks=n_blocks)
@@ -235,17 +265,19 @@ def cosine_pairs_blocked(emb: DataFrame, threshold: float,
     def pair_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cand_ids, cand = bc.value
         for pdf in batches:
-            q_ids = pdf[id_col].to_numpy()
-            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ cand.T
-            keep = (sims >= threshold) & (q_ids[:, None] < cand_ids[None, :])
-            r, c = np.nonzero(keep)
-            yield pd.DataFrame({
-                "id_a": q_ids[r].astype(np.int64),
-                "id_b": cand_ids[c].astype(np.int64),
-                "cos_sim": np.round(sims[r, c], 6),
-            })
+            all_ids = pdf[id_col].to_numpy()
+            all_q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            all_q /= np.linalg.norm(all_q, axis=1, keepdims=True)
+            for lo, hi in _q_chunks(len(all_ids), len(cand_ids)):
+                q_ids, q = all_ids[lo:hi], all_q[lo:hi]
+                sims = q @ cand.T
+                keep = (sims >= threshold) & (q_ids[:, None] < cand_ids[None, :])
+                r, c = np.nonzero(keep)
+                yield pd.DataFrame({
+                    "id_a": q_ids[r].astype(np.int64),
+                    "id_b": cand_ids[c].astype(np.int64),
+                    "cos_sim": np.round(sims[r, c], 6),
+                })
 
     return emb.select(id_col, vec_col).mapInPandas(
         pair_batches, "id_a long, id_b long, cos_sim double")
@@ -289,23 +321,28 @@ def cosine_pairs_twosided(emb: DataFrame, threshold: float,
                               "cos_sim": pd.Series(dtype=np.float64)})
         if len(q_pdf) == 0 or len(c_pdf) == 0:
             return empty
-        q_ids = q_pdf["vec_id"].to_numpy()
+        all_qids = q_pdf["vec_id"].to_numpy()
         c_ids = c_pdf["nbr_id"].to_numpy()
-        q = np.array(q_pdf["_v"].tolist(), dtype=np.float64)
+        all_q = np.array(q_pdf["_v"].tolist(), dtype=np.float64)
         c = np.array(c_pdf["_cv"].tolist(), dtype=np.float64)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        all_q /= np.linalg.norm(all_q, axis=1, keepdims=True)
         c /= np.linalg.norm(c, axis=1, keepdims=True)
-        sims = q @ c.T
-        keep = sims >= threshold
-        if q_pdf["_qb"].iat[0] == q_pdf["_cb"].iat[0]:
-            # diagonal block: both sides are the same set — dedup + no self
-            keep &= q_ids[:, None] < c_ids[None, :]
-        r, idx = np.nonzero(keep)
-        lo = np.minimum(q_ids[r], c_ids[idx])
-        hi = np.maximum(q_ids[r], c_ids[idx])
-        return pd.DataFrame({"id_a": lo.astype(np.int64),
-                             "id_b": hi.astype(np.int64),
-                             "cos_sim": np.round(sims[r, idx], 6)})
+        diagonal = q_pdf["_qb"].iat[0] == q_pdf["_cb"].iat[0]
+        outs = []
+        for b0, b1 in _q_chunks(len(all_qids), len(c_ids)):
+            q_ids, q = all_qids[b0:b1], all_q[b0:b1]
+            sims = q @ c.T
+            keep = sims >= threshold
+            if diagonal:
+                # diagonal block: both sides are the same set — dedup + no self
+                keep &= q_ids[:, None] < c_ids[None, :]
+            r, idx = np.nonzero(keep)
+            lo = np.minimum(q_ids[r], c_ids[idx])
+            hi = np.maximum(q_ids[r], c_ids[idx])
+            outs.append(pd.DataFrame({"id_a": lo.astype(np.int64),
+                                      "id_b": hi.astype(np.int64),
+                                      "cos_sim": np.round(sims[r, idx], 6)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return (q_side.groupBy("_qb", "_cb")
             .cogroup(c_side.groupBy("_qb", "_cb"))
@@ -327,7 +364,9 @@ def cosine_pairs_exact(emb: DataFrame, threshold: float,
     stats = emb.agg(F.count(F.lit(1)).alias("n"),
                     F.first(F.size(F.col(vec_col))).alias("dim")).first()
     n, dim = int(stats["n"] or 0), int(stats["dim"] or 0)
-    plan, n_blocks = route_exact_plan(n, dim, max_broadcast_cells)
+    plan, n_blocks = route_exact_plan(
+        n, dim, max_broadcast_cells,
+        min_tasks=emb.sparkSession.sparkContext.defaultParallelism)
     if plan == "broadcast":
         return cosine_pairs_blocked(emb, threshold, id_col, vec_col)
     return cosine_pairs_twosided(emb, threshold, id_col, vec_col,
@@ -369,21 +408,23 @@ def knn_blocked_twosided(emb: DataFrame, id_col: str = "vec_id",
     def block_topk(q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(q_pdf) == 0 or len(c_pdf) == 0:
             return pd.DataFrame(columns=["vec_id", "neighbor_id", "cos_sim"])
-        q_ids = q_pdf["vec_id"].to_numpy()
+        all_qids = q_pdf["vec_id"].to_numpy()
         c_ids = c_pdf["nbr_id"].to_numpy()
         order = np.argsort(c_ids, kind="stable")
         c_ids = c_ids[order]
-        q = np.array(q_pdf["_v"].tolist(), dtype=np.float64)
+        all_q = np.array(q_pdf["_v"].tolist(), dtype=np.float64)
         c = np.array(c_pdf["_cv"].tolist(), dtype=np.float64)[order]
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        all_q /= np.linalg.norm(all_q, axis=1, keepdims=True)
         c /= np.linalg.norm(c, axis=1, keepdims=True)
-        sims = q @ c.T
-        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
         rows = []
-        for r in range(sims.shape[0]):
-            row = sims[r]
-            rows.extend((int(q_ids[r]), int(c_ids[j]), float(row[j]))
-                        for j in _topk_idx(row, c_ids, k))
+        for b0, b1 in _q_chunks(len(all_qids), len(c_ids)):
+            q_ids, q = all_qids[b0:b1], all_q[b0:b1]
+            sims = q @ c.T
+            sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+            for r in range(sims.shape[0]):
+                row = sims[r]
+                rows.extend((int(q_ids[r]), int(c_ids[j]), float(row[j]))
+                            for j in _topk_idx(row, c_ids, k))
         return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cos_sim"])
 
     local = (q_side.groupBy("_qb", "_cb")

@@ -781,3 +781,103 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "n_events"))
     drained = run_available_now(agg, sf_dir, "stream_session_dynamic")
     return drained.orderBy("user_id", "session_start")
+
+
+@register("stream_soak", oracle=None, tags=("streaming", "recovery", "soak"))
+def stream_soak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-source soak with a mid-run checkpoint restart — the
+    exactly-once recovery demo that needs no external jars: phase 1
+    runs the built-in rate source (monotonic ``value`` column) through
+    an idempotent foreachBatch parquet sink (one dir per batchId,
+    overwrite on replay), is stopped mid-stream, and phase 2 RESUMES
+    from the same checkpoint. The rate source's offsets live in the
+    WAL, so the uncommitted in-flight batch replays with the same
+    batchId and offset range, the overwrite makes the replay idempotent,
+    and the union of both phases must be exactly {0..max} — no gaps
+    (nothing lost at the crash point), no dupes (nothing double-written
+    by the replay).
+
+    The output is the run's INVARIANTS, not its wall-clock-dependent
+    counts, so the rows-only determinism gate holds: contiguity, dupe
+    count, resume evidence, and target-reached flags are all constants
+    for any successful soak regardless of how many batches each phase
+    happened to commit.
+    """
+    import shutil
+    import time as _time
+
+    ckpt_root = derived_dir(sf_dir, "checkpoints")
+    _reap_stale_checkpoints(ckpt_root, "stream_soak")
+    ckpt = os.path.join(ckpt_root, f"stream_soak_pid{os.getpid()}")
+    out = os.path.join(derived_dir(sf_dir, "soak_sink"), f"pid{os.getpid()}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_batch(bdf: DataFrame, bid: int) -> None:
+        # Idempotent sink: a replayed batch id overwrites its own dir.
+        (bdf.select("value").write.mode("overwrite")
+         .parquet(os.path.join(out, f"batch={bid}")))
+
+    def start_query():
+        src = (spark.readStream.format("rate")
+               .option("rowsPerSecond", 2000)
+               .option("numPartitions", 2).load())
+        return (src.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="250 milliseconds")
+                .start())
+
+    def drain_until(q, min_rows: int, timeout_s: float = 60.0) -> list:
+        t0 = _time.monotonic()
+        while _time.monotonic() - t0 < timeout_s:
+            prog = list(q.recentProgress)
+            if sum(p["numInputRows"] for p in prog) >= min_rows:
+                break
+            _time.sleep(0.2)
+        prog = list(q.recentProgress)
+        q.stop()                       # mid-run stop: in-flight batch aborts
+        q.awaitTermination()
+        return prog
+
+    p1 = drain_until(start_query(), min_rows=1500)
+    p2 = drain_until(start_query(), min_rows=3000)
+
+    # Exactly-once read side: only COMMITTED batches count (the final
+    # stop can abort one in-flight batch whose dir is partial and will
+    # never be replayed — a transactional consumer filters on the commit
+    # log, so the soak's reader does the same).
+    try:
+        committed = {int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+                     if f.isdigit()}
+    except OSError:
+        committed = set()
+    for entry in os.listdir(out):
+        if entry.startswith("batch=") and \
+                int(entry.split("=", 1)[1]) not in committed:
+            shutil.rmtree(os.path.join(out, entry), ignore_errors=True)
+
+    p1_ids = [p["batchId"] for p in p1] or [-1]
+    p2_ids = [p["batchId"] for p in p2] or [-1]
+    # Resume evidence: phase 2's batch ids continue phase 1's numbering
+    # (a fresh checkpoint would restart at 0 alongside committed batches).
+    resumed = min(p2_ids) >= max(p1_ids) > 0
+
+    vals = spark.read.parquet(out).select("value")
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("value").alias("nd"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx")).first()
+    n, nd = int(stats["n"]), int(stats["nd"])
+    mn = -1 if stats["mn"] is None else int(stats["mn"])
+    mx = -1 if stats["mx"] is None else int(stats["mx"])
+    return spark.createDataFrame(
+        [(
+            int(mn == 0 and nd == mx + 1 and n == nd),   # exactly {0..max}
+            n - nd,                                      # dupes from replay
+            int(resumed),
+            int(n >= 4500),
+        )],
+        "contiguous int, n_dupes long, resumed_from_checkpoint int, "
+        "target_reached int")

@@ -114,6 +114,32 @@ def test_route_exact_plan_boundary():
     assert plan == "twosided" and nb == 2
     plan, nb = route_exact_plan(10_000_000, 64)  # 640M cells
     assert plan == "twosided" and nb == 10
+    # parallelism floor: a 1000-core cluster must not get 4 giant tasks —
+    # n_blocks lifts to ceil(sqrt(min_tasks)) so the pair fan-out covers
+    # the cluster; broadcast decisions are unaffected by min_tasks.
+    plan, nb = route_exact_plan(1_100_000, 64, min_tasks=32)
+    assert plan == "twosided" and nb == 6        # 36 block pairs >= 32
+    plan, nb = route_exact_plan(1_100_000, 64, min_tasks=1000)
+    assert plan == "twosided" and nb == 32
+    assert route_exact_plan(1_000_000, 64, min_tasks=1000) == ("broadcast", 1)
+
+
+def test_q_chunks_bound_sims_buffer():
+    """Every blocked kernel iterates the query side in chunks whose
+    chunk × n_candidates sims buffer stays under MAX_SIMS_CELLS — at
+    1M+ candidates an unchunked Arrow batch would need an 80 GB buffer."""
+    from integrator_spark.operators.knn import MAX_SIMS_CELLS, _q_chunks
+
+    chunks = list(_q_chunks(10_000, 1_100_000))
+    assert all(hi - lo >= 1 for lo, hi in chunks)
+    assert all((hi - lo) * 1_100_000 <= max(MAX_SIMS_CELLS, 1_100_000)
+               for lo, hi in chunks)
+    # contiguous, complete cover
+    assert chunks[0][0] == 0 and chunks[-1][1] == 10_000
+    assert all(a[1] == b[0] for a, b in zip(chunks, chunks[1:]))
+    # degenerate: fewer rows than one chunk -> single slice
+    assert list(_q_chunks(5, 10)) == [(0, 5)]
+    assert list(_q_chunks(0, 10)) == []
 
 
 def test_knn_exact_routes_to_twosided_plan(spark):

@@ -57,3 +57,18 @@ def test_stream_stateful_tws_gate_or_equivalence(spark):
     new = stream_stateful_tws(spark, TEST_SF_DIR)
     key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert key(old) == key(new)
+
+
+def test_stream_soak_restart_exactly_once(spark):
+    # Rate-source soak with a mid-run checkpoint restart: the run's
+    # invariants must hold — the committed union of both phases is
+    # exactly {0..max} (no loss at the stop point, no dupes from the
+    # replayed in-flight batch), phase 2 verifiably resumed from the
+    # phase-1 checkpoint, and the volume target was reached.
+    from integrator_spark.streaming.jobs import stream_soak
+
+    row = stream_soak(spark, TEST_SF_DIR).collect()[0]
+    assert row["contiguous"] == 1
+    assert row["n_dupes"] == 0
+    assert row["resumed_from_checkpoint"] == 1
+    assert row["target_reached"] == 1
