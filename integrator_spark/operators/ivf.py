@@ -1,0 +1,171 @@
+"""IVF (inverted-file) approximate nearest neighbor — the matmul form.
+
+``queries/scale.py::vec_ann_ivf`` demonstrates IVF through pyspark.ml
+KMeans + HOF-cosine ranking, which is the right ORACLE shape at fixture
+scale but pays one JVM HOF cosine per (vector, centroid) pair. This
+module is the same index expressed the way it runs at 10⁶–10⁹ vectors:
+
+- **train_centroids**: Lloyd k-means over a BOUNDED deterministic
+  sample collected to the driver (the standard coarse-quantizer
+  practice — faiss trains on a sample too). Sample bytes are capped by
+  the caller (default 100k × dim ≈ 50 MB), iterations fixed, seeds
+  fixed, empty clusters re-seeded deterministically — same input →
+  same centroids, byte-for-byte.
+- **ivf_assign**: one Arrow-batched matmul per corpus batch against
+  the broadcast centroid matrix → (id, bucket[, n_assign buckets]).
+  Zero shuffle; cost is n × k_clusters × dim BLAS flops.
+- **ivf_search**: probe-bounded search — each query ranks centroids
+  with one small matmul, takes its n_probe buckets, and meets ONLY
+  those buckets' vectors in a cogrouped per-bucket matmul; a final
+  window reduces per-bucket winners to global top-k. Scan fraction is
+  ~n_probe / k_clusters of the corpus instead of 1.0, which is the
+  entire point of IVF at 100 TB.
+
+Exactness: within probed buckets the cosine is exact float64; the only
+approximation is the probe set (measured as recall in
+scripts/ann_at_scale.py and pinned ≥0.9 for the registered fixture
+query by tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .knn import _collect_matrix, _q_chunks, _topk_idx
+
+
+def train_centroids(emb: DataFrame, n_clusters: int = 256,
+                    sample_rows: int = 100_000, iters: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd k-means on a hash-sampled, driver-bounded
+    subset; returns L2-normalized centroids [n_clusters, dim].
+
+    The sample filter is modulo-on-id (engine-portable, no RNG); the
+    driver holds sample_rows × dim float64 — a documented bounded
+    collect, NOT corpus-sized."""
+    n = emb.count()
+    every = max(1, n // sample_rows)
+    sample = emb.filter(F.col(id_col) % every == 0).select(id_col, vec_col)
+    _ids, mat = _collect_matrix(sample, id_col, vec_col)  # normalized rows
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)),
+                          replace=False)]
+    for _ in range(iters):
+        sims = mat @ cent.T                       # cosine == dot (unit rows)
+        assign = sims.argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+                    continue
+            # empty/degenerate cluster: re-seed deterministically on the
+            # sample row with the worst best-assignment (farthest point)
+            cent[c] = mat[int(sims.max(axis=1).argmin())]
+    return cent
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray, n_assign: int = 1,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """Invert the corpus: (id, embedding, bucket) rows, each vector
+    appearing in its n_assign nearest-centroid buckets. One broadcast +
+    one matmul per Arrow batch, no shuffle."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = vn @ cent.T
+            if n_assign == 1:
+                buckets = sims.argmax(axis=1)[:, None]
+            else:
+                buckets = np.argsort(-sims, axis=1)[:, :n_assign]
+            reps = buckets.shape[1]
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, reps),
+                vec_col: list(np.repeat(v, reps, axis=0).astype(np.float32)),
+                "bucket": buckets.reshape(-1).astype(np.int32),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign_batches, f"{id_col} long, {vec_col} array<float>, bucket int")
+
+
+def ivf_search(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
+               n_probe: int = 8, k: int = 1,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """Probe-bounded ANN search: each query meets only its n_probe
+    buckets' vectors. Per-bucket cogrouped matmul (exact float64 cosine
+    inside the bucket), then one window reduces bucket winners to the
+    global top-k. Output: query_id, neighbor_id, approx_cos."""
+    spark = index.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = vn @ cent.T
+            probes = np.argsort(-sims, axis=1)[:, :n_probe]
+            reps = probes.shape[1]
+            yield pd.DataFrame({
+                "query_id": np.repeat(ids, reps),
+                "_qv": list(np.repeat(v, reps, axis=0).astype(np.float32)),
+                "bucket": probes.reshape(-1).astype(np.int32),
+            })
+
+    probed = queries.select(id_col, vec_col).mapInPandas(
+        probe_batches, "query_id long, _qv array<float>, bucket int")
+
+    def bucket_topk(q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "approx_cos"])
+        q_ids = q_pdf["query_id"].to_numpy()
+        c_ids = c_pdf[id_col].to_numpy()
+        order = np.argsort(c_ids, kind="stable")
+        c_ids = c_ids[order]
+        q = np.array(q_pdf["_qv"].tolist(), dtype=np.float64)
+        c = np.array(c_pdf[vec_col].tolist(), dtype=np.float64)[order]
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        rows = []
+        for lo, hi in _q_chunks(len(q_ids), len(c_ids)):
+            sims = q[lo:hi] @ c.T
+            sims[q_ids[lo:hi, None] == c_ids[None, :]] = -np.inf
+            for r in range(sims.shape[0]):
+                rows.extend(
+                    (int(q_ids[lo + r]), int(c_ids[j]), float(sims[r, j]))
+                    for j in _topk_idx(sims[r], c_ids, k))
+        return pd.DataFrame(rows,
+                            columns=["query_id", "neighbor_id", "approx_cos"])
+
+    local = (probed.groupBy("bucket")
+             .cogroup(index.groupBy("bucket"))
+             .applyInPandas(lambda ql, cl: bucket_topk(ql, cl),
+                            "query_id long, neighbor_id long, approx_cos double"))
+    # Multi-assignment (n_assign > 1 at build) can surface the same
+    # (query, neighbor) via several probed buckets — dedup before the
+    # top-k window or k>1 would count one neighbor twice.
+    local = local.dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_cos").desc(),
+                                               F.col("neighbor_id"))
+    return (local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("approx_cos", 6).alias("approx_cos")))

@@ -373,6 +373,57 @@ def cosine_pairs_exact(emb: DataFrame, threshold: float,
                                  n_blocks=n_blocks)
 
 
+def knn_search_broadcast(corpus: DataFrame, queries: DataFrame,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         k: int = 1) -> DataFrame:
+    """Top-k search of a SMALL query set against a corpus of any size —
+    the inversion of ``knn_blocked``: broadcast the queries (bounded by
+    the caller: |Q| × dim cells), stream the corpus through one matmul
+    per Arrow batch emitting each batch's LOCAL top-k per query, then
+    reduce local winners to the global top-k with one window over
+    |Q| × k × n_batches rows. The corpus is never collected, never
+    shuffled — the scan parallelism is the file split count, so this is
+    the plan that serves "find the neighbors of these 1000 vectors in
+    the 100 TB corpus". Exact, same tie-break (sim desc, smallest id)
+    as every other exact plan here.
+
+    Output columns: query_id, neighbor_id, cos_sim.
+    """
+    spark = corpus.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    order = np.lexsort((q_ids,))
+    bc = spark.sparkContext.broadcast((q_ids[order], q_mat[order]))
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, qm = bc.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy()
+            c_order = np.argsort(c_ids, kind="stable")
+            c_ids = c_ids[c_order]
+            c = np.array(pdf[vec_col].tolist(), dtype=np.float64)[c_order]
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            rows = []
+            # queries are the small side: chunk THEM against this batch
+            for lo, hi in _q_chunks(len(qi), len(c_ids)):
+                sims = qm[lo:hi] @ c.T
+                sims[qi[lo:hi, None] == c_ids[None, :]] = -np.inf
+                for r in range(sims.shape[0]):
+                    rows.extend(
+                        (int(qi[lo + r]), int(c_ids[j]), float(sims[r, j]))
+                        for j in _topk_idx(sims[r], c_ids, k))
+            yield pd.DataFrame(rows,
+                               columns=["query_id", "neighbor_id", "cos_sim"])
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        scan_batches, "query_id long, neighbor_id long, cos_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id"))
+    return (local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos_sim", 6).alias("cos_sim")))
+
+
 def knn_blocked_twosided(emb: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding", k: int = 1,
                          n_blocks: int = 4) -> DataFrame:

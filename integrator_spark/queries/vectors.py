@@ -411,3 +411,61 @@ def vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("val").cast("double").cast(DEC))
                          .cast("double") / F.count(F.lit(1)), 6)
                  .alias("centroid_val")))
+
+
+_SEARCH_ORACLE = """
+SELECT q.vec_id AS query_id,
+       c.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), 6)
+         AS cos_sim
+FROM embeddings q
+JOIN embeddings c ON q.vec_id <> c.vec_id
+WHERE q.vec_id % 40 = 0
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) DESC,
+             c.vec_id) = 1
+"""
+
+
+@register("vec_search", oracle=_SEARCH_ORACLE, tags=("vector", "knn",
+                                                     "search"))
+def vec_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact search of a SMALL query set against the whole corpus —
+    the inversion of vec_knn's broadcast: the queries (here every 40th
+    vector) broadcast, the corpus streams through one matmul per Arrow
+    batch emitting per-batch local winners, one window reduces them to
+    the global top-1. The corpus is never collected or shuffled, so
+    this is the "look up these 1000 vectors in the 100 TB index" plan —
+    scan parallelism = file splits, memory = |Q| x dim + one batch.
+    Exact float64 cosine, smallest-id tie-break (oracle-checked)."""
+    from ..operators.knn import knn_search_broadcast
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 40 == 0)
+    return knn_search_broadcast(e, queries, k=1)
+
+
+@register("vec_ann_ivf_matmul", oracle=None, tags=("vector", "knn",
+                                                   "approx", "ivf"))
+def vec_ann_ivf_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF through the matmul kernels (operators/ivf.py) — the same
+    inverted-file index as vec_ann_ivf but expressed the way it runs at
+    10^6+ vectors: driver-bounded deterministic k-means sample for the
+    coarse quantizer, Arrow-batched matmul assignment (no per-pair HOF
+    cosines, no shuffle), probe-bounded cogrouped bucket search. Output
+    is each query vector's approximate top-1 over its probed buckets.
+    Rows-only (k-means internals aren't ANSI-SQL-expressible);
+    determinism is gate-checked and recall@1 vs exact kNN is asserted
+    >= 0.9 in tests/test_operators.py; the 1.1M-vector measured run
+    lives in SCALING.md (scripts/ann_at_scale.py)."""
+    from ..operators.ivf import ivf_assign, ivf_search, train_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = train_centroids(e, n_clusters=16, sample_rows=2000, iters=10)
+    index = ivf_assign(e, cent, n_assign=3)
+    return (ivf_search(index, e, cent, n_probe=6, k=1)
+            .withColumnRenamed("query_id", "vec_id")
+            .orderBy("vec_id"))

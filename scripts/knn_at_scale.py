@@ -44,21 +44,8 @@ from integrator_spark.operators.knn import (  # noqa: E402
     knn_exact,
     route_exact_plan,
 )
+from integrator_spark.functions.synth import splitmix_vectors  # noqa: E402
 from integrator_spark.session import build_session  # noqa: E402
-
-
-def _splitmix_vectors(ids: np.ndarray, dim: int) -> np.ndarray:
-    """Deterministic pseudo-random [-1, 1) float32 matrix from vec ids —
-    splitmix64 finalizer over (id, column) counters, fully vectorized."""
-    j = (np.arange(dim, dtype=np.uint64) + 1) * np.uint64(0xBF58476D1CE4E5B9)
-    x = ids.astype(np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15) + j
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return ((x >> np.uint64(11)).astype(np.float64)
-            / float(1 << 53) * 2.0 - 1.0).astype(np.float32)
 
 
 def generate(spark, n: int, dim: int) -> str:
@@ -69,7 +56,7 @@ def generate(spark, n: int, dim: int) -> str:
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            mat = _splitmix_vectors(ids, dim)
+            mat = splitmix_vectors(ids, dim)
             yield pd.DataFrame({"vec_id": ids,
                                 "embedding": list(mat)})
 

@@ -324,6 +324,26 @@ def test_ann_recall_at_least_090(spark):
         assert r.recall_at_1 >= 0.9, f"{method} recall {r.recall_at_1}"
 
 
+def test_ivf_matmul_recall_at_least_090(spark):
+    # The matmul-kernel IVF (operators/ivf.py) must match the
+    # pyspark.ml-based vec_ann_ivf's quality bar on the same fixture:
+    # recall@1 >= 0.9 vs exact kNN, value-based hit rule (exact-tie
+    # twins count as hits).
+    from integrator_spark.registry import get_queries
+
+    qs = get_queries()
+    exact = {r.vec_id: r.cos_sim
+             for r in qs["vec_knn"](spark, "/root/testdata/sf0.001").collect()}
+    approx = {r.vec_id: r.approx_cos
+              for r in qs["vec_ann_ivf_matmul"](
+                  spark, "/root/testdata/sf0.001").collect()}
+    assert len(exact) == 500
+    hits = sum(1 for vid, best in exact.items()
+               if approx.get(vid, -2.0) >= best - 1e-6)
+    recall = hits / len(exact)
+    assert recall >= 0.9, f"ivf_matmul recall {recall}"
+
+
 def test_connected_components_hand_graph(spark):
     from integrator_spark.operators.dedup import connected_components
     # components: {1,2,3} (chain), {7,9}, singleton edges only
