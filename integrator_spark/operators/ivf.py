@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .knn import _collect_matrix, _q_chunks, _topk_idx
+from .knn import _chunked_topk_rows, _collect_matrix
 
 
 def train_centroids(emb: DataFrame, n_clusters: int = 256,
@@ -50,7 +50,7 @@ def train_centroids(emb: DataFrame, n_clusters: int = 256,
     driver holds sample_rows × dim float64 — a documented bounded
     collect, NOT corpus-sized."""
     n = emb.count()
-    every = max(1, n // sample_rows)
+    every = max(1, -(-n // sample_rows))          # ceil: keeps <= sample_rows
     sample = emb.filter(F.col(id_col) % every == 0).select(id_col, vec_col)
     _ids, mat = _collect_matrix(sample, id_col, vec_col)  # normalized rows
     rng = np.random.RandomState(seed)
@@ -59,6 +59,7 @@ def train_centroids(emb: DataFrame, n_clusters: int = 256,
     for _ in range(iters):
         sims = mat @ cent.T                       # cosine == dot (unit rows)
         assign = sims.argmax(axis=1)
+        empties = []
         for c in range(cent.shape[0]):
             members = mat[assign == c]
             if len(members):
@@ -67,9 +68,16 @@ def train_centroids(emb: DataFrame, n_clusters: int = 256,
                 if nv > 0:
                     cent[c] = v / nv
                     continue
-            # empty/degenerate cluster: re-seed deterministically on the
-            # sample row with the worst best-assignment (farthest point)
-            cent[c] = mat[int(sims.max(axis=1).argmin())]
+            empties.append(c)
+        if empties:
+            # Re-seed each empty/degenerate cluster on a DISTINCT
+            # worst-covered sample row (ascending best-assignment sim):
+            # seeding them all on THE single farthest point would
+            # collapse them into duplicates that stay empty forever,
+            # silently shrinking the effective cluster count.
+            worst_first = np.argsort(sims.max(axis=1), kind="stable")
+            for j, c in enumerate(empties):
+                cent[c] = mat[int(worst_first[j % len(worst_first)])]
     return cent
 
 
@@ -138,20 +146,11 @@ def ivf_search(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
             return pd.DataFrame(columns=["query_id", "neighbor_id", "approx_cos"])
         q_ids = q_pdf["query_id"].to_numpy()
         c_ids = c_pdf[id_col].to_numpy()
-        order = np.argsort(c_ids, kind="stable")
-        c_ids = c_ids[order]
         q = np.array(q_pdf["_qv"].tolist(), dtype=np.float64)
-        c = np.array(c_pdf[vec_col].tolist(), dtype=np.float64)[order]
+        c = np.array(c_pdf[vec_col].tolist(), dtype=np.float64)
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         c /= np.linalg.norm(c, axis=1, keepdims=True)
-        rows = []
-        for lo, hi in _q_chunks(len(q_ids), len(c_ids)):
-            sims = q[lo:hi] @ c.T
-            sims[q_ids[lo:hi, None] == c_ids[None, :]] = -np.inf
-            for r in range(sims.shape[0]):
-                rows.extend(
-                    (int(q_ids[lo + r]), int(c_ids[j]), float(sims[r, j]))
-                    for j in _topk_idx(sims[r], c_ids, k))
+        rows = _chunked_topk_rows(q_ids, q, c_ids, c, k)
         return pd.DataFrame(rows,
                             columns=["query_id", "neighbor_id", "approx_cos"])
 

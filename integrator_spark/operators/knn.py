@@ -74,6 +74,30 @@ def _q_chunks(n_rows: int, n_cand: int):
         yield lo, min(lo + step, n_rows)
 
 
+def _chunked_topk_rows(q_ids: np.ndarray, q: np.ndarray,
+                       c_ids: np.ndarray, c: np.ndarray,
+                       k: int) -> list[tuple[int, int, float]]:
+    """The one exact top-k matmul kernel behind every blocked plan
+    (knn_search_broadcast batches, two-sided block pairs, IVF buckets):
+    stable-sorts candidates by id (ties resolve to the smallest id,
+    matching the SQL window spec), iterates the query side in
+    sims-budget chunks, masks exact id matches (self-pairs) to -inf,
+    and returns (query_id, candidate_id, sim) tuples. Both matrices
+    must be row-L2-normalized. Centralized so the tie-break and buffer
+    budget can never drift between physical plans."""
+    order = np.argsort(c_ids, kind="stable")
+    c_ids, c = c_ids[order], c[order]
+    rows: list[tuple[int, int, float]] = []
+    for lo, hi in _q_chunks(len(q_ids), len(c_ids)):
+        sims = q[lo:hi] @ c.T
+        sims[q_ids[lo:hi, None] == c_ids[None, :]] = -np.inf
+        for r in range(sims.shape[0]):
+            rows.extend(
+                (int(q_ids[lo + r]), int(c_ids[j]), float(sims[r, j]))
+                for j in _topk_idx(sims[r], c_ids, k))
+    return rows
+
+
 def _dot_expr(a, b):
     """Float64 dot product of two float-array columns (HOF, JVM-side)."""
     to_d = lambda x: x.cast("double")  # noqa: E731
@@ -398,19 +422,10 @@ def knn_search_broadcast(corpus: DataFrame, queries: DataFrame,
         qi, qm = bc.value
         for pdf in batches:
             c_ids = pdf[id_col].to_numpy()
-            c_order = np.argsort(c_ids, kind="stable")
-            c_ids = c_ids[c_order]
-            c = np.array(pdf[vec_col].tolist(), dtype=np.float64)[c_order]
+            c = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             c /= np.linalg.norm(c, axis=1, keepdims=True)
-            rows = []
-            # queries are the small side: chunk THEM against this batch
-            for lo, hi in _q_chunks(len(qi), len(c_ids)):
-                sims = qm[lo:hi] @ c.T
-                sims[qi[lo:hi, None] == c_ids[None, :]] = -np.inf
-                for r in range(sims.shape[0]):
-                    rows.extend(
-                        (int(qi[lo + r]), int(c_ids[j]), float(sims[r, j]))
-                        for j in _topk_idx(sims[r], c_ids, k))
+            # queries are the small side: the kernel chunks THEM
+            rows = _chunked_topk_rows(qi, qm, c_ids, c, k)
             yield pd.DataFrame(rows,
                                columns=["query_id", "neighbor_id", "cos_sim"])
 
@@ -459,23 +474,13 @@ def knn_blocked_twosided(emb: DataFrame, id_col: str = "vec_id",
     def block_topk(q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(q_pdf) == 0 or len(c_pdf) == 0:
             return pd.DataFrame(columns=["vec_id", "neighbor_id", "cos_sim"])
-        all_qids = q_pdf["vec_id"].to_numpy()
+        q_ids = q_pdf["vec_id"].to_numpy()
         c_ids = c_pdf["nbr_id"].to_numpy()
-        order = np.argsort(c_ids, kind="stable")
-        c_ids = c_ids[order]
-        all_q = np.array(q_pdf["_v"].tolist(), dtype=np.float64)
-        c = np.array(c_pdf["_cv"].tolist(), dtype=np.float64)[order]
-        all_q /= np.linalg.norm(all_q, axis=1, keepdims=True)
+        q = np.array(q_pdf["_v"].tolist(), dtype=np.float64)
+        c = np.array(c_pdf["_cv"].tolist(), dtype=np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
         c /= np.linalg.norm(c, axis=1, keepdims=True)
-        rows = []
-        for b0, b1 in _q_chunks(len(all_qids), len(c_ids)):
-            q_ids, q = all_qids[b0:b1], all_q[b0:b1]
-            sims = q @ c.T
-            sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
-            for r in range(sims.shape[0]):
-                row = sims[r]
-                rows.extend((int(q_ids[r]), int(c_ids[j]), float(row[j]))
-                            for j in _topk_idx(row, c_ids, k))
+        rows = _chunked_topk_rows(q_ids, q, c_ids, c, k)
         return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cos_sim"])
 
     local = (q_side.groupBy("_qb", "_cb")

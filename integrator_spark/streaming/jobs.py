@@ -859,9 +859,20 @@ def stream_soak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p1_ids = [p["batchId"] for p in p1] or [-1]
     p2_ids = [p["batchId"] for p in p2] or [-1]
-    # Resume evidence: phase 2's batch ids continue phase 1's numbering
-    # (a fresh checkpoint would restart at 0 alongside committed batches).
-    resumed = min(p2_ids) >= max(p1_ids) > 0
+    # Resume evidence: phase 2's batch ids strictly continue phase 1's
+    # numbering (a fresh checkpoint would restart at 0). Phase 1 only
+    # needs >= 1 committed batch — the rate source backfills startup
+    # time into batch 0, so a slow start can satisfy min_rows with
+    # batch 0 alone and that is still a healthy run.
+    resumed = min(p2_ids) > max(p1_ids) >= 0
+
+    if not committed:
+        # Nothing ever committed (stalled run): report the failed
+        # invariants instead of crashing on an empty read.
+        return spark.createDataFrame(
+            [(0, 0, 0, 0)],
+            "contiguous int, n_dupes long, resumed_from_checkpoint int, "
+            "target_reached int")
 
     vals = spark.read.parquet(out).select("value")
     stats = vals.agg(

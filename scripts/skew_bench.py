@@ -102,8 +102,10 @@ def main() -> int:
     path = derived_dir(SF_DIR, "zipf_fact", f"x{args.inflate}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         e = load_table(spark, SF_DIR, "events").select("event_id", "value")
-        n = e.count()
-        copies = [e.withColumn("event_id", F.col("event_id") + F.lit(i * n))
+        # Offset by max+1, not count: copies must not collide if the id
+        # domain is ever sparse or 1-based (bench_sf1.py does the same).
+        span = int(e.agg(F.max("event_id")).first()[0]) + 1
+        copies = [e.withColumn("event_id", F.col("event_id") + F.lit(i * span))
                   for i in range(args.inflate)]
         fact = copies[0]
         for c in copies[1:]:
