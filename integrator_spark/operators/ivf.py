@@ -114,12 +114,23 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray, n_assign: int = 1,
 
 def ivf_search(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
                n_probe: int = 8, k: int = 1,
-               id_col: str = "vec_id", vec_col: str = "embedding"
-               ) -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               prune_buckets: bool = True) -> DataFrame:
     """Probe-bounded ANN search: each query meets only its n_probe
     buckets' vectors. Per-bucket cogrouped matmul (exact float64 cosine
     inside the bucket), then one window reduces bucket winners to the
-    global top-k. Output: query_id, neighbor_id, approx_cos."""
+    global top-k. Output: query_id, neighbor_id, approx_cos.
+
+    ``prune_buckets`` makes the probe bound an IO bound, not just a
+    compute bound: the distinct probed bucket ids (≤ |Q| × n_probe,
+    driver-bounded) become an isin filter on the index, which a
+    ``partitionBy("bucket")`` index layout turns into directory-level
+    partition pruning — the scan reads only the probed fraction of a
+    100 TB index. Without it the cogroup computes the same result but
+    SCANS the whole index (each unprobed bucket is read, shuffled, and
+    dropped as an empty cogroup). Only worth skipping when |Q| × n_probe
+    approaches the cluster count (every bucket probed anyway — true of
+    the fixture-scale registered query, not of serving workloads)."""
     spark = index.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
 
@@ -140,6 +151,14 @@ def ivf_search(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
 
     probed = queries.select(id_col, vec_col).mapInPandas(
         probe_batches, "query_id long, _qv array<float>, bucket int")
+
+    if prune_buckets:
+        # Bounded driver collect (≤ |Q| × n_probe ints), then an isin
+        # filter the source can turn into partition pruning.
+        probed = probed.localCheckpoint(eager=True)  # probe once, not twice
+        bucket_ids = [int(r["bucket"]) for r in
+                      probed.select("bucket").distinct().collect()]
+        index = index.filter(F.col("bucket").isin(bucket_ids))
 
     def bucket_topk(q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(q_pdf) == 0 or len(c_pdf) == 0:

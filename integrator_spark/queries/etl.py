@@ -559,3 +559,62 @@ def etl_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n_orders").alias("n_orders"),
                  F.sum("_dec_sum").cast("double").alias("total_price"),
                  F.max("max_orderkey").alias("max_orderkey")))
+
+
+@register("etl_er_blocked", oracle="""
+WITH dirty AS (
+  SELECT p_partkey AS d_key,
+         CASE WHEN p_partkey % 4 = 0
+              THEN SUBSTR(p_name, 1, 4) || SUBSTR(p_name, 6, 100000)
+              ELSE p_name END AS d_name
+  FROM part
+),
+cand AS (
+  SELECT d.d_key, c.p_partkey AS matched_key,
+         levenshtein(d.d_name, c.p_name) AS dist
+  FROM dirty d
+  JOIN part c ON SUBSTR(d.d_name, 1, 4) = SUBSTR(c.p_name, 1, 4)
+  WHERE levenshtein(d.d_name, c.p_name) <= 2
+)
+SELECT d_key, matched_key, CAST(dist AS INT) AS dist
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY d_key
+                           ORDER BY dist, matched_key) = 1
+""", tags=("etl", "fuzzy", "entity-resolution"))
+def etl_er_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution — the integrator's dirty-name →
+    master-record match (complementing etl_fuzzy_match, which maps
+    variant CODES onto a broadcastable canonical list — here BOTH sides
+    are record-sized): a "dirty" feed (every 4th part name gets a
+    deterministic one-char deletion) is resolved against the clean
+    dimension by (1) an EQUALITY blocking join on the 4-char name
+    prefix, (2) a Levenshtein <= 2 residual inside the block, (3) a
+    best-match window (min distance, then smallest key).
+
+    Scale posture: the expensive O(|a|·|b|) edit distance runs only on
+    pairs that share a block — the join is a plain hash/sort-merge
+    equality join (plan-audited: no cartesian), with per-block fan-out
+    bounded by prefix selectivity (the skew guard for a hot prefix is
+    the same max-frequency cutoff dedup uses). The honest blocked-ER
+    caveat applies and is part of the design: a typo INSIDE the block
+    key cannot be recovered by this pass — production stacks multiple
+    blocking passes (prefix, phonetic, length-band) exactly like the
+    multi-sketch dedup family here."""
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.select(
+        F.col("p_partkey").alias("d_key"),
+        F.when(F.col("p_partkey") % 4 == 0,
+               F.concat(F.expr("substr(p_name, 1, 4)"),
+                        F.expr("substr(p_name, 6, 100000)")))
+         .otherwise(F.col("p_name")).alias("d_name"))
+    clean = part.select(F.col("p_partkey").alias("matched_key"),
+                        F.col("p_name").alias("c_name"))
+    cand = (dirty.join(clean,
+                       F.expr("substr(d_name, 1, 4)")
+                       == F.expr("substr(c_name, 1, 4)"))
+            .withColumn("dist", F.levenshtein("d_name", "c_name"))
+            .filter(F.col("dist") <= 2))
+    w = Window.partitionBy("d_key").orderBy("dist", "matched_key")
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("d_key", "matched_key", F.col("dist").cast("int").alias("dist")))

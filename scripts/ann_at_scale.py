@@ -134,6 +134,18 @@ def main() -> int:
     print(f"\n(IVF build: {t_train + t_assign:.1f}s one-time; "
           f"exact all-pairs at this n for reference: 787s, "
           f"scripts/knn_at_scale.py)")
+
+    # Serving shape: a SMALL query batch probes few distinct buckets, so
+    # prune_buckets turns the probe bound into an IO bound (directory
+    # pruning on the partitionBy("bucket") layout). The 2000-query table
+    # above probes ~every bucket, hiding this; 32 queries do not.
+    serve_q = emb.filter(F.col("vec_id") % 34375 == 0)   # 32 queries
+    for pruned in (False, True):
+        t0 = time.perf_counter()
+        n_out = ivf_search(index, serve_q, cent, n_probe=8, k=1,
+                           prune_buckets=pruned).count()
+        print(f"serve 32 queries n_probe=8 prune_buckets={pruned}: "
+              f"{time.perf_counter() - t0:.1f}s ({n_out} rows)", flush=True)
     spark.stop()
     return 0
 
