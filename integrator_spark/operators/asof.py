@@ -1,4 +1,5 @@
-"""As-of (backward) join — no native Spark primitive (SURVEY.md §2.3).
+"""As-of joins (backward and forward) — no native Spark primitive
+(SURVEY.md §2.3).
 
 Semantics: for each left row, attach the payload of the latest right
 row in the same key group whose timestamp is <= the left timestamp
@@ -51,6 +52,45 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: list[str],
     filled = unioned.select(
         *on, "_ts", "_is_left", *left_cols,
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+    )
+    return (filled.filter(F.col("_is_left") == 1)
+            .drop("_is_left")
+            .withColumnRenamed("_ts", left_ts))
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, on: list[str],
+                      left_ts: str, right_ts: str,
+                      right_payload: list[str]) -> DataFrame:
+    """Left as-of join, forward: earliest right row with
+    right_ts >= left_ts per key (DuckDB ``ASOF LEFT JOIN ... ON
+    r.ts >= l.ts`` semantics). Mirror of :func:`asof_join_backward`
+    — same union + single window pass, but the payload is pulled from
+    the *following* frame with ``first(..., ignorenulls=True)``; left
+    rows sort before right rows at equal ts so the match is inclusive.
+    Same cost and caveats as the backward variant."""
+    left_cols = [c for c in left.columns if c not in on and c != left_ts]
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_payload],
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
+        *[F.col(c) for c in right_payload],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # Left rows sort before right rows at equal ts => inclusive (>=) match.
+    w = (Window.partitionBy(*on)
+         .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    filled = unioned.select(
+        *on, "_ts", "_is_left", *left_cols,
+        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
     )
     return (filled.filter(F.col("_is_left") == 1)
             .drop("_is_left")

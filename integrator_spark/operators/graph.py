@@ -1,10 +1,14 @@
-"""Graph operators over edge DataFrames: PageRank.
+"""Graph operators over edge DataFrames: PageRank, triangle census,
+BFS levels.
 
 Companion to the connected-components operators in operators/dedup.py —
 the same "iterate a join, truncate lineage" discipline. PageRank ranks
 near-duplicate clusters / citation-linked documents by centrality: the
 canonical "which copy do I keep / which doc do I trust" signal in a
-large-corpus pipeline.
+large-corpus pipeline. The triangle census measures how clustered a
+co-occurrence graph is (link-farm / template detection in web corpora);
+BFS levels give hop-distance neighborhoods (crawl-frontier expansion,
+citation radius).
 """
 
 from __future__ import annotations
@@ -58,3 +62,107 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                        + F.col("dang") / n)).alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks
+
+
+def undirected_edges(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Canonicalize an edge list to the distinct undirected form
+    (a < b, no self-loops): the input contract for the census/BFS
+    operators below. One shuffle (the distinct)."""
+    a = F.least(F.col(src), F.col(dst)).cast("long").alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).cast("long").alias("b")
+    return (edges.select(a, b)
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def triangle_census(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Global triangle census over an undirected graph → one row
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff).
+
+    Degree-oriented (compact-forward) counting: every edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, then a
+    triangle {x,y,z} is found exactly once as the oriented wedge
+    x→y, y→z closed by x→z. Orientation is the standard scale trick:
+    the oriented out-degree is bounded by O(sqrt(m)) on any graph, so
+    the wedge join's fan-out per node is sqrt(m) instead of the raw
+    degree — on a power-law graph this is the difference between a
+    runnable plan and a hot-key explosion. All three legs are hash
+    equi-joins shuffled on node keys (the plan audit keeps them from
+    degenerating into a cartesian); degree skew in the wedge build is
+    AQE-splittable because the join key is the *middle* vertex, which
+    orientation guarantees has bounded out-fan.
+
+    The clustering coefficient is 3·triangles / wedges (wedges counted
+    on the *undirected* degree, sum of C(deg, 2) — a linear agg).
+    """
+    e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    # Orient by (deg, id): lower endpoint first.
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    a_first = ((F.col("deg_a") < F.col("deg_b"))
+               | ((F.col("deg_a") == F.col("deg_b"))
+                  & (F.col("a") < F.col("b"))))
+    o = (e.join(da, "a").join(db, "b")
+         .select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+                 F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("y"))
+         .localCheckpoint(eager=True))
+    xy = o.select(F.col("x").alias("w_x"), F.col("y").alias("w_y"))
+    yz = o.select(F.col("x").alias("w_y2"), F.col("y").alias("w_z"))
+    closing = o.select(F.col("x").alias("c_x"), F.col("y").alias("c_z"))
+    tri = (xy.join(yz, F.col("w_y") == F.col("w_y2"))
+           .join(closing, (F.col("c_x") == F.col("w_x"))
+                 & (F.col("c_z") == F.col("w_z")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    summary = (deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg").cast("long")
+               * (F.col("deg") - F.lit(1))) / F.lit(2)).cast("long")
+        .alias("n_wedges")))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    # Three 1-row frames — bounded crossJoins (plan-audit allowlisted
+    # by the registered query).
+    return (summary.crossJoin(n_edges).crossJoin(tri)
+            .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                    F.round(F.lit(3.0) * F.col("n_triangles")
+                            / F.col("n_wedges"), 9)
+                    .alias("clustering_coeff")))
+
+
+def bfs_levels(edges: DataFrame, source: int, max_depth: int = 6,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Hop distance from ``source`` over an undirected edge list →
+    (node, level), level = minimal hop count ≤ max_depth.
+
+    Bulk-synchronous frontier BFS: per round, join the frontier with
+    the adjacency (shuffle on the node key), distinct the discovered
+    set, anti-join against visited, truncate lineage with an eager
+    localCheckpoint (same discipline as pagerank/connected_components
+    — without it the plan doubles per round). State per round is two
+    slim (node[, level]) frames; the adjacency is checkpointed once
+    and re-shuffled on its join key each round, which AQE coalesces.
+    The empty-frontier early exit costs one bounded isEmpty per round.
+    """
+    u = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    adj = (u.select(F.col("a").alias("e_s"), F.col("b").alias("e_d"))
+           .unionByName(
+               u.select(F.col("b").alias("e_s"), F.col("a").alias("e_d"))))
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(int(source), 0)], "node long, level int")
+    frontier = visited.select("node")
+    for lvl in range(1, max_depth + 1):
+        nxt = (frontier.join(adj, frontier["node"] == adj["e_s"])
+               .select(F.col("e_d").alias("node")).distinct()
+               .join(visited, "node", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        visited = (visited.unionByName(
+            nxt.select("node", F.lit(lvl).alias("level")))
+            .localCheckpoint(eager=True))
+        frontier = nxt
+    return visited

@@ -33,6 +33,7 @@ CROSS_JOIN_ALLOWED = {
     "vec_ann_recall",      # composes vec_ann_ivf (same bounded probe)
     "vec_knn_twosided",    # bounded n_blocks² block-id pairing (not rows)
     "events_resample",     # bounded grid × event-type expansion
+    "events_interpolate",  # bounded grid × event-type expansion
     "etl_fuzzy_match",     # bounded |variants| × |code list| scoring
     "ml_quantile_bins",    # 1-row min/max bounds frame broadcast to fact
     "text_bm25",           # 1-row corpus-stats frame broadcast to tf matrix
@@ -41,12 +42,14 @@ CROSS_JOIN_ALLOWED = {
     "q11_important_parts",  # 1-row global-cutoff frame broadcast to agg
     "mix_weighted",        # 1-row corpus-total frame joined to source counts
     "stats_mannwhitney",   # 1-row tie-correction frame joined to rank sums
+    "stats_ks",            # 1-row arm-totals frame broadcast to ECDF rows
     "skew_profile",        # two 1-row summary frames joined
     "stats_chi2",          # 1-row grand-total frame broadcast to cells
     "stats_histogram",     # 1-row min/max bounds frame broadcast to fact
     "join_size_estimate",  # 1-row actual-size frame joined to summary
     "corpus_quality_filter",   # 1-row p75-threshold frame broadcast to scan
     "dedup_candidate_recall",  # two 1-row count frames crossJoined per method
+    "graph_triangles",     # three 1-row census frames crossJoined
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

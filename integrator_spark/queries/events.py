@@ -193,6 +193,92 @@ def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"))
 
 
+@register("events_interpolate", oracle=f"""
+WITH grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-31 00:00:00',
+                                INTERVAL '6 hours')) AS bucket
+), per_type AS (SELECT DISTINCT event_type FROM events),
+obs AS (
+  SELECT event_type, ts, value FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts
+                             ORDER BY event_id DESC) = 1
+)
+SELECT strftime(g.bucket, '{SEC_FMT_DUCK}') AS bucket_start,
+       t.event_type,
+       ROUND(CASE
+         WHEN p.ts IS NULL OR n.ts IS NULL THEN NULL
+         WHEN n.ts = p.ts THEN p.value
+         ELSE p.value + (n.value - p.value)
+              * (CAST(epoch_us(g.bucket) - epoch_us(p.ts) AS DOUBLE)
+                 / CAST(epoch_us(n.ts) - epoch_us(p.ts) AS DOUBLE))
+       END, 6) AS interp_value
+FROM grid g
+CROSS JOIN per_type t
+ASOF LEFT JOIN obs p
+  ON p.event_type = t.event_type AND p.ts <= g.bucket
+ASOF LEFT JOIN obs n
+  ON n.event_type = t.event_type AND n.ts >= g.bucket
+""", tags=("events", "resample", "timeseries", "interpolate"))
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (the other half of the hypertable
+    resample surface next to events_resample's LOCF): at each 6-hour
+    grid point per event type, interpolate between the latest
+    observation at-or-before and the earliest at-or-after; NULL
+    outside the observed range. Composes the backward AND the new
+    forward as-of operators (operators/asof.py) — each is one union +
+    one linear window pass per key, no range explosion.
+
+    Determinism: the fraction is computed on exact int64 microsecond
+    deltas cast to double (identical IEEE ops on both engines; a
+    seconds-level unix_timestamp would truncate the fixture's
+    microsecond timestamps), the same a + (b-a)*t expression shape on
+    both sides, rounded to 6 dp. Ties at identical (type, ts) resolve
+    to max event_id, as in events_resample.
+    """
+    from ..operators.asof import asof_join_backward, asof_join_forward
+    from ..operators.dedup import exact_dedup_keep_first
+
+    e = load_table(spark, sf_dir, "events")
+    grid = spark.sql("""
+        SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-31 00:00:00',
+                                INTERVAL 6 HOURS)) AS bucket
+    """)
+    types = e.select("event_type").distinct()
+    grid_t = grid.crossJoin(types)
+    obs = exact_dedup_keep_first(
+        e.select("event_type", F.col("ts").alias("o_ts"),
+                 F.col("value"), "event_id"),
+        key_cols=["event_type", "o_ts"],
+        order_cols=[F.col("event_id").desc()]).drop("event_id")
+    prev = (obs.select("event_type", "o_ts",
+                       F.col("value").alias("p_val"))
+            .withColumn("p_ts", F.col("o_ts")))
+    nxt = (obs.select("event_type", "o_ts",
+                      F.col("value").alias("n_val"))
+           .withColumn("n_ts", F.col("o_ts")))
+    with_prev = asof_join_backward(
+        grid_t, prev, on=["event_type"], left_ts="bucket",
+        right_ts="o_ts", right_payload=["p_val", "p_ts"])
+    both = asof_join_forward(
+        with_prev, nxt, on=["event_type"], left_ts="bucket",
+        right_ts="o_ts", right_payload=["n_val", "n_ts"])
+    frac = ((F.unix_micros("bucket") - F.unix_micros("p_ts"))
+            .cast("double")
+            / (F.unix_micros("n_ts") - F.unix_micros("p_ts"))
+            .cast("double"))
+    interp = (F.when(F.col("p_ts").isNull() | F.col("n_ts").isNull(),
+                     F.lit(None).cast("double"))
+              .when(F.col("n_ts") == F.col("p_ts"), F.col("p_val"))
+              .otherwise(F.col("p_val")
+                         + (F.col("n_val") - F.col("p_val")) * frac))
+    return both.select(
+        F.date_format("bucket", SEC_FMT).alias("bucket_start"),
+        "event_type",
+        F.round(interp, 6).alias("interp_value"))
+
+
 @register("events_rollup_daily", oracle=f"""
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        COUNT(*) AS n_events,

@@ -608,3 +608,75 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"))
+
+
+KS_ORACLE = f"""
+WITH per_user AS ({_AB_STATS}),
+by_x AS (
+  SELECT x,
+         COUNT(CASE WHEN arm = 0 THEN 1 END) AS c0,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS c1
+  FROM per_user GROUP BY x
+), cum AS (
+  SELECT SUM(c0) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0,
+         SUM(c1) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+  FROM by_x
+), tot AS (
+  SELECT COUNT(CASE WHEN arm = 0 THEN 1 END) AS n0,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS n1
+  FROM per_user
+)
+SELECT n0, n1,
+       ROUND(MAX(ABS(CAST(cum0 AS DOUBLE) / n0
+                     - CAST(cum1 AS DOUBLE) / n1)), 6) AS ks_stat,
+       ROUND(SQRT(CAST(n0 * n1 AS DOUBLE) / (n0 + n1))
+             * MAX(ABS(CAST(cum0 AS DOUBLE) / n0
+                       - CAST(cum1 AS DOUBLE) / n1)), 6) AS ks_scaled
+FROM cum, tot
+GROUP BY n0, n1
+"""
+
+
+@register("stats_ks", oracle=KS_ORACLE, tags=("stats", "abtest"))
+def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the same
+    experiment arms as stats_ab_test / stats_mannwhitney — the
+    distribution-shape companion: D = max |ECDF0(x) - ECDF1(x)|, plus
+    the asymptotic scaling sqrt(n0*n1/(n0+n1))*D that feeds the KS
+    p-value. Completes the A/B family: t-test (means), rank-sum
+    (location), KS (whole distribution).
+
+    Per-x counts first (one shuffle on x), then one cumulative window
+    over the |distinct per-user x| grouped rows — cardinality |users|,
+    never the events fact, same justification as stats_mannwhitney's
+    rank window. Totals ride a 1-row broadcast frame (allowlisted).
+    ECDF differences are exact-integer ratios evaluated identically on
+    both engines, rounded to 6 dp."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.sum(F.col("value").cast("decimal(38,6)"))
+                     .cast("double").alias("x"))
+                .select((F.col("user_id") % 2).cast("long").alias("arm"),
+                        "x"))
+    by_x = per_user.groupBy("x").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("c1"))
+    w = (Window.orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = by_x.select(F.sum("c0").over(w).alias("cum0"),
+                      F.sum("c1").over(w).alias("cum1"))
+    tot = per_user.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"))
+    diff = F.abs(F.col("cum0").cast("double") / F.col("n0")
+                 - F.col("cum1").cast("double") / F.col("n1"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .groupBy("n0", "n1")
+            .agg(F.round(F.max(diff), 6).alias("ks_stat"),
+                 F.round(F.sqrt((F.col("n0") * F.col("n1")).cast("double")
+                                / (F.col("n0") + F.col("n1")))
+                         * F.max(diff), 6).alias("ks_scaled")))

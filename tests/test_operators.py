@@ -882,3 +882,101 @@ def test_dedup_candidate_recall_minhash_full(spark):
                 spark, "/root/testdata/sf0.001").collect()}
     assert rows["minhash_lsh"].recall == 1.0, rows
     assert rows["simhash"].recall >= 0.8, rows
+
+
+def test_triangle_census_matches_bruteforce(spark):
+    # Census (nodes/edges/wedges/triangles/coefficient) must agree with
+    # an itertools brute force on fuzzed graphs; reversed+duplicated
+    # input edges exercise the canonicalization.
+    import itertools
+    import random
+
+    from integrator_spark.operators.graph import triangle_census
+
+    for seed in (7, 23):
+        rnd = random.Random(seed)
+        edges = list({(min(a, b), max(a, b)) for a, b in
+                      ((rnd.randrange(18), rnd.randrange(18))
+                       for _ in range(70)) if a != b})
+        adj = set(edges)
+        nodes = sorted({x for e in edges for x in e})
+        tris = sum(1 for x, y, z in itertools.combinations(nodes, 3)
+                   if (x, y) in adj and (y, z) in adj and (x, z) in adj)
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        noisy = edges + [(b, a) for a, b in edges[:10]]
+        df = spark.createDataFrame(noisy, "src long, dst long")
+        row = triangle_census(df).collect()[0]
+        assert (row.n_nodes, row.n_edges) == (len(nodes), len(edges)), seed
+        assert (row.n_wedges, row.n_triangles) == (wedges, tris), seed
+        assert abs(row.clustering_coeff
+                   - round(3.0 * tris / wedges, 9)) < 1e-12, seed
+
+
+def test_bfs_levels_matches_python_bfs(spark):
+    # Minimal-hop levels must match a reference frontier BFS, including
+    # the depth bound (nodes beyond max_depth absent from the result).
+    import collections
+    import random
+
+    from integrator_spark.operators.graph import bfs_levels
+
+    for seed in (3, 11):
+        rnd = random.Random(seed)
+        edges = list({(a, b) for a, b in
+                      ((rnd.randrange(30), rnd.randrange(30))
+                       for _ in range(45)) if a != b})
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        src = min(adj)
+        want = {src: 0}
+        frontier = [src]
+        for lvl in range(1, 4):
+            nxt = {d for n in frontier for d in adj[n] if d not in want}
+            for d in nxt:
+                want[d] = lvl
+            frontier = sorted(nxt)
+            if not nxt:
+                break
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.level
+               for r in bfs_levels(df, source=src, max_depth=3).collect()}
+        assert got == want, seed
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    # Forward as-of must match pandas merge_asof(direction="forward",
+    # allow_exact_matches=True) per key, including NULL past the last
+    # observation and the inclusive equal-ts match.
+    import pandas as pd
+
+    from integrator_spark.operators.asof import asof_join_forward
+
+    left_pd = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3,
+        "ts": [0, 5, 10, 99, 2, 7, 50],
+        "lv": [1, 2, 3, 4, 5, 6, 7],
+    })
+    right_pd = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b"],
+        "rts": [5, 8, 20, 7, 40],
+        "pay": [50.0, 80.0, 200.0, 70.0, 400.0],
+    })
+    want = pd.merge_asof(
+        left_pd.sort_values("ts"), right_pd.rename(columns={"rts": "ts"})
+        .sort_values("ts"), on="ts", by="k", direction="forward",
+        allow_exact_matches=True)
+    got = asof_join_forward(
+        spark.createDataFrame(left_pd), spark.createDataFrame(right_pd),
+        on=["k"], left_ts="ts", right_ts="rts",
+        right_payload=["pay"]).toPandas()
+    want_map = {(r.k, r.ts): (None if pd.isna(r.pay) else r.pay)
+                for r in want.itertuples()}
+    got_map = {(r.k, r.ts): (None if pd.isna(r.pay) else r.pay)
+               for r in got.itertuples()}
+    assert got_map == want_map
