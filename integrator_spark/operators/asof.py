@@ -25,10 +25,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join_backward(left: DataFrame, right: DataFrame, on: list[str],
-                       left_ts: str, right_ts: str,
-                       right_payload: list[str]) -> DataFrame:
-    """Left as-of join: latest right row with right_ts <= left_ts per key."""
+def _asof_join(left: DataFrame, right: DataFrame, on: list[str],
+               left_ts: str, right_ts: str, right_payload: list[str],
+               backward: bool) -> DataFrame:
+    """Shared union-and-window core of both as-of directions.
+
+    Backward: payload carried with ``last(ignorenulls)`` over the
+    preceding frame; right rows sort before left rows at equal ts so
+    the <= match is inclusive. Forward: ``first(ignorenulls)`` over the
+    following frame; left rows sort first at equal ts for inclusive >=.
+    """
     left_cols = [c for c in left.columns if c not in on and c != left_ts]
     l_tag = left.select(
         *on,
@@ -45,17 +51,30 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: list[str],
         *[F.col(c) for c in right_payload],
     )
     unioned = l_tag.unionByName(r_tag)
-    # Right rows sort before left rows at equal ts => inclusive (<=) match.
-    w = (Window.partitionBy(*on)
-         .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = Window.partitionBy(*on)
+    if backward:
+        w = (base.orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        fill = F.last
+    else:
+        w = (base.orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        fill = F.first
     filled = unioned.select(
         *on, "_ts", "_is_left", *left_cols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+        *[fill(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
     )
     return (filled.filter(F.col("_is_left") == 1)
             .drop("_is_left")
             .withColumnRenamed("_ts", left_ts))
+
+
+def asof_join_backward(left: DataFrame, right: DataFrame, on: list[str],
+                       left_ts: str, right_ts: str,
+                       right_payload: list[str]) -> DataFrame:
+    """Left as-of join: latest right row with right_ts <= left_ts per key."""
+    return _asof_join(left, right, on, left_ts, right_ts, right_payload,
+                      backward=True)
 
 
 def asof_join_forward(left: DataFrame, right: DataFrame, on: list[str],
@@ -63,38 +82,9 @@ def asof_join_forward(left: DataFrame, right: DataFrame, on: list[str],
                       right_payload: list[str]) -> DataFrame:
     """Left as-of join, forward: earliest right row with
     right_ts >= left_ts per key (DuckDB ``ASOF LEFT JOIN ... ON
-    r.ts >= l.ts`` semantics). Mirror of :func:`asof_join_backward`
-    — same union + single window pass, but the payload is pulled from
-    the *following* frame with ``first(..., ignorenulls=True)``; left
-    rows sort before right rows at equal ts so the match is inclusive.
-    Same cost and caveats as the backward variant."""
-    left_cols = [c for c in left.columns if c not in on and c != left_ts]
-    l_tag = left.select(
-        *on,
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_is_left"),
-        *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_payload],
-    )
-    r_tag = right.select(
-        *on,
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_is_left"),
-        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
-        *[F.col(c) for c in right_payload],
-    )
-    unioned = l_tag.unionByName(r_tag)
-    # Left rows sort before right rows at equal ts => inclusive (>=) match.
-    w = (Window.partitionBy(*on)
-         .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
-         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    filled = unioned.select(
-        *on, "_ts", "_is_left", *left_cols,
-        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
-    )
-    return (filled.filter(F.col("_is_left") == 1)
-            .drop("_is_left")
-            .withColumnRenamed("_ts", left_ts))
+    r.ts >= l.ts`` semantics). Same cost and caveats as backward."""
+    return _asof_join(left, right, on, left_ts, right_ts, right_payload,
+                      backward=False)
 
 
 def asof_join_grouped_pandas(left: DataFrame, right: DataFrame,

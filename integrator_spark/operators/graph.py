@@ -77,7 +77,8 @@ def undirected_edges(edges: DataFrame, src: str = "src",
 
 
 def triangle_census(edges: DataFrame, src: str = "src",
-                    dst: str = "dst") -> DataFrame:
+                    dst: str = "dst",
+                    assume_canonical: bool = False) -> DataFrame:
     """Global triangle census over an undirected graph → one row
     (n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff).
 
@@ -96,8 +97,16 @@ def triangle_census(edges: DataFrame, src: str = "src",
 
     The clustering coefficient is 3·triangles / wedges (wedges counted
     on the *undirected* degree, sum of C(deg, 2) — a linear agg).
+    ``assume_canonical`` skips the canonicalizing distinct when the
+    caller already guarantees distinct a<b edges (saves one full-edge
+    shuffle — the edge list is the largest intermediate here).
     """
-    e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    if assume_canonical:
+        e = (edges.select(F.col(src).cast("long").alias("a"),
+                          F.col(dst).cast("long").alias("b"))
+             .localCheckpoint(eager=True))
+    else:
+        e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
     deg = (e.select(F.col("a").alias("node"))
            .unionByName(e.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -118,10 +127,13 @@ def triangle_census(edges: DataFrame, src: str = "src",
            .join(closing, (F.col("c_x") == F.col("w_x"))
                  & (F.col("c_z") == F.col("w_z")))
            .agg(F.count(F.lit(1)).alias("n_triangles")))
+    # Per-node C(deg,2) with integer DIV (deg*(deg-1) is always even):
+    # the long sum stays exact past 2^53, where a double division would
+    # silently round — same exact-integer discipline as the money sums.
     summary = (deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("deg").cast("long")
-               * (F.col("deg") - F.lit(1))) / F.lit(2)).cast("long")
+        F.sum(F.expr(
+            "CAST(deg AS BIGINT) * (CAST(deg AS BIGINT) - 1) DIV 2"))
         .alias("n_wedges")))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     # Three 1-row frames — bounded crossJoins (plan-audit allowlisted
@@ -134,7 +146,8 @@ def triangle_census(edges: DataFrame, src: str = "src",
 
 
 def bfs_levels(edges: DataFrame, source: int, max_depth: int = 6,
-               src: str = "src", dst: str = "dst") -> DataFrame:
+               src: str = "src", dst: str = "dst",
+               assume_canonical: bool = False) -> DataFrame:
     """Hop distance from ``source`` over an undirected edge list →
     (node, level), level = minimal hop count ≤ max_depth.
 
@@ -146,8 +159,14 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 6,
     slim (node[, level]) frames; the adjacency is checkpointed once
     and re-shuffled on its join key each round, which AQE coalesces.
     The empty-frontier early exit costs one bounded isEmpty per round.
+    ``assume_canonical`` as in :func:`triangle_census`.
     """
-    u = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    if assume_canonical:
+        u = (edges.select(F.col(src).cast("long").alias("a"),
+                          F.col(dst).cast("long").alias("b"))
+             .localCheckpoint(eager=True))
+    else:
+        u = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
     adj = (u.select(F.col("a").alias("e_s"), F.col("b").alias("e_d"))
            .unionByName(
                u.select(F.col("b").alias("e_s"), F.col("a").alias("e_d"))))

@@ -115,7 +115,7 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray, n_assign: int = 1,
 def ivf_search(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
                n_probe: int = 8, k: int = 1,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               prune_buckets: bool = True) -> DataFrame:
+               prune_buckets: bool = False) -> DataFrame:
     """Probe-bounded ANN search: each query meets only its n_probe
     buckets' vectors. Per-bucket cogrouped matmul (exact float64 cosine
     inside the bucket), then one window reduces bucket winners to the
@@ -128,9 +128,12 @@ def ivf_search(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
     partition pruning — the scan reads only the probed fraction of a
     100 TB index. Without it the cogroup computes the same result but
     SCANS the whole index (each unprobed bucket is read, shuffled, and
-    dropped as an empty cogroup). Only worth skipping when |Q| × n_probe
-    approaches the cluster count (every bucket probed anyway — true of
-    the fixture-scale registered query, not of serving workloads)."""
+    dropped as an empty cogroup). Pruning costs an eager probe pass +
+    a bounded driver collect at call time, so it's opt-in (default
+    off): enable it for serving workloads where |Q| × n_probe is far
+    below the cluster count; leave it off when every bucket gets probed
+    anyway (true of the whole-corpus registered query, where pruning
+    would pay the extra job and filter essentially nothing)."""
     spark = index.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
 

@@ -201,6 +201,7 @@ WITH grid AS (
 ), per_type AS (SELECT DISTINCT event_type FROM events),
 obs AS (
   SELECT event_type, ts, value FROM events
+  WHERE value IS NOT NULL
   QUALIFY row_number() OVER (PARTITION BY event_type, ts
                              ORDER BY event_id DESC) = 1
 )
@@ -234,7 +235,11 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds-level unix_timestamp would truncate the fixture's
     microsecond timestamps), the same a + (b-a)*t expression shape on
     both sides, rounded to 6 dp. Ties at identical (type, ts) resolve
-    to max event_id, as in events_resample.
+    to max event_id, as in events_resample. NULL-valued observations
+    are dropped up front on both engines — the as-of operators fill
+    payload columns per column, so a null value surviving into obs
+    would pair an older value with the matched timestamp and skew the
+    slope (the operator docstring's documented caveat).
     """
     from ..operators.asof import asof_join_backward, asof_join_forward
     from ..operators.dedup import exact_dedup_keep_first
@@ -248,8 +253,9 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = e.select("event_type").distinct()
     grid_t = grid.crossJoin(types)
     obs = exact_dedup_keep_first(
-        e.select("event_type", F.col("ts").alias("o_ts"),
-                 F.col("value"), "event_id"),
+        e.filter(F.col("value").isNotNull())
+        .select("event_type", F.col("ts").alias("o_ts"),
+                F.col("value"), "event_id"),
         key_cols=["event_type", "o_ts"],
         order_cols=[F.col("event_id").desc()]).drop("event_id")
     prev = (obs.select("event_type", "o_ts",

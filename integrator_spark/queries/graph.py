@@ -71,7 +71,7 @@ tri AS (
 )
 SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        (SELECT COUNT(*) FROM e) AS n_edges,
-       (SELECT CAST(SUM(dg * (dg - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
        n_triangles,
        ROUND(3.0 * n_triangles
              / (SELECT SUM(dg * (dg - 1) / 2) FROM deg), 9)
@@ -90,9 +90,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical triangle set with the orientation-free a<b<c 3-way
     join (any acyclic orientation preserves the census, so both
     formulations agree exactly). Single-row output assembled from
-    bounded 1-row frames (allowlisted crossJoin)."""
+    bounded 1-row frames (allowlisted crossJoin). The co-purchase
+    derivation already emits distinct s<d pairs, so the census skips
+    its canonicalizing shuffle (assume_canonical)."""
     edges = _copurchase_edges(spark, sf_dir)
-    return triangle_census(edges, src="s", dst="d")
+    return triangle_census(edges, src="s", dst="d", assume_canonical=True)
 
 
 @register("graph_bfs", oracle=f"""
@@ -104,7 +106,7 @@ WITH RECURSIVE w AS (
 ),
 u AS (SELECT s, d FROM w UNION SELECT d, s FROM w),
 r(node, lvl) AS (
-  SELECT (SELECT MIN(s) FROM w), 0
+  SELECT MIN(s), 0 FROM w HAVING MIN(s) IS NOT NULL
   UNION
   SELECT u.d, r.lvl + 1 FROM r JOIN u ON u.s = r.node WHERE r.lvl < 6
 )
@@ -124,11 +126,15 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct, an anti-join against visited, lineage truncated per
     round. The oracle is the textbook recursive CTE bounded at the
     same depth with MIN(level) per node — identical minimal-hop
-    semantics. Output is the per-level node count (small, stable)."""
+    semantics. Output is the per-level node count (small, stable);
+    an empty edge set yields an empty result on both engines (the
+    oracle's HAVING guard drops the NULL base row)."""
     edges = _copurchase_edges(spark, sf_dir, min_weight=2)
     source = edges.agg(F.min("s")).collect()[0][0]  # bounded 1-row scalar
+    if source is None:  # no qualifying edges: empty graph, empty result
+        return spark.createDataFrame([], "level int, n_nodes long")
     levels = bfs_levels(edges, source=int(source), max_depth=6,
-                        src="s", dst="d")
+                        src="s", dst="d", assume_canonical=True)
     return (levels.groupBy("level")
             .agg(F.count(F.lit(1)).alias("n_nodes"))
             .orderBy("level"))
