@@ -600,3 +600,131 @@ def events_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.date_format("s.start", US_FMT).alias("session_start"),
                     F.date_format("s.end", US_FMT).alias("session_end"),
                     "n_events"))
+
+
+@register("events_attribution", oracle=f"""
+WITH conv AS (
+  SELECT user_id, ts AS c_ts, value FROM events
+  WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'view')
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+)
+SELECT CASE WHEN t.ts IS NULL OR t.ts < c.c_ts - INTERVAL '24 hours'
+            THEN 'direct' ELSE t.event_type END AS touch,
+       COUNT(*) AS n_conversions,
+       {sql_dsum('c.value')} AS attributed_revenue
+FROM conv c
+ASOF LEFT JOIN touch t
+  ON t.user_id = c.user_id AND t.ts <= c.c_ts
+GROUP BY 1 ORDER BY 1
+""", tags=("events", "attribution", "asof"))
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (the classic marketing-
+    analytics warehouse pattern): each purchase is attributed to the
+    same user's most recent click/view at-or-before it, falling back
+    to 'direct' when there is none within a 24-hour lookback. Output
+    is revenue and conversion counts per touch class.
+
+    The attribution itself is the backward as-of operator keyed on
+    user_id — one shuffle of each side on the user key plus a linear
+    window pass, no per-user loops, no range-join explosion; the
+    lookback is a post-filter CASE, not a join predicate. Touch ties
+    at identical (user, ts) resolve to max event_id on both engines;
+    revenue sums through the exact DECIMAL accumulator."""
+    from ..operators.asof import asof_join_backward
+    from ..operators.dedup import exact_dedup_keep_first
+
+    e = load_table(spark, sf_dir, "events")
+    conv = (e.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("c_ts"), "value"))
+    touch = exact_dedup_keep_first(
+        e.filter(F.col("event_type").isin("click", "view"))
+        .select("user_id", F.col("ts").alias("o_ts"),
+                F.col("event_type").alias("t_type"), "event_id"),
+        key_cols=["user_id", "o_ts"],
+        order_cols=[F.col("event_id").desc()]).drop("event_id")
+    touch = touch.withColumn("t_ts", F.col("o_ts"))
+    attributed = asof_join_backward(
+        conv, touch, on=["user_id"], left_ts="c_ts",
+        right_ts="o_ts", right_payload=["t_type", "t_ts"])
+    label = (F.when(F.col("t_ts").isNull()
+                    | (F.col("t_ts") < F.col("c_ts")
+                       - F.expr("INTERVAL 24 HOURS")), F.lit("direct"))
+             .otherwise(F.col("t_type")))
+    return (attributed.select(label.alias("touch"), "value")
+            .groupBy("touch")
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 dsum("value").alias("attributed_revenue"))
+            .orderBy("touch"))
+
+
+@register("events_attribution_linear", oracle=f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS c_ts, value FROM events
+  WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts AS t_ts, event_type AS t_type FROM events
+  WHERE event_type IN ('click', 'view')
+), m AS (
+  SELECT c.conv_id, c.value, t.t_type
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.t_ts <= c.c_ts
+   AND t.t_ts >= c.c_ts - INTERVAL '24 hours'
+), per_conv AS (
+  SELECT conv_id, COUNT(*) AS n_t FROM m GROUP BY conv_id
+), shares AS (
+  SELECT m.t_type, ROUND(m.value / p.n_t, 6) AS share
+  FROM m JOIN per_conv p USING (conv_id)
+)
+SELECT t_type AS touch, COUNT(*) AS n_touches,
+       {sql_dsum('share')} AS attributed_revenue
+FROM shares GROUP BY 1
+UNION ALL
+SELECT 'direct', COUNT(*), {sql_dsum('value')}
+FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM m)
+""", tags=("events", "attribution", "rangejoin"))
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across ALL of the user's click/view touches in the 24-hour
+    lookback (vs events_attribution's winner-takes-all last touch);
+    purchases with no touch in window fall into a 'direct' bucket with
+    their full value.
+
+    The touch match is an equi join on user_id with the lookback as a
+    range residual — Catalyst keeps it a hash/sort-merge join on the
+    user key (the plan audit would flag a nested-loop), and the
+    fan-out is bounded by touches-per-user-day. Per-conversion shares
+    are rounded to 6 dp before the exact DECIMAL re-aggregation so
+    both engines sum identical doubles."""
+    e = load_table(spark, sf_dir, "events")
+    conv = (e.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("conv_id"), "user_id",
+                    F.col("ts").alias("c_ts"), "value"))
+    touch = (e.filter(F.col("event_type").isin("click", "view"))
+             .select(F.col("user_id").alias("t_user"),
+                     F.col("ts").alias("t_ts"),
+                     F.col("event_type").alias("t_type")))
+    m = conv.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("c_ts"))
+        & (F.col("t_ts") >= F.col("c_ts") - F.expr("INTERVAL 24 HOURS")))
+    per_conv = m.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_t"))
+    shares = (m.join(per_conv, "conv_id")
+              .select("t_type",
+                      F.round(F.col("value") / F.col("n_t"), 6)
+                      .alias("share")))
+    by_type = (shares.groupBy(F.col("t_type").alias("touch"))
+               .agg(F.count(F.lit(1)).alias("n_touches"),
+                    dsum("share").alias("attributed_revenue")))
+    direct = (conv.join(m.select("conv_id").distinct(), "conv_id",
+                        "left_anti")
+              .agg(F.count(F.lit(1)).alias("n_touches"),
+                   dsum("value").alias("attributed_revenue"))
+              .select(F.lit("direct").alias("touch"), "n_touches",
+                      "attributed_revenue"))
+    return by_type.unionByName(direct).orderBy("touch")
