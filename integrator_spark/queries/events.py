@@ -728,3 +728,51 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.lit("direct").alias("touch"), "n_touches",
                       "attributed_revenue"))
     return by_type.unionByName(direct).orderBy("touch")
+
+
+@register("events_ohlc", oracle=f"""
+WITH obs AS (
+  SELECT event_type, ts, value FROM events
+  WHERE value IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts
+                             ORDER BY event_id DESC) = 1
+)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       arg_min(value, ts) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ts) AS close,
+       COUNT(*) AS n_ticks,
+       {sql_dsum('value')} AS volume
+FROM obs
+GROUP BY 1, 2
+""", tags=("events", "timeseries", "ohlc"))
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars (open-high-low-close + volume), daily per
+    event type — the canonical financial/hypertable downsampling
+    pattern. Open/close are the first/last value by timestamp inside
+    the bar via min_by/max_by — a single map-side-combinable hash agg,
+    no window pass, no sort: each partial carries one (ts, value)
+    extremum per group, so the shuffle is |groups|-sized regardless of
+    tick volume. Ties at identical (type, ts) are removed up front
+    (max event_id wins, as in events_resample) so min_by/max_by are
+    deterministic on both engines; volume uses the exact DECIMAL
+    accumulator."""
+    from ..operators.dedup import exact_dedup_keep_first
+
+    e = load_table(spark, sf_dir, "events")
+    obs = exact_dedup_keep_first(
+        e.filter(F.col("value").isNotNull())
+        .select("event_type", "ts", "value", "event_id"),
+        key_cols=["event_type", "ts"],
+        order_cols=[F.col("event_id").desc()]).drop("event_id")
+    return (obs.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                      "yyyy-MM-dd").alias("day"),
+                        "event_type")
+            .agg(F.min_by("value", "ts").alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", "ts").alias("close"),
+                 F.count(F.lit(1)).alias("n_ticks"),
+                 dsum("value").alias("volume")))

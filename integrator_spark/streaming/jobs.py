@@ -892,3 +892,45 @@ def stream_soak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "contiguous int, n_dupes long, resumed_from_checkpoint int, "
         "target_reached int")
+
+
+@register("stream_ohlc", oracle=f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       arg_min(value, ts) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ts) AS close,
+       COUNT(*) AS n_ticks,
+       {sql_dsum('value')} AS volume
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+""", tags=("streaming", "timeseries", "ohlc"))
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candle bars built on the streaming path — the
+    continuously-maintained version of the batch `events_ohlc`
+    downsampler: readStream → watermark → day/type aggregation with
+    min_by/max_by carrying the (ts, value) extrema in streaming state
+    (a few scalars per open bar, not the ticks). On the bounded
+    availableNow replay nothing is late, so the drained table equals
+    the batch bars and the oracle checks it exactly. Complete mode:
+    the last open day never crosses the watermark. Open/close are
+    well-defined because (event_type, ts) is unique in the fixture
+    contract (measured at every sf; a tie would make which tick is
+    'first' engine-internal — the batch variant documents the same)."""
+    s = events_stream(spark, sf_dir)
+    agg = (s.filter(F.col("value").isNotNull())
+           .withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+           .agg(F.min_by("value", "ts").alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", "ts").alias("close"),
+                F.count(F.lit(1)).alias("n_ticks"),
+                dsum("value").alias("volume"))
+           .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                   "event_type", "open", "high", "low", "close",
+                   "n_ticks", "volume"))
+    return run_available_now(agg, sf_dir, "stream_ohlc",
+                             output_mode="complete")

@@ -163,3 +163,59 @@ def test_cosine_pairs_twosided_invariant_to_block_count(spark):
                cosine_pairs_twosided(emb, threshold=0.85,
                                      n_blocks=nb).collect()}
         assert got == want, nb
+
+
+asof_case = st.fixed_dictionaries({
+    "left": st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=25),
+    "right": st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50),
+                  st.integers(-1000, 1000)),
+        min_size=0, max_size=25),
+    "backward": st.booleans(),
+})
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(c=asof_case)
+def test_asof_joins_agree_with_pandas_merge_asof(c, spark):
+    # Both as-of directions must match pandas merge_asof per key on
+    # fuzzed (key, ts) data, including equal-ts inclusivity and rows
+    # past the last/first observation. Right side deduped per (k, ts)
+    # first — as-of is only well-defined on unique right timestamps.
+    import pandas as pd
+
+    from integrator_spark.operators.asof import (asof_join_backward,
+                                                 asof_join_forward)
+
+    left_pd = pd.DataFrame(c["left"], columns=["k", "ts"])
+    right_pd = (pd.DataFrame(c["right"], columns=["k", "rts", "pay"])
+                .drop_duplicates(["k", "rts"], keep="first"))
+    right_pd["pay"] = right_pd["pay"].astype(float)
+    direction = "backward" if c["backward"] else "forward"
+    if len(right_pd) == 0:
+        # merge_asof rejects an empty object-dtype by-column; the
+        # defined result is simply "no match anywhere".
+        want = left_pd.assign(pay=float("nan"))
+    else:
+        want = pd.merge_asof(
+            left_pd.sort_values(["ts", "k"], kind="stable"),
+            right_pd.rename(columns={"rts": "ts"}).sort_values("ts"),
+            on="ts", by="k", direction=direction, allow_exact_matches=True)
+    fn = asof_join_backward if c["backward"] else asof_join_forward
+    got = fn(
+        spark.createDataFrame(left_pd, "k long, ts long"),
+        spark.createDataFrame(right_pd, "k long, rts long, pay double"),
+        on=["k"], left_ts="ts", right_ts="rts",
+        right_payload=["pay"]).toPandas()
+
+    def counts(df):
+        out: dict = {}
+        for r in df.itertuples():
+            key = (r.k, r.ts, None if pd.isna(r.pay) else r.pay)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    assert counts(got) == counts(want), direction
