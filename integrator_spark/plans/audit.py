@@ -50,6 +50,7 @@ CROSS_JOIN_ALLOWED = {
     "corpus_quality_filter",   # 1-row p75-threshold frame broadcast to scan
     "dedup_candidate_recall",  # two 1-row count frames crossJoined per method
     "graph_triangles",     # three 1-row census frames crossJoined
+    "basket_rules",        # 1-row basket-total frame broadcast to rules
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     etl,
     events,
     graph,
+    mining,
     ml_prep,
     multimodal,
     relational,
@@ -16,6 +17,7 @@ from . import (  # noqa: F401
     scalars,
     scale,
     sources,
+    spatial,
     text,
     tpch,
     tpch2,

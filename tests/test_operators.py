@@ -980,3 +980,28 @@ def test_asof_forward_matches_pandas_merge_asof(spark):
     got_map = {(r.k, r.ts): (None if pd.isna(r.pay) else r.pay)
                for r in got.itertuples()}
     assert got_map == want_map
+
+
+def test_radius_pairs_matches_bruteforce(spark):
+    # The grid-bucketed pair set must equal the all-pairs scan on
+    # fuzzed points, including negative coordinates, points exactly on
+    # the radius, and co-located duplicates.
+    import itertools
+    import random
+
+    from integrator_spark.operators.spatial import radius_pairs
+
+    for seed in (2, 9):
+        rnd = random.Random(seed)
+        pts = [(i, rnd.uniform(-500.0, 500.0), rnd.uniform(-500.0, 500.0))
+               for i in range(60)]
+        pts += [(60, pts[0][1], pts[0][2]),          # co-located dup
+                (61, pts[1][1] + 100.0, pts[1][2])]  # exactly r away
+        r = 100.0
+        want = {(a[0], b[0])
+                for a, b in itertools.combinations(pts, 2)
+                if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r}
+        df = spark.createDataFrame(pts, "id long, x double, y double")
+        got = {(row.id_a, row.id_b)
+               for row in radius_pairs(df, "id", "x", "y", r).collect()}
+        assert got == want, seed
