@@ -59,3 +59,101 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (radius_pairs(pts, "id", "x", "y", _RADIUS)
             .select(F.col("id_a"), F.col("id_b"),
                     F.round("dist", 3).alias("dist_m")))
+
+
+@register("spatial_dbscan", oracle=f"""
+WITH RECURSIVE pts AS ({_PTS_SQL}),
+pairs AS (
+  SELECT a.id AS i, b.id AS j
+  FROM pts a JOIN pts b ON a.id <> b.id
+  WHERE (a.x - b.x) * (a.x - b.x)
+        + (a.y - b.y) * (a.y - b.y) <= {_RADIUS} * {_RADIUS}
+),
+deg AS (SELECT i AS id, COUNT(*) AS n FROM pairs GROUP BY 1),
+core AS (
+  SELECT p.id FROM pts p LEFT JOIN deg d ON d.id = p.id
+  WHERE COALESCE(d.n, 0) + 1 >= 4
+),
+core_edges AS (
+  SELECT i, j FROM pairs
+  WHERE i IN (SELECT id FROM core) AND j IN (SELECT id FROM core)
+),
+reach(id, r) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT re.id, e.j FROM reach re JOIN core_edges e ON e.i = re.r
+),
+cluster AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+border AS (
+  SELECT p.i AS id, MIN(c.cluster_id) AS cluster_id
+  FROM pairs p JOIN cluster c ON c.id = p.j
+  WHERE p.i NOT IN (SELECT id FROM core)
+  GROUP BY p.i
+)
+SELECT id, 'core' AS role, cluster_id FROM cluster
+UNION ALL
+SELECT id, 'border', cluster_id FROM border
+UNION ALL
+SELECT p.id, 'noise', CAST(NULL AS BIGINT) FROM pts p
+WHERE p.id NOT IN (SELECT id FROM cluster)
+  AND p.id NOT IN (SELECT id FROM border)
+""", tags=("spatial", "clustering", "dbscan"))
+def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (eps = 2 km, minPts = 4,
+    self-inclusive neighborhood) over the derived planar scatter —
+    every point labeled core / border / noise with its cluster id
+    (= min core id in the density-connected component; border points
+    take the MIN adjacent core cluster for determinism).
+
+    Pure operator composition, no bespoke clustering kernel: the
+    eps-neighborhood graph comes from the grid-bucketed radius join
+    (never all-pairs), core flags are one degree aggregation, clusters
+    are the existing star-contraction connected-components operator
+    over the core-core subgraph (O(log^2 n) rounds, diameter-free),
+    and border assignment is one more equi join. The oracle recomputes
+    density connectivity as a recursive-CTE transitive closure over
+    the quadratic pair join — tractable at fixture scale, which is
+    what oracles are for. Everything here scales as its components do:
+    at 10^9 points the radius join and CC rounds shuffle on cell/node
+    keys; nothing materializes a closure."""
+    from ..operators.dedup import connected_components_star
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 48271) % 100000).cast("double").alias("x"),
+        ((F.col("c_custkey") * 16807 + 12345) % 100000)
+        .cast("double").alias("y"))
+    pairs = radius_pairs(pts, "id", "x", "y", _RADIUS).select("id_a", "id_b")
+    both = (pairs.select(F.col("id_a").alias("i"), F.col("id_b").alias("j"))
+            .unionByName(pairs.select(F.col("id_b").alias("i"),
+                                      F.col("id_a").alias("j"))))
+    deg = both.groupBy(F.col("i").alias("id")).agg(
+        F.count(F.lit(1)).alias("n"))
+    core = (pts.select("id").join(deg, "id", "left")
+            .filter(F.coalesce(F.col("n"), F.lit(0)) + 1 >= 4)
+            .select("id"))
+    core_edges = (both
+                  .join(core.select(F.col("id").alias("i")), "i", "semi")
+                  .join(core.select(F.col("id").alias("j")), "j", "semi"))
+    cc = connected_components_star(
+        core_edges.select(F.col("i").alias("d1"), F.col("j").alias("d2")))
+    linked = cc.select(F.col("doc_id").alias("id"),
+                       F.col("cluster_id"))
+    isolated = (core.join(linked.select("id"), "id", "left_anti")
+                .select("id", F.col("id").alias("cluster_id")))
+    clusters = linked.unionByName(isolated)
+    border = (both.join(core.select(F.col("id").alias("i")), "i",
+                        "left_anti")
+              .join(clusters.select(F.col("id").alias("j"), "cluster_id"),
+                    "j")
+              .groupBy(F.col("i").alias("id"))
+              .agg(F.min("cluster_id").alias("cluster_id")))
+    labeled = (clusters.select("id", F.lit("core").alias("role"),
+                               "cluster_id")
+               .unionByName(border.select("id", F.lit("border").alias("role"),
+                                          "cluster_id")))
+    noise = (pts.select("id").join(labeled.select("id"), "id", "left_anti")
+             .select("id", F.lit("noise").alias("role"),
+                     F.lit(None).cast("long").alias("cluster_id")))
+    return labeled.unionByName(noise).orderBy("id")

@@ -1005,3 +1005,36 @@ def test_radius_pairs_matches_bruteforce(spark):
         got = {(row.id_a, row.id_b)
                for row in radius_pairs(df, "id", "x", "y", r).collect()}
         assert got == want, seed
+
+
+def test_dbscan_composition_roles_hand_computed(spark):
+    # The DBSCAN building blocks (radius pairs -> degree -> core ->
+    # CC -> border/noise) on a hand-laid pattern: a dense 5-point
+    # cross at the origin (all core at minPts=4), one point 8m from
+    # its edge (border: in eps of a core, too sparse to be core), one
+    # far point (noise).
+    from integrator_spark.operators.dedup import connected_components_star
+    from integrator_spark.operators.spatial import radius_pairs
+
+    pts = [(0, 0.0, 0.0), (1, 5.0, 0.0), (2, -5.0, 0.0),
+           (3, 0.0, 5.0), (4, 0.0, -5.0),     # dense cross, all core
+           (5, 13.0, 0.0),                    # within 10 of 1 only
+           (6, 500.0, 500.0)]                 # noise
+    eps, min_pts = 10.0, 4
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    pairs = radius_pairs(df, "id", "x", "y", eps).select("id_a", "id_b")
+    both = (pairs.selectExpr("id_a AS i", "id_b AS j")
+            .unionByName(pairs.selectExpr("id_b AS i", "id_a AS j")))
+    deg = {r.i: r.n for r in
+           both.groupBy("i").agg(F.count(F.lit(1)).alias("n")).collect()}
+    core = {i for i, _, _ in pts if deg.get(i, 0) + 1 >= min_pts}
+    assert core == {0, 1, 2, 3, 4}
+    core_edges = both.filter(F.col("i").isin(*core)
+                             & F.col("j").isin(*core))
+    cc = {r.doc_id: r.cluster_id for r in connected_components_star(
+        core_edges.selectExpr("i AS d1", "j AS d2")).collect()}
+    assert cc == {i: 0 for i in core}
+    # 5 is adjacent to core 1 only -> border of cluster 0; 6 touches no one
+    neigh5 = {r.j for r in both.filter(F.col("i") == 5).collect()}
+    assert neigh5 == {1}
+    assert 6 not in deg
