@@ -418,3 +418,38 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "skey",
                     (F.col("_off") + F.col("_rank_in") - 1)
                     .cast("long").alias("shuffle_pos")))
+
+
+@register("ml_logreg", oracle=None, tags=("ml", "logreg", "iterative"))
+def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (operators/ml.py logistic_irls):
+    P(order is finalized | price, order year, noise) fit by 8 Newton
+    steps, each one whole-stage-codegen aggregation pass producing
+    decimal-exact gradient/Hessian sums (k + k² scalars — the only
+    thing that crosses the executor boundary) with the k×k solve on
+    the driver. Rows-only: an 8-step IRLS has no tractable ANSI-SQL
+    oracle; tests/test_operators.py pins the coefficients against a
+    NumPy IRLS reference to 1e-3 and the decimal accumulation makes
+    reruns bit-identical (determinism gate). Output: one row per
+    coefficient plus _log_loss and _n summary rows, rounded to 6 dp.
+
+    On the synthetic fixture every feature is near-uninformative
+    (status is ~flat across years), so the fit lands near the
+    base-rate intercept with small feature weights — which is itself
+    the correct answer here; recovery of PLANTED structure is pinned
+    by the NumPy-reference test on generated data."""
+    from ..operators.ml import logistic_irls
+
+    o = load_table(spark, sf_dir, "orders")
+    feats = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+        .alias("label"),
+        F.lit(1.0).alias("intercept"),
+        (F.col("o_totalprice") / 100000.0).alias("price"),
+        ((F.year("o_orderdate") - F.lit(1995)) / 4.0).alias("yr"),
+        ((F.col("o_custkey") % 97) / 97.0).alias("noise"))
+    names = ["intercept", "price", "yr", "noise"]
+    beta, loss, n = logistic_irls(feats, names, "label", iterations=8)
+    rows = [(name, round(float(b), 6)) for name, b in zip(names, beta)]
+    rows += [("_log_loss", round(loss, 6)), ("_n", float(n))]
+    return spark.createDataFrame(rows, "feature string, coef double")

@@ -1038,3 +1038,45 @@ def test_dbscan_composition_roles_hand_computed(spark):
     neigh5 = {r.j for r in both.filter(F.col("i") == 5).collect()}
     assert neigh5 == {1}
     assert 6 not in deg
+
+
+def test_logistic_irls_matches_numpy_reference(spark):
+    # The distributed IRLS must agree with a dense NumPy Newton solver
+    # on the same data (1e-3 — the decimal-truncated accumulators and
+    # float sums legitimately differ in late digits), and the planted
+    # structure must be recovered: year carries the label signal, the
+    # noise feature does not.
+    import numpy as np
+    import pandas as pd
+
+    from integrator_spark.operators.ml import logistic_irls
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    X = np.column_stack([
+        np.ones(n),
+        rng.uniform(-1, 1, n),
+        rng.uniform(-1, 1, n),
+    ])
+    true_beta = np.array([0.3, -1.5, 0.0])
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-X @ true_beta))).astype(float)
+
+    beta = np.zeros(3)
+    for _ in range(8):
+        mu = 1 / (1 + np.exp(-X @ beta))
+        g = X.T @ (y - mu)
+        H = (X * (mu * (1 - mu))[:, None]).T @ X
+        beta = beta + np.linalg.solve(H + 1e-9 * np.eye(3), g)
+
+    pdf = pd.DataFrame({"intercept": X[:, 0], "f1": X[:, 1],
+                        "f2": X[:, 2], "label": y})
+    got, loss, n_rows = logistic_irls(
+        spark.createDataFrame(pdf), ["intercept", "f1", "f2"], "label",
+        iterations=8)
+    assert n_rows == n
+    np.testing.assert_allclose(got, beta, atol=1e-3)
+    mu = 1 / (1 + np.exp(-X @ beta))
+    want_loss = -np.mean(y * np.log(mu + 1e-12)
+                         + (1 - y) * np.log(1 - mu + 1e-12))
+    assert abs(loss - want_loss) < 1e-3
+    assert abs(got[1] + 1.5) < 0.25 and abs(got[2]) < 0.2
