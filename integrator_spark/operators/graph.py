@@ -65,15 +65,26 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 def undirected_edges(edges: DataFrame, src: str = "src",
-                     dst: str = "dst") -> DataFrame:
+                     dst: str = "dst",
+                     assume_canonical: bool = False) -> DataFrame:
     """Canonicalize an edge list to the distinct undirected form
     (a < b, no self-loops): the input contract for the census/BFS
-    operators below. One shuffle (the distinct)."""
+    operators below. One shuffle (the distinct).
+    ``assume_canonical`` skips the canonicalizing distinct when the
+    caller already guarantees distinct a<b edges (saves one full-edge
+    shuffle — the edge list is the largest intermediate in the
+    operators below); the result is eagerly checkpointed either way
+    so iterative consumers start from truncated lineage."""
+    if assume_canonical:
+        return (edges.select(F.col(src).cast("long").alias("a"),
+                             F.col(dst).cast("long").alias("b"))
+                .localCheckpoint(eager=True))
     a = F.least(F.col(src), F.col(dst)).cast("long").alias("a")
     b = F.greatest(F.col(src), F.col(dst)).cast("long").alias("b")
     return (edges.select(a, b)
             .filter(F.col("a") != F.col("b"))
-            .distinct())
+            .distinct()
+            .localCheckpoint(eager=True))
 
 
 def triangle_census(edges: DataFrame, src: str = "src",
@@ -97,16 +108,9 @@ def triangle_census(edges: DataFrame, src: str = "src",
 
     The clustering coefficient is 3·triangles / wedges (wedges counted
     on the *undirected* degree, sum of C(deg, 2) — a linear agg).
-    ``assume_canonical`` skips the canonicalizing distinct when the
-    caller already guarantees distinct a<b edges (saves one full-edge
-    shuffle — the edge list is the largest intermediate here).
+    ``assume_canonical`` as in :func:`undirected_edges`.
     """
-    if assume_canonical:
-        e = (edges.select(F.col(src).cast("long").alias("a"),
-                          F.col(dst).cast("long").alias("b"))
-             .localCheckpoint(eager=True))
-    else:
-        e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    e = undirected_edges(edges, src, dst, assume_canonical)
     deg = (e.select(F.col("a").alias("node"))
            .unionByName(e.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -159,14 +163,9 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 6,
     slim (node[, level]) frames; the adjacency is checkpointed once
     and re-shuffled on its join key each round, which AQE coalesces.
     The empty-frontier early exit costs one bounded isEmpty per round.
-    ``assume_canonical`` as in :func:`triangle_census`.
+    ``assume_canonical`` as in :func:`undirected_edges`.
     """
-    if assume_canonical:
-        u = (edges.select(F.col(src).cast("long").alias("a"),
-                          F.col(dst).cast("long").alias("b"))
-             .localCheckpoint(eager=True))
-    else:
-        u = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    u = undirected_edges(edges, src, dst, assume_canonical)
     adj = (u.select(F.col("a").alias("e_s"), F.col("b").alias("e_d"))
            .unionByName(
                u.select(F.col("b").alias("e_s"), F.col("a").alias("e_d"))))

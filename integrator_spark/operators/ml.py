@@ -57,6 +57,8 @@ def logistic_irls(df: DataFrame, feature_cols: list[str], label_col: str,
                  for i, a in enumerate(feature_cols)
                  for j, b in enumerate(feature_cols) if j >= i]
         row = df.agg(*aggs).collect()[0]
+        if row["g0"] is None:  # SUM over zero rows
+            raise ValueError("logistic_irls: empty input DataFrame")
         g = np.array([row[f"g{i}"] for i in range(k)])
         H = np.zeros((k, k))
         for i in range(k):

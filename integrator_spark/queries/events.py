@@ -713,6 +713,10 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t_user") == F.col("user_id"))
         & (F.col("t_ts") <= F.col("c_ts"))
         & (F.col("t_ts") >= F.col("c_ts") - F.expr("INTERVAL 24 HOURS")))
+    # The range join is the dominant cost and is referenced by three
+    # subtrees below (shares, per-conv counts, direct anti-join);
+    # Catalyst does not share common subplans, so materialize it once.
+    m = m.localCheckpoint(eager=True)
     per_conv = m.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_t"))
     shares = (m.join(per_conv, "conv_id")
               .select("t_type",

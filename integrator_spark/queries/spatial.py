@@ -26,6 +26,18 @@ FROM customer
 """
 
 
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_PTS_SQL`` — the single place the LCG scatter
+    constants live on the engine side (both queries below share it;
+    the SQL twin above must stay in lockstep)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 48271) % 100000).cast("double").alias("x"),
+        ((F.col("c_custkey") * 16807 + 12345) % 100000)
+        .cast("double").alias("y"))
+
+
 @register("spatial_radius_join", oracle=f"""
 WITH pts AS ({_PTS_SQL})
 SELECT a.id AS id_a, b.id AS id_b,
@@ -50,12 +62,7 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical pair set, only one survives 10^9 points. Distances stay
     trig-free (planar meters; sqrt is IEEE-exact on both engines) and
     round to mm."""
-    c = load_table(spark, sf_dir, "customer")
-    pts = c.select(
-        F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") * 48271) % 100000).cast("double").alias("x"),
-        ((F.col("c_custkey") * 16807 + 12345) % 100000)
-        .cast("double").alias("y"))
+    pts = _pts(spark, sf_dir)
     return (radius_pairs(pts, "id", "x", "y", _RADIUS)
             .select(F.col("id_a"), F.col("id_b"),
                     F.round("dist", 3).alias("dist_m")))
@@ -112,18 +119,17 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the core-core subgraph (O(log^2 n) rounds, diameter-free),
     and border assignment is one more equi join. The oracle recomputes
     density connectivity as a recursive-CTE transitive closure over
-    the quadratic pair join — tractable at fixture scale, which is
-    what oracles are for. Everything here scales as its components do:
-    at 10^9 points the radius join and CC rounds shuffle on cell/node
-    keys; nothing materializes a closure."""
+    the quadratic pair join — Θ(Σ|component|²) rows, tractable at the
+    sf0.01 the driver protocol verifies at (171k closure rows) but NOT
+    at sf0.1, where the denser scatter percolates into one 15k-point
+    component (225M closure rows): the oracle's budget is the
+    verification scale, the Spark side is the scale path. Everything
+    here scales as its components do: at 10^9 points the radius join
+    and CC rounds shuffle on cell/node keys; nothing materializes a
+    closure."""
     from ..operators.dedup import connected_components_star
 
-    c = load_table(spark, sf_dir, "customer")
-    pts = c.select(
-        F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") * 48271) % 100000).cast("double").alias("x"),
-        ((F.col("c_custkey") * 16807 + 12345) % 100000)
-        .cast("double").alias("y"))
+    pts = _pts(spark, sf_dir)
     pairs = radius_pairs(pts, "id", "x", "y", _RADIUS).select("id_a", "id_b")
     both = (pairs.select(F.col("id_a").alias("i"), F.col("id_b").alias("j"))
             .unionByName(pairs.select(F.col("id_b").alias("i"),

@@ -897,10 +897,10 @@ def stream_soak(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_ohlc", oracle=f"""
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        event_type,
-       arg_min(value, ts) AS open,
+       arg_min(value, printf('%020d-%012d', epoch_us(ts), event_id)) AS open,
        MAX(value) AS high,
        MIN(value) AS low,
-       arg_max(value, ts) AS close,
+       arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id)) AS close,
        COUNT(*) AS n_ticks,
        {sql_dsum('value')} AS volume
 FROM events
@@ -911,22 +911,28 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC candle bars built on the streaming path — the
     continuously-maintained version of the batch `events_ohlc`
     downsampler: readStream → watermark → day/type aggregation with
-    min_by/max_by carrying the (ts, value) extrema in streaming state
+    min_by/max_by carrying the (key, value) extrema in streaming state
     (a few scalars per open bar, not the ticks). On the bounded
     availableNow replay nothing is late, so the drained table equals
     the batch bars and the oracle checks it exactly. Complete mode:
-    the last open day never crosses the watermark. Open/close are
-    well-defined because (event_type, ts) is unique in the fixture
-    contract (measured at every sf; a tie would make which tick is
-    'first' engine-internal — the batch variant documents the same)."""
+    the last open day never crosses the watermark. Open/close order on
+    a zero-padded '(epoch_us)-(event_id)' string key: (type, ts) is
+    measured unique in today's fixtures, but fixtures have been
+    regenerated between rounds before, and with a bare ts key a single
+    introduced tie would make open/close partition-order-dependent —
+    the event_id suffix pins the winner on both engines (DuckDB's
+    arg_min cannot order on a struct, hence the string). Positive
+    epochs only — fine for the 2024 fixture domain."""
     s = events_stream(spark, sf_dir)
+    key = F.format_string("%020d-%012d", F.unix_micros("ts"),
+                          F.col("event_id"))
     agg = (s.filter(F.col("value").isNotNull())
            .withWatermark("ts", "10 minutes")
            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-           .agg(F.min_by("value", "ts").alias("open"),
+           .agg(F.min_by("value", key).alias("open"),
                 F.max("value").alias("high"),
                 F.min("value").alias("low"),
-                F.max_by("value", "ts").alias("close"),
+                F.max_by("value", key).alias("close"),
                 F.count(F.lit(1)).alias("n_ticks"),
                 dsum("value").alias("volume"))
            .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),

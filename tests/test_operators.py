@@ -1080,3 +1080,8 @@ def test_logistic_irls_matches_numpy_reference(spark):
                          + (1 - y) * np.log(1 - mu + 1e-12))
     assert abs(loss - want_loss) < 1e-3
     assert abs(got[1] + 1.5) < 0.25 and abs(got[2]) < 0.2
+    # empty input fails fast with a clear error, not a NumPy crash
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty input"):
+        logistic_irls(spark.createDataFrame(pdf).limit(0),
+                      ["intercept", "f1", "f2"], "label", iterations=1)
