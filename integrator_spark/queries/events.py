@@ -780,3 +780,56 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max_by("value", "ts").alias("close"),
                  F.count(F.lit(1)).alias("n_ticks"),
                  dsum("value").alias("volume")))
+
+
+@register("events_twap", oracle=f"""
+WITH obs AS (
+  SELECT event_type, date_trunc('day', ts) AS d, ts, value FROM events
+  WHERE value IS NOT NULL
+), seg AS (
+  SELECT event_type, d, value,
+         epoch_us(COALESCE(
+           lead(ts) OVER (PARTITION BY event_type, d ORDER BY ts),
+           d + INTERVAL '1 day')) - epoch_us(ts) AS dur
+  FROM obs
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       event_type,
+       ROUND(CAST(SUM(CAST(value * dur AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(dur AS DECIMAL(38,6))) AS DOUBLE), 6) AS twap
+FROM seg
+GROUP BY 1, 2
+""", tags=("events", "timeseries", "twap"))
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (day, event type) — the
+    duration-weighted companion to events_ohlc's bars: each
+    observation holds its value until the next one (or the end of the
+    day for the last tick), TWAP = Σ value·duration / Σ duration.
+    The fair average for irregularly-sampled series, where a plain
+    AVG over-weights bursts.
+
+    One lead() window per (type, day) partition — tick-count-bounded
+    partitions, no global sort — then a hash agg. Durations are exact
+    int64 microseconds and the weighted sums accumulate as
+    DECIMAL(38,6) on both engines; the decimal->double cast can differ
+    in the last ulp between engines (DuckDB scales an int128, Spark a
+    BigDecimal), so the quotient rounds to 6 dp. Timestamps are unique per
+    event_type in the fixture contract, making the lead() order total."""
+    e = load_table(spark, sf_dir, "events")
+    obs = (e.filter(F.col("value").isNotNull())
+           .select("event_type", F.date_trunc("day", "ts").alias("d"),
+                   "ts", "value"))
+    w = Window.partitionBy("event_type", "d").orderBy("ts")
+    nxt_us = F.coalesce(
+        F.unix_micros(F.lead("ts").over(w)),
+        F.unix_micros(F.col("d") + F.expr("INTERVAL 1 DAY")))
+    seg = obs.select("event_type", "d", "value",
+                     (nxt_us - F.unix_micros("ts")).alias("dur"))
+    wide = "decimal(38,6)"  # value*dur reaches ~1e13 — past DEC's 1e12
+    return (seg.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                        "event_type")
+            .agg(F.round(
+                F.sum((F.col("value") * F.col("dur")).cast(wide))
+                .cast("double")
+                / F.sum(F.col("dur").cast(wide)).cast("double"), 6)
+                .alias("twap")))
