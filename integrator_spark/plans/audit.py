@@ -51,6 +51,7 @@ CROSS_JOIN_ALLOWED = {
     "dedup_candidate_recall",  # two 1-row count frames crossJoined per method
     "graph_triangles",     # three 1-row census frames crossJoined
     "basket_rules",        # 1-row basket-total frame broadcast to rules
+    "stats_bootstrap",     # bounded B-replicate explode + 1-row estimate
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

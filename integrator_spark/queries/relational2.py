@@ -680,3 +680,91 @@ def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sqrt((F.col("n0") * F.col("n1")).cast("double")
                                 / (F.col("n0") + F.col("n1")))
                          * F.max(diff), 6).alias("ks_scaled")))
+
+
+# Poisson(1) inverse-CDF ladder (cumulative probs), capped at 8 —
+# P(X > 8) < 1e-6, far below the 1e-9 resolution of the LCG uniform.
+_POIS_CUM = [0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+             0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+             0.9999167588507119, 0.9999897508033253]
+
+_BOOT_B = 50
+
+_BOOT_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS x
+  FROM events GROUP BY user_id
+), reps AS (SELECT unnest(range({_BOOT_B})) AS b),
+weighted AS (
+  SELECT r.b, p.x,
+         (CASE
+            {' '.join(f"WHEN ((p.user_id * 2654435761 + r.b * 40503 + 7) % 1000000007) / 1000000007.0 < {c} THEN {k}" for k, c in enumerate(_POIS_CUM))}
+            ELSE 8 END) AS w
+  FROM per_user p CROSS JOIN reps r
+), means AS (
+  SELECT b,
+         ROUND(CAST(SUM(CAST(x * w AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE), 6) AS m
+  FROM weighted GROUP BY b
+), est AS (
+  SELECT ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*), 6) AS est_mean
+  FROM per_user
+)
+SELECT {_BOOT_B} AS n_replicates,
+       est_mean,
+       ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+       ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+FROM means, est
+GROUP BY est_mean
+"""
+
+
+@register("stats_bootstrap", oracle=_BOOT_ORACLE,
+          tags=("stats", "bootstrap"))
+def stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean per-user
+    revenue — the standard trick for resampling at data scale: instead
+    of materializing B resampled copies, each (unit, replicate) pair
+    draws a Poisson(1) weight (the large-n limit of multinomial
+    resampling), so B=50 replicates cost one B-way explode of the
+    PER-USER aggregate (never the events fact) and one weighted agg.
+
+    Fully deterministic and oracle-checked: the per-pair uniform is a
+    pure-integer LCG hash ((uid*2654435761 + b*40503 + 7) mod 1e9+7,
+    exact int64 arithmetic on both engines), pushed through the
+    Poisson(1) inverse-CDF ladder; replicate means use decimal-exact
+    weighted sums rounded to 6 dp, and the CI bounds are exact
+    interpolated percentiles over the 50 identical replicate means
+    (Spark percentile == DuckDB quantile_cont, the agg_percentile
+    precedent)."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.sum(F.col("value").cast("decimal(38,6)"))
+                     .cast("double").alias("x")))
+    reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    u = (((F.col("user_id") * 2654435761) + F.col("b") * 40503 + 7)
+         % 1000000007) / 1000000007.0
+    w = F.lit(8)
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(u < _POIS_CUM[k], F.lit(k)).otherwise(w)
+    wide = "decimal(38,6)"
+    means = (per_user.crossJoin(F.broadcast(reps))
+             .select("b", "x", w.alias("w"))
+             .groupBy("b")
+             .agg(F.round(
+                 F.sum((F.col("x") * F.col("w")).cast(wide)).cast("double")
+                 / F.sum(F.col("w").cast(wide)).cast("double"), 6)
+                 .alias("m")))
+    est = per_user.agg(
+        F.round(F.sum(F.col("x").cast(wide)).cast("double")
+                / F.count(F.lit(1)), 6).alias("est_mean"))
+    return (means.crossJoin(F.broadcast(est))
+            .groupBy("est_mean")
+            .agg(F.lit(_BOOT_B).alias("n_replicates"),
+                 F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+                 F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"))
+            .select("n_replicates", "est_mean", "ci_lo", "ci_hi"))
