@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     scale,
     sources,
     spatial,
+    stats2,
     text,
     tpch,
     tpch2,
