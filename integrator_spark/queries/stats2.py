@@ -308,3 +308,313 @@ def sample_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     u = (F.col("doc_id") * F.lit(2654435761) + F.lit(12345)) % F.lit(1000000007)
     return d.where(u < 100000000).select("doc_id", "lang", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# Cohort lifetime value (cumulative revenue per cohort-age)
+# --------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM first_seen GROUP BY cohort_day
+), by_age AS (
+  SELECT f.cohort_day,
+         datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS age,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users,
+         SUM(CAST(e.value AS DECIMAL(38,6))) AS rev_dec
+  FROM events e JOIN first_seen f USING (user_id)
+  GROUP BY f.cohort_day, age
+)
+SELECT strftime(b.cohort_day, '%Y-%m-%d') AS cohort, b.age, s.cohort_size,
+       b.active_users,
+       ROUND(CAST(b.rev_dec AS DOUBLE), 6) AS revenue,
+       ROUND(CAST(SUM(b.rev_dec) OVER (PARTITION BY b.cohort_day ORDER BY b.age
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS cum_ltv,
+       ROUND(CAST(SUM(b.rev_dec) OVER (PARTITION BY b.cohort_day ORDER BY b.age
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / s.cohort_size, 6) AS ltv_per_user
+FROM by_age b JOIN sizes s USING (cohort_day)
+"""
+
+
+@register("events_ltv", oracle=_LTV_ORACLE, tags=("events", "cohort"))
+def events_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users are cohorted by first-seen
+    day, revenue is aggregated per (cohort, days-since-signup), and a
+    per-cohort ordered window accumulates it into the LTV curve —
+    cumulative and per-signup. The companion to events_retention
+    (counts) on the revenue axis.
+
+    Exactness: revenue sums are DECIMAL(38,6) end-to-end including the
+    cumulative window (decimal addition is associative), cast to double
+    only at the rounded output.
+
+    Shape: one shuffle for first-seen (|users|), one shuffle-join of
+    the fact to it on user_id, one aggregation to (cohort, age) —
+    |days|^2/2 rows at most — and windows over that tiny frame. The
+    cohort-size dimension joins broadcast. At 100 TB the only big moves
+    are the user_id join and the (cohort, age) agg, both
+    map-side-combinable."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    by_age = (e.join(first, "user_id")
+              .groupBy("cohort_day",
+                       F.datediff(F.date_trunc("day", "ts"), "cohort_day")
+                        .alias("age"))
+              .agg(F.countDistinct("user_id").alias("active_users"),
+                   F.sum(F.col("value").cast("decimal(38,6)"))
+                    .alias("rev_dec")))
+    w = (Window.partitionBy("cohort_day").orderBy("age")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("rev_dec").over(w)
+    return (by_age.join(F.broadcast(sizes), "cohort_day")
+            .select(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+                    "age", "cohort_size", "active_users",
+                    F.round(F.col("rev_dec").cast("double"), 6)
+                     .alias("revenue"),
+                    F.round(cum.cast("double"), 6).alias("cum_ltv"),
+                    F.round(cum.cast("double") / F.col("cohort_size"), 6)
+                     .alias("ltv_per_user")))
+
+
+# --------------------------------------------------------------------------
+# Gini concentration coefficient
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(38,6))) AS x_dec
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT x_dec,
+         ROW_NUMBER() OVER (ORDER BY x_dec, user_id) AS r
+  FROM per_user
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(x_dec) AS DOUBLE), 6) AS total_value,
+       ROUND(2.0 * CAST(SUM(r * x_dec) AS DOUBLE)
+               / (COUNT(*) * CAST(SUM(x_dec) AS DOUBLE))
+             - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+FROM ranked
+"""
+
+
+@register("stats_gini", oracle=_GINI_ORACLE, tags=("stats",))
+def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event value — "how concentrated is
+    engagement/revenue across users", the whale-detection summary every
+    usage pipeline reports. Uses the rank identity
+    G = 2*sum(r_i x_i) / (n * sum(x_i)) - (n+1)/n over ascending-sorted
+    values, which needs only one ordered rank and exact sums — no
+    pairwise |x_i - x_j| scan.
+
+    Ties are broken by user_id in BOTH engines so ROW_NUMBER is
+    deterministic (equal x values swap equal ranks — G is invariant —
+    but the determinism contract wants identical intermediates).
+    x and r*x stay DECIMAL until the final two divisions of identical
+    operands. One shuffle to per-user sums; the rank window runs over
+    the |users| frame (documented single-partition at fixture scale —
+    a 100 TB run would range-partition the rank as in corpus_shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("x_dec"))
+    ranked = per_user.select(
+        "x_dec",
+        F.row_number().over(Window.orderBy("x_dec", "user_id")).alias("r"))
+    n = F.count(F.lit(1))
+    sum_x = F.sum("x_dec").cast("double")
+    sum_rx = F.sum(F.col("r") * F.col("x_dec")).cast("double")
+    return ranked.agg(
+        n.alias("n_users"),
+        F.round(sum_x, 6).alias("total_value"),
+        F.round(F.lit(2.0) * sum_rx / (n * sum_x)
+                - (n + 1).cast("double") / n, 6).alias("gini"))
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection on the daily mean
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS mean_raw
+  FROM events GROUP BY day
+), centered AS (
+  SELECT day, n_events, mean_raw,
+         CAST(ROUND(mean_raw
+                    - CAST(SUM(CAST(ROUND(mean_raw, 6) AS DECIMAL(38,6)))
+                           OVER () AS DOUBLE) / COUNT(*) OVER (), 6)
+              AS DECIMAL(38,6)) AS dev_dec
+  FROM daily
+)
+SELECT day, n_events, ROUND(mean_raw, 6) AS daily_mean,
+       ROUND(CAST(SUM(dev_dec) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS cusum
+FROM centered
+"""
+
+
+@register("events_cusum", oracle=_CUSUM_ORACLE, tags=("events", "anomaly"))
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point track over the daily mean event value: the
+    running sum of (daily mean - grand mean of daily means). A level
+    shift in the metric shows as a sustained slope change; monitoring
+    pipelines alarm on |cusum| crossing a threshold. Completes the
+    anomaly family next to events_outliers (pointwise z-scores).
+
+    Determinism: the cumulative sum of doubles is the classic
+    order-dependence trap — both engines may add in different orders.
+    Deviations are therefore rounded to the 6-dp grid and cast to
+    DECIMAL before accumulation, making the running sum exact and
+    order-free. The grand mean itself is an exact-decimal sum divided
+    once.
+
+    Shape: one map-side-combinable aggregation to |days| rows, then
+    windows over that constant-size frame. Fact-scale work is one
+    scan + one shuffle regardless of data size."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                     "yyyy-MM-dd").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  (F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                   / F.count(F.lit(1))).alias("mean_raw")))
+    w_all = Window.partitionBy()
+    grand = (F.sum(F.round(F.col("mean_raw"), 6).cast("decimal(38,6)"))
+             .over(w_all).cast("double") / F.count(F.lit(1)).over(w_all))
+    centered = daily.select(
+        "day", "n_events", "mean_raw",
+        F.round(F.col("mean_raw") - grand, 6).cast("decimal(38,6)")
+         .alias("dev_dec"))
+    w_cum = (Window.orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return centered.select(
+        "day", "n_events",
+        F.round("mean_raw", 6).alias("daily_mean"),
+        F.round(F.sum("dev_dec").over(w_cum).cast("double"), 6)
+         .alias("cusum"))
+
+
+# --------------------------------------------------------------------------
+# Model calibration (reliability table) + exact AUC
+# --------------------------------------------------------------------------
+
+_CALIBRATION_ORACLE = """
+WITH scored AS (
+  SELECT 1.0 / (1.0 + EXP(-(o_totalprice / 100000.0 - 1.5))) AS score,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+  FROM orders
+)
+SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(label) AS BIGINT) AS n_pos,
+       ROUND(CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_score,
+       ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+FROM scored GROUP BY bucket
+"""
+
+
+@register("ml_calibration", oracle=_CALIBRATION_ORACLE, tags=("ml", "eval"))
+def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for a probabilistic classifier: bucket
+    predictions into score deciles and compare the mean predicted
+    probability against the observed positive rate per bucket — the
+    calibration curve behind ECE/reliability diagrams. The "model" is a
+    fixed logistic score over o_totalprice with o_orderstatus='F' as
+    the label, standing in for any scored table.
+
+    Score averages sum 6-dp-rounded scores as DECIMAL (exact), then
+    divide once; rates are single integer-ratio divisions. The sigmoid
+    passes through libm exp — bucket assignment is stable because
+    adjacent distinct inputs differ by >= 1e-7 in z, dwarfing cross-
+    engine exp ulps.
+
+    Shape: pure scan -> hash-agg on a 10-value key; fully
+    map-side-combinable, no window, no join. Scales trivially."""
+    o = load_table(spark, sf_dir, "orders")
+    score = F.lit(1.0) / (F.lit(1.0)
+                          + F.exp(-(F.col("o_totalprice") / F.lit(100000.0)
+                                    - F.lit(1.5))))
+    label = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    scored = o.select(score.alias("score"), label.alias("label"))
+    return (scored
+            .groupBy(F.least(F.floor(F.col("score") * 10), F.lit(9))
+                     .cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("label").alias("n_pos"),
+                 F.round(F.sum(F.round(F.col("score"), 6)
+                               .cast("decimal(38,6)")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_score"),
+                 F.round(F.sum("label").cast("double")
+                         / F.count(F.lit(1)), 6).alias("pos_rate")))
+
+
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT o_totalprice AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+  FROM orders
+), by_s AS (
+  SELECT s,
+         CAST(SUM(label) AS BIGINT) AS c_pos,
+         CAST(COUNT(*) AS BIGINT) AS c_tot
+  FROM scored GROUP BY s
+), ranked AS (
+  SELECT c_pos, c_tot,
+         SUM(c_tot) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM by_s
+)
+SELECT CAST(SUM(c_tot) - SUM(c_pos) AS BIGINT) AS n_neg,
+       CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+       ROUND((CAST(SUM(c_pos * (2 * cum - c_tot + 1)) AS DOUBLE)
+              - CAST(SUM(c_pos) AS DOUBLE) * (SUM(c_pos) + 1))
+             / (2.0 * (SUM(c_tot) - SUM(c_pos)) * SUM(c_pos)), 6) AS auc
+FROM ranked
+"""
+
+
+@register("ml_auc", oracle=_AUC_ORACLE, tags=("ml", "eval"))
+def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the rank-sum (Mann-Whitney U) identity:
+    AUC = (R_pos - n1(n1+1)/2) / (n0*n1) with midrank tie handling.
+    Ranks by the RAW monotone score input (o_totalprice) rather than
+    the sigmoid — AUC is invariant under monotone transforms, and
+    ranking grid doubles sidesteps libm entirely, so the whole statistic
+    is exact integer arithmetic until one final division.
+
+    Tie groups are aggregated first (one shuffle on the score), so the
+    ordered window runs over |distinct scores| rows, and the doubled
+    midrank 2R = 2*cum - c_tot + 1 keeps everything integral.
+    Same frame-cardinality argument as stats_ks; a 100 TB run would
+    range-partition the cumulative like corpus_shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    by_s = (o.select(F.col("o_totalprice").alias("s"),
+                     F.when(F.col("o_orderstatus") == "F", 1)
+                      .otherwise(0).alias("label"))
+            .groupBy("s")
+            .agg(F.sum("label").alias("c_pos"),
+                 F.count(F.lit(1)).alias("c_tot")))
+    w_cum = (Window.orderBy("s")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = by_s.select(
+        "c_pos", "c_tot", F.sum("c_tot").over(w_cum).alias("cum"))
+    n_pos = F.sum("c_pos")
+    n_neg = F.sum("c_tot") - n_pos
+    two_r = F.sum(F.col("c_pos") * (2 * F.col("cum") - F.col("c_tot") + 1))
+    return ranked.agg(
+        n_neg.alias("n_neg"), n_pos.alias("n_pos"),
+        F.round((two_r.cast("double") - n_pos.cast("double") * (n_pos + 1))
+                / (F.lit(2.0) * n_neg * n_pos), 6).alias("auc"))
