@@ -52,6 +52,7 @@ CROSS_JOIN_ALLOWED = {
     "graph_triangles",     # three 1-row census frames crossJoined
     "basket_rules",        # 1-row basket-total frame broadcast to rules
     "stats_bootstrap",     # bounded B-replicate explode + 1-row estimate
+    "text_pmi",            # 1-row corpus-size frame broadcast to PMI pairs
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

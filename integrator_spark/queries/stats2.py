@@ -618,3 +618,181 @@ def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_neg.alias("n_neg"), n_pos.alias("n_pos"),
         F.round((two_r.cast("double") - n_pos.cast("double") * (n_pos + 1))
                 / (F.lit(2.0) * n_neg * n_pos), 6).alias("auc"))
+
+
+# --------------------------------------------------------------------------
+# Weighted median
+# --------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH by_v AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS w
+  FROM lineitem GROUP BY flag, v
+), cum AS (
+  SELECT flag, v,
+         SUM(w) OVER (PARTITION BY flag ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_cum,
+         SUM(w) OVER (PARTITION BY flag) AS w_tot
+  FROM by_v
+)
+SELECT flag, MIN(v) AS weighted_median
+FROM cum WHERE 2 * w_cum >= w_tot
+GROUP BY flag
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_ORACLE,
+          tags=("agg", "percentile"))
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower) of price weighted by quantity, per
+    return flag: the smallest value whose cumulative weight reaches
+    half the group total. Spark has percentile for unweighted data but
+    no weighted quantile; this builds it from the cumulative-weight
+    definition with DECIMAL-exact weights, so the answer is exact on
+    both engines — no interpolation, no float threshold (the ADVICE
+    r4 percentile-ulp trap doesn't apply).
+
+    Shape: duplicate values collapse FIRST (groupBy flag+value — the
+    heavy, map-side-combinable shuffle), then the cumulative window
+    runs per flag over |distinct values| rows. At 100 TB a
+    full-precision value column would make that window wide; the
+    production variant bins values to a grid first (same plan as
+    ml_quantile_bins) — for grid-valued money columns like this one the
+    distinct collapse IS that binning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    by_v = (li.groupBy(F.col("l_returnflag").alias("flag"),
+                       F.col("l_extendedprice").alias("v"))
+            .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+                 .alias("w")))
+    w_cum = (Window.partitionBy("flag").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = by_v.select(
+        "flag", "v",
+        F.sum("w").over(w_cum).alias("w_cum"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("w_tot"))
+    return (cum.where(2 * F.col("w_cum") >= F.col("w_tot"))
+            .groupBy("flag").agg(F.min("v").alias("weighted_median")))
+
+
+# --------------------------------------------------------------------------
+# Inverted index (posting lists)
+# --------------------------------------------------------------------------
+
+_INVINDEX_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 100
+  ) WHERE length(tok) > 0
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tok GROUP BY tok HAVING COUNT(*) >= 3
+"""
+
+
+@register("text_inverted_index", oracle=_INVINDEX_ORACLE,
+          tags=("text", "index"))
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — token -> sorted posting list of
+    documents containing it, with document frequency. The core build
+    step of any search/retrieval layer over the corpus; also the
+    candidate structure behind dedup_ngram's shingle join.
+
+    Postings are rendered as a comma-joined sorted string so the
+    cross-engine compare is on canonical text (array columns stringify
+    differently in the two clients). df >= 3 bounds the output to
+    index-worthy terms; the doc_id < 100 filter is fixture-size
+    control, pushed to the scan.
+
+    Shape: explode is pipelined; the (doc, token) distinct and the
+    token groupBy are the two shuffles — both map-side combinable. At
+    100 TB posting lists for stop-word-frequency tokens become hot
+    keys; the production build shards them (token, doc_range) exactly
+    like dedup_ngram_guarded's hot-shingle cutoff."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    tok = (d.select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("tok"))
+           .where(F.length("tok") > 0)
+           .distinct())
+    return (tok.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.array_join(F.sort_array(F.collect_set("doc_id")), ",")
+                  .alias("postings"))
+            .where(F.col("df") >= 3))
+
+
+# --------------------------------------------------------------------------
+# PMI co-occurrence (embedding-prep statistics)
+# --------------------------------------------------------------------------
+
+_PMI_MIN_PAIRS = 8
+
+_PMI_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 200
+  ) WHERE length(tok) > 0
+), df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok
+), n_docs AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY tok_a, tok_b HAVING COUNT(*) >= {_PMI_MIN_PAIRS}
+)
+SELECT p.tok_a, p.tok_b, p.n_ab,
+       ROUND(LN(CAST(p.n_ab AS DOUBLE) * (SELECT n FROM n_docs)
+                / (CAST(da.n AS DOUBLE) * db.n)), 6) AS pmi
+FROM pairs p
+JOIN df da ON p.tok_a = da.tok
+JOIN df db ON p.tok_b = db.tok
+"""
+
+
+@register("text_pmi", oracle=_PMI_ORACLE, tags=("text", "cooccurrence"))
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level token
+    co-occurrence: PMI(a,b) = ln(P(a,b) / (P(a)P(b))) with document
+    counts as the probability estimates — the statistic word-embedding
+    and collocation pipelines precompute (an SPPMI matrix is this,
+    shifted). A support floor (_PMI_MIN_PAIRS) keeps only stable pairs.
+
+    Shape: the pair generation is a self-equi-join on doc_id — the
+    fan-out is tokens-per-doc squared per document (bounded by document
+    length, same bound as basket_rules), never corpus-quadratic. The
+    token-frequency dimension joins back broadcast. The corpus size N
+    rides a 1-row broadcast frame (allowlisted). PMI passes through
+    libm ln once, rounded to 6 dp on identical integer-ratio operands.
+
+    At 100 TB the hot-token problem reappears exactly as in
+    dedup_ngram; the guarded variant's document-frequency cutoff
+    (operators/dedup.py) applies unchanged — here the support floor
+    plays that role at fixture scale."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    tok = (d.select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("tok"))
+           .where(F.length("tok") > 0)
+           .distinct())
+    df = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.tok") < F.col("b.tok")))
+             .groupBy(F.col("a.tok").alias("tok_a"),
+                      F.col("b.tok").alias("tok_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= _PMI_MIN_PAIRS))
+    da = df.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    db = df.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    return (pairs.join(F.broadcast(da), "tok_a")
+            .join(F.broadcast(db), "tok_b")
+            .crossJoin(F.broadcast(n_docs))
+            .select("tok_a", "tok_b", "n_ab",
+                    F.round(F.log(F.col("n_ab").cast("double")
+                                  * F.col("n_docs")
+                                  / (F.col("n_a").cast("double")
+                                     * F.col("n_b"))), 6).alias("pmi")))
