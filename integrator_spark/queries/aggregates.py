@@ -364,3 +364,43 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
         F.col("exact_users").cast("long").alias("exact_users_merged"))
     return per_type_out.unionAll(merged).orderBy("event_type")
+
+
+@register("agg_argmax", oracle="""
+WITH per AS (
+  SELECT event_type, user_id,
+         SUM(CAST(value AS DECIMAL(38,6))) AS x_dec
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, x_dec,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY x_dec DESC, user_id) AS rn
+  FROM per
+)
+SELECT event_type, user_id AS top_user,
+       ROUND(CAST(x_dec AS DOUBLE), 6) AS top_value
+FROM ranked WHERE rn = 1
+""", tags=("agg", "argmax"))
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max with a deterministic tie policy: the user holding the
+    maximum total value per event type, ties broken by lowest user_id.
+    Built as rank-1-per-group rather than the engines' native
+    arg_max/max_by, whose tie choice is unspecified (and DuckDB's
+    cannot order on a composite without the printf trick — see
+    events_ohlc) — the row-number formulation makes the SAME row win
+    in both engines by construction.
+
+    Shape: one map-side-combinable shuffle to per-(type,user) sums,
+    then a per-type window over |users-per-type| rows. The window
+    partitions on the group key, so there is no single-partition
+    bottleneck at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("x_dec"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy(F.desc("x_dec"), "user_id")
+    return (per.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("event_type", F.col("user_id").alias("top_user"),
+                    F.round(F.col("x_dec").cast("double"), 6)
+                     .alias("top_value")))

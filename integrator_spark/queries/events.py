@@ -833,3 +833,54 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 / F.sum(F.col("dur").cast(wide)).cast("double"), 6)
                 .alias("twap")))
+
+
+@register("events_funnel_time", oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT s1.user_id,
+         epoch_us(MIN(e.ts)) - epoch_us(s1.t1) AS delay_us
+  FROM s1 JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+   AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+  GROUP BY s1.user_id, s1.t1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(CAST(delay_us AS DOUBLE), 0.25) / 1e6, 4) AS p25_s,
+       ROUND(quantile_cont(CAST(delay_us AS DOUBLE), 0.50) / 1e6, 4) AS p50_s,
+       ROUND(quantile_cont(CAST(delay_us AS DOUBLE), 0.75) / 1e6, 4) AS p75_s
+FROM conv
+""", tags=("events", "funnel"))
+def events_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users whose first 'view' is
+    followed by a 'purchase' within 24 h, the quartiles of that delay
+    in seconds — the companion to events_funnel (which counts stage
+    survivors; this measures how fast they move). Product analytics
+    reads p50 here as the canonical conversion latency.
+
+    Delays are exact integer microseconds (epoch_us both engines);
+    the interpolated percentile runs over them and is rounded to 4 dp
+    after the seconds conversion, the same parity contract as
+    agg_percentile. Shape: per-user MIN (one shuffle), an event-time
+    range join back to the fact on user_id (equi key + time residual,
+    no BNLJ), then a global exact percentile — the only all-to-one
+    step, over |converted users| values."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (e.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    purchases = e.where(F.col("event_type") == "purchase")
+    conv = (purchases.join(s1, "user_id")
+            .where((F.col("ts") > F.col("t1"))
+                   & (F.col("ts") <= F.col("t1")
+                      + F.expr("INTERVAL 24 HOURS")))
+            .groupBy("user_id", "t1")
+            .agg((F.unix_micros(F.min("ts"))
+                  - F.unix_micros(F.col("t1"))).alias("delay_us")))
+    delay_d = F.col("delay_us").cast("double")
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile(delay_d, 0.25) / 1e6, 4).alias("p25_s"),
+        F.round(F.percentile(delay_d, 0.50) / 1e6, 4).alias("p50_s"),
+        F.round(F.percentile(delay_d, 0.75) / 1e6, 4).alias("p75_s"))

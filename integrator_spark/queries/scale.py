@@ -678,3 +678,55 @@ def maint_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("change",
                     F.coalesce("n_rows", F.lit(0)).cast("long")
                      .alias("n_rows")))
+
+
+@register("join_bloom", oracle="""
+SELECT strftime(date_trunc('week', o.o_orderdate), '%Y-%m-%d') AS wk,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+GROUP BY wk
+""", tags=("join", "bloom", "scale"))
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a Bloom pre-filter: the fact (lineitem)
+    is probed against a Bloom filter of the selected dimension keys
+    BEFORE the exact join, so only ~selectivity + fpp of the fact rows
+    enter the shuffle. Result is identical to the plain join — false
+    positives are eliminated by the exact equi-join that follows, so
+    the filter is purely a shuffle-volume optimization (the same
+    contract as dedup_incremental_bloom, and the manual analog of
+    Spark's runtime row-group bloom pushdown, which needs
+    creation-side sizes this fixture can't reach).
+
+    When it matters at 100 TB: the selected dimension is too large to
+    broadcast-join outright but its BLOOM BITS still broadcast (1e9
+    keys @ 1% fpp ~ 1.2 GB); shuffling 1% of a 100 TB fact instead of
+    all of it is the difference between a tractable and an untenable
+    stage. At fixture scale the dim would broadcast anyway; the query
+    exercises the full build-probe-verify path with the oracle pinning
+    exactness.
+
+    The filter build collects only n_partitions bit-arrays (bounded by
+    filter size, never corpus size); the probe is an Arrow-batched
+    pandas UDF over the broadcast bits."""
+    from ..operators.bloom import bloom_maybe_contains, build_bloom
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dim = o.where((F.col("o_orderpriority") == "1-URGENT")
+                  & (F.col("o_orderstatus") == "F"))
+    n_keys = dim.count()  # bounded scalar action sizing the filter
+    bits, m, k = build_bloom(dim.select("o_orderkey"), "o_orderkey",
+                             n_estimate=max(1024, n_keys))
+    probed = bloom_maybe_contains(li, "l_orderkey", bits, m, k)
+    pre = probed.where(F.col("_maybe")).drop("_maybe")
+    return (pre.join(dim, pre.l_orderkey == dim.o_orderkey)
+            .groupBy(F.date_format(F.date_trunc("week", "o_orderdate"),
+                                   "yyyy-MM-dd").alias("wk"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(38,6)")).cast("double"), 6)
+                  .alias("revenue")))
