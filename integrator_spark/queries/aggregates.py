@@ -404,3 +404,61 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", F.col("user_id").alias("top_user"),
                     F.round(F.col("x_dec").cast("double"), 6)
                      .alias("top_value")))
+
+
+@register("agg_moments", oracle="""
+WITH q AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x
+  FROM lineitem
+), sums AS (
+  SELECT flag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(x * x * x) AS BIGINT) AS DOUBLE) AS s3,
+         CAST(CAST(SUM(x * x * x * x) AS BIGINT) AS DOUBLE) AS s4
+  FROM q GROUP BY flag
+)
+SELECT flag, n,
+       ROUND(s1 / n, 6) AS mean,
+       ROUND((s2 - s1 * s1 / n) / n, 6) AS m2,
+       ROUND(((s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n) * (s1 / n)) / n)
+             / POW((s2 - s1 * s1 / n) / n, 1.5), 6) AS skewness,
+       ROUND(((s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+               - 3 * n * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / n)
+             / POW((s2 - s1 * s1 / n) / n, 2) - 3, 6) AS excess_kurtosis
+FROM sums
+""", tags=("agg", "stats"))
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group from EXACT decimal power
+    sums — the engines' built-in skewness/kurtosis use different
+    streaming update formulas (not bit-comparable), so this computes
+    the raw moments S1..S4 exactly as BIGINT (quantity is an integer
+    <= 50, so x^4 <= 6.25e6; the sums stay inside a long well past
+    sf100), casts once to double, and evaluates the SAME central-
+    moment polynomial on both engines. Every floating step after the
+    casts is an identical operand sequence; pow(x,1.5|2) is
+    sqrt-composed/exactly-squared and IEEE-stable, rounded at 6 dp.
+
+    The power sums are one map-side-combinable aggregation — the same
+    one-pass sufficient-statistics shape as agg_regression, which is
+    the 100 TB pattern: moments of any order are a single scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    sums = (li.groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(x).cast("double").alias("s1"),
+                 F.sum(x * x).cast("double").alias("s2"),
+                 F.sum(x * x * x).cast("double").alias("s3"),
+                 F.sum(x * x * x * x).cast("double").alias("s4")))
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = (s2 - s1 * s1 / n) / n
+    m3 = (s3 - 3 * mu * s2 + 2 * n * mu * mu * mu) / n
+    m4 = (s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 3 * n * mu * mu * mu * mu) / n
+    return sums.select(
+        "flag", "n",
+        F.round(mu, 6).alias("mean"),
+        F.round(m2, 6).alias("m2"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("excess_kurtosis"))

@@ -618,3 +618,51 @@ def etl_er_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("d_key", "matched_key", F.col("dist").cast("int").alias("dist")))
+
+
+@register("etl_k_anonymity", oracle="""
+WITH qi AS (
+  SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket
+  FROM documents
+), groups AS (
+  SELECT lang, source, size_bucket, CAST(COUNT(*) AS BIGINT) AS k
+  FROM qi GROUP BY lang, source, size_bucket
+)
+SELECT k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(k) AS DOUBLE)
+             / CAST(SUM(SUM(k)) OVER () AS DOUBLE), 6) AS pct_rows,
+       CASE WHEN k < 5 THEN 'suppress' ELSE 'ok' END AS risk
+FROM groups GROUP BY k
+""", tags=("etl", "privacy"))
+def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: documents grouped by
+    the attacker-visible combination (lang, source, size bucket); a
+    group of size k means each member is indistinguishable from k-1
+    others. The output is the k-spectrum — how many equivalence classes
+    and rows sit at each anonymity level, with the standard k < 5
+    classes flagged for suppression/generalization before release.
+    The privacy gate a training-data publisher runs next to
+    text_pii_redact (pointwise PII) — this one catches IDENTIFIABILITY
+    BY COMBINATION, which per-field redaction cannot.
+
+    Shape: two map-side-combinable aggregations (rows -> equivalence
+    classes -> k-spectrum); the second input is already tiny. The
+    percentage denominator rides a window over the k-spectrum frame
+    (|distinct k| rows). Linear scan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = (d.groupBy("lang", "source",
+                        F.floor(F.col("n_chars") / 100).cast("long")
+                         .alias("size_bucket"))
+              .agg(F.count(F.lit(1)).alias("k")))
+    w_all = Window.partitionBy()
+    return (groups.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("k").alias("n_rows"))
+            .select("k", "n_groups", "n_rows",
+                    F.round(F.col("n_rows").cast("double")
+                            / F.sum("n_rows").over(w_all).cast("double"), 6)
+                     .alias("pct_rows"),
+                    F.when(F.col("k") < 5, "suppress").otherwise("ok")
+                     .alias("risk")))

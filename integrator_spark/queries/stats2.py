@@ -796,3 +796,139 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   * F.col("n_docs")
                                   / (F.col("n_a").cast("double")
                                      * F.col("n_b"))), 6).alias("pmi")))
+
+
+# --------------------------------------------------------------------------
+# Classifier eval: confusion matrix + decile lift
+# --------------------------------------------------------------------------
+
+_CONFUSION_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+  FROM orders
+), m AS (
+  SELECT CAST(SUM(pred * label) AS BIGINT) AS tp,
+         CAST(SUM(pred * (1 - label)) AS BIGINT) AS fp,
+         CAST(SUM((1 - pred) * label) AS BIGINT) AS fn,
+         CAST(SUM((1 - pred) * (1 - label)) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+       ROUND(2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+                 * (CAST(tp AS DOUBLE) / (tp + fn))
+             / (CAST(tp AS DOUBLE) / (tp + fp)
+                + CAST(tp AS DOUBLE) / (tp + fn)), 6) AS f1,
+       ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+FROM m
+"""
+
+
+@register("ml_confusion", oracle=_CONFUSION_ORACLE, tags=("ml", "eval"))
+def ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix and the derived precision / recall / F1 /
+    accuracy at the decision threshold 0.5 for the same fixed logistic
+    model as ml_calibration. sigmoid(z) > 0.5 iff z > 0, so the
+    predicate compares the RAW feature against the grid constant
+    150000.0 — no libm in the decision, making the matrix exact
+    integer counts; every metric is then a single division (or two)
+    of identical operands, rounded at 6 dp.
+
+    Shape: a one-pass map-side-combinable global aggregation — four
+    conditional counts over the scan. The canonical cheap eval at any
+    scale."""
+    o = load_table(spark, sf_dir, "orders")
+    pred = F.when(F.col("o_totalprice") > 150000.0, 1).otherwise(0)
+    label = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    scored = o.select(pred.alias("pred"), label.alias("label"))
+    m = scored.agg(
+        F.sum(F.col("pred") * F.col("label")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label"))).alias("tn"))
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    prec = tp.cast("double") / (tp + fp)
+    rec = tp.cast("double") / (tp + fn)
+    return m.select(
+        "tp", "fp", "fn", "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.lit(2.0) * prec * rec / (prec + rec), 6).alias("f1"),
+        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6)
+         .alias("accuracy"))
+
+
+_LIFT_ORACLE = """
+WITH scored AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+  FROM orders
+), deciled AS (
+  SELECT label,
+         NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+  FROM scored
+), by_d AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS n_pos
+  FROM deciled GROUP BY decile
+), cum AS (
+  SELECT decile, n, n_pos,
+         CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+         CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+  FROM by_d
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT decile, n, n_pos,
+       ROUND(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS gain,
+       ROUND((CAST(cum_pos AS DOUBLE) / cum_n)
+             / (CAST(tot_pos AS DOUBLE) / tot_n), 6) AS cum_lift
+FROM cum
+"""
+
+
+@register("ml_lift", oracle=_LIFT_ORACLE, tags=("ml", "eval"))
+def ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by score decile — "if we act on the
+    top k/10 of model scores, what fraction of all positives do we
+    capture, and at what multiple of the base rate?" — the targeting
+    chart behind campaign/routing decisions. Deciles come from NTILE
+    over the raw monotone score with an id tiebreak, so bucket
+    membership is identical on both engines; every metric is an exact
+    integer ratio rounded once.
+
+    Shape: the NTILE rank is the only global-order step (|rows| at
+    fixture; a 100 TB run replaces it with the range-partitioned rank
+    of corpus_shuffle), then a 10-row frame carries the cumulative
+    windows."""
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_orderkey", "o_totalprice",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"))
+    deciled = scored.select(
+        "label",
+        F.ntile(10).over(Window.orderBy(F.desc("o_totalprice"),
+                                        "o_orderkey")).alias("decile"))
+    by_d = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos"))
+    w_cum = (Window.orderBy("decile")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy()
+    cum = by_d.select(
+        "decile", "n", "n_pos",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("tot_n"),
+        F.sum("n_pos").over(w_all).alias("tot_pos"))
+    return cum.select(
+        "decile", "n", "n_pos",
+        F.round(F.col("cum_pos").cast("double") / F.col("tot_pos"), 6)
+         .alias("gain"),
+        F.round((F.col("cum_pos").cast("double") / F.col("cum_n"))
+                / (F.col("tot_pos").cast("double") / F.col("tot_n")), 6)
+         .alias("cum_lift"))
