@@ -940,3 +940,89 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "n_ticks", "volume"))
     return run_available_now(agg, sf_dir, "stream_ohlc",
                              output_mode="complete")
+
+
+_DRIFT_CUTOFF = "2024-01-11"  # first 10 fixture days form the reference
+
+
+@register("stream_drift", oracle=f"""
+WITH counts AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY day, bucket
+), ref AS (
+  SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_ref
+  FROM counts WHERE day < '{_DRIFT_CUTOFF}' GROUP BY bucket
+), days AS (
+  SELECT DISTINCT day FROM counts WHERE day >= '{_DRIFT_CUTOFF}'
+), grid AS (
+  SELECT d.day, r.bucket, r.n_ref, COALESCE(c.n, 0) AS n_cur
+  FROM days d CROSS JOIN ref r
+  LEFT JOIN counts c ON c.day = d.day AND c.bucket = r.bucket
+), props AS (
+  SELECT day, n_cur,
+         (CAST(n_ref AS DOUBLE) + 0.5)
+           / (CAST(SUM(n_ref) OVER (PARTITION BY day) AS DOUBLE) + 5.0)
+           AS p_ref,
+         (CAST(n_cur AS DOUBLE) + 0.5)
+           / (CAST(SUM(n_cur) OVER (PARTITION BY day) AS DOUBLE) + 5.0)
+           AS p_cur
+  FROM grid
+)
+SELECT day,
+       CAST(SUM(n_cur) AS BIGINT) AS n_events,
+       ROUND(SUM(ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 6)), 6) AS psi
+FROM props GROUP BY day
+""", tags=("streaming", "drift"))
+def stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the PSI gate of stats_psi run
+    continuously — per-day micro-batched value-histogram counts
+    (readStream → watermark → day+bucket agg → checkpointed drain),
+    then each monitored day's distribution is scored against the
+    frozen reference window (the first 10 fixture days) with the same
+    Laplace-smoothed PSI. This is how a production ingest watches for
+    upstream shifts: the heavy streaming state is just 10 counters per
+    open day; the PSI math runs on the drained micro-frame.
+
+    The monitored-day x reference-bucket grid is a bounded cross join
+    (|days| x 10 rows) so empty buckets still contribute their smoothed
+    term — identical construction in the oracle. PSI sums pre-rounded
+    terms per day (order-free at the 6-dp grid). On bounded replay the
+    drained counts equal the batch counts exactly, so the whole monitor
+    is oracle-checked end to end."""
+    s = events_stream(spark, sf_dir)
+    agg = (s.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 day").alias("w"),
+                    F.least(F.floor(F.col("value") / 50), F.lit(9))
+                     .cast("long").alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                   "bucket", "n"))
+    counts = run_available_now(agg, sf_dir, "stream_drift",
+                               output_mode="complete")
+    ref = (counts.where(F.col("day") < _DRIFT_CUTOFF)
+           .groupBy("bucket").agg(F.sum("n").alias("n_ref")))
+    days = (counts.where(F.col("day") >= _DRIFT_CUTOFF)
+            .select("day").distinct())
+    cur = (counts.where(F.col("day") >= _DRIFT_CUTOFF)
+           .select(F.col("day").alias("day_c"),
+                   F.col("bucket").alias("bucket_c"),
+                   F.col("n").alias("n_cur_raw")))
+    grid = (days.crossJoin(F.broadcast(ref))
+            .join(cur, (F.col("day") == F.col("day_c"))
+                  & (F.col("bucket") == F.col("bucket_c")), "left")
+            .select("day", "bucket", "n_ref",
+                    F.coalesce(F.col("n_cur_raw"), F.lit(0)).alias("n_cur")))
+    from pyspark.sql import Window
+    w_day = Window.partitionBy("day")
+    p_ref = ((F.col("n_ref").cast("double") + 0.5)
+             / (F.sum("n_ref").over(w_day).cast("double") + 5.0))
+    p_cur = ((F.col("n_cur").cast("double") + 0.5)
+             / (F.sum("n_cur").over(w_day).cast("double") + 5.0))
+    terms = grid.select(
+        "day", "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("term"))
+    return (terms.groupBy("day")
+            .agg(F.sum("n_cur").alias("n_events"),
+                 F.round(F.sum("term"), 6).alias("psi")))
