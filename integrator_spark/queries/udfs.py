@@ -17,6 +17,8 @@ depend on shuffle arrival order.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -265,3 +267,39 @@ def udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(-4, Window.currentRow))
     return e.select("event_id", "user_id",
                     F.round(np_mean("value").over(w), 6).alias("udaf_avg5"))
+
+
+@register("udf_arrow_iter", oracle="""
+SELECT event_id,
+       ROUND(1.0 / (1.0 + EXP(-(value / 100.0 - 2.0))), 6) AS score
+FROM events WHERE event_id % 37 = 0
+""", tags=("udf", "inference"))
+def udf_arrow_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF — the batch-inference pattern:
+    the function body runs ONCE per task, loads the "model" (here a
+    2-weight logistic head; in production a tokenizer/ONNX session/
+    embedding table), then scores every Arrow batch the task streams
+    through it. This amortized-init shape is the standard way to run
+    per-row ML inference on executors without per-batch model reloads
+    — the plain SCALAR pandas_udf re-enters for every batch with no
+    place to hang expensive state.
+
+    The score math mirrors the oracle operand-for-operand (x/100.0,
+    not x*0.01 — they differ in FP) and rounding happens JVM-side with
+    Spark's ROUND so both engines share half-up semantics; numpy exp
+    vs libm exp differences sit ~1e-16, far under the 6-dp grid.
+
+    Scale: Arrow-batched transfer, one Python worker per core, state
+    held per task — the plan is a scan + project, no shuffle."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def infer(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # "model load" — once per task, reused across all batches
+        w, b = 1.0 / 100.0, -2.0  # noqa: F841 — b applied via subtraction
+        for vals in batches:
+            z = vals.to_numpy(dtype="float64") / 100.0 - 2.0
+            yield pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    return e.select("event_id", F.round(infer("value"), 6).alias("score"))

@@ -217,3 +217,66 @@ def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.size(F.collect_set("event_type").over(w)).cast("long")
          .alias("n_types_so_far"))
+
+
+@register("window_regression", oracle="""
+WITH daily AS (
+  SELECT datediff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+         CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS DECIMAL(38,6)) AS y_dec
+  FROM events GROUP BY x
+), rolled AS (
+  SELECT x, y_dec,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sx2,
+         SUM(y_dec) OVER w AS sy,
+         SUM(x * y_dec) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY x ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT x AS day_index,
+       ROUND(CAST(y_dec AS DOUBLE), 6) AS daily_mean,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope_7d
+FROM rolled WHERE n >= 3
+""", tags=("window", "regression"))
+def window_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day least-squares trend slope of the daily mean —
+    "is the metric drifting up or down this week" as a continuous
+    window statistic, the regression companion to window_ewma
+    (smoothing) and events_cusum (level shifts).
+
+    Slope comes from the closed form (n*Sxy - Sx*Sy)/(n*Sx2 - Sx^2)
+    where x is the integer day index and y the 6-dp-rounded daily mean
+    held as DECIMAL: every windowed sum is integer- or decimal-exact
+    (no FP accumulation-order hazard in the sliding frames), and the
+    single double division at the end rounds on identical operands.
+
+    Shape: one map-side-combinable agg to |days| rows, then bounded
+    7-row sliding frames over that tiny series. First two days are
+    dropped (n < 3: a 2-point slope is noise, and n=1 would divide by
+    zero)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.datediff(F.date_trunc("day", "ts"),
+                                  F.lit("2024-01-01").cast("date"))
+                       .alias("x"))
+             .agg(F.round(F.sum(F.col("value").cast("decimal(38,6)"))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  .cast("decimal(38,6)").alias("y_dec")))
+    w = Window.orderBy("x").rowsBetween(-6, Window.currentRow)
+    rolled = daily.select(
+        "x", "y_dec",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sx2"),
+        F.sum("y_dec").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y_dec")).over(w).alias("sxy"))
+    n, sx, sx2, sy, sxy = (F.col(c) for c in ("n", "sx", "sx2", "sy", "sxy"))
+    return (rolled.where(n >= 3)
+            .select(F.col("x").alias("day_index"),
+                    F.round(F.col("y_dec").cast("double"), 6)
+                     .alias("daily_mean"),
+                    F.round((n * sxy - sx * sy).cast("double")
+                            / (n * sx2 - sx * sx).cast("double"), 6)
+                     .alias("slope_7d")))
