@@ -499,3 +499,151 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmps.mapInPandas(
         decode, "doc_id long, width long, height long, n_pixels long, "
                 "sum_subpixels long, mean_subpixel double")
+
+
+@register("multimodal_image_resize", oracle="""
+SELECT doc_id,
+       CAST((n_chars % 32) + 4 AS BIGINT) AS out_w,
+       CAST((doc_id % 16) + 4 AS BIGINT) AS out_h,
+       CAST(127 * 3 * ((n_chars % 32) + 4) * ((doc_id % 16) + 4) AS BIGINT)
+         AS sum_resized,
+       127.0 AS mean_resized
+FROM documents
+""", tags=("multimodal", "image", "resize"))
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 2x box-downsample (average pooling) over decoded BMP
+    pixels — the resize step of an image-training pipeline, after
+    multimodal_image_decode's raw decode. Each document synthesizes a
+    checkerboard BMP (alternating 0/255 subpixels) at even dims
+    (2*out_w x 2*out_h), the kernel strips BMP row padding, reshapes
+    into 2x2x3 blocks and integer-averages them.
+
+    The checkerboard makes the oracle closed-form AND misalignment-
+    sensitive: every correctly aligned 2x2 block averages to exactly
+    127 (floor of 127.5), so the resized sum is 127*3*out_w*out_h —
+    but any off-by-one in padding-strip or row pairing pairs equal
+    parities and yields 0/255 blocks, breaking the hash.
+
+    Scale posture: same as the decode queries — payloads never leave
+    Arrow batches, the kernel is vectorized numpy per image, and a
+    real scan + PIL/cv2 resize drops into the same mapInPandas shape
+    unchanged."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].astype("int64")
+            out = []
+            for doc_id, n_chars in zip(doc_ids, pdf["n_chars"].astype("int64")):
+                w = 2 * ((int(n_chars) % 32) + 4)
+                h = 2 * ((int(doc_id) % 16) + 4)
+                rowsize = (3 * w + 3) // 4 * 4
+                # checkerboard pixels, bottom-up rows like a real BMP
+                rows_px = np.zeros((h, rowsize), dtype=np.uint8)
+                rr, cc = np.meshgrid(np.arange(h), np.arange(3 * w),
+                                     indexing="ij")
+                rows_px[:, :3 * w] = np.where((rr + cc // 3) % 2 == 1, 255, 0)
+                header = (b"BM" + struct.pack("<IHHI", 54 + h * rowsize,
+                                              0, 0, 54)
+                          + struct.pack("<iiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                        h * rowsize, 2835, 2835, 0, 0))
+                out.append((int(doc_id), header + rows_px.tobytes()))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = struct.unpack("<ii", payload[18:26])
+                h = abs(h)
+                rowsize = (3 * w + 3) // 4 * 4
+                px = (np.frombuffer(payload[54:], dtype=np.uint8)
+                      .reshape(h, rowsize)[:, :3 * w]
+                      .reshape(h, w, 3).astype(np.int64))
+                # 2x2 box average, integer floor — (h//2, w//2, 3)
+                small = (px[0::2, 0::2] + px[1::2, 0::2]
+                         + px[0::2, 1::2] + px[1::2, 1::2]) // 4
+                rows.append((int(doc_id), w // 2, h // 2,
+                             int(small.sum()),
+                             round(float(small.mean()), 4)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "out_w", "out_h", "sum_resized", "mean_resized"])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bmps = d.mapInPandas(synth, "doc_id long, payload binary")
+    return bmps.mapInPandas(
+        resize, "doc_id long, out_w long, out_h long, sum_resized long, "
+                "mean_resized double")
+
+
+@register("multimodal_frame_sample", oracle="""
+WITH frames AS (
+  SELECT doc_id,
+         CAST((n_chars % 40) + 10 AS BIGINT) AS n_frames,
+         unnest(range(0, (n_chars % 40) + 10, 5)) AS f
+  FROM documents
+)
+SELECT doc_id,
+       n_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM((doc_id + f) % 251) AS BIGINT) AS sum_fill
+FROM frames GROUP BY doc_id, n_frames
+""", tags=("multimodal", "video", "sampling"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a video-like binary column — the standard
+    stride-k frame extraction a vision-training pipeline runs before
+    per-frame featurization. Each document synthesizes a toy container
+    (u32 frame count + raw 8x8 grayscale frames whose fill encodes
+    (doc_id + frame_idx) % 251), the sampler decodes the header, takes
+    every 5th frame WITHOUT materializing the rest, and emits per-doc
+    frame statistics.
+
+    The oracle rebuilds the same sampled-frame sum relationally
+    (DuckDB range() with stride), so a stride bug, off-by-one in the
+    frame offsets, or a header misparse all break the hash. A real
+    mp4 pipeline swaps the toy container for ffmpeg-seek behind the
+    same mapInPandas signature — the point here is the Spark-side
+    shape: binary in Arrow batches, per-frame fan-out bounded by the
+    stride, schema stable."""
+    import numpy as np
+
+    FRAME_W = FRAME_H = 8
+    STRIDE = 5
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, n_chars in zip(pdf["doc_id"].astype("int64"),
+                                       pdf["n_chars"].astype("int64")):
+                n_frames = (int(n_chars) % 40) + 10
+                frames = np.stack([
+                    np.full((FRAME_H, FRAME_W),
+                            (int(doc_id) + f) % 251, dtype=np.uint8)
+                    for f in range(n_frames)])
+                payload = struct.pack("<I", n_frames) + frames.tobytes()
+                out.append((int(doc_id), payload))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fsize = FRAME_W * FRAME_H
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = struct.unpack("<I", payload[:4])[0]
+                sum_fill = 0
+                n_sampled = 0
+                for f in range(0, n_frames, STRIDE):
+                    frame = np.frombuffer(
+                        payload[4 + f * fsize:4 + (f + 1) * fsize],
+                        dtype=np.uint8)
+                    # constant-fill frame: any pixel is the fill value
+                    sum_fill += int(frame[0])
+                    n_sampled += 1
+                rows.append((int(doc_id), int(n_frames), n_sampled, sum_fill))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "n_sampled", "sum_fill"])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vids = d.mapInPandas(synth, "doc_id long, payload binary")
+    return vids.mapInPandas(
+        sample, "doc_id long, n_frames long, n_sampled long, sum_fill long")
