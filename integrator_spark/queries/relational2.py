@@ -768,3 +768,71 @@ def stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
                  F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"))
             .select("n_replicates", "est_mean", "ci_lo", "ci_hi"))
+
+
+_EXISTS_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'P')
+"""
+
+
+@register("subquery_exists", oracle=_EXISTS_SQL,
+          tags=("subquery", "exists"))
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS in one predicate: customers with
+    at least one urgent order and no pending order. Completes the
+    subquery family (scalar, IN, EXISTS) — Catalyst decorrelates the
+    pair into a LEFT SEMI join followed by a LEFT ANTI join on
+    c_custkey, which is exactly the plan you would hand-write; the
+    oracle runs the identical SQL text in DuckDB.
+
+    Shape: two hash joins on the same key — under AQE the two probe
+    passes share the shuffled orders exchange. No row explosion: semi/
+    anti joins emit each customer at most once regardless of order
+    fan-in, which is what makes EXISTS the scale-safe idiom vs a
+    JOIN+DISTINCT."""
+    from ..io import register_views
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_EXISTS_SQL)
+
+
+@register("scalar_bitwise", oracle="""
+SELECT event_type,
+       CAST(bit_and(event_id & 1023) AS BIGINT) AS and_all,
+       CAST(bit_or(event_id & 1023) AS BIGINT) AS or_all,
+       CAST(bit_xor(event_id & 1023) AS BIGINT) AS xor_all,
+       CAST(SUM(CASE WHEN (event_id >> 3) & 1 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS bit3_set,
+       CAST(SUM(bit_count(CAST(event_id & 1023 AS BIGINT))) AS BIGINT)
+         AS total_popcount
+FROM events GROUP BY event_type
+""", tags=("scalar", "bitwise"))
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family: masked AND/OR/XOR reduction aggregates
+    plus shift-and-test and popcount — the toolkit behind bitmap
+    memberships, feature flags, and the SimHash/bloom kernels used
+    elsewhere in the repo (operators/dedup.py relies on bit_count for
+    Hamming distance; this query pins the primitive's cross-engine
+    semantics on its own).
+
+    All operations are exact integer ops with identical two's-
+    complement semantics in both engines; one map-side-combinable
+    aggregation, JVM codegen throughout."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.select("event_type",
+                     F.expr("event_id & 1023").alias("m"),
+                     F.expr("(event_id >> 3) & 1").alias("b3"))
+            .groupBy("event_type")
+            .agg(F.expr("bit_and(m)").alias("and_all"),
+                 F.expr("bit_or(m)").alias("or_all"),
+                 F.expr("bit_xor(m)").alias("xor_all"),
+                 F.sum(F.when(F.col("b3") == 1, 1).otherwise(0))
+                  .alias("bit3_set"),
+                 F.sum(F.bit_count("m")).cast("long")
+                  .alias("total_popcount")))
