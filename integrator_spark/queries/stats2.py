@@ -932,3 +932,197 @@ def ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("cum_pos").cast("double") / F.col("cum_n"))
                 / (F.col("tot_pos").cast("double") / F.col("tot_n")), 6)
          .alias("cum_lift"))
+
+
+# --------------------------------------------------------------------------
+# Weight of evidence + information value
+# --------------------------------------------------------------------------
+
+_WOE_ORACLE = """
+WITH by_cat AS (
+  SELECT o_orderpriority AS cat,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+              AS BIGINT) AS neg
+  FROM orders GROUP BY cat
+), props AS (
+  SELECT cat, pos, neg,
+         (CAST(pos AS DOUBLE) + 0.5)
+           / (CAST(SUM(pos) OVER () AS DOUBLE) + 2.5) AS p_pos,
+         (CAST(neg AS DOUBLE) + 0.5)
+           / (CAST(SUM(neg) OVER () AS DOUBLE) + 2.5) AS p_neg
+  FROM by_cat
+), terms AS (
+  SELECT cat, pos, neg,
+         ROUND(LN(p_pos / p_neg), 6) AS woe,
+         ROUND((p_pos - p_neg) * LN(p_pos / p_neg), 6) AS iv_term
+  FROM props
+)
+SELECT cat, pos, neg, woe, iv_term,
+       ROUND(SUM(iv_term) OVER (), 6) AS iv_total
+FROM terms
+"""
+
+
+@register("ml_woe", oracle=_WOE_ORACLE, tags=("ml", "encoding"))
+def ml_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value per category:
+    WoE = ln(P(cat|pos) / P(cat|neg)), the scorecard-modeling
+    companion to ml_target_encode (log-odds scale instead of mean
+    target), with the category's IV contribution and the feature's
+    total IV — the standard "is this feature worth keeping" screen.
+    Laplace smoothing (+0.5 per category) keeps empty cells finite.
+
+    One map-side-combinable aggregation to |categories| rows, then
+    windows over that constant frame; ln is the single libm step,
+    rounded at 6 dp on identical smoothed ratios."""
+    o = load_table(spark, sf_dir, "orders")
+    by_cat = (o.groupBy(F.col("o_orderpriority").alias("cat"))
+              .agg(F.sum(F.when(F.col("o_orderstatus") == "F", 1)
+                         .otherwise(0)).alias("pos"),
+                   F.sum(F.when(F.col("o_orderstatus") == "F", 0)
+                         .otherwise(1)).alias("neg")))
+    w_all = Window.partitionBy()
+    p_pos = ((F.col("pos").cast("double") + 0.5)
+             / (F.sum("pos").over(w_all).cast("double") + 2.5))
+    p_neg = ((F.col("neg").cast("double") + 0.5)
+             / (F.sum("neg").over(w_all).cast("double") + 2.5))
+    terms = by_cat.select(
+        "cat", "pos", "neg",
+        F.round(F.log(p_pos / p_neg), 6).alias("woe"),
+        F.round((p_pos - p_neg) * F.log(p_pos / p_neg), 6).alias("iv_term"))
+    return terms.select(
+        "cat", "pos", "neg", "woe", "iv_term",
+        F.round(F.sum("iv_term").over(w_all), 6).alias("iv_total"))
+
+
+# --------------------------------------------------------------------------
+# Mutual information between two categorical columns
+# --------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH cells AS (
+  SELECT event_type AS x, user_id % 4 AS y,
+         CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM events GROUP BY x, y
+), marg AS (
+  SELECT x, y, n_xy,
+         CAST(SUM(n_xy) OVER (PARTITION BY x) AS BIGINT) AS n_x,
+         CAST(SUM(n_xy) OVER (PARTITION BY y) AS BIGINT) AS n_y,
+         CAST(SUM(n_xy) OVER () AS BIGINT) AS n
+  FROM cells
+), terms AS (
+  SELECT x, y, n_xy,
+         ROUND((CAST(n_xy AS DOUBLE) / n)
+               * LN(CAST(n_xy AS DOUBLE) * n
+                    / (CAST(n_x AS DOUBLE) * n_y)), 6) AS mi_term
+  FROM marg
+)
+SELECT x, y, n_xy, mi_term,
+       ROUND(SUM(mi_term) OVER (), 6) AS mi_total
+FROM terms
+"""
+
+
+@register("stats_mutual_info", oracle=_MI_ORACLE, tags=("stats", "info"))
+def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and a user-behavior
+    bucket: MI = sum over cells of P(x,y) * ln(P(x,y)/(P(x)P(y))) —
+    the dependence screen feature-selection pipelines run where
+    correlation only sees linear signal (and the table-level
+    generalization of text_pmi's per-pair statistic). MI ~ 0 here is
+    itself the assertion: the fixture's event types are independent of
+    user parity.
+
+    One shuffle to the |X| x |Y| contingency cells, marginals via
+    windows over that constant frame, pre-rounded terms summed
+    order-free. Identical integer-ratio operands feed the one libm ln
+    on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (e.groupBy(F.col("event_type").alias("x"),
+                       (F.col("user_id") % 4).alias("y"))
+             .agg(F.count(F.lit(1)).alias("n_xy")))
+    marg = cells.select(
+        "x", "y", "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("x")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("y")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).alias("n"))
+    terms = marg.select(
+        "x", "y", "n_xy",
+        F.round((F.col("n_xy").cast("double") / F.col("n"))
+                * F.log(F.col("n_xy").cast("double") * F.col("n")
+                        / (F.col("n_x").cast("double") * F.col("n_y"))), 6)
+         .alias("mi_term"))
+    return terms.select(
+        "x", "y", "n_xy", "mi_term",
+        F.round(F.sum("mi_term").over(Window.partitionBy()), 6)
+         .alias("mi_total"))
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+  FROM digits GROUP BY digit
+), scored AS (
+  SELECT digit, n,
+         CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS obs,
+         LN(1.0 + 1.0 / digit) / LN(10.0) AS exp_share,
+         CAST(SUM(n) OVER () AS BIGINT) AS n_tot
+  FROM counts
+), terms AS (
+  SELECT digit, n,
+         ROUND(obs, 6) AS obs_share,
+         ROUND(exp_share, 6) AS benford_share,
+         ROUND(n_tot * (obs - exp_share) * (obs - exp_share)
+               / exp_share, 6) AS chi2_term
+  FROM scored
+)
+SELECT digit, n, obs_share, benford_share, chi2_term,
+       ROUND(SUM(chi2_term) OVER (), 6) AS chi2_total
+FROM terms
+"""
+
+
+@register("stats_benford", oracle=_BENFORD_ORACLE, tags=("stats", "audit"))
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of the money column: the
+    observed leading-digit distribution against log10(1 + 1/d), with
+    per-digit chi-square contributions — the forensic data-quality
+    screen for fabricated or truncated numeric feeds (synthetic
+    uniform fixtures fail it loudly, which is the point: the statistic
+    MEASURES the generator's shape).
+
+    The leading digit is extracted through exact integer/string
+    arithmetic (price*100 is grid-exact), never floor(log10(x)) —
+    keeping libm out of the bucketing; ln only prices the expected
+    shares and the chi-square terms, rounded on identical operands.
+    One map-side-combinable aggregation to 9 rows, then windows over
+    that frame."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice") * 100).cast("long").cast("string"),
+        1, 1).cast("long")
+    counts = (o.select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    w_all = Window.partitionBy()
+    obs = F.col("n").cast("double") / F.sum("n").over(w_all).cast("double")
+    exp_share = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    n_tot = F.sum("n").over(w_all)
+    terms = counts.select(
+        "digit", "n",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("benford_share"),
+        F.round(n_tot * (obs - exp_share) * (obs - exp_share)
+                / exp_share, 6).alias("chi2_term"))
+    return terms.select(
+        "digit", "n", "obs_share", "benford_share", "chi2_term",
+        F.round(F.sum("chi2_term").over(w_all), 6).alias("chi2_total"))
