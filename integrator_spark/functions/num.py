@@ -109,3 +109,22 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)"
+
+
+def laplace_share(n: Column | str, tot: Column, cells: int) -> Column:
+    """Laplace-smoothed proportion (n + 0.5) / (tot + cells*0.5) — the
+    add-half estimate shared by the PSI/WoE drift family so empty
+    cells stay finite. ``cells`` is the nominal cell count of the
+    histogram/category domain; keep it consistent between the two
+    distributions being compared (and with the oracle SQL)."""
+    c = F.col(n) if isinstance(n, str) else n
+    return (c.cast("double") + F.lit(0.5)) / (tot.cast("double")
+                                              + F.lit(cells * 0.5))
+
+
+def psi_term(p_cur: Column, p_ref: Column) -> Column:
+    """One cell's contribution (p_cur - p_ref) * ln(p_cur / p_ref),
+    rounded to the 6-dp grid so downstream sums are order-free. Also
+    the per-category information-value term when fed class-conditional
+    shares (ml_woe)."""
+    return F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)

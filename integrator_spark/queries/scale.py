@@ -712,15 +712,20 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     The filter build collects only n_partitions bit-arrays (bounded by
     filter size, never corpus size); the probe is an Arrow-batched
     pandas UDF over the broadcast bits."""
+    from ..io import table_bytes
     from ..operators.bloom import bloom_maybe_contains, build_bloom
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     dim = o.where((F.col("o_orderpriority") == "1-URGENT")
                   & (F.col("o_orderstatus") == "F"))
-    n_keys = dim.count()  # bounded scalar action sizing the filter
+    # Size the filter from the zero-job byte estimate (~16 B/row floor
+    # overestimates rows): oversizing only lowers the fpp; the exact
+    # join guarantees correctness either way. No extra count() scan.
+    nbytes = table_bytes(sf_dir, "orders")
+    n_est = max(4096, nbytes // 16) if nbytes else 1 << 20
     bits, m, k = build_bloom(dim.select("o_orderkey"), "o_orderkey",
-                             n_estimate=max(1024, n_keys))
+                             n_estimate=n_est)
     probed = bloom_maybe_contains(li, "l_orderkey", bits, m, k)
     pre = probed.where(F.col("_maybe")).drop("_maybe")
     return (pre.join(dim, pre.l_orderkey == dim.o_orderkey)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.num import laplace_share, psi_term
 from ..io import load_table
 from ..registry import register
 
@@ -32,7 +33,7 @@ WITH per_user AS (
   SELECT user_id,
          date_trunc('day', MIN(ts)) AS first_day,
          date_trunc('day', MAX(ts)) AS last_day
-  FROM events GROUP BY user_id
+  FROM events WHERE value > 200 GROUP BY user_id
 ), pu AS (
   SELECT datediff('day', first_day, last_day) AS t,
          CASE WHEN datediff('day', last_day, MAX(last_day) OVER ()) >= 3
@@ -53,7 +54,8 @@ WITH per_user AS (
 ), f AS (
   SELECT t, d, n_at_risk,
          ROUND(CAST(n_at_risk - d AS DOUBLE) / n_at_risk, 6) AS km_factor,
-         ROUND(EXP(SUM(LN(CAST(n_at_risk - d AS DOUBLE) / n_at_risk))
+         ROUND(EXP(SUM(LN(GREATEST(
+                     CAST(n_at_risk - d AS DOUBLE) / n_at_risk, 1e-300)))
                    OVER (ORDER BY t
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
                6) AS survival
@@ -67,11 +69,22 @@ FROM f WHERE d > 0
 @register("stats_survival", oracle=_SURVIVAL_ORACLE, tags=("stats", "survival"))
 def stats_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival estimate of user lifetime (days between a
-    user's first and last event). A user whose last activity is >= 3
-    days before the observation horizon is an observed churn ("death");
-    later last-activity is right-censored. Classic product-limit
-    estimator: S(t) = prod_{t' <= t} (1 - d_t'/n_t') over event times,
-    with n_t = at-risk count (not yet churned or censored before t).
+    user's first and last HIGH-VALUE event, value > 200). A user whose
+    last such activity is >= 3 days before the observation horizon is
+    an observed churn ("death"); later last-activity is right-censored.
+    Classic product-limit estimator:
+    S(t) = prod_{t' <= t} (1 - d_t'/n_t') over event times, with
+    n_t = at-risk count (not yet churned or censored before t).
+
+    The value filter is load-bearing for the FIXTURE, not the method:
+    every fixture user's full event stream runs dense to the horizon,
+    which would censor everyone and leave the KM math vacuously
+    unverified; the thresholded stream is sparse (92/103 churns at
+    sf0.01), so the oracle actually exercises at-risk accounting and
+    the product chain. The GREATEST(..., 1e-300) guard keeps a
+    factor-0 step (an all-deaths final group) identical on both
+    engines: DuckDB's ln(0) hard-errors where Spark yields NULL;
+    clamped, both produce survival 0 after rounding.
 
     Shape: one shuffle to per-user extents (|users| rows), one shuffle
     to per-lifetime counts (|distinct lifetimes| rows — tens), then
@@ -85,7 +98,7 @@ def stats_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     Censored-only lifetimes participate in the at-risk accounting (the
     windows run before the d > 0 filter) but emit no output row,
     matching the standard KM event-time table."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(F.col("value") > 200)
     per_user = e.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).alias("first_day"),
         F.date_trunc("day", F.max("ts")).alias("last_day"))
@@ -109,7 +122,8 @@ def stats_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = km.select(
         "t", "d", "n_at_risk",
         F.round(factor, 6).alias("km_factor"),
-        F.round(F.exp(F.sum(F.log(factor)).over(w_cum)), 6).alias("survival"))
+        F.round(F.exp(F.sum(F.log(F.greatest(factor, F.lit(1e-300))))
+                      .over(w_cum)), 6).alias("survival"))
     return (f.where(F.col("d") > 0)
             .select("t", "n_at_risk", "d", "km_factor", "survival"))
 
@@ -173,13 +187,11 @@ def stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("side") == 0, 1)).alias("n_ref"),
         F.count(F.when(F.col("side") == 1, 1)).alias("n_cur"))
     w_all = Window.partitionBy()
-    p_ref = ((F.col("n_ref").cast("double") + F.lit(0.5))
-             / (F.sum("n_ref").over(w_all).cast("double") + F.lit(5.0)))
-    p_cur = ((F.col("n_cur").cast("double") + F.lit(0.5))
-             / (F.sum("n_cur").over(w_all).cast("double") + F.lit(5.0)))
+    p_ref = laplace_share("n_ref", F.sum("n_ref").over(w_all), cells=10)
+    p_cur = laplace_share("n_cur", F.sum("n_cur").over(w_all), cells=10)
     terms = counts.select(
         "bin", "n_ref", "n_cur",
-        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"))
+        psi_term(p_cur, p_ref).alias("psi_term"))
     return terms.select(
         "bin", "n_ref", "n_cur", "psi_term",
         F.round(F.sum("psi_term").over(w_all), 6).alias("psi_total"))
@@ -984,14 +996,12 @@ def ml_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum(F.when(F.col("o_orderstatus") == "F", 0)
                          .otherwise(1)).alias("neg")))
     w_all = Window.partitionBy()
-    p_pos = ((F.col("pos").cast("double") + 0.5)
-             / (F.sum("pos").over(w_all).cast("double") + 2.5))
-    p_neg = ((F.col("neg").cast("double") + 0.5)
-             / (F.sum("neg").over(w_all).cast("double") + 2.5))
+    p_pos = laplace_share("pos", F.sum("pos").over(w_all), cells=5)
+    p_neg = laplace_share("neg", F.sum("neg").over(w_all), cells=5)
     terms = by_cat.select(
         "cat", "pos", "neg",
         F.round(F.log(p_pos / p_neg), 6).alias("woe"),
-        F.round((p_pos - p_neg) * F.log(p_pos / p_neg), 6).alias("iv_term"))
+        psi_term(p_pos, p_neg).alias("iv_term"))
     return terms.select(
         "cat", "pos", "neg", "woe", "iv_term",
         F.round(F.sum("iv_term").over(w_all), 6).alias("iv_total"))

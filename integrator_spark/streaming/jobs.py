@@ -956,10 +956,14 @@ WITH counts AS (
   FROM counts WHERE day < '{_DRIFT_CUTOFF}' GROUP BY bucket
 ), days AS (
   SELECT DISTINCT day FROM counts WHERE day >= '{_DRIFT_CUTOFF}'
+), domain AS (
+  SELECT unnest(range(10)) AS bucket
 ), grid AS (
-  SELECT d.day, r.bucket, r.n_ref, COALESCE(c.n, 0) AS n_cur
-  FROM days d CROSS JOIN ref r
-  LEFT JOIN counts c ON c.day = d.day AND c.bucket = r.bucket
+  SELECT d.day, b.bucket, COALESCE(r.n_ref, 0) AS n_ref,
+         COALESCE(c.n, 0) AS n_cur
+  FROM days d CROSS JOIN domain b
+  LEFT JOIN ref r ON r.bucket = b.bucket
+  LEFT JOIN counts c ON c.day = d.day AND c.bucket = b.bucket
 ), props AS (
   SELECT day, n_cur,
          (CAST(n_ref AS DOUBLE) + 0.5)
@@ -985,10 +989,13 @@ def stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream shifts: the heavy streaming state is just 10 counters per
     open day; the PSI math runs on the drained micro-frame.
 
-    The monitored-day x reference-bucket grid is a bounded cross join
-    (|days| x 10 rows) so empty buckets still contribute their smoothed
-    term — identical construction in the oracle. PSI sums pre-rounded
-    terms per day (order-free at the 6-dp grid). On bounded replay the
+    The grid is monitored days x the FIXED bucket domain 0..9 (a
+    bounded cross join), not days x buckets-seen-in-reference: a value
+    range the reference never produced is the loudest drift signal
+    there is, and it must contribute its smoothed term rather than be
+    silently dropped (n_ref = 0 is priced by the Laplace smoothing).
+    Identical construction in the oracle. PSI sums pre-rounded terms
+    per day (order-free at the 6-dp grid). On bounded replay the
     drained counts equal the batch counts exactly, so the whole monitor
     is oracle-checked end to end."""
     s = events_stream(spark, sf_dir)
@@ -1002,27 +1009,29 @@ def stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = run_available_now(agg, sf_dir, "stream_drift",
                                output_mode="complete")
     ref = (counts.where(F.col("day") < _DRIFT_CUTOFF)
-           .groupBy("bucket").agg(F.sum("n").alias("n_ref")))
+           .groupBy("bucket").agg(F.sum("n").alias("n_ref_raw")))
     days = (counts.where(F.col("day") >= _DRIFT_CUTOFF)
             .select("day").distinct())
+    domain = spark.range(10).select(F.col("id").alias("bucket"))
     cur = (counts.where(F.col("day") >= _DRIFT_CUTOFF)
            .select(F.col("day").alias("day_c"),
                    F.col("bucket").alias("bucket_c"),
                    F.col("n").alias("n_cur_raw")))
-    grid = (days.crossJoin(F.broadcast(ref))
+    grid = (days.crossJoin(F.broadcast(domain))
+            .join(F.broadcast(ref), "bucket", "left")
             .join(cur, (F.col("day") == F.col("day_c"))
                   & (F.col("bucket") == F.col("bucket_c")), "left")
-            .select("day", "bucket", "n_ref",
+            .select("day", "bucket",
+                    F.coalesce(F.col("n_ref_raw"), F.lit(0)).alias("n_ref"),
                     F.coalesce(F.col("n_cur_raw"), F.lit(0)).alias("n_cur")))
     from pyspark.sql import Window
+
+    from ..functions.num import laplace_share, psi_term
     w_day = Window.partitionBy("day")
-    p_ref = ((F.col("n_ref").cast("double") + 0.5)
-             / (F.sum("n_ref").over(w_day).cast("double") + 5.0))
-    p_cur = ((F.col("n_cur").cast("double") + 0.5)
-             / (F.sum("n_cur").over(w_day).cast("double") + 5.0))
-    terms = grid.select(
-        "day", "n_cur",
-        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("term"))
+    p_ref = laplace_share("n_ref", F.sum("n_ref").over(w_day), cells=10)
+    p_cur = laplace_share("n_cur", F.sum("n_cur").over(w_day), cells=10)
+    terms = grid.select("day", "n_cur",
+                        psi_term(p_cur, p_ref).alias("term"))
     return (terms.groupBy("day")
             .agg(F.sum("n_cur").alias("n_events"),
                  F.round(F.sum("term"), 6).alias("psi")))
