@@ -119,3 +119,43 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
             raise NotImplementedError(
                 "delta-spark not installed in this environment") from exc
         raise
+
+
+def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Avro source (external module since Spark 2.4: the spark-avro jar
+    is not bundled in pip pyspark). Column-pruning pushes into the
+    Avro reader; schema evolution is handled by passing ``avroSchema``
+    (the reader schema) — the standard pattern for reading a topic
+    dump written across producer schema versions."""
+    reader = spark.read.format("avro")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load(path)
+    except Exception as exc:
+        if _is_missing_driver(exc):
+            raise NotImplementedError(
+                "spark-avro module not on the classpath in this "
+                "environment; add org.apache.spark:spark-avro via "
+                "spark.jars.packages and re-call") from exc
+        raise
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite",
+               compression: str = "snappy", **options) -> None:
+    """Avro sink — row-oriented, so the right interchange format for
+    downstream row-at-a-time consumers (Kafka replay, RPC fixtures);
+    keep parquet for analytics. Partition layout follows the input
+    partitioning exactly like the parquet sink."""
+    w = (df.write.format("avro").option("compression", compression))
+    for k, v in options.items():
+        w = w.option(k, v)
+    try:
+        w.mode(mode).save(path)
+    except Exception as exc:
+        if _is_missing_driver(exc):
+            raise NotImplementedError(
+                "spark-avro module not on the classpath in this "
+                "environment; add org.apache.spark:spark-avro via "
+                "spark.jars.packages and re-call") from exc
+        raise

@@ -70,3 +70,12 @@ def test_delta_round_trip(spark, tmp_path):
     path = str(tmp_path / "tbl")
     spark.range(10).write.format("delta").save(path)
     assert read_delta(spark, path).count() == 10
+
+
+def test_avro_gate_raises_documented_error(spark, tmp_path):
+    from integrator_spark.sources.connectors import read_avro, write_avro
+    df = spark.range(3)
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        write_avro(df, str(tmp_path / "avro_out"))
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "avro_out"))
