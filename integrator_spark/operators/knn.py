@@ -493,3 +493,29 @@ def knn_blocked_twosided(emb: DataFrame, id_col: str = "vec_id",
             .filter(F.col("_rn") <= k)
             .select("vec_id", "neighbor_id",
                     F.round("cos_sim", 6).alias("cos_sim")))
+
+
+def mmr_select(rel: "np.ndarray", sims: "np.ndarray", k: int,
+               lam: float = 0.7) -> list[int]:
+    """Greedy maximal-marginal-relevance selection over a BOUNDED
+    candidate set: repeatedly take argmax of
+    ``lam * relevance - (1 - lam) * max_similarity_to_selected``.
+    Deterministic: candidates must arrive sorted by (rel desc, id) and
+    ties keep the earliest index. Pure numpy/python over k_cand x dim —
+    this runs on the driver AFTER a distributed candidate stage has cut
+    the corpus to tens of rows, which is the standard two-stage
+    retrieve-then-rerank split (the corpus-scale work stays in
+    knn_search_broadcast; the O(k_cand * k) greedy is trivially small).
+    """
+    selected: list[int] = []
+    remaining = list(range(rel.shape[0]))
+    while remaining and len(selected) < k:
+        best, best_score = remaining[0], None
+        for i in remaining:
+            div = float(sims[i, selected].max()) if selected else 0.0
+            score = lam * float(rel[i]) - (1.0 - lam) * div
+            if best_score is None or score > best_score:
+                best, best_score = i, score
+        selected.append(best)
+        remaining.remove(best)
+    return selected

@@ -469,3 +469,50 @@ def vec_ann_ivf_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ivf_search(index, e, cent, n_probe=6, k=1)
             .withColumnRenamed("query_id", "vec_id")
             .orderBy("vec_id"))
+
+
+@register("vec_mmr", oracle=None, tags=("vector", "retrieval"))
+def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval via maximal marginal relevance — the
+    standard two-stage retrieve-then-rerank: stage 1 runs the
+    DISTRIBUTED exact search (knn_search_broadcast: query broadcast,
+    corpus streamed, never collected) to cut the corpus to 30
+    candidates; stage 2 collects that BOUNDED candidate set (30 rows x
+    dim — a documented bounded collect, same class as the PCA/sketch
+    partials) and greedily selects 10 results trading relevance
+    against redundancy (lambda = 0.7). This is the dedup-at-serving-
+    time companion to dedup_embedding: near-duplicate corpus entries
+    that would dominate a plain top-10 get suppressed.
+
+    Rows-only: the greedy argmax chain isn't ANSI-SQL-expressible; the
+    kernel (operators/knn.py:mmr_select) is pinned against an
+    independent reference implementation and determinism-gated in
+    tests/test_analytics.py. Output ranks are deterministic: candidates
+    enter sorted (rel desc, vec_id), ties keep the earlier candidate."""
+    import numpy as np
+
+    from ..operators.knn import knn_search_broadcast, mmr_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0)
+    corpus = e.where(F.col("vec_id") != 0)
+    cands = (knn_search_broadcast(corpus, q, k=30)
+             .orderBy(F.desc("cos_sim"), "neighbor_id"))
+    rows = (cands.join(e.select(F.col("vec_id").alias("neighbor_id"),
+                                "embedding"), "neighbor_id")
+            .select("neighbor_id", "cos_sim", "embedding")
+            .orderBy(F.desc("cos_sim"), "neighbor_id")
+            .collect())                      # bounded: 30 candidates
+    ids = np.array([r["neighbor_id"] for r in rows])
+    rel = np.array([r["cos_sim"] for r in rows], dtype=np.float64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    picked = mmr_select(rel, sims, k=10, lam=0.7)
+    out = [(rank + 1, int(ids[i]), round(float(rel[i]), 6),
+            round(0.7 * float(rel[i])
+                  - 0.3 * (float(sims[i, picked[:rank]].max())
+                           if rank else 0.0), 6))
+           for rank, i in enumerate(picked)]
+    return spark.createDataFrame(
+        out, "rank long, vec_id long, rel double, mmr_score double")

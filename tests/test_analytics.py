@@ -212,3 +212,41 @@ def test_consistent_sample_is_subset_stable(spark):
     sub = {r["doc_id"] for r in half.where(u < 100000000)
            .select("doc_id").collect()}
     assert sub == {i for i in full if i % 2 == 0}
+
+
+def test_mmr_matches_independent_reference_and_is_deterministic(spark):
+    """mmr_select pinned against a set-comprehension reference; the
+    registered query's first pick must be the plain top-1, and two
+    runs must agree exactly."""
+    import numpy as np
+
+    from integrator_spark.operators.knn import mmr_select
+
+    rng = np.random.default_rng(7)
+    rel = np.sort(rng.random(20))[::-1].copy()   # rel desc, like the query
+    mat = rng.random((20, 8))
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+
+    def reference(rel, sims, k, lam):
+        chosen, pool = [], list(range(len(rel)))
+        for _ in range(k):
+            scores = {i: lam * rel[i]
+                      - (1 - lam) * (max(sims[i][j] for j in chosen)
+                                     if chosen else 0.0)
+                      for i in pool}
+            best = min((i for i in pool),
+                       key=lambda i: (-scores[i], i))
+            chosen.append(best)
+            pool.remove(best)
+        return chosen
+
+    got = mmr_select(rel, sims, k=8, lam=0.7)
+    assert got == reference(rel, sims, 8, 0.7)
+    assert got[0] == 0  # highest-relevance candidate always leads
+
+    a = run("vec_mmr", spark)
+    b = run("vec_mmr", spark)
+    assert a.equals(b)
+    assert int(a.sort_values("rank")["rank"].iloc[0]) == 1
+    assert a["vec_id"].is_unique
