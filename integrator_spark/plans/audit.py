@@ -53,6 +53,7 @@ CROSS_JOIN_ALLOWED = {
     "basket_rules",        # 1-row basket-total frame broadcast to rules
     "stats_bootstrap",     # bounded B-replicate explode + 1-row estimate
     "text_pmi",            # 1-row corpus-size frame broadcast to PMI pairs
+    "text_collocation_llr",  # same 1-row corpus frame as text_pmi
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

@@ -811,6 +811,101 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dunning log-likelihood collocations (robust PMI companion)
+# --------------------------------------------------------------------------
+
+_LLR_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 200
+  ) WHERE length(tok) > 0
+), df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok
+), n_docs AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM tok
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY tok_a, tok_b HAVING COUNT(*) >= {_PMI_MIN_PAIRS}
+), cells AS (
+  SELECT p.tok_a, p.tok_b, p.n_ab, da.n AS n_a, db.n AS n_b,
+         (SELECT nd FROM n_docs) AS nd
+  FROM pairs p
+  JOIN df da ON p.tok_a = da.tok
+  JOIN df db ON p.tok_b = db.tok
+)
+SELECT tok_a, tok_b, n_ab,
+       ROUND(2.0 * (
+         (CASE WHEN n_ab > 0 THEN n_ab * LN(CAST(n_ab AS DOUBLE) * nd
+              / (CAST(n_a AS DOUBLE) * n_b)) ELSE 0 END)
+       + (CASE WHEN n_a - n_ab > 0 THEN (n_a - n_ab)
+              * LN(CAST(n_a - n_ab AS DOUBLE) * nd
+                   / (CAST(n_a AS DOUBLE) * (nd - n_b))) ELSE 0 END)
+       + (CASE WHEN n_b - n_ab > 0 THEN (n_b - n_ab)
+              * LN(CAST(n_b - n_ab AS DOUBLE) * nd
+                   / (CAST(nd - n_a AS DOUBLE) * n_b)) ELSE 0 END)
+       + (CASE WHEN nd - n_a - n_b + n_ab > 0 THEN (nd - n_a - n_b + n_ab)
+              * LN(CAST(nd - n_a - n_b + n_ab AS DOUBLE) * nd
+                   / (CAST(nd - n_a AS DOUBLE) * (nd - n_b))) ELSE 0 END)
+       ), 6) AS llr
+FROM cells
+"""
+
+
+@register("text_collocation_llr", oracle=_LLR_ORACLE,
+          tags=("text", "cooccurrence"))
+def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocation score over the same
+    document-level co-occurrence counts as text_pmi — the G^2 statistic
+    over the pair's 2x2 contingency table. Where PMI overweights rare
+    pairs (two hapaxes co-occurring once score maximal PMI), LLR prices
+    the evidence mass, making it the ranking of choice for collocation
+    extraction and phrase induction at corpus scale.
+
+    Each cell term k * ln(k*N / (row*col)) is guarded to 0 at k = 0 on
+    both engines; operands are identical integer ratios, one ln per
+    cell, rounded at 6 dp. Plan shape is text_pmi's: per-doc-bounded
+    pair join, broadcast frequency dims, 1-row corpus frame
+    (allowlisted)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    tok = (d.select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("tok"))
+           .where(F.length("tok") > 0)
+           .distinct())
+    df = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    nd_frame = tok.agg(F.countDistinct("doc_id").alias("nd"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.tok") < F.col("b.tok")))
+             .groupBy(F.col("a.tok").alias("tok_a"),
+                      F.col("b.tok").alias("tok_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= _PMI_MIN_PAIRS))
+    cells = (pairs
+             .join(F.broadcast(df.select(F.col("tok").alias("tok_a"),
+                                         F.col("n").alias("n_a"))), "tok_a")
+             .join(F.broadcast(df.select(F.col("tok").alias("tok_b"),
+                                         F.col("n").alias("n_b"))), "tok_b")
+             .crossJoin(F.broadcast(nd_frame)))
+
+    def term(k, row, col):
+        return F.when(k > 0, k * F.log(k.cast("double") * F.col("nd")
+                                       / (row.cast("double") * col))
+                      ).otherwise(F.lit(0.0))
+
+    n_ab, n_a, n_b = F.col("n_ab"), F.col("n_a"), F.col("n_b")
+    nd = F.col("nd")
+    llr = F.lit(2.0) * (
+        term(n_ab, n_a, n_b)
+        + term(n_a - n_ab, n_a, nd - n_b)
+        + term(n_b - n_ab, nd - n_a, n_b)
+        + term(nd - n_a - n_b + n_ab, nd - n_a, nd - n_b))
+    return cells.select("tok_a", "tok_b", "n_ab",
+                        F.round(llr, 6).alias("llr"))
+
+
+# --------------------------------------------------------------------------
 # Classifier eval: confusion matrix + decile lift
 # --------------------------------------------------------------------------
 

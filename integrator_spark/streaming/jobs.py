@@ -1035,3 +1035,39 @@ def stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (terms.groupBy("day")
             .agg(F.sum("n_cur").alias("n_events"),
                  F.round(F.sum("term"), 6).alias("psi")))
+
+
+@register("stream_topk", oracle="""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT user_id, n_events,
+         ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rank
+  FROM c
+)
+SELECT rank, user_id, n_events FROM r WHERE rank <= 10
+""", tags=("streaming", "topk"))
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: per-user event counts maintained in
+    streaming state (one counter per user — the canonical
+    update-in-place aggregation), drained complete, then ranked to the
+    deterministic top-10 (count desc, user_id tiebreak — same explicit
+    tie policy as agg_argmax). On bounded replay the drained counts
+    equal the batch counts exactly, so the leaderboard is
+    oracle-checked end to end.
+
+    At scale the state is |active users| counters sharded by the
+    groupBy key across the state store; the rank runs on the drained
+    micro-frame, not in the stream — a production variant would
+    foreachBatch the top-k into a serving table each trigger."""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    counts = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    drained = run_available_now(counts, sf_dir, "stream_topk",
+                                output_mode="complete")
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    return (drained.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("rank", "user_id", "n_events"))
