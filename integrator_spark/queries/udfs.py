@@ -303,3 +303,49 @@ def udf_arrow_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
     return e.select("event_id", F.round(infer("value"), 6).alias("score"))
+
+
+@register("ps_api_rolling", oracle="""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*), 6) AS y
+  FROM events GROUP BY day, event_type
+), r AS (
+  SELECT event_type, day,
+         AVG(y) OVER w AS roll3,
+         COUNT(*) OVER w AS cnt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, ROUND(roll3, 6) AS roll3 FROM r WHERE cnt = 3
+""", tags=("api", "pandas", "window"))
+def ps_api_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark, rolling flavor: a 3-day moving average of
+    the per-type daily mean written in pandas idiom —
+    ``psdf.groupby(type)[y].rolling(3).mean()`` — which pyspark.pandas
+    compiles to the SAME bounded window-frame plan the SQL form takes
+    (no collect, no driver pandas). Together with ps_api_groupby this
+    pins the migration story: pandas codebases keep their idioms and
+    inherit the distributed plan.
+
+    The daily means are grid-rounded before the rolling mean so the
+    3-term frame average is noise-free at 6 dp; min_periods defaults
+    to the window, matching the oracle's cnt = 3 filter."""
+    import pyspark.pandas as ps  # noqa: F401
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                     "yyyy-MM-dd").alias("day"),
+                       "event_type")
+             .agg(F.round(F.sum(F.col("value").cast("decimal(38,6)"))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  .alias("y")))
+    psdf = (daily.pandas_api()
+            .sort_values(["event_type", "day"])
+            .set_index("day"))
+    roll = psdf.groupby("event_type")["y"].rolling(3).mean()
+    out = roll.rename("roll3").reset_index().to_spark()
+    return (out.where(F.col("roll3").isNotNull())
+            .select("event_type", "day", F.round("roll3", 6).alias("roll3")))
