@@ -496,10 +496,12 @@ def knn_blocked_twosided(emb: DataFrame, id_col: str = "vec_id",
 
 
 def mmr_select(rel: "np.ndarray", sims: "np.ndarray", k: int,
-               lam: float = 0.7) -> list[int]:
+               lam: float = 0.7) -> list[tuple[int, float]]:
     """Greedy maximal-marginal-relevance selection over a BOUNDED
     candidate set: repeatedly take argmax of
     ``lam * relevance - (1 - lam) * max_similarity_to_selected``.
+    Returns (index, score-at-selection) pairs so callers report the
+    exact score that drove each pick — the lambda lives in one place.
     Deterministic: candidates must arrive sorted by (rel desc, id) and
     ties keep the earliest index. Pure numpy/python over k_cand x dim —
     this runs on the driver AFTER a distributed candidate stage has cut
@@ -507,15 +509,17 @@ def mmr_select(rel: "np.ndarray", sims: "np.ndarray", k: int,
     retrieve-then-rerank split (the corpus-scale work stays in
     knn_search_broadcast; the O(k_cand * k) greedy is trivially small).
     """
-    selected: list[int] = []
+    selected: list[tuple[int, float]] = []
+    chosen_idx: list[int] = []
     remaining = list(range(rel.shape[0]))
     while remaining and len(selected) < k:
         best, best_score = remaining[0], None
         for i in remaining:
-            div = float(sims[i, selected].max()) if selected else 0.0
+            div = float(sims[i, chosen_idx].max()) if chosen_idx else 0.0
             score = lam * float(rel[i]) - (1.0 - lam) * div
             if best_score is None or score > best_score:
                 best, best_score = i, score
-        selected.append(best)
+        selected.append((best, best_score))
+        chosen_idx.append(best)
         remaining.remove(best)
     return selected

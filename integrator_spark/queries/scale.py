@@ -712,20 +712,22 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     The filter build collects only n_partitions bit-arrays (bounded by
     filter size, never corpus size); the probe is an Arrow-batched
     pandas UDF over the broadcast bits."""
-    from ..io import table_bytes
     from ..operators.bloom import bloom_maybe_contains, build_bloom
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     dim = o.where((F.col("o_orderpriority") == "1-URGENT")
                   & (F.col("o_orderstatus") == "F"))
-    # Size the filter from the zero-job byte estimate (~16 B/row floor
-    # overestimates rows): oversizing only lowers the fpp; the exact
-    # join guarantees correctness either way. No extra count() scan.
-    nbytes = table_bytes(sf_dir, "orders")
-    n_est = max(4096, nbytes // 16) if nbytes else 1 << 20
+    # Exact key count sizes the filter keys-proportional. This is ONE
+    # pushed-filter single-column scan of the dim — the bloom build
+    # makes the same scan right after, so the sizing pass adds ~half
+    # the (small) dim-side work and nothing fact-side. A whole-table
+    # byte heuristic was tried and rejected: it ignores the predicate
+    # selectivity (~1/15 here), inflating the bit array ~50x and
+    # breaking build_bloom's bounded-driver-collect contract at scale.
+    n_keys = dim.select("o_orderkey").count()
     bits, m, k = build_bloom(dim.select("o_orderkey"), "o_orderkey",
-                             n_estimate=n_est)
+                             n_estimate=max(1024, n_keys))
     probed = bloom_maybe_contains(li, "l_orderkey", bits, m, k)
     pre = probed.where(F.col("_maybe")).drop("_maybe")
     return (pre.join(dim, pre.l_orderkey == dim.o_orderkey)

@@ -496,8 +496,7 @@ def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0)
     corpus = e.where(F.col("vec_id") != 0)
-    cands = (knn_search_broadcast(corpus, q, k=30)
-             .orderBy(F.desc("cos_sim"), "neighbor_id"))
+    cands = knn_search_broadcast(corpus, q, k=30)
     rows = (cands.join(e.select(F.col("vec_id").alias("neighbor_id"),
                                 "embedding"), "neighbor_id")
             .select("neighbor_id", "cos_sim", "embedding")
@@ -509,10 +508,7 @@ def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = np.linalg.norm(mat, axis=1)
     sims = (mat @ mat.T) / np.outer(norms, norms)
     picked = mmr_select(rel, sims, k=10, lam=0.7)
-    out = [(rank + 1, int(ids[i]), round(float(rel[i]), 6),
-            round(0.7 * float(rel[i])
-                  - 0.3 * (float(sims[i, picked[:rank]].max())
-                           if rank else 0.0), 6))
-           for rank, i in enumerate(picked)]
+    out = [(rank + 1, int(ids[i]), round(float(rel[i]), 6), round(score, 6))
+           for rank, (i, score) in enumerate(picked)]
     return spark.createDataFrame(
         out, "rank long, vec_id long, rel double, mmr_score double")

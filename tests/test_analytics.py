@@ -242,8 +242,14 @@ def test_mmr_matches_independent_reference_and_is_deterministic(spark):
         return chosen
 
     got = mmr_select(rel, sims, k=8, lam=0.7)
-    assert got == reference(rel, sims, 8, 0.7)
-    assert got[0] == 0  # highest-relevance candidate always leads
+    assert [i for i, _ in got] == reference(rel, sims, 8, 0.7)
+    # reported score must be the exact score that drove the selection
+    for rank, (i, score) in enumerate(got):
+        prev = [j for j, _ in got[:rank]]
+        div = max(sims[i][j] for j in prev) if prev else 0.0
+        assert score == pytest.approx(0.7 * rel[i] - (1 - 0.7) * div,
+                                      abs=1e-12)
+    assert got[0][0] == 0  # highest-relevance candidate always leads
 
     a = run("vec_mmr", spark)
     b = run("vec_mmr", spark)
