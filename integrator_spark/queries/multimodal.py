@@ -507,7 +507,7 @@ SELECT doc_id,
        CAST((doc_id % 16) + 4 AS BIGINT) AS out_h,
        CAST(127 * 3 * ((n_chars % 32) + 4) * ((doc_id % 16) + 4) AS BIGINT)
          AS sum_resized,
-       127.0 AS mean_resized
+       CAST(127.0 AS DOUBLE) AS mean_resized
 FROM documents
 """, tags=("multimodal", "image", "resize"))
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -104,7 +104,7 @@ def stats_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.max("ts")).alias("last_day"))
     w_all = Window.partitionBy()
     pu = per_user.select(
-        F.datediff("last_day", "first_day").alias("t"),
+        F.datediff("last_day", "first_day").cast("long").alias("t"),
         F.when(F.datediff(F.max("last_day").over(w_all),
                           F.col("last_day")) >= 3, 1)
          .otherwise(0).alias("died"))
@@ -380,7 +380,7 @@ def events_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_age = (e.join(first, "user_id")
               .groupBy("cohort_day",
                        F.datediff(F.date_trunc("day", "ts"), "cohort_day")
-                        .alias("age"))
+                        .cast("long").alias("age"))
               .agg(F.countDistinct("user_id").alias("active_users"),
                    F.sum(F.col("value").cast("decimal(38,6)"))
                     .alias("rev_dec")))
@@ -1020,7 +1020,8 @@ def ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciled = scored.select(
         "label",
         F.ntile(10).over(Window.orderBy(F.desc("o_totalprice"),
-                                        "o_orderkey")).alias("decile"))
+                                        "o_orderkey"))
+         .cast("long").alias("decile"))
     by_d = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos"))
     w_cum = (Window.orderBy("decile")

@@ -260,7 +260,7 @@ def window_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = (e.groupBy(F.datediff(F.date_trunc("day", "ts"),
                                   F.lit("2024-01-01").cast("date"))
-                       .alias("x"))
+                       .cast("long").alias("x"))
              .agg(F.round(F.sum(F.col("value").cast("decimal(38,6)"))
                           .cast("double") / F.count(F.lit(1)), 6)
                   .cast("decimal(38,6)").alias("y_dec")))

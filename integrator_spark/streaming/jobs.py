@@ -1068,6 +1068,6 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = run_available_now(counts, sf_dir, "stream_topk",
                                 output_mode="complete")
     w = Window.orderBy(F.desc("n_events"), "user_id")
-    return (drained.withColumn("rank", F.row_number().over(w))
+    return (drained.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= 10)
             .select("rank", "user_id", "n_events"))
