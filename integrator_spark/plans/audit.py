@@ -54,6 +54,9 @@ CROSS_JOIN_ALLOWED = {
     "stats_bootstrap",     # bounded B-replicate explode + 1-row estimate
     "text_pmi",            # 1-row corpus-size frame broadcast to PMI pairs
     "text_collocation_llr",  # same 1-row corpus frame as text_pmi
+    "events_rfm",          # 1-row horizon frame broadcast to per-user RFM
+    "events_active_users",   # bounded |days| x 7 trailing-week grid
+    "ml_standardize",      # 1-row sufficient-stats frame broadcast to scan
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

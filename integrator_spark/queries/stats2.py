@@ -1232,3 +1232,196 @@ def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select(
         "digit", "n", "obs_share", "benford_share", "chi2_term",
         F.round(F.sum("chi2_term").over(w_all), 6).alias("chi2_total"))
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(datediff('day', date_trunc('day', MAX(ts)),
+              (SELECT date_trunc('day', MAX(ts)) FROM events)) AS BIGINT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id, recency_days, frequency, ROUND(monetary, 6) AS monetary,
+         CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r,
+         CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f,
+         CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m
+  FROM per_user
+)
+SELECT r, f, m,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(ROUND(monetary, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE), 6) AS segment_value
+FROM scored GROUP BY r, f, m
+"""
+
+
+@register("events_rfm", oracle=_RFM_ORACLE, tags=("events", "segmentation"))
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quintiles per
+    user, aggregated to segment cells — the classic customer-base
+    decomposition marketing and retention pipelines run first. Quintile
+    assignment uses NTILE with explicit user_id tiebreaks so cell
+    membership is identical on both engines (best quintile = 1
+    throughout: most recent, most frequent, highest value).
+
+    Shape: one shuffle to per-user RFM triples; the three NTILE ranks
+    run over the |users| frame (fixture single-partition; the 100 TB
+    substitution is corpus_shuffle's range-partitioned rank, same as
+    ml_lift); the final cell rollup is map-side-combinable. Monetary
+    sums are decimal-exact; the observation horizon is the corpus max
+    day on a scalar subquery / 1-row broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.date_trunc("day", F.max("ts")).alias("h"))
+    per_user = (e.groupBy("user_id")
+                .agg(F.date_trunc("day", F.max("ts")).alias("last_day"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.round(F.sum(F.col("value").cast("decimal(38,6)"))
+                             .cast("double"), 6).alias("monetary"))
+                .crossJoin(F.broadcast(horizon))
+                .select("user_id",
+                        F.datediff("h", "last_day").cast("long")
+                         .alias("recency_days"),
+                        "frequency", "monetary"))
+    scored = per_user.select(
+        "monetary",
+        F.ntile(5).over(Window.orderBy("recency_days", "user_id"))
+         .cast("long").alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "user_id"))
+         .cast("long").alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "user_id"))
+         .cast("long").alias("m"))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.sum(F.round(F.col("monetary"), 6)
+                               .cast("decimal(38,6)")).cast("double"), 6)
+                  .alias("segment_value")))
+
+
+# --------------------------------------------------------------------------
+# Active users: DAU / WAU / MAU + stickiness
+# --------------------------------------------------------------------------
+
+_ACTIVE_ORACLE = """
+WITH day_user AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events
+), days AS (
+  SELECT DISTINCT d FROM day_user
+), dau AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau
+  FROM day_user GROUP BY d
+), grid AS (
+  SELECT g.d, g.d - CAST(o.o AS INTEGER) * INTERVAL 1 DAY AS member_day
+  FROM days g CROSS JOIN (SELECT unnest(range(7)) AS o) o
+), wau AS (
+  SELECT grid.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM grid JOIN day_user u ON u.d = grid.member_day
+  GROUP BY grid.d
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
+@register("events_active_users", oracle=_ACTIVE_ORACLE,
+          tags=("events", "engagement"))
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / DAU-over-WAU stickiness per day —
+    the engagement dashboard's first row. Rolling DISTINCT counts
+    cannot ride a window frame (distinct isn't decomposable), so each
+    report day's trailing week is EXPANDED into 7 explicit member days
+    (a bounded |days| x 7 grid, allowlisted) and joined to the
+    (day, user) activity table on the EQUI day key — a hash join, not
+    a date-range nested loop.
+
+    At 100 TB the (day, user_id) distinct pre-aggregation is the only
+    fact-scale shuffle (shrinking input by the per-user daily event
+    count); the grid join replicates each activity day at most 7x; the
+    HLL-sketch union (agg_hll_sketch) is the approximate fallback when
+    exact trailing distincts get too hot."""
+    e = load_table(spark, sf_dir, "events")
+    day_user = (e.select(F.to_date(F.date_trunc("day", "ts")).alias("d"),
+                         "user_id")
+                .distinct())
+    days = day_user.select("d").distinct()
+    offsets = spark.range(7).select(F.col("id").cast("int").alias("o"))
+    grid = (days.alias("g").crossJoin(F.broadcast(offsets))
+            .select(F.col("d"),
+                    F.date_sub(F.col("d"), F.col("o")).alias("member_day")))
+    dau = day_user.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    w = (grid.join(day_user.select(F.col("d").alias("member_day"),
+                                   "user_id"), "member_day")
+         .groupBy("d")
+         .agg(F.countDistinct("user_id").alias("wau")))
+    return (dau.join(w, "d")
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "dau", "wau",
+                    F.round(F.col("dau").cast("double") / F.col("wau"), 6)
+                     .alias("stickiness")))
+
+
+# --------------------------------------------------------------------------
+# Feature standardization (z-scores from exact sufficient statistics)
+# --------------------------------------------------------------------------
+
+_STANDARDIZE_ORACLE = """
+WITH cents AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM orders
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS s1,
+         CAST(SUM(c * c) AS DOUBLE) AS s2
+  FROM cents
+)
+SELECT o_orderkey,
+       ROUND((c - s1 / n)
+             / SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+FROM cents, stats
+WHERE o_orderkey % 199 = 0
+"""
+
+
+@register("ml_standardize", oracle=_STANDARDIZE_ORACLE,
+          tags=("ml", "features"))
+def ml_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score standardization — (x - mean) / sample-stddev — the
+    fit-then-transform scaler every linear/NN model pipeline applies,
+    computed distributed in ONE pass. The sufficient statistics use
+    exact integer CENTS (the money grid): c = price*100 is an exact
+    BIGINT, c*c fits a long (< 2.5e15), and the squared sum
+    accumulates in DECIMAL(38,0) on Spark / HUGEINT in DuckDB — both
+    exact integers whose one conversion to double rounds identically.
+    z-scores are scale-invariant, so standardizing cents equals
+    standardizing dollars; every floating step after the casts is an
+    identical operand sequence (sqrt is IEEE-exact). No engine-native
+    stddev (their streaming accumulations differ); no second pass.
+
+    The stats ride a 1-row broadcast frame back onto the scan
+    (allowlisted); the key-modulus output thinning keeps the fixture
+    compare small; the transform itself is a pure row map at any
+    scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    cents = o.select("o_orderkey", c.alias("c"))
+    stats = cents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+         .cast("double").alias("s2"))
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean = s1 / n
+    sd = F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return (cents.crossJoin(F.broadcast(stats))
+            .where(F.col("o_orderkey") % 199 == 0)
+            .select("o_orderkey",
+                    F.round((F.col("c") - mean) / sd, 6).alias("z")))
