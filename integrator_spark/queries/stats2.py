@@ -1425,3 +1425,157 @@ def ml_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("o_orderkey") % 199 == 0)
             .select("o_orderkey",
                     F.round((F.col("c") - mean) / sd, 6).alias("z")))
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA across k groups
+# --------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(12,6))
+                  * CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         SUM(s1) AS s1_all,
+         SUM(s2 - s1 * s1 / n_g) AS ssw,
+         SUM(s1 * s1 / n_g) AS sq_groups
+  FROM g
+)
+SELECT k, n,
+       ROUND(sq_groups - s1_all * s1_all / n, 6) AS ss_between,
+       ROUND(ssw, 6) AS ss_within,
+       ROUND(((sq_groups - s1_all * s1_all / n) / (k - 1))
+             / (ssw / (n - k)), 6) AS f_stat
+FROM tot
+"""
+
+
+@register("stats_anova", oracle=_ANOVA_ORACLE, tags=("stats", "abtest"))
+def stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic across the k = 5 event-type groups —
+    the k-group generalization completing the A/B family (t-test two
+    groups, rank-sum, KS, chi-square, now ANOVA). Between/within sums
+    of squares come from per-group exact sufficient statistics
+    (DECIMAL(12,6) sums and squares — value <= 490 keeps the (25,12)
+    product inside both engines' int64 decimal physical), so the only
+    floating work is the identical closed-form polynomial after the
+    casts, rounded at 6 dp.
+
+    The second-level aggregation sums PER-GROUP doubles (s1*s1/n_g
+    terms) across k = 5 rows — order effects ~1e-16 against magnitudes
+    ~1e6, far under the rounding grid. One map-side-combinable shuffle
+    to k rows; everything after is constant-size."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(12,6)")
+    g = (e.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_g"),
+              F.sum(x).cast("double").alias("s1"),
+              F.sum(x * x).cast("double").alias("s2")))
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s1").alias("s1_all"),
+        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_g"))
+         .alias("ssw"),
+        F.sum(F.col("s1") * F.col("s1") / F.col("n_g")).alias("sq_groups"))
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("sq_groups") - F.col("s1_all") * F.col("s1_all") / n
+    return tot.select(
+        "k", "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(F.col("ssw"), 6).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (F.col("ssw") / (n - k)), 6)
+         .alias("f_stat"))
+
+
+# --------------------------------------------------------------------------
+# Time-series decomposition: trend + day-of-week seasonal + residual
+# --------------------------------------------------------------------------
+
+_DECOMPOSE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS DECIMAL(38,6)) AS m
+  FROM events GROUP BY d
+), trended AS (
+  SELECT d, m,
+         CAST(ROUND(CAST(SUM(m) OVER w AS DOUBLE)
+                    / COUNT(*) OVER w, 6) AS DECIMAL(38,6)) AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detrended AS (
+  SELECT d, m, trend,
+         CAST(m - trend AS DECIMAL(38,6)) AS detr
+  FROM trended
+), seasonal AS (
+  SELECT isodow(d) AS dow,
+         CAST(ROUND(CAST(SUM(detr) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(38,6)) AS s
+  FROM detrended GROUP BY dow
+)
+SELECT strftime(t.d, '%Y-%m-%d') AS day,
+       CAST(isodow(t.d) AS BIGINT) AS dow,
+       ROUND(CAST(t.m AS DOUBLE), 6) AS daily_mean,
+       ROUND(CAST(t.trend AS DOUBLE), 6) AS trend,
+       ROUND(CAST(s.s AS DOUBLE), 6) AS seasonal,
+       ROUND(CAST(t.detr - s.s AS DOUBLE), 6) AS residual
+FROM detrended t JOIN seasonal s ON isodow(t.d) = s.dow
+"""
+
+
+@register("events_decompose", oracle=_DECOMPOSE_ORACLE,
+          tags=("events", "timeseries"))
+def events_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily mean:
+    centered 7-day moving average as trend, day-of-week means of the
+    detrended series as the seasonal component, remainder as residual
+    — the observability-dashboard split (is Monday low because Mondays
+    are low, or is something wrong?) and the STL-lite companion to
+    events_cusum / window_regression.
+
+    Every intermediate (daily mean, trend, detrended, seasonal) is
+    rounded to the 6-dp grid and carried as DECIMAL so subtractions
+    and the dow-group sums are exact — the only doubles are single
+    divisions of identical operands. Day-of-week uses the ISO
+    numbering on both engines (Spark weekday()+1 == DuckDB isodow).
+    Edge days keep their partial trend window (AVG over the available
+    frame rows), identical construction in both engines.
+
+    Shape: one shuffle to |days| rows, then bounded 7-row frames and a
+    7-row broadcast seasonal join."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+             .agg(F.round(F.sum(F.col("value").cast("decimal(38,6)"))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  .cast("decimal(38,6)").alias("m")))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d", "m",
+        F.round(F.sum("m").over(w).cast("double")
+                / F.count(F.lit(1)).over(w), 6)
+         .cast("decimal(38,6)").alias("trend"))
+    detrended = trended.select(
+        "d", "m", "trend",
+        (F.col("m") - F.col("trend")).cast("decimal(38,6)").alias("detr"))
+    dow = (F.expr("weekday(d)") + 1).cast("long")
+    seasonal = (detrended.groupBy(dow.alias("dow"))
+                .agg(F.round(F.sum("detr").cast("double")
+                             / F.count(F.lit(1)), 6)
+                     .cast("decimal(38,6)").alias("s")))
+    return (detrended.withColumn("dow", dow)
+            .join(F.broadcast(seasonal), "dow")
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "dow",
+                    F.round(F.col("m").cast("double"), 6)
+                     .alias("daily_mean"),
+                    F.round(F.col("trend").cast("double"), 6).alias("trend"),
+                    F.round(F.col("s").cast("double"), 6).alias("seasonal"),
+                    F.round((F.col("detr") - F.col("s")).cast("double"), 6)
+                     .alias("residual")))
