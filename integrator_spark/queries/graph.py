@@ -138,3 +138,125 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (levels.groupBy("level")
             .agg(F.count(F.lit(1)).alias("n_nodes"))
             .orderBy("level"))
+
+
+@register("graph_assortativity", oracle=f"""
+WITH e AS ({_COPURCHASE_SQL}),
+sym AS (
+  SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e
+), deg AS (
+  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY s
+), pts AS (
+  SELECT ds.dg AS x, dd.dg AS y
+  FROM sym JOIN deg ds ON sym.s = ds.node
+           JOIN deg dd ON sym.d = dd.node
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT m,
+       ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+             / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS assortativity
+FROM sums
+""", tags=("graph", "stats"))
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the Pearson
+    correlation of endpoint degrees over (symmetrized) edges: positive
+    means hubs link to hubs, negative means hub-and-spoke. On the
+    symmetrized point set the x and y marginals are identical, so the
+    formula collapses to one x-moment pair plus the cross term — all
+    EXACT integer sums (degrees are ints) with a single float division
+    at the end, the same sufficient-statistics shape as agg_moments.
+
+    Shape: one self-join on l_orderkey for edges (per-order fan-out
+    bounded like graph_triangles), a degree count, two broadcast joins
+    of the degree dim onto the edge list, one global agg."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    deg = sym.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("dg"))
+    pts = (sym
+           .join(F.broadcast(deg.select(F.col("node").alias("s"),
+                                        F.col("dg").alias("x"))), "s")
+           .join(F.broadcast(deg.select(F.col("node").alias("d"),
+                                        F.col("dg").alias("y"))), "d"))
+    sums = pts.agg(F.count(F.lit(1)).alias("m"),
+                   F.sum("x").alias("sx"),
+                   F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                   F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    m, sx, sxx, sxy = (F.col(c) for c in ("m", "sx", "sxx", "sxy"))
+    return sums.select(
+        "m",
+        F.round((m.cast("double") * sxy - sx.cast("double") * sx)
+                / (m.cast("double") * sxx - sx.cast("double") * sx), 6)
+         .alias("assortativity"))
+
+
+@register("graph_jaccard_links", oracle=f"""
+WITH e AS ({_COPURCHASE_SQL}),
+sym AS (
+  SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e
+), deg AS (
+  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY s
+), wedges AS (
+  SELECT a.s AS n1, b.d AS n2, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym a JOIN sym b ON a.d = b.s AND a.s < b.d
+  GROUP BY n1, n2 HAVING COUNT(*) >= 3
+), cand AS (
+  SELECT w.n1, w.n2, w.cn
+  FROM wedges w ANTI JOIN e ON e.s = w.n1 AND e.d = w.n2
+)
+SELECT * FROM (
+  SELECT c.n1, c.n2, c.cn,
+         ROUND(CAST(c.cn AS DOUBLE) / (d1.dg + d2.dg - c.cn), 6) AS jaccard
+  FROM cand c
+  JOIN deg d1 ON c.n1 = d1.node
+  JOIN deg d2 ON c.n2 = d2.node
+)
+ORDER BY jaccard DESC, n1, n2 LIMIT 1000
+""", tags=("graph", "linkpred"))
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard link prediction: for NON-adjacent node
+    pairs sharing >= 3 neighbors, score |N(a) n N(b)| / |N(a) u N(b)|
+    — the classic "products bought together with the same things but
+    never together yet" recommender signal, and the graph analog of
+    dedup_ngram's shingle-candidate generation.
+
+    Candidates come from the wedge join (bounded per-node like
+    graph_triangles — never all pairs), existing edges are removed
+    with an anti join, and the degree dimension joins broadcast.
+    Scores are exact integer ratios rounded once; the output is the
+    deterministic global top-1000 (rounded score desc, then pair keys
+    — a TakeOrderedAndProject, no full-sort materialization). The
+    >= 3 support floor plus the top-k cut are the hot-node guards at
+    fixture scale; the production guard is the same degree cutoff as
+    dedup_ngram_guarded."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    deg = sym.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("dg"))
+    a = sym.select(F.col("s").alias("n1"), F.col("d").alias("z"))
+    b = sym.select(F.col("s").alias("z"), F.col("d").alias("n2"))
+    wedges = (a.join(b, "z")
+              .where(F.col("n1") < F.col("n2"))
+              .groupBy("n1", "n2").agg(F.count(F.lit(1)).alias("cn"))
+              .where(F.col("cn") >= 3))
+    cand = wedges.join(
+        edges.select(F.col("s").alias("n1"), F.col("d").alias("n2")),
+        ["n1", "n2"], "left_anti")
+    return (cand
+            .join(F.broadcast(deg.select(F.col("node").alias("n1"),
+                                         F.col("dg").alias("dg1"))), "n1")
+            .join(F.broadcast(deg.select(F.col("node").alias("n2"),
+                                         F.col("dg").alias("dg2"))), "n2")
+            .select("n1", "n2", "cn",
+                    F.round(F.col("cn").cast("double")
+                            / (F.col("dg1") + F.col("dg2") - F.col("cn")), 6)
+                     .alias("jaccard"))
+            .orderBy(F.desc("jaccard"), "n1", "n2").limit(1000))

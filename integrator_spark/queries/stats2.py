@@ -1579,3 +1579,103 @@ def events_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("s").cast("double"), 6).alias("seasonal"),
                     F.round((F.col("detr") - F.col("s")).cast("double"), 6)
                      .alias("residual")))
+
+
+# --------------------------------------------------------------------------
+# Robust outliers (median / MAD) + k-fold evaluation
+# --------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type,
+         ROUND(median(CAST(value AS DOUBLE)), 4) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type,
+         m.med,
+         ROUND(median(abs(e.value - m.med)), 4) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND(0.6745 * (e.value - a.med) / a.mad, 6) AS robust_z
+FROM events e JOIN mad a ON e.event_type = a.event_type
+WHERE abs(0.6745 * (e.value - a.med) / a.mad) > 3.5
+"""
+
+
+@register("events_outliers_mad", oracle=_MAD_ORACLE,
+          tags=("events", "outliers"))
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: modified z-score 0.6745*(x - median)/MAD
+    with the standard |z| > 3.5 cut — the companion to events_outliers
+    that a single extreme value cannot poison (mean/stddev z-scores
+    move WITH the outliers they hunt; median/MAD do not). The
+    data-quality gate of choice for heavy-tailed telemetry.
+
+    Both medians pass through the engines' interpolated exact
+    percentile, rounded to 4 dp before reuse (the agg_percentile
+    parity contract), so the downstream arithmetic sees identical
+    operands. Two aggregation passes over the fact (median, then MAD
+    of residuals) plus a broadcast join back — MAD is inherently
+    two-pass; the sketch alternative at 100 TB is approx_percentile
+    (agg_approx_percentile) at both steps."""
+    e = load_table(spark, sf_dir, "events")
+    med = (e.groupBy("event_type")
+           .agg(F.round(F.median(F.col("value").cast("double")), 4)
+                .alias("med")))
+    mad = (e.join(F.broadcast(med), "event_type")
+           .groupBy("event_type", "med")
+           .agg(F.round(F.median(F.abs(F.col("value") - F.col("med"))), 4)
+                .alias("mad")))
+    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (e.join(F.broadcast(mad), "event_type")
+            .where(F.abs(rz) > 3.5)
+            .select("event_id", "event_type", "value",
+                    F.round(rz, 6).alias("robust_z")))
+
+
+_KFOLD_ORACLE = """
+WITH folds AS (
+  SELECT (o_orderkey * 2654435761 + 99) % 1000000007 % 5 AS fold,
+         CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+  FROM orders
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy,
+       ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+FROM folds GROUP BY fold
+"""
+
+
+@register("ml_kfold", oracle=_KFOLD_ORACLE, tags=("ml", "eval"))
+def ml_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold evaluation: fold assignment by the same
+    affine key hash as sample_consistent (reproducible across runs,
+    engines, and corpus growth — df.randomSplit is none of those),
+    per-fold accuracy and base rate of the fixed threshold model. The
+    fold-to-fold accuracy spread is the variance estimate that decides
+    whether a model change is signal or noise.
+
+    One map-side-combinable aggregation; exact integer arithmetic
+    until the two final ratios."""
+    o = load_table(spark, sf_dir, "orders")
+    fold = ((F.col("o_orderkey") * F.lit(2654435761) + F.lit(99))
+            % F.lit(1000000007) % 5)
+    pred = F.when(F.col("o_totalprice") > 150000.0, 1).otherwise(0)
+    label = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    scored = o.select(fold.alias("fold"), pred.alias("pred"),
+                      label.alias("label"))
+    correct = F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+    return (scored.groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 correct.alias("n_correct"),
+                 F.round(correct.cast("double") / F.count(F.lit(1)), 6)
+                  .alias("accuracy"),
+                 F.round(F.sum("label").cast("double")
+                         / F.count(F.lit(1)), 6).alias("pos_rate")))
