@@ -1679,3 +1679,161 @@ def ml_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("accuracy"),
                  F.round(F.sum("label").cast("double")
                          / F.count(F.lit(1)), 6).alias("pos_rate")))
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# --------------------------------------------------------------------------
+
+_FORECAST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS DECIMAL(38,6)) AS y
+  FROM events GROUP BY d
+), joined AS (
+  SELECT a.d, a.y, l.y AS yhat
+  FROM daily a JOIN daily l ON l.d = a.d - INTERVAL 7 DAY
+), scored AS (
+  SELECT d, y, yhat,
+         CAST(ROUND(CAST(abs(y - yhat) AS DOUBLE), 6) AS DECIMAL(38,6))
+           AS abs_err,
+         CAST(ROUND(CAST(abs(y - yhat) AS DOUBLE)
+                    / CAST(y AS DOUBLE), 6) AS DECIMAL(38,6)) AS ape
+  FROM joined
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       ROUND(CAST(y AS DOUBLE), 6) AS actual,
+       ROUND(CAST(yhat AS DOUBLE), 6) AS forecast,
+       ROUND(CAST(abs_err AS DOUBLE), 6) AS abs_err,
+       ROUND(CAST(SUM(abs_err) OVER () AS DOUBLE)
+             / COUNT(*) OVER (), 6) AS mae,
+       ROUND(100.0 * CAST(SUM(ape) OVER () AS DOUBLE)
+             / COUNT(*) OVER (), 6) AS mape_pct
+FROM scored
+"""
+
+
+@register("events_forecast_backtest", oracle=_FORECAST_ORACLE,
+          tags=("events", "timeseries", "forecast"))
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's mean with
+    the value 7 days earlier (the baseline every forecasting system
+    must beat — if your model can't outperform "same day last week"
+    it isn't a model), scored with MAE and MAPE over the backtest
+    window. The equi self-join on the lagged date is the standard
+    holdout construction; errors are grid-rounded then accumulated as
+    DECIMAL so the aggregate metrics are order-free.
+
+    Shape: one shuffle to |days| rows, a self-join on the day key,
+    windows over that constant frame. Swapping the naive lag for a
+    real model's prediction table changes one join input and nothing
+    else — that is the point of the backtest harness."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+             .agg(F.round(F.sum(F.col("value").cast("decimal(38,6)"))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  .cast("decimal(38,6)").alias("y")))
+    lagged = daily.select(F.date_add(F.col("d"), 7).alias("d"),
+                          F.col("y").alias("yhat"))
+    joined = daily.join(lagged, "d")
+    scored = joined.select(
+        "d", "y", "yhat",
+        F.round(F.abs(F.col("y") - F.col("yhat")).cast("double"), 6)
+         .cast("decimal(38,6)").alias("abs_err"),
+        F.round(F.abs(F.col("y") - F.col("yhat")).cast("double")
+                / F.col("y").cast("double"), 6)
+         .cast("decimal(38,6)").alias("ape"))
+    w_all = Window.partitionBy()
+    return scored.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("y").cast("double"), 6).alias("actual"),
+        F.round(F.col("yhat").cast("double"), 6).alias("forecast"),
+        F.round(F.col("abs_err").cast("double"), 6).alias("abs_err"),
+        F.round(F.sum("abs_err").over(w_all).cast("double")
+                / F.count(F.lit(1)).over(w_all), 6).alias("mae"),
+        F.round(F.lit(100.0) * F.sum("ape").over(w_all).cast("double")
+                / F.count(F.lit(1)).over(w_all), 6).alias("mape_pct"))
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency profiling
+# --------------------------------------------------------------------------
+
+_FD_ORACLE = """
+WITH checks AS (
+  SELECT 'nation: n_nationkey -> n_name' AS fd,
+         CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys
+  FROM (SELECT n_nationkey, COUNT(DISTINCT n_name) AS n_rhs
+        FROM nation GROUP BY n_nationkey)
+  UNION ALL
+  SELECT 'orders: o_custkey -> o_orderpriority',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_rhs
+        FROM orders GROUP BY o_custkey)
+  UNION ALL
+  SELECT 'lineitem: l_orderkey -> o_exists (ref integrity)',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_rhs = 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT l.l_orderkey, COUNT(o.o_orderkey) AS n_rhs
+        FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey)
+)
+SELECT fd, n_lhs, n_violating_keys,
+       CASE WHEN n_violating_keys = 0 THEN 'holds' ELSE 'violated' END
+         AS verdict
+FROM checks
+"""
+
+
+@register("etl_fd_check", oracle=_FD_ORACLE, tags=("etl", "profiling"))
+def etl_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency / referential-integrity profiling: for
+    each declared candidate dependency A -> B, count left-hand keys
+    whose B is not unique (FD violations), plus an orphan check for
+    the lineitem -> orders foreign key. This is the schema-discovery
+    pass a data catalog runs on arrival — FDs that HOLD become
+    constraints and join-elimination opportunities for the optimizer;
+    violations become quarantine rows (scan_csv_malformed's pattern).
+
+    Each check is one map-side-combinable distinct-count aggregation
+    on its key; the union of constant-size summaries is free. The
+    expected fixture verdicts: the nation FD holds, the orders one is
+    violated (customers order at many priorities), the FK has no
+    orphans."""
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def fd(df, lhs, rhs, label):
+        per = (df.groupBy(lhs)
+               .agg(F.countDistinct(rhs).alias("n_rhs")))
+        return per.agg(
+            F.lit(label).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+             .alias("n_violating_keys"))
+
+    fk = (li.select("l_orderkey").distinct()
+          .join(orders.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"), "left")
+          .groupBy("l_orderkey")
+          .agg(F.count("o_orderkey").alias("n_rhs"))
+          .agg(F.lit("lineitem: l_orderkey -> o_exists (ref integrity)")
+               .alias("fd"),
+               F.count(F.lit(1)).alias("n_lhs"),
+               F.sum(F.when(F.col("n_rhs") == 0, 1).otherwise(0))
+                .alias("n_violating_keys")))
+    checks = (fd(nation, "n_nationkey", "n_name",
+                 "nation: n_nationkey -> n_name")
+              .unionByName(fd(orders, "o_custkey", "o_orderpriority",
+                              "orders: o_custkey -> o_orderpriority"))
+              .unionByName(fk))
+    return checks.select(
+        "fd", "n_lhs", "n_violating_keys",
+        F.when(F.col("n_violating_keys") == 0, "holds")
+         .otherwise("violated").alias("verdict"))
