@@ -1837,3 +1837,66 @@ def etl_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fd", "n_lhs", "n_violating_keys",
         F.when(F.col("n_violating_keys") == 0, "holds")
          .otherwise("violated").alias("verdict"))
+
+
+# --------------------------------------------------------------------------
+# Average precision (area under the PR curve, step interpolation)
+# --------------------------------------------------------------------------
+
+_AP_ORACLE = """
+WITH by_s AS (
+  SELECT o_totalprice AS s,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_pos,
+         CAST(COUNT(*) AS BIGINT) AS c_tot
+  FROM orders GROUP BY s
+), ranked AS (
+  SELECT c_pos, c_tot,
+         CAST(SUM(c_pos) OVER w AS BIGINT) AS cum_pos,
+         CAST(SUM(c_tot) OVER w AS BIGINT) AS cum_tot,
+         CAST(SUM(c_pos) OVER () AS BIGINT) AS n_pos
+  FROM by_s
+  WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT n_pos,
+       ROUND(SUM(ROUND((CAST(c_pos AS DOUBLE) / n_pos)
+                       * (CAST(cum_pos AS DOUBLE) / cum_tot), 9)), 6)
+         AS average_precision
+FROM ranked
+GROUP BY n_pos
+"""
+
+
+@register("ml_average_precision", oracle=_AP_ORACLE, tags=("ml", "eval"))
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision — the area under the precision-recall curve
+    with step interpolation: AP = sum over thresholds of
+    (delta recall) * precision-at-threshold. The eval of record for
+    imbalanced retrieval tasks where ROC AUC (ml_auc) is too
+    forgiving. Thresholds are the distinct raw scores (descending);
+    ties collapse into one threshold group, so the statistic is exact
+    integer ratios per group, pre-rounded at 9 dp and summed
+    order-free, final at 6 dp.
+
+    Same plan skeleton as ml_auc: tie-group aggregation (one shuffle
+    on the score), one ordered window over |distinct scores| rows, a
+    one-row result."""
+    o = load_table(spark, sf_dir, "orders")
+    by_s = (o.select(F.col("o_totalprice").alias("s"),
+                     F.when(F.col("o_orderstatus") == "F", 1)
+                      .otherwise(0).alias("label"))
+            .groupBy("s")
+            .agg(F.sum("label").alias("c_pos"),
+                 F.count(F.lit(1)).alias("c_tot")))
+    w = (Window.orderBy(F.desc("s"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = by_s.select(
+        "c_pos", "c_tot",
+        F.sum("c_pos").over(w).alias("cum_pos"),
+        F.sum("c_tot").over(w).alias("cum_tot"),
+        F.sum("c_pos").over(Window.partitionBy()).alias("n_pos"))
+    term = F.round((F.col("c_pos").cast("double") / F.col("n_pos"))
+                   * (F.col("cum_pos").cast("double") / F.col("cum_tot")), 9)
+    return (ranked.groupBy("n_pos")
+            .agg(F.round(F.sum(term), 6).alias("average_precision")))

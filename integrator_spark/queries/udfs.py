@@ -349,3 +349,60 @@ def ps_api_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = roll.rename("roll3").reset_index().to_spark()
     return (out.where(F.col("roll3").isNotNull())
             .select("event_type", "day", F.round("roll3", 6).alias("roll3")))
+
+
+@register("udf_cogrouped_map", oracle="""
+WITH o AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) AS purchase_us, p.value
+FROM c ASOF JOIN o p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+""", tags=("udf", "cogroup"))
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map applyInPandas — the two-sided grouped kernel:
+    clicks and purchases cogroup on user_id, each group pair lands in
+    pandas, and merge_asof attaches the latest preceding purchase to
+    every click. The same engine surface the two-sided blocked kNN
+    plan uses (operators/knn.py), here on the canonical as-of
+    enrichment; DuckDB's native ASOF JOIN is the oracle, and
+    operators/asof.py is the pure-relational form of the same
+    semantics (this pins the pandas path against both).
+
+    Timestamps cross the boundary as exact integer microseconds.
+    Scale: one shuffle of each side on user_id, Arrow transfer
+    per group pair, per-group memory bounded by a user's history
+    (the same contract as udf_grouped_map)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (e.where(F.col("event_type") == "click")
+              .select("user_id", F.unix_micros("ts").alias("click_us")))
+    purch = (e.where(F.col("event_type") == "purchase")
+             .select("user_id", F.unix_micros("ts").alias("purchase_us"),
+                     "value"))
+
+    def merge(clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame) -> pd.DataFrame:
+        if clicks_pdf.empty:
+            return pd.DataFrame(columns=["user_id", "click_us",
+                                         "purchase_us", "value"])
+        left = clicks_pdf.sort_values("click_us")
+        if purch_pdf.empty:
+            out = left.copy()
+            out["purchase_us"] = pd.Series(dtype="float64")
+            out["value"] = pd.Series(dtype="float64")
+        else:
+            out = pd.merge_asof(
+                left, purch_pdf.sort_values("purchase_us"),
+                left_on="click_us", right_on="purchase_us",
+                direction="backward")
+        out["user_id"] = left["user_id"].iloc[0]
+        return out[["user_id", "click_us", "purchase_us", "value"]]
+
+    merged = (clicks.groupBy("user_id")
+              .cogroup(purch.groupBy("user_id"))
+              .applyInPandas(merge, "user_id long, click_us long, "
+                                    "purchase_us long, value double"))
+    # ASOF JOIN (inner) drops clicks with no preceding purchase
+    return merged.where(F.col("purchase_us").isNotNull())
