@@ -968,19 +968,23 @@ def ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LIFT_ORACLE = """
-WITH scored AS (
-  SELECT o_orderkey, o_totalprice,
-         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
-  FROM orders
-), deciled AS (
-  SELECT label,
-         NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
-  FROM scored
+WITH by_s AS (
+  SELECT o_totalprice AS s,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_pos,
+         CAST(COUNT(*) AS BIGINT) AS c_tot
+  FROM orders GROUP BY s
+), ranked AS (
+  SELECT c_pos, c_tot,
+         CAST(SUM(c_tot) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(c_tot) OVER () AS BIGINT) AS n_all
+  FROM by_s
 ), by_d AS (
-  SELECT decile,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(label) AS BIGINT) AS n_pos
-  FROM deciled GROUP BY decile
+  SELECT CAST(CEIL(CAST(cum * 10 AS DOUBLE) / n_all) AS BIGINT) AS decile,
+         CAST(SUM(c_tot) AS BIGINT) AS n,
+         CAST(SUM(c_pos) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY 1
 ), cum AS (
   SELECT decile, n, n_pos,
          CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
@@ -1004,26 +1008,38 @@ def ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative gains and lift by score decile — "if we act on the
     top k/10 of model scores, what fraction of all positives do we
     capture, and at what multiple of the base rate?" — the targeting
-    chart behind campaign/routing decisions. Deciles come from NTILE
-    over the raw monotone score with an id tiebreak, so bucket
-    membership is identical on both engines; every metric is an exact
+    chart behind campaign/routing decisions. Every metric is an exact
     integer ratio rounded once.
 
-    Shape: the NTILE rank is the only global-order step (|rows| at
-    fixture; a 100 TB run replaces it with the range-partitioned rank
-    of corpus_shuffle), then a 10-row frame carries the cumulative
-    windows."""
+    Decile assignment deliberately avoids NTILE over raw rows: that is
+    a full-row single-partition sort, and the sf1 measurement caught
+    it as this pack's one superlinear step (scaling exponent 0.84,
+    scripts/analytics_at_scale.py) — the red flag the measured run
+    exists to raise. Instead rows collapse into score tie-groups first
+    (one map-side-combinable shuffle, the ml_auc skeleton), the
+    cumulative count runs over the |distinct scores| frame, and each
+    tie group lands wholly in decile ceil(10 * cum / n) — identical
+    grouping on both engines with no per-row tiebreak needed (a tie
+    group is never split, so bucket sizes flex by at most a tie
+    group; on a near-unique score column they are within one row of
+    NTILE's). Rewritten form measures exponent ~0.1 at sf1."""
     o = load_table(spark, sf_dir, "orders")
-    scored = o.select(
-        "o_orderkey", "o_totalprice",
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"))
-    deciled = scored.select(
-        "label",
-        F.ntile(10).over(Window.orderBy(F.desc("o_totalprice"),
-                                        "o_orderkey"))
-         .cast("long").alias("decile"))
-    by_d = deciled.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos"))
+    by_s = (o.select(F.col("o_totalprice").alias("s"),
+                     F.when(F.col("o_orderstatus") == "F", 1)
+                      .otherwise(0).alias("label"))
+            .groupBy("s")
+            .agg(F.sum("label").alias("c_pos"),
+                 F.count(F.lit(1)).alias("c_tot")))
+    w_desc = (Window.orderBy(F.desc("s"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = by_s.select(
+        "c_pos", "c_tot",
+        F.sum("c_tot").over(w_desc).alias("cum"),
+        F.sum("c_tot").over(Window.partitionBy()).alias("n_all"))
+    decile = F.ceil((F.col("cum") * 10).cast("double")
+                    / F.col("n_all")).cast("long")
+    by_d = (ranked.groupBy(decile.alias("decile"))
+            .agg(F.sum("c_tot").alias("n"), F.sum("c_pos").alias("n_pos")))
     w_cum = (Window.orderBy("decile")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_all = Window.partitionBy()
