@@ -15,19 +15,25 @@ broadcast range; beyond that, shard the filter by key prefix. The filter
 is advisory only (exactness comes from the verification join), so
 undersizing degrades performance, never correctness.
 
-Determinism: hash indices derive from md5 of the key string — identical
-across builds, partitionings, and cluster sizes.
+Hashing: the two base hashes are computed JVM-SIDE with
+``xxhash64(cast(key as string), seed)`` — whole-stage-codegen cheap —
+and the k Kirsch-Mitzenmacher indices ``(h1 + j*h2) mod m`` plus all
+bit get/set work are vectorized numpy over the Arrow batch. Nothing
+hashes per-row in Python (the original md5-per-key loop measured 98 s
+for a 6M-row probe at sf1; the vectorized kernel replaced it — see
+SCALING.md). Determinism: xxhash64 is seed-stable across builds,
+partitionings, and cluster sizes; keys are cast to string first so the
+scheme is type-agnostic like the md5 one it replaced.
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -42,11 +48,21 @@ def _params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, min(k, 16)
 
 
-def _indices(key: str, m: int, k: int) -> list[int]:
-    """k deterministic bit indices via double hashing over md5 halves."""
-    d = hashlib.md5(key.encode()).hexdigest()
-    h1, h2 = int(d[:16], 16), int(d[16:], 16) | 1
-    return [(h1 + i * h2) % m for i in range(k)]
+def _hash_cols(key_col: str) -> tuple[Column, Column]:
+    """The two JVM-side base hashes (seeded xxhash64 over the
+    stringified key) that every index derives from."""
+    s = F.col(key_col).cast("string")
+    return F.xxhash64(s).alias("_bh1"), F.xxhash64(s, F.lit(1)).alias("_bh2")
+
+
+def _index_batch(h1: np.ndarray, h2: np.ndarray, j: int, m: int) -> np.ndarray:
+    """Vectorized Kirsch-Mitzenmacher index j for a batch: interpret the
+    signed JVM hashes as uint64 (two's-complement view), force h2 odd
+    so the k probes of one key never all collapse, wrap mod 2^64, then
+    mod m. Identical arithmetic at build and probe."""
+    a = h1.astype(np.uint64)
+    b = h2.astype(np.uint64) | np.uint64(1)
+    return ((a + np.uint64(j) * b) % np.uint64(m)).astype(np.int64)
 
 
 def build_bloom(keys: DataFrame, key_col: str, n_estimate: int,
@@ -55,19 +71,24 @@ def build_bloom(keys: DataFrame, key_col: str, n_estimate: int,
     driver (collects n_partitions rows of m/8 bytes — bounded by the
     filter size, never by |corpus|). Returns (bits, m, k)."""
     m, k = _params(n_estimate, fpp)
+    h1c, h2c = _hash_cols(key_col)
+    hashed = keys.select(h1c, h2c)
 
     def partition_bits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.zeros(m // 8, dtype=np.uint8)
         seen = False
         for pdf in batches:
             seen = True
-            for key in pdf[key_col].astype(str):
-                for idx in _indices(key, m, k):
-                    bits[idx >> 3] |= 1 << (idx & 7)
+            h1 = pdf["_bh1"].to_numpy()
+            h2 = pdf["_bh2"].to_numpy()
+            for j in range(k):
+                idx = _index_batch(h1, h2, j, m)
+                np.bitwise_or.at(bits, idx >> 3,
+                                 (1 << (idx & 7)).astype(np.uint8))
         if seen:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    parts = keys.select(key_col).mapInPandas(partition_bits, "bits binary")
+    parts = hashed.mapInPandas(partition_bits, "bits binary")
     acc = np.zeros(m // 8, dtype=np.uint8)
     for row in parts.collect():
         acc |= np.frombuffer(row["bits"], dtype=np.uint8)
@@ -77,19 +98,22 @@ def build_bloom(keys: DataFrame, key_col: str, n_estimate: int,
 def bloom_maybe_contains(df: DataFrame, key_col: str, bits: bytes,
                          m: int, k: int, out_col: str = "_maybe") -> DataFrame:
     """Adds a boolean column: False ⇒ key definitely NOT in the built
-    set; True ⇒ verify exactly. Arrow-batched probe against the
-    broadcast bit array."""
+    set; True ⇒ verify exactly. JVM-hashed, numpy-probed per Arrow
+    batch against the broadcast bit array — no per-row Python."""
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(bits)
 
     @pandas_udf("boolean")
-    def probe(keys: pd.Series) -> pd.Series:
+    def probe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
         arr = np.frombuffer(bc.value, dtype=np.uint8)
-        out = []
-        for key in keys.astype(str):
-            hit = all(arr[i >> 3] & (1 << (i & 7))
-                      for i in _indices(key, m, k))
-            out.append(bool(hit))
-        return pd.Series(out)
+        h1 = h1s.to_numpy()
+        h2 = h2s.to_numpy()
+        ok = np.ones(len(h1), dtype=bool)
+        for j in range(k):
+            idx = _index_batch(h1, h2, j, m)
+            ok &= (arr[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 != 0
+        return pd.Series(ok)
 
-    return df.withColumn(out_col, probe(F.col(key_col)))
+    s = F.col(key_col).cast("string")
+    return df.withColumn(
+        out_col, probe(F.xxhash64(s), F.xxhash64(s, F.lit(1))))
