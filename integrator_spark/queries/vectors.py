@@ -502,6 +502,9 @@ def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("neighbor_id", "cos_sim", "embedding")
             .orderBy(F.desc("cos_sim"), "neighbor_id")
             .collect())                      # bounded: 30 candidates
+    schema = "rank long, vec_id long, rel double, mmr_score double"
+    if not rows:                             # empty corpus/query: no picks
+        return spark.createDataFrame([], schema)
     ids = np.array([r["neighbor_id"] for r in rows])
     rel = np.array([r["cos_sim"] for r in rows], dtype=np.float64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -510,5 +513,4 @@ def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = mmr_select(rel, sims, k=10, lam=0.7)
     out = [(rank + 1, int(ids[i]), round(float(rel[i]), 6), round(score, 6))
            for rank, (i, score) in enumerate(picked)]
-    return spark.createDataFrame(
-        out, "rank long, vec_id long, rel double, mmr_score double")
+    return spark.createDataFrame(out, schema)
