@@ -15,10 +15,11 @@ broadcast range; beyond that, shard the filter by key prefix. The filter
 is advisory only (exactness comes from the verification join), so
 undersizing degrades performance, never correctness.
 
-Hashing: the two base hashes are computed JVM-SIDE with
-``xxhash64(cast(key as string), seed)`` — whole-stage-codegen cheap —
-and the k Kirsch-Mitzenmacher indices ``(h1 + j*h2) mod m`` plus all
-bit get/set work are vectorized numpy over the Arrow batch. Nothing
+Hashing: the two base hashes are computed JVM-SIDE — ``xxhash64(key)``
+and ``xxhash64(key, 1)`` (the constant second column perturbs the
+hash, giving an independent second stream) — whole-stage-codegen
+cheap — and the k Kirsch-Mitzenmacher indices ``(h1 + j*h2) mod m``
+plus all bit get/set work are vectorized numpy over the Arrow batch. Nothing
 hashes per-row in Python (the original md5-per-key loop measured 98 s
 for a 6M-row probe at sf1; the vectorized kernel replaced it — see
 SCALING.md). Determinism: xxhash64 is seed-stable across builds,
@@ -114,6 +115,8 @@ def bloom_maybe_contains(df: DataFrame, key_col: str, bits: bytes,
             ok &= (arr[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 != 0
         return pd.Series(ok)
 
-    s = F.col(key_col).cast("string")
-    return df.withColumn(
-        out_col, probe(F.xxhash64(s), F.xxhash64(s, F.lit(1))))
+    # The SAME expressions build_bloom hashed with — a probe hashed
+    # differently would produce false negatives, which callers trust
+    # as "definitely absent". One definition, two call sites.
+    h1c, h2c = _hash_cols(key_col)
+    return df.withColumn(out_col, probe(h1c, h2c))

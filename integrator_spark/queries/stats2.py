@@ -1372,7 +1372,9 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (days.alias("g").crossJoin(F.broadcast(offsets))
             .select(F.col("d"),
                     F.date_sub(F.col("d"), F.col("o")).alias("member_day")))
-    dau = day_user.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    # day_user is already distinct on (d, user_id): a plain count equals
+    # the distinct count without the expand/two-phase distinct plan.
+    dau = day_user.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     w = (grid.join(day_user.select(F.col("d").alias("member_day"),
                                    "user_id"), "member_day")
          .groupBy("d")
@@ -1458,9 +1460,11 @@ WITH g AS (
 ), tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(n_g) AS BIGINT) AS n,
-         SUM(s1) AS s1_all,
-         SUM(s2 - s1 * s1 / n_g) AS ssw,
-         SUM(s1 * s1 / n_g) AS sq_groups
+         CAST(SUM(CAST(ROUND(s1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1_all,
+         CAST(SUM(CAST(ROUND(s2 - s1 * s1 / n_g, 6) AS DECIMAL(38,6)))
+              AS DOUBLE) AS ssw,
+         CAST(SUM(CAST(ROUND(s1 * s1 / n_g, 6) AS DECIMAL(38,6)))
+              AS DOUBLE) AS sq_groups
   FROM g
 )
 SELECT k, n,
@@ -1483,10 +1487,13 @@ def stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     floating work is the identical closed-form polynomial after the
     casts, rounded at 6 dp.
 
-    The second-level aggregation sums PER-GROUP doubles (s1*s1/n_g
-    terms) across k = 5 rows — order effects ~1e-16 against magnitudes
-    ~1e6, far under the rounding grid. One map-side-combinable shuffle
-    to k rows; everything after is constant-size."""
+    The cross-group accumulation (s1_all, ssw, sq_groups) rounds each
+    per-group double to the 6-dp grid and sums as DECIMAL — at corpus
+    scale the squared sums reach magnitudes where a raw double
+    partial-sum's ulp crosses the rounding half-grid, so order-free
+    decimal accumulation is load-bearing here, not belt-and-braces.
+    One map-side-combinable shuffle to k rows; everything after is
+    constant-size."""
     e = load_table(spark, sf_dir, "events")
     x = F.col("value").cast("decimal(12,6)")
     g = (e.groupBy("event_type")
@@ -1496,10 +1503,13 @@ def stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = g.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n_g").alias("n"),
-        F.sum("s1").alias("s1_all"),
-        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_g"))
-         .alias("ssw"),
-        F.sum(F.col("s1") * F.col("s1") / F.col("n_g")).alias("sq_groups"))
+        F.sum(F.round(F.col("s1"), 6).cast("decimal(38,6)"))
+         .cast("double").alias("s1_all"),
+        F.sum(F.round(F.col("s2") - F.col("s1") * F.col("s1")
+                      / F.col("n_g"), 6).cast("decimal(38,6)"))
+         .cast("double").alias("ssw"),
+        F.sum(F.round(F.col("s1") * F.col("s1") / F.col("n_g"), 6)
+              .cast("decimal(38,6)")).cast("double").alias("sq_groups"))
     k, n = F.col("k"), F.col("n")
     ssb = F.col("sq_groups") - F.col("s1_all") * F.col("s1_all") / n
     return tot.select(
@@ -1616,7 +1626,8 @@ WITH med AS (
 SELECT e.event_id, e.event_type, e.value,
        ROUND(0.6745 * (e.value - a.med) / a.mad, 6) AS robust_z
 FROM events e JOIN mad a ON e.event_type = a.event_type
-WHERE abs(0.6745 * (e.value - a.med) / a.mad) > 3.5
+WHERE a.mad > 0
+  AND abs(0.6745 * (e.value - a.med) / a.mad) > 3.5
 """
 
 
@@ -1645,8 +1656,12 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.round(F.median(F.abs(F.col("value") - F.col("med"))), 4)
                 .alias("mad")))
     rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    # mad == 0 (>= half the group at the median, e.g. heavily quantized
+    # values) makes the modified z undefined — and the engines disagree
+    # on x/0 (Spark NULL, DuckDB inf), so the guard is also a
+    # determinism requirement, not just statistics hygiene.
     return (e.join(F.broadcast(mad), "event_type")
-            .where(F.abs(rz) > 3.5)
+            .where((F.col("mad") > 0) & (F.abs(rz) > 3.5))
             .select("event_id", "event_type", "value",
                     F.round(rz, 6).alias("robust_z")))
 
@@ -1710,6 +1725,7 @@ WITH daily AS (
 ), joined AS (
   SELECT a.d, a.y, l.y AS yhat
   FROM daily a JOIN daily l ON l.d = a.d - INTERVAL 7 DAY
+  WHERE a.y <> 0
 ), scored AS (
   SELECT d, y, yhat,
          CAST(ROUND(CAST(abs(y - yhat) AS DOUBLE), 6) AS DECIMAL(38,6))
@@ -1752,7 +1768,9 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("decimal(38,6)").alias("y")))
     lagged = daily.select(F.date_add(F.col("d"), 7).alias("d"),
                           F.col("y").alias("yhat"))
-    joined = daily.join(lagged, "d")
+    # zero actuals make APE undefined (and Spark NULL vs DuckDB inf on
+    # x/0 would diverge) — exclude them from the backtest window.
+    joined = daily.join(lagged, "d").where(F.col("y") != 0)
     scored = joined.select(
         "d", "y", "yhat",
         F.round(F.abs(F.col("y") - F.col("yhat")).cast("double"), 6)
@@ -1876,8 +1894,9 @@ WITH by_s AS (
                AND CURRENT ROW)
 )
 SELECT n_pos,
-       ROUND(SUM(ROUND((CAST(c_pos AS DOUBLE) / n_pos)
-                       * (CAST(cum_pos AS DOUBLE) / cum_tot), 9)), 6)
+       ROUND(CAST(SUM(CAST(ROUND((CAST(c_pos AS DOUBLE) / n_pos)
+                       * (CAST(cum_pos AS DOUBLE) / cum_tot), 9)
+                  AS DECIMAL(38,9))) AS DOUBLE), 6)
          AS average_precision
 FROM ranked
 GROUP BY n_pos
@@ -1915,4 +1934,5 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.round((F.col("c_pos").cast("double") / F.col("n_pos"))
                    * (F.col("cum_pos").cast("double") / F.col("cum_tot")), 9)
     return (ranked.groupBy("n_pos")
-            .agg(F.round(F.sum(term), 6).alias("average_precision")))
+            .agg(F.round(F.sum(term.cast("decimal(38,9)")).cast("double"),
+                         6).alias("average_precision")))

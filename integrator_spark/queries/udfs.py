@@ -353,7 +353,8 @@ def ps_api_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("udf_cogrouped_map", oracle="""
 WITH o AS (
-  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 ), c AS (
   SELECT user_id, ts FROM events WHERE event_type = 'click'
 )
@@ -372,7 +373,12 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/asof.py is the pure-relational form of the same
     semantics (this pins the pandas path against both).
 
-    Timestamps cross the boundary as exact integer microseconds.
+    Timestamps cross the boundary as exact integer microseconds. The
+    purchase side is pre-collapsed to one row per (user, ts) with a
+    MAX(value) tie policy on BOTH engines — merge_asof keeps pandas
+    arrival order among equal keys and DuckDB's ASOF picks its own
+    arbitrary tied row, so without the collapse an equal-timestamp
+    pair would make the attached value partition-order-dependent.
     Scale: one shuffle of each side on user_id, Arrow transfer
     per group pair, per-group memory bounded by a user's history
     (the same contract as udf_grouped_map)."""
@@ -380,8 +386,8 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = (e.where(F.col("event_type") == "click")
               .select("user_id", F.unix_micros("ts").alias("click_us")))
     purch = (e.where(F.col("event_type") == "purchase")
-             .select("user_id", F.unix_micros("ts").alias("purchase_us"),
-                     "value"))
+             .groupBy("user_id", F.unix_micros("ts").alias("purchase_us"))
+             .agg(F.max("value").alias("value")))
 
     def merge(clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame) -> pd.DataFrame:
         if clicks_pdf.empty:

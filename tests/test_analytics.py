@@ -287,11 +287,13 @@ def empty_fixture_dir():
     import duckdb as ddb
     out = "/root/repo/_derived/edge_empty_fixtures"
     os.makedirs(out, exist_ok=True)
+    # regenerate unconditionally: a cached empty file with a stale
+    # schema would turn fixture-schema changes into confusing
+    # missing-column failures here (the files are tiny).
     for t in glob.glob(f"{TEST_SF_DIR}/*.parquet"):
         dst = os.path.join(out, os.path.basename(t))
-        if not os.path.exists(dst):
-            ddb.sql(f"COPY (SELECT * FROM read_parquet('{t}') LIMIT 0) "
-                    f"TO '{dst}' (FORMAT PARQUET)")
+        ddb.sql(f"COPY (SELECT * FROM read_parquet('{t}') LIMIT 0) "
+                f"TO '{dst}' (FORMAT PARQUET)")
     return out
 
 
