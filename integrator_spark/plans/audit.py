@@ -57,6 +57,7 @@ CROSS_JOIN_ALLOWED = {
     "events_rfm",          # 1-row horizon frame broadcast to per-user RFM
     "events_active_users",   # bounded |days| x 7 trailing-week grid
     "ml_standardize",      # 1-row sufficient-stats frame broadcast to scan
+    "stats_power",         # 1-row rates frame x 4-row literal MDE grid
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

@@ -1936,3 +1936,83 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.groupBy("n_pos")
             .agg(F.round(F.sum(term.cast("decimal(38,9)")).cast("double"),
                          6).alias("average_precision")))
+
+
+# --------------------------------------------------------------------------
+# Experiment design: two-proportion sample-size / power calculator
+# --------------------------------------------------------------------------
+
+_POWER_ORACLE = """
+WITH rates AS (
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                        AND event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN user_id % 2 = 1
+                        AND event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1
+  FROM events
+), p AS (
+  SELECT n0, n1,
+         CAST(c0 AS DOUBLE) / n0 AS p0,
+         CAST(c1 AS DOUBLE) / n1 AS p1
+  FROM rates
+), mde AS (
+  SELECT n0, n1, ROUND(p0, 6) AS p0, ROUND(p1, 6) AS p1,
+         lift.m AS mde_rel
+  FROM p CROSS JOIN
+       (SELECT CAST(unnest([0.01, 0.02, 0.05, 0.10]) AS DOUBLE) AS m) lift
+)
+SELECT mde_rel,
+       p0, p1, n0 AS current_n_per_arm,
+       CAST(CEIL((1.959963985 + 0.841621234)
+                 * (1.959963985 + 0.841621234)
+                 * (p0 * (1 - p0) + p0 * (1 + mde_rel)
+                    * (1 - p0 * (1 + mde_rel)))
+                 / ((p0 * mde_rel) * (p0 * mde_rel))) AS BIGINT)
+         AS n_required_per_arm
+FROM mde
+"""
+
+
+@register("stats_power", oracle=_POWER_ORACLE, tags=("stats", "abtest"))
+def stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion sample-size calculator at alpha 0.05 (two-sided)
+    and power 0.80: for each candidate relative MDE (1/2/5/10%), the
+    per-arm n required to detect that lift off the CURRENT measured
+    base rate — the "how long must this A/B run" planning table that
+    completes the testing family (stats_proportion_test answers "did
+    it move", this answers "could we even tell"). The normal quantiles
+    z_{{0.975}} = 1.959963985 and z_{{0.80}} = 0.841621234 are fixed
+    literals (both engines lack an inverse normal CDF; constants keep
+    the arithmetic an identical IEEE sequence).
+
+    One conditional-count pass over the fact; the 4-row MDE grid is a
+    bounded literal frame (allowlisted cross join)."""
+    e = load_table(spark, sf_dir, "events")
+    arm0 = F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+    purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    rates = e.agg(
+        F.sum(arm0).alias("n0"),
+        F.sum(1 - arm0).alias("n1"),
+        F.sum(arm0 * purch).alias("c0"),
+        F.sum((1 - arm0) * purch).alias("c1"))
+    p = rates.select(
+        "n0", "n1",
+        F.round(F.col("c0").cast("double") / F.col("n0"), 6).alias("p0"),
+        F.round(F.col("c1").cast("double") / F.col("n1"), 6).alias("p1"))
+    mde = spark.createDataFrame([(0.01,), (0.02,), (0.05,), (0.10,)],
+                                "mde_rel double")
+    z = 1.959963985 + 0.841621234
+    p0 = F.col("p0")
+    p_alt = p0 * (1 + F.col("mde_rel"))
+    n_req = F.ceil(F.lit(z) * F.lit(z)
+                   * (p0 * (1 - p0) + p_alt * (1 - p_alt))
+                   / ((p0 * F.col("mde_rel")) * (p0 * F.col("mde_rel"))))
+    return (p.crossJoin(F.broadcast(mde))
+            .select("mde_rel", "p0", "p1",
+                    F.col("n0").alias("current_n_per_arm"),
+                    n_req.cast("long").alias("n_required_per_arm")))

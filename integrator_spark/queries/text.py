@@ -704,3 +704,71 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.join(F.broadcast(thr))
             .filter(F.round("quality", 6) >= F.round("t", 6))
             .select("doc_id", "lang", F.round("quality", 6).alias("quality")))
+
+
+@register("text_langid_eval", oracle=f"""
+WITH cells AS (
+  SELECT lang, {_LANG_CASE_DUCK} AS predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), per_class AS (
+  SELECT l.lang,
+         CAST(COALESCE(SUM(c.n) FILTER (WHERE c.predicted = l.lang), 0)
+              AS BIGINT) AS tp,
+         CAST(SUM(c.n) AS BIGINT) AS support
+  FROM (SELECT DISTINCT lang FROM documents) l
+  JOIN cells c ON c.lang = l.lang
+  GROUP BY l.lang
+), pred_n AS (
+  SELECT predicted AS lang, CAST(SUM(n) AS BIGINT) AS predicted_n
+  FROM cells GROUP BY predicted
+)
+SELECT p.lang, p.support, p.tp,
+       CAST(COALESCE(q.predicted_n, 0) AS BIGINT) AS predicted_n,
+       ROUND(CASE WHEN COALESCE(q.predicted_n, 0) = 0 THEN 0.0
+                  ELSE CAST(p.tp AS DOUBLE) / q.predicted_n END, 6)
+         AS precision,
+       ROUND(CAST(p.tp AS DOUBLE) / p.support, 6) AS recall
+FROM per_class p LEFT JOIN pred_n q ON p.lang = q.lang
+""", tags=("text", "langid", "eval"))
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall for the heuristic language
+    identifier against the labeled lang column — the metric layer over
+    text_lang_id's raw confusion cells, and the evaluation loop any
+    classifier upgrade (n-gram profile, fastText pandas_udf) would be
+    judged by before swapping in. The deliberately weak fixture
+    heuristic scores low, which is the point: the harness measures, it
+    does not flatter.
+
+    Counts aggregate map-side to |langs x predictions| cells; metrics
+    are exact integer ratios with a zero-prediction guard evaluated
+    identically on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    predicted = (F.when(F.array_contains(w, "the"), "en")
+                 .when(F.array_contains(w, "der"), "de")
+                 .when(F.array_contains(w, "le"), "fr")
+                 .when(F.array_contains(w, "el"), "es")
+                 .when(F.array_contains(w, "de"), "es")
+                 .otherwise("und"))
+    cells = (d.select("lang", predicted.alias("predicted"))
+             .groupBy("lang", "predicted")
+             .agg(F.count(F.lit(1)).alias("n")))
+    per_class = (cells.groupBy("lang")
+                 .agg(F.coalesce(F.sum(F.when(F.col("predicted")
+                                              == F.col("lang"),
+                                              F.col("n"))), F.lit(0))
+                      .alias("tp"),
+                      F.sum("n").alias("support")))
+    pred_n = (cells.groupBy(F.col("predicted").alias("lang"))
+              .agg(F.sum("n").alias("predicted_n")))
+    joined = (per_class.join(F.broadcast(pred_n), "lang", "left")
+              .select("lang", "support", "tp",
+                      F.coalesce(F.col("predicted_n"), F.lit(0))
+                       .alias("predicted_n")))
+    prec = F.when(F.col("predicted_n") == 0, 0.0).otherwise(
+        F.col("tp").cast("double") / F.col("predicted_n"))
+    return joined.select(
+        "lang", "support", "tp", "predicted_n",
+        F.round(prec, 6).alias("precision"),
+        F.round(F.col("tp").cast("double") / F.col("support"), 6)
+         .alias("recall"))
