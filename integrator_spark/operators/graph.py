@@ -44,6 +44,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()
+    if n == 0:   # empty graph: no mass to distribute, no rank rows
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for _ in range(iterations):

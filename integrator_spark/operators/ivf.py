@@ -50,6 +50,8 @@ def train_centroids(emb: DataFrame, n_clusters: int = 256,
     driver holds sample_rows × dim float64 — a documented bounded
     collect, NOT corpus-sized."""
     n = emb.count()
+    if n == 0:
+        raise ValueError("train_centroids: empty input DataFrame")
     every = max(1, -(-n // sample_rows))          # ceil: keeps <= sample_rows
     sample = emb.filter(F.col(id_col) % every == 0).select(id_col, vec_col)
     _ids, mat = _collect_matrix(sample, id_col, vec_col)  # normalized rows

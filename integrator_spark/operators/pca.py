@@ -44,6 +44,8 @@ def fit_pca(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
                .groupBy("pos").agg(F.sum("val").alias("s"))
                .collect())
     n = partials.agg(F.sum("n")).collect()[0][0]
+    if not n:
+        raise ValueError("fit_pca: empty input DataFrame")
     flat = np.zeros(dim + dim * dim)
     for r in reduced:
         flat[r.pos] = r.s

@@ -508,7 +508,9 @@ def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             truth.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
                 hit.agg(F.count(F.lit(1)).alias("n_hit")))
             .select(F.lit(name).alias("method"), "n_true", "n_hit",
-                    F.round(F.col("n_hit") / F.col("n_true"), 4)
+                    F.when(F.col("n_true") > 0,
+                           F.round(F.col("n_hit") / F.col("n_true"), 4))
+                     .otherwise(F.lit(None).cast("double"))
                      .alias("recall")))
     out = reports[0]
     for r in reports[1:]:

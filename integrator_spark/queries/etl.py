@@ -140,6 +140,9 @@ def etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline import IntegrationPipeline
 
     e = load_table(spark, sf_dir, "events")
+    if e.isEmpty():   # empty batch: publish step writes no data files
+        return spark.createDataFrame(
+            [], "canonical string, n_rows long, total_value double")
     pipe = IntegrationPipeline(spark, rules=EVENT_RULES,
                                src_col="event_type", batch_id="b1",
                                key_cols=["event_id", "user_id"])
@@ -373,6 +376,9 @@ def etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation
 
     o = load_table(spark, sf_dir, "orders")
+    if o.isEmpty():   # no rows observed: the metrics row has NULL sums
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders long, total double")
     obs = Observation("etl_metrics")
     filtered = (o.filter(F.col("o_totalprice") > 1000)
                 .observe(obs,

@@ -481,7 +481,10 @@ def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
            * ((n0 + n1 + F.lit(1))
               - F.col("tie_term") / ((n0 + n1).cast("double")
                                      * (n0 + n1 - F.lit(1)))))
+    # an empty arm makes U undefined (and the tie-correction division
+    # hits ANSI divide-by-zero) — emit no row rather than crash
     return (sums.join(F.broadcast(ties))
+            .where((n0 > 0) & (n1 > 0))
             .select("n0", "n1",
                     F.round(u, 6).alias("u_stat"),
                     F.round((u - mu) / F.sqrt(var), 6).alias("z_stat")))

@@ -28,12 +28,15 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-key filter — the scan must touch only the matching
     directory (asserted in tests/test_plans.py). At 100 TB this is the
     difference between scanning one status and scanning everything."""
+    src = load_table(spark, sf_dir, "orders")
     path = derived_dir(sf_dir, "orders_by_status_pruned")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        (load_table(spark, sf_dir, "orders")
-         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path))
-    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+        src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    # explicit schema: a partitionBy write of an EMPTY frame leaves no
+    # data files, and a schema-less re-read cannot infer one
+    df = (spark.read.schema(src.schema).parquet(path)
+          .filter(F.col("o_orderstatus") == "F"))
     return df.agg(F.count(F.lit(1)).alias("n_orders"),
                   dsum("o_totalprice").alias("total"))
 
@@ -134,6 +137,9 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str,
     from ..operators.knn import _cosine_expr, _dot_expr, _l2_expr
 
     e = load_table(spark, sf_dir, "embeddings")
+    if e.isEmpty():   # KMeans.fit requires rows; empty corpus => no pairs
+        return spark.createDataFrame(
+            [], "vec_id long, neighbor_id long, approx_cos double")
     vecs = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
         e.select("vec_id", "embedding",
                  array_to_vector("embedding").alias("raw")))

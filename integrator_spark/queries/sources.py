@@ -97,10 +97,12 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned sink (partitionBy the status column) +
     partition-pruning-friendly re-read. At 100 TB this layout is what
     makes status/date-sliced queries skip irrelevant files entirely."""
+    src = load_table(spark, sf_dir, "orders")
     path = derived_dir(sf_dir, "orders_by_status")
-    (load_table(spark, sf_dir, "orders")
-     .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path))
-    df = spark.read.parquet(path)
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    # explicit schema: an empty partitionBy write leaves no data files
+    # to infer from
+    df = spark.read.schema(src.schema).parquet(path)
     return (df.groupBy(F.col("o_orderstatus").cast("string").alias("o_orderstatus"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  dsum("o_totalprice").alias("total")))
@@ -179,6 +181,9 @@ def scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import binrec
 
     e = load_table(spark, sf_dir, "events")
+    if e.isEmpty():   # nothing to stage: no shards for the reader
+        return spark.createDataFrame(
+            [], "bucket long, n_events long, total_value double")
     out = derived_dir(sf_dir, "binrec_events")
     binrec.stage_binrec(e.repartition(4), out)
     binrec.register(spark)

@@ -90,6 +90,9 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     e = load_table(spark, sf_dir, "embeddings")
+    if e.isEmpty():   # MLlib fit requires rows; empty corpus => no pairs
+        return spark.createDataFrame(
+            [], "vec_id long, neighbor_id long, approx_cos double")
     vecs = e.select("vec_id", array_to_vector("embedding").alias("raw"))
     normed = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(vecs)
     lsh = BucketedRandomProjectionLSH(inputCol="features", outputCol="hashes",
@@ -151,6 +154,9 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .scale import vec_ann_ivf
 
+    if load_table(spark, sf_dir, "embeddings").isEmpty():
+        return spark.createDataFrame(
+            [], "method string, n_queries long, n_hits long, recall_at_1 double")
     exact = (vec_knn(spark, sf_dir)
              .select("vec_id", F.col("cos_sim").alias("_best")))
     per_method = []
@@ -272,6 +278,9 @@ def vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pca import fit_pca, project
 
     e = load_table(spark, sf_dir, "embeddings")
+    if e.isEmpty():   # a Gram matrix needs rows (fit_pca raises cleanly)
+        return spark.createDataFrame(
+            [], "label int, n_vecs long, pc1_mean double, pc2_mean double")
     comps, _, _ = fit_pca(e, dim=64, k=2)
     proj = project(e.select("vec_id", "label", "embedding"), comps)
     return (proj.groupBy("label")
@@ -362,7 +371,8 @@ def quantize_embeddings_int8(e: DataFrame, vec_col: str = "embedding"
         F.lit(0.0).cast("double"),
         lambda acc, x: F.greatest(acc, x.cast("double"))).alias("m")) \
         .agg(F.max("m")).collect()[0][0]
-    scale = 127.0 / maxabs
+    # empty corpus (or all-zero vectors): nothing to fit — identity scale
+    scale = 127.0 / maxabs if maxabs else 1.0
     quant = F.transform(
         vec_col, lambda x: F.round(x.cast("double") * scale).cast("tinyint"))
     cols = [c for c in e.columns if c != vec_col]
@@ -464,6 +474,9 @@ def vec_ann_ivf_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf import ivf_assign, ivf_search, train_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
+    if e.isEmpty():   # the coarse quantizer needs a nonempty sample
+        return spark.createDataFrame(
+            [], "vec_id long, neighbor_id long, cos_sim double")
     cent = train_centroids(e, n_clusters=16, sample_rows=2000, iters=10)
     index = ivf_assign(e, cent, n_assign=3)
     return (ivf_search(index, e, cent, n_probe=6, k=1)

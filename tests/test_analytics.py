@@ -258,25 +258,17 @@ def test_mmr_matches_independent_reference_and_is_deterministic(spark):
     assert a["vec_id"].is_unique
 
 
-# Queries added in round 5's analytics/eval sessions — all must survive
-# a zero-row corpus (production pipelines hit empty partitions and
-# empty date slices constantly; an engine operator may return an empty
-# frame but must never throw).
-_PACK = [
-    "stats_survival", "stats_psi", "ml_target_encode", "ml_feature_hash",
-    "sample_consistent", "events_ltv", "stats_gini", "events_cusum",
-    "ml_calibration", "ml_auc", "agg_weighted_median",
-    "text_inverted_index", "text_pmi", "agg_argmax", "join_bloom",
-    "events_funnel_time", "agg_moments", "ml_confusion", "ml_lift",
-    "etl_k_anonymity", "ml_woe", "stats_mutual_info", "stats_benford",
-    "udf_arrow_iter", "window_regression", "multimodal_image_resize",
-    "multimodal_frame_sample", "subquery_exists", "scalar_bitwise",
-    "text_collocation_llr", "vec_mmr", "ps_api_rolling", "events_rfm",
-    "events_active_users", "ml_standardize", "stats_anova",
-    "events_decompose", "graph_assortativity", "graph_jaccard_links",
-    "events_outliers_mad", "ml_kfold", "events_forecast_backtest",
-    "etl_fd_check", "ml_average_precision", "udf_cogrouped_map",
-]
+# EVERY batch query must survive a zero-row corpus (production
+# pipelines hit empty partitions and empty date slices constantly): an
+# operator may return an empty frame, or raise the documented clean
+# "empty input" ValueError for genuinely data-requiring fits — never an
+# engine stack trace. Streaming queries are excluded (their drains need
+# real staged files; their empty-batch behavior is covered by the
+# watermark/late-data replay tests).
+_PACK = sorted(n for n in SPECS if not n.startswith("stream_"))
+
+#: Operators whose contract is a clean needs-data error, not empty-out.
+_EMPTY_RAISES = {"ml_logreg"}
 
 
 @pytest.fixture(scope="module")
@@ -300,5 +292,9 @@ def empty_fixture_dir():
 @pytest.mark.parametrize("name", _PACK)
 def test_pack_query_survives_empty_input(name, spark, empty_fixture_dir):
     # Empty in, empty (or well-formed constant) out — never an exception.
+    if name in _EMPTY_RAISES:
+        with pytest.raises(ValueError, match="empty input"):
+            SPECS[name].fn(spark, empty_fixture_dir).limit(5).toPandas()
+        return
     pdf = SPECS[name].fn(spark, empty_fixture_dir).limit(5).toPandas()
     assert pdf.shape[1] > 0
