@@ -462,3 +462,31 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m2, 6).alias("m2"),
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
         F.round(m4 / F.pow(m2, 2) - 3, 6).alias("excess_kurtosis"))
+
+
+@register("agg_multi_distinct", oracle="""
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d'))
+            AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+""", tags=("agg", "distinct"))
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact COUNT(DISTINCT ...) over different columns in ONE
+    aggregation — the query shape behind Spark's Expand operator: the
+    input is replicated once per distinct spec with the other columns
+    nulled, then a single two-phase aggregate dedups all three streams
+    together. Worth pinning because the naive alternative (three
+    separate jobs + a join) triple-scans the fact; the Expand plan
+    scans once at the cost of a 3x shuffle row multiplier — the right
+    trade when the scan dominates, which at 100 TB it does.
+    (agg_distinct covers the single-distinct case; agg_hll_sketch is
+    the approximate escape when even the expanded shuffle is too hot.)"""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.date_format(F.date_trunc("day", "ts"),
+                                      "yyyy-MM-dd")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"))

@@ -280,3 +280,36 @@ def window_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((n * sxy - sx * sy).cast("double")
                             / (n * sx2 - sx * sx).cast("double"), 6)
                      .alias("slope_7d")))
+
+
+@register("window_first_last", oracle="""
+SELECT event_id, user_id,
+       first_value(value) OVER w AS first_val,
+       last_value(value) OVER w AS last_val,
+       first_value(CASE WHEN value > 100 THEN value END IGNORE NULLS)
+         OVER w AS first_big
+FROM events
+WHERE user_id % 7 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""", tags=("window", "analytic"))
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over the full partition frame, plus the
+    IGNORE NULLS variant (first event over the threshold) — the
+    session-attribute pattern ("stamp every row with the user's entry
+    and exit readings"). The frame is explicitly UNBOUNDED ... UNBOUNDED:
+    last_value over the DEFAULT frame (which ends at CURRENT ROW) is
+    the classic silent-wrong-answer, so the full frame is spelled out
+    on both engines. Ordering ties broken by event_id.
+
+    Whole-frame analytics over partition-keyed windows — shuffles once
+    on user_id, no single-partition step."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    big = F.when(F.col("value") > 100, F.col("value"))
+    return e.select(
+        "event_id", "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.first(big, ignorenulls=True).over(w).alias("first_big"))
