@@ -4,7 +4,9 @@ primitive for incremental dedup at 100 TB.
 Joining a new crawl batch against an existing corpus index shuffles the
 FULL corpus key set every run. A Bloom filter of the corpus keys is
 mergeable (bitwise OR), so it builds in one pass — each partition emits
-its local bit array, the driver ORs the handful of arrays — and then
+its local bit array, the arrays are OR-merged EXECUTOR-SIDE in a tree
+(``treeReduce``) so the driver receives exactly one filter-sized array
+no matter how many partitions the corpus scan has — and then the filter
 rides a broadcast to pre-filter the batch: keys the filter rejects are
 *definitely* new and skip the join entirely; only the "maybe" survivors
 (target false-positive rate ~1%) reach the exact verification anti-join.
@@ -68,9 +70,13 @@ def _index_batch(h1: np.ndarray, h2: np.ndarray, j: int, m: int) -> np.ndarray:
 
 def build_bloom(keys: DataFrame, key_col: str, n_estimate: int,
                 fpp: float = 0.01) -> tuple[bytes, int, int]:
-    """One distributed pass: per-partition local bit arrays, OR'd on the
-    driver (collects n_partitions rows of m/8 bytes — bounded by the
-    filter size, never by |corpus|). Returns (bits, m, k)."""
+    """One distributed pass: per-partition local bit arrays, OR-merged
+    executor-side in a tree. Driver memory is O(m/8) — ONE bitmap —
+    independent of partition count: with P input partitions the naive
+    ``collect()`` pattern would pull P full bitmaps through the driver
+    (hundreds of GB at the module's stated 1e9-key posture); the tree
+    keeps every merge on executors and hands back a single array.
+    Returns (bits, m, k)."""
     m, k = _params(n_estimate, fpp)
     h1c, h2c = _hash_cols(key_col)
     hashed = keys.select(h1c, h2c)
@@ -90,10 +96,24 @@ def build_bloom(keys: DataFrame, key_col: str, n_estimate: int,
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
     parts = hashed.mapInPandas(partition_bits, "bits binary")
-    acc = np.zeros(m // 8, dtype=np.uint8)
-    for row in parts.collect():
-        acc |= np.frombuffer(row["bits"], dtype=np.uint8)
-    return acc.tobytes(), m, k
+    bitmaps = parts.rdd.map(lambda row: row["bits"])
+
+    def or_bytes(a: bytes, b: bytes) -> bytes:
+        return np.bitwise_or(np.frombuffer(a, dtype=np.uint8),
+                             np.frombuffer(b, dtype=np.uint8)).tobytes()
+
+    # Tree depth sized so each level fans in ~4x and the final driver-side
+    # reduce sees at most ~4 partials (treeReduce stops shrinking once
+    # numPartitions <= scale = P^(1/depth)): bounded driver memory at any P.
+    n_parts = max(bitmaps.getNumPartitions(), 1)
+    depth = max(2, math.ceil(math.log(n_parts, 4))) if n_parts > 4 else 2
+    try:
+        merged = bitmaps.treeReduce(or_bytes, depth)
+    except ValueError:  # empty input: no partition yielded a bitmap
+        merged = np.zeros(m // 8, dtype=np.uint8).tobytes()
+    # A single-partition reduce can hand back the element itself, which
+    # arrives as a bytearray — normalize so callers always see bytes.
+    return bytes(merged), m, k
 
 
 def bloom_maybe_contains(df: DataFrame, key_col: str, bits: bytes,

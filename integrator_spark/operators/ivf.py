@@ -117,7 +117,7 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray, n_assign: int = 1,
 def ivf_search(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
                n_probe: int = 8, k: int = 1,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               prune_buckets: bool = False) -> DataFrame:
+               prune_buckets: bool = True) -> DataFrame:
     """Probe-bounded ANN search: each query meets only its n_probe
     buckets' vectors. Per-bucket cogrouped matmul (exact float64 cosine
     inside the bucket), then one window reduces bucket winners to the
@@ -131,11 +131,12 @@ def ivf_search(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
     100 TB index. Without it the cogroup computes the same result but
     SCANS the whole index (each unprobed bucket is read, shuffled, and
     dropped as an empty cogroup). Pruning costs an eager probe pass +
-    a bounded driver collect at call time, so it's opt-in (default
-    off): enable it for serving workloads where |Q| × n_probe is far
-    below the cluster count; leave it off when every bucket gets probed
-    anyway (true of the whole-corpus registered query, where pruning
-    would pay the extra job and filter essentially nothing)."""
+    a bounded driver collect at call time; it is the DEFAULT because
+    serving-style workloads (|Q| × n_probe far below the cluster count)
+    are what this operator exists for at scale. Pass
+    ``prune_buckets=False`` only when every bucket gets probed anyway —
+    true of the whole-corpus registered query `vec_ann_ivf_matmul`,
+    where pruning would pay the extra job and filter nothing."""
     spark = index.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
 

@@ -479,7 +479,10 @@ def vec_ann_ivf_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "vec_id long, neighbor_id long, cos_sim double")
     cent = train_centroids(e, n_clusters=16, sample_rows=2000, iters=10)
     index = ivf_assign(e, cent, n_assign=3)
-    return (ivf_search(index, e, cent, n_probe=6, k=1)
+    # prune_buckets=False: queries == the whole corpus here, so every
+    # bucket is probed and the prune pass would filter nothing — the
+    # scale-safe pruning default is for serving-shaped |Q| << clusters.
+    return (ivf_search(index, e, cent, n_probe=6, k=1, prune_buckets=False)
             .withColumnRenamed("query_id", "vec_id")
             .orderBy("vec_id"))
 
@@ -522,6 +525,11 @@ def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = np.array([r["cos_sim"] for r in rows], dtype=np.float64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
+    # A zero-norm candidate would make its whole similarity row/col NaN
+    # and NaN never wins mmr_select's `>` comparisons — silently
+    # mis-ranking everything after the first pick. Clamp: a zero vector
+    # has similarity 0 to everything (mat row is all zeros already).
+    norms = np.where(norms == 0.0, 1.0, norms)
     sims = (mat @ mat.T) / np.outer(norms, norms)
     picked = mmr_select(rel, sims, k=10, lam=0.7)
     out = [(rank + 1, int(ids[i]), round(float(rel[i]), 6), round(score, 6))

@@ -862,14 +862,34 @@ def test_bloom_no_false_negatives_and_prunes(spark):
 
 
 def test_bloom_build_is_partitioning_invariant(spark):
-    """The OR-merge of per-partition bit arrays must not depend on how
-    rows are distributed — same bits from 1 partition or 8."""
+    """The tree OR-merge of per-partition bit arrays must not depend on
+    how rows are distributed — same bits from 1 partition or 8 or 64
+    (64 forces a multi-level treeReduce, the executor-side merge path
+    that replaced the driver-side collect+OR loop)."""
     from integrator_spark.operators.bloom import build_bloom
 
     keys = spark.range(200).select(F.md5(F.col("id").cast("string")).alias("h"))
     bits1, m1, k1 = build_bloom(keys.coalesce(1), "h", 200)
     bits8, m8, k8 = build_bloom(keys.repartition(8), "h", 200)
-    assert (bits1, m1, k1) == (bits8, m8, k8)
+    bits64, m64, k64 = build_bloom(keys.repartition(64), "h", 200)
+    assert (bits1, m1, k1) == (bits8, m8, k8) == (bits64, m64, k64)
+    assert isinstance(bits64, bytes)
+
+
+def test_bloom_build_empty_input(spark):
+    """An empty key set builds an all-zero filter (every probe False)
+    rather than raising from the empty-RDD reduce."""
+    from integrator_spark.operators.bloom import (
+        bloom_maybe_contains,
+        build_bloom,
+    )
+
+    empty = spark.range(0).select(F.col("id").cast("string").alias("h"))
+    bits, m, k = build_bloom(empty, "h", 100)
+    assert set(bits) == {0}
+    probe = spark.range(50).select(F.col("id").cast("string").alias("h"))
+    assert bloom_maybe_contains(probe, "h", bits, m, k) \
+        .filter(F.col("_maybe")).count() == 0
 
 
 def test_dedup_candidate_recall_minhash_full(spark):
