@@ -224,7 +224,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
     cand = (left.join(right, ["band", "val"])
             .filter(F.col("d1") < F.col("d2"))
             .select("d1", "d2", "h1", "h2").distinct())
-    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    # long, not int: oracle parity (DuckDB bit_count widens to BIGINT).
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long")
     return (cand.select("d1", "d2", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
 

@@ -116,14 +116,68 @@ def dedup_ngram_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=3, threshold=0.8, max_doc_freq=25)
 
 
-@register("dedup_simhash_guarded", oracle=None,
+# DuckDB recomputes the 64-bit SimHash sketch from scratch — md5 word
+# hashes (first 8 bytes big-endian, exactly int.from_bytes(digest[:8],
+# "big")), ±1 votes per bit, strict-majority packing — then reproduces
+# the 4x16-bit band self-join and exact Hamming filter. Fully
+# independent of the Spark kernel: a vote-count, packing, banding, or
+# bit_count bug on either side breaks the hash match. {GUARD} is the
+# optional hot-band cutoff; string_split(' ') matches Python
+# str.split(" ") (empties kept, '' -> ['']).
+_SIMHASH_ORACLE_TMPL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+votes AS (
+  SELECT w.doc_id, s.bit,
+         SUM(CASE WHEN (CAST('0x' || substr(md5(w.word), 1, 16) AS UBIGINT)
+                        >> s.bit) & 1 = 1
+                  THEN 1 ELSE -1 END) AS acc
+  FROM words w
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) s
+  GROUP BY 1, 2
+),
+sk AS (
+  SELECT doc_id,
+         COALESCE(bit_or(CASE WHEN acc > 0
+                              THEN CAST(1 AS UBIGINT) << bit END),
+                  CAST(0 AS UBIGINT)) AS h
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, h, b.band, (h >> (16 * b.band)) & 65535 AS val
+  FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+),
+kept AS (
+  SELECT doc_id, h, band, val FROM (
+    SELECT doc_id, h, band, val,
+           COUNT(*) OVER (PARTITION BY band, val) AS _df
+    FROM bands)
+  {GUARD}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.h AS h1, b.h AS h2
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= 6
+ORDER BY d1, d2
+"""
+
+
+@register("dedup_simhash_guarded",
+          oracle=_SIMHASH_ORACLE_TMPL.replace("{GUARD}", "WHERE _df <= 50"),
           tags=("dedup", "neardup", "approx", "skew"))
 def dedup_simhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_simhash with the hot-band guard (bucket cutoff 50):
     (band, value) buckets holding more than 50 docs are excluded from
     candidate generation, bounding the banded self-join against
-    boilerplate-collapsed corpora. Rows-only like dedup_simhash;
-    emitted Hamming distances stay exact."""
+    boilerplate-collapsed corpora. Oracle-backed: the sketch is
+    deterministic (md5 word hashes), so DuckDB independently recomputes
+    sketches, applies the identical bucket cutoff, and reproduces the
+    exact pair set + Hamming distances."""
     d = load_table(spark, sf_dir, "documents")
     return (simhash_pairs(d, max_hamming=6, max_band_freq=50)
             .orderBy("d1", "d2"))
@@ -140,10 +194,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("d1", "d2"))
 
 
-@register("dedup_simhash", oracle=None, tags=("dedup", "neardup", "approx"))
+@register("dedup_simhash",
+          oracle=_SIMHASH_ORACLE_TMPL.replace("{GUARD}", ""),
+          tags=("dedup", "neardup", "approx"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) near-dup pairs with Hamming <= 6 via banded self-join
-    + bit_count. Rows-only: the sketch is engine-specific by design."""
+    + bit_count. Oracle-backed: the md5-based sketch is deterministic,
+    so DuckDB recomputes it from the raw text (votes, packing, banding,
+    Hamming) and must reproduce the exact pair set."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(d, max_hamming=6).orderBy("d1", "d2")
 
