@@ -67,8 +67,12 @@ HEADLINE = [
 ]
 
 
-def generate(spark) -> str:
-    out_root = derived_dir(SRC, "..", "sf1")
+def generate_scaled(spark, src: str, out_name: str, copies: int) -> str:
+    """FK-consistent deterministic replication of ``src`` into
+    ``_derived/<out_name>`` (see module docstring for the offset
+    scheme). Composable: sf1 is 10 copies of sf0.1; sf10 is 10 copies
+    of sf1 (scripts/bench_sf10.py)."""
+    out_root = derived_dir(src, "..", out_name)
     marker = os.path.join(out_root, "_GENERATED")
     if os.path.exists(marker):
         return out_root
@@ -82,17 +86,17 @@ def generate(spark) -> str:
                     "vec_id": "embeddings"}
     span = {}
     for dom, tbl in domain_owner.items():
-        mx = load_table(spark, SRC, tbl).agg(F.max(dom)).first()[0]
+        mx = load_table(spark, src, tbl).agg(F.max(dom)).first()[0]
         span[dom] = int(mx) + 1
 
     for name in COPY_AS_IS:
-        (load_table(spark, SRC, name).write.mode("overwrite")
+        (load_table(spark, src, name).write.mode("overwrite")
          .parquet(os.path.join(out_root, f"{name}.parquet")))
 
     for name, cols in OFFSETS.items():
-        base = load_table(spark, SRC, name)
+        base = load_table(spark, src, name)
         parts = []
-        for i in range(COPIES):
+        for i in range(copies):
             df = base
             for col, dom in cols.items():
                 df = df.withColumn(col, F.col(col) + F.lit(i * span[dom]))
@@ -102,11 +106,15 @@ def generate(spark) -> str:
             full = full.unionByName(p)
         (full.write.mode("overwrite")
          .parquet(os.path.join(out_root, f"{name}.parquet")))
-        print(f"generated {name}: x{COPIES}", flush=True)
+        print(f"generated {name}: x{copies}", flush=True)
 
     with open(marker, "w") as fh:
-        fh.write(f"copies={COPIES} from={SRC}\n")
+        fh.write(f"copies={copies} from={src}\n")
     return out_root
+
+
+def generate(spark) -> str:
+    return generate_scaled(spark, SRC, "sf1", COPIES)
 
 
 def median3(fn) -> float:
