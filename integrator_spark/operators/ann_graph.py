@@ -30,10 +30,24 @@ across runs, which the rows-only determinism gate checks.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .knn import _dot_expr
+
+#: Broadcast-matrix scoring cutover for the graph BUILD: if the whole
+#: normalized corpus fits this many bytes as float64 (n x dim x 8), the
+#: per-round candidate scoring gathers rows from one broadcast numpy
+#: matrix (skinny (src, dst) pairs shuffle; vectors never do) instead
+#: of attaching vectors via two joins — which at 1.1M x 64 would
+#: shuffle ~60 GB of vector payload PER ROUND. Same size-routing
+#: discipline as operators/knn.py MAX_BROADCAST_CELLS; above the
+#: budget the join path keeps working at any n.
+MATRIX_BUDGET_BYTES = 1 << 30
 
 
 def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
@@ -106,10 +120,19 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
 
 def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               seed: int = 42) -> DataFrame:
+               seed: int = 42,
+               matrix_budget_bytes: int = MATRIX_BUDGET_BYTES) -> DataFrame:
     """Build an approximate k-NN graph (vec_id, neighbor_id, cos_sim,
     rank) by NN-Descent. Ids need not be contiguous: the random init
-    draws hash-positions into a dense rank of the corpus ids."""
+    draws hash-positions into a dense rank of the corpus ids.
+
+    Scoring is size-routed (see MATRIX_BUDGET_BYTES): under the budget
+    the normalized corpus rides one broadcast float64 matrix and each
+    round's candidate pairs are scored by a C-level gather+rowdot in a
+    mapInPandas kernel — the shuffle carries only (src, dst, cos), not
+    vectors; above it, vectors attach via joins (works at any n).
+    Both paths compute the same float64 dots; the property test pins
+    identical edge sets."""
     spark = emb.sparkSession
     n = emb.count()
     if n < 2:
@@ -126,6 +149,17 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
                                    lambda x: x.cast("double") / norm)
                         .alias("_v"))
             .localCheckpoint(eager=True))
+
+    dim = len(base.select("_v").first()[0])
+    mat_bc = None
+    if n * dim * 8 <= matrix_budget_bytes:
+        # Bounded driver collect (<= budget bytes by the route check),
+        # sorted by id so executor-side lookups are one searchsorted.
+        pdf = base.toPandas()
+        order = np.argsort(pdf["nid"].to_numpy(), kind="stable")
+        ids_sorted = pdf["nid"].to_numpy()[order]
+        mat = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+        mat_bc = spark.sparkContext.broadcast((ids_sorted, mat))
 
     # Dense positions 0..n-1 so hash-draws always hit a real node.
     pos = base.select(
@@ -145,14 +179,29 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
         .filter(F.col("src") != F.col("dst"))
         .distinct())
 
+    def score_pairs(cand: DataFrame) -> DataFrame:
+        if mat_bc is not None:
+            def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                ids_s, m = mat_bc.value
+                for pdf in batches:
+                    src = pdf["src"].to_numpy()
+                    dst = pdf["dst"].to_numpy()
+                    si = np.searchsorted(ids_s, src)
+                    di = np.searchsorted(ids_s, dst)
+                    yield pd.DataFrame({
+                        "src": src, "dst": dst,
+                        "_cos": np.einsum("ij,ij->i", m[si], m[di])})
+            return cand.mapInPandas(score, "src long, dst long, _cos double")
+        return (cand
+                .join(base.select(F.col("nid").alias("src"),
+                                  F.col("_v").alias("_vs")), "src")
+                .join(base.select(F.col("nid").alias("dst"),
+                                  F.col("_v").alias("_vd")), "dst")
+                .select("src", "dst",
+                        _dot_expr(F.col("_vs"), F.col("_vd")).alias("_cos")))
+
     def top_k(cand: DataFrame) -> DataFrame:
-        scored = (cand
-                  .join(base.select(F.col("nid").alias("src"),
-                                    F.col("_v").alias("_vs")), "src")
-                  .join(base.select(F.col("nid").alias("dst"),
-                                    F.col("_v").alias("_vd")), "dst")
-                  .select("src", "dst",
-                          _dot_expr(F.col("_vs"), F.col("_vd")).alias("_cos")))
+        scored = score_pairs(cand)
         w = Window.partitionBy("src").orderBy(F.col("_cos").desc(),
                                               F.col("dst"))
         return (scored.withColumn("_rn", F.row_number().over(w))

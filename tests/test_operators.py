@@ -808,6 +808,26 @@ def test_nn_descent_graph_shape(spark):
     assert {len(v) for v in per.values()} == {5}
 
 
+def test_nn_descent_routes_agree(spark):
+    # The broadcast-matrix scoring route (skinny shuffle, numpy rowdot)
+    # and the vector-attach join route must build the same k-NN graph:
+    # same edge set, same cos to 1e-9 (both are float64 dots; only
+    # summation order differs).
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.ann_graph import nn_descent
+    from .conftest import TEST_SF_DIR
+
+    emb = load_table(spark, TEST_SF_DIR, "embeddings") \
+        .filter(F.col("vec_id") < 80)
+    fast = {(r.vec_id, r.neighbor_id): r.cos_sim
+            for r in nn_descent(emb, k=5, iters=2).collect()}
+    slow = {(r.vec_id, r.neighbor_id): r.cos_sim
+            for r in nn_descent(emb, k=5, iters=2,
+                                matrix_budget_bytes=0).collect()}
+    assert set(fast) == set(slow)
+    assert all(abs(fast[e] - slow[e]) < 1e-9 for e in fast)
+
+
 def test_graph_ann_search_recall_at_least_090(spark):
     # Out-of-sample navigate over the NN-Descent graph must find the
     # true nearest neighbor (value-based hit) for >= 90% of queries.
