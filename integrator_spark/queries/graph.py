@@ -173,18 +173,24 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the end, the same sufficient-statistics shape as agg_moments.
 
     Shape: one self-join on l_orderkey for edges (per-order fan-out
-    bounded like graph_triangles), a degree count, two broadcast joins
-    of the degree dim onto the edge list, one global agg."""
+    bounded like graph_triangles), a degree count, two joins of the
+    degree dim onto the edge list, one global agg. The degree joins
+    are deliberately NOT broadcast-hinted: deg scales with |V| (every
+    part ever co-purchased), so a forced broadcast is exactly the hint
+    that breaks first at corpus scale — measured at sf10 (2M nodes) it
+    drove executor GC thrash and a 1.11 exponent; unhinted, AQE still
+    broadcasts at fixture sizes and switches to a shuffle join when
+    deg outgrows the threshold."""
     edges = _copurchase_edges(spark, sf_dir)
     sym = edges.unionByName(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     deg = sym.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("dg"))
     pts = (sym
-           .join(F.broadcast(deg.select(F.col("node").alias("s"),
-                                        F.col("dg").alias("x"))), "s")
-           .join(F.broadcast(deg.select(F.col("node").alias("d"),
-                                        F.col("dg").alias("y"))), "d"))
+           .join(deg.select(F.col("node").alias("s"),
+                            F.col("dg").alias("x")), "s")
+           .join(deg.select(F.col("node").alias("d"),
+                            F.col("dg").alias("y")), "d"))
     sums = pts.agg(F.count(F.lit(1)).alias("m"),
                    F.sum("x").alias("sx"),
                    F.sum(F.col("x") * F.col("x")).alias("sxx"),
