@@ -44,9 +44,12 @@ HEADLINE = [
     "agg_distinct", "window_topn", "rollup_revenue", "events_tumbling",
     "events_json", "docs_wordcount", "vec_knn",
 ]
+#: graph_triangles is measured separately (sf1 only): its wedge set is
+#: 1.48 B at sf1 / 14.8 B at sf10 — the sf10 shuffle (~230 GB spill)
+#: exceeds this box's free disk; see SCALING.md round-6 notes.
 PACK = [
     "events_outliers_mad", "graph_assortativity", "agg_weighted_median",
-    "graph_triangles", "join_bloom",
+    "join_bloom",
 ]
 
 
@@ -72,6 +75,16 @@ def median3(fn) -> float:
 def main() -> int:
     bench_sf1 = _load("bench_sf1")
     spark = build_session("bench-sf10")
+    # Scale-tier shuffle sizing: with the fixture default of 32 shuffle
+    # partitions, sf10's biggest shuffles sort ~60 M rows per task
+    # (spill + GC stalls; graph_triangles killed the session's
+    # heartbeat). AQE's designed answer: start coalescing from a high
+    # initial count — big shuffles keep the parallelism, small ones
+    # coalesce back. Measured overhead at sf0.1 is ~7%, which is why
+    # this is set here (and in the other *_at_scale scripts), not in
+    # the fixture-scale session default.
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
     sf1_dir = bench_sf1.generate(spark)
     sf10_dir = bench_sf1.generate_scaled(spark, sf1_dir, "sf10", 10)
     queries = get_queries()
