@@ -52,10 +52,12 @@ MATRIX_BUDGET_BYTES = 1 << 30
 
 def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                      k: int = 1, beam: int = 8, hops: int = 3,
-                     n_entries: int = 4,
+                     n_entries: int | None = None,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     exclude_self: bool = False) -> DataFrame:
+                     exclude_self: bool = False,
+                     matrix_budget_bytes: int = MATRIX_BUDGET_BYTES
+                     ) -> DataFrame:
     """Batch beam search over a k-NN graph for OUT-OF-SAMPLE queries —
     the HNSW-style navigate step, reshaped for Spark: instead of one
     sequential walk per query, every hop is one relational round over
@@ -63,13 +65,26 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
     score proposals, keep the best ``beam`` per query), so Q concurrent
     searches cost H joins total, not Q·H sequential probes.
 
-    Entry points are the ``n_entries`` smallest corpus ids (fixed and
-    deterministic — a production index would persist medoid entries the
-    same way). Per hop the candidate frontier is bounded by
-    Q · beam · degree; with k-NN-graph degree ~15 and beam 8 that is
-    ~120 proposals per query per hop, independent of corpus size — the
-    whole point of graph ANN. Returns (query_id, neighbor_id, cos_sim,
+    Entry points: ``n_entries`` hash-ordered corpus ids (deterministic,
+    spread uniformly over the id space). Default is ~4*sqrt(n), clamped
+    to [16, 8192] — SCALE-CRITICAL, learned from the 1.1M measured run
+    (SCALING.md round 6): a k-NN graph over clustered embeddings is
+    near-disconnected ACROSS clusters, so a handful of fixed entries
+    can only ever reach their own clusters (measured recall@1 0.002 at
+    1.1M/512 clusters with the old 4 fixed entries). sqrt-n seeding
+    lands an entry in (nearly) every cluster with high probability and
+    the hop-0 scoring — one cheap Q x n_entries matrix pass — picks the
+    right region before the graph walk refines within it; the per-hop
+    frontier afterwards stays Q · beam · degree, independent of n.
+
+    Scoring is size-routed like the build: under ``matrix_budget_bytes``
+    the normalized corpus + query matrices broadcast once and every
+    round scores via numpy gather+rowdot (no vector shuffle); above it,
+    vectors attach via joins. Returns (query_id, neighbor_id, cos_sim,
     rank) with the usual (cos DESC, id ASC) tie-break."""
+    import math
+
+    spark = base.sparkSession
     norm = F.sqrt(F.aggregate(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda a, x: a + x))
@@ -86,7 +101,32 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
     adj = graph.select(F.col("vec_id").alias("cand"),
                        F.col("neighbor_id").alias("_nbr"))
 
-    entries = F.broadcast(b.orderBy("cand").limit(n_entries).select("cand"))
+    n = b.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int")
+    if n_entries is None:
+        n_entries = max(16, min(8192, 4 * int(math.ceil(math.sqrt(n)))))
+    n_entries = min(n_entries, n)
+
+    mat_bc = None
+    dim = len(b.select("_bv").first()[0])
+    if n * dim * 8 <= matrix_budget_bytes:
+        bpdf = b.toPandas()
+        border = np.argsort(bpdf["cand"].to_numpy(), kind="stable")
+        bids = bpdf["cand"].to_numpy()[border]
+        bmat = np.array(bpdf["_bv"].tolist(), dtype=np.float64)[border]
+        qpdf = q.toPandas()
+        qorder = np.argsort(qpdf["qid"].to_numpy(), kind="stable")
+        qids = qpdf["qid"].to_numpy()[qorder]
+        qmat = np.array(qpdf["_qv"].tolist(), dtype=np.float64)[qorder]
+        mat_bc = spark.sparkContext.broadcast((bids, bmat, qids, qmat))
+
+    # Deterministic uniform id-space sample: hash-order, ties on id.
+    entries = F.broadcast(
+        b.select("cand")
+        .orderBy(F.xxhash64(F.col("cand"), F.lit(77)), F.col("cand"))
+        .limit(n_entries))
     # Bounded broadcast nested-loop: every query × n_entries entry rows.
     frontier = q.select("qid").join(entries)
 
@@ -94,9 +134,23 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
         if exclude_self:
             # in-corpus evaluation: a query must not return itself
             cand = cand.filter(F.col("qid") != F.col("cand"))
-        scored = (cand.join(q, "qid").join(b, "cand")
-                  .select("qid", "cand",
-                          _dot_expr(F.col("_qv"), F.col("_bv")).alias("_cos")))
+        if mat_bc is not None:
+            def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                bids_s, bm, qids_s, qm = mat_bc.value
+                for pdf in batches:
+                    qid = pdf["qid"].to_numpy()
+                    cnd = pdf["cand"].to_numpy()
+                    qi = np.searchsorted(qids_s, qid)
+                    ci = np.searchsorted(bids_s, cnd)
+                    yield pd.DataFrame({
+                        "qid": qid, "cand": cnd,
+                        "_cos": np.einsum("ij,ij->i", qm[qi], bm[ci])})
+            scored = cand.mapInPandas(score, "qid long, cand long, _cos double")
+        else:
+            scored = (cand.join(q, "qid").join(b, "cand")
+                      .select("qid", "cand",
+                              _dot_expr(F.col("_qv"), F.col("_bv"))
+                              .alias("_cos")))
         w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(),
                                               F.col("cand"))
         return (scored.withColumn("_rn", F.row_number().over(w))
@@ -118,13 +172,35 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                     F.col("_rn").cast("int").alias("rank")))
 
 
+#: Above this corpus size, nn_descent's init switches from uniform
+#: random draws to CELL-SEEDED draws (k-means cells via operators/ivf).
+#: Learned from the 1.1M measured run (SCALING.md round 6): on strongly
+#: clustered embeddings, uniform init gives most nodes zero same-cluster
+#: neighbors and cross-cluster cosines are ~uniform noise, so the
+#: neighbor-of-neighbor descent has NO gradient toward the right
+#: cluster — the graph converges to noise edges and beam search over it
+#: collapses. Cell-seeded init draws each node's initial neighbors from
+#: its own coarse cell (plus two uniform long-range draws for
+#: cross-cell navigability), giving the descent in-cluster signal from
+#: round one. Fixture corpora stay on the uniform init, which the
+#: recall tests pin.
+CELL_INIT_MIN_ROWS = 100_000
+
+
 def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
                id_col: str = "vec_id", vec_col: str = "embedding",
                seed: int = 42,
-               matrix_budget_bytes: int = MATRIX_BUDGET_BYTES) -> DataFrame:
+               matrix_budget_bytes: int = MATRIX_BUDGET_BYTES,
+               init: str = "auto") -> DataFrame:
     """Build an approximate k-NN graph (vec_id, neighbor_id, cos_sim,
     rank) by NN-Descent. Ids need not be contiguous: the random init
     draws hash-positions into a dense rank of the corpus ids.
+
+    ``init``: 'uniform' | 'cell' | 'auto' (cell-seeded above
+    CELL_INIT_MIN_ROWS — see that constant for why uniform init fails
+    on clustered corpora at scale). Both inits are deterministic
+    (hash-seeded draws; the cell path's k-means is the deterministic
+    train_centroids sampler).
 
     Scoring is size-routed (see MATRIX_BUDGET_BYTES): under the budget
     the normalized corpus rides one broadcast float64 matrix and each
@@ -139,6 +215,7 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, cos_sim double, rank int")
     kk = min(k, n - 1)
+    use_cell = init == "cell" or (init == "auto" and n >= CELL_INIT_MIN_ROWS)
 
     # L2-normalize once; cosine thereafter is a single dot fold.
     norm = F.sqrt(F.aggregate(
@@ -166,18 +243,58 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
         "nid",
         (F.row_number().over(Window.orderBy("nid")) - 1).alias("_pos"))
 
-    # Seeded random init: kk + 2 draws per node (a couple extra so
-    # self-hits and duplicate draws still leave >= kk candidates).
-    draws = base.select(
-        F.col("nid").alias("src"),
-        F.explode(F.sequence(F.lit(0), F.lit(kk + 1))).alias("_j"))
-    init = (draws.select(
-        "src",
-        F.pmod(F.xxhash64("src", "_j", F.lit(seed)), F.lit(n)).alias("_pos"))
-        .join(pos, "_pos")
-        .select("src", F.col("nid").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct())
+    # Seeded uniform draws: hash-position into the dense rank.
+    def uniform_draws(n_draws: int, salt: int) -> DataFrame:
+        draws = base.select(
+            F.col("nid").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_draws - 1))).alias("_j"))
+        return (draws.select(
+            "src",
+            F.pmod(F.xxhash64("src", "_j", F.lit(seed + salt)),
+                   F.lit(n)).alias("_pos"))
+            .join(pos, "_pos")
+            .select("src", F.col("nid").alias("dst")))
+
+    if use_cell:
+        from .ivf import ivf_assign, train_centroids
+
+        n_cells = max(16, min(4096, n // 256))
+        cent = train_centroids(emb.select(F.col(id_col), F.col(vec_col)),
+                               n_clusters=n_cells,
+                               sample_rows=min(100_000, n), iters=10,
+                               id_col=id_col, vec_col=vec_col, seed=seed)
+        assign = (ivf_assign(emb.select(F.col(id_col), F.col(vec_col)),
+                             cent, n_assign=1,
+                             id_col=id_col, vec_col=vec_col)
+                  .select(F.col(id_col).cast("long").alias("nid"), "bucket"))
+        wpos = Window.partitionBy("bucket").orderBy("nid")
+        posb = (assign.select(
+            "nid", "bucket",
+            (F.row_number().over(wpos) - 1).alias("_bpos"),
+            F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+            .alias("_bsize"))
+            .localCheckpoint(eager=True))
+        # kk in-cell draws per node (hash-position into the cell's
+        # dense rank) + 2 uniform long-range draws for cross-cell
+        # navigability.
+        cdraws = posb.select(
+            F.col("nid").alias("src"), "bucket", "_bsize",
+            F.explode(F.sequence(F.lit(0), F.lit(kk + 1))).alias("_j"))
+        in_cell = (cdraws.select(
+            "src", "bucket",
+            F.pmod(F.xxhash64(F.col("src"), F.col("_j"), F.lit(seed)),
+                   F.col("_bsize")).alias("_bpos"))
+            .join(posb.select(F.col("nid").alias("dst"), "bucket", "_bpos"),
+                  ["bucket", "_bpos"])
+            .select("src", "dst"))
+        init_edges = in_cell.unionByName(uniform_draws(2, 1))
+    else:
+        # kk + 2 draws per node (a couple extra so self-hits and
+        # duplicate draws still leave >= kk candidates).
+        init_edges = uniform_draws(kk + 2, 0)
+    init_edges = (init_edges
+                  .filter(F.col("src") != F.col("dst"))
+                  .distinct())
 
     def score_pairs(cand: DataFrame) -> DataFrame:
         if mat_bc is not None:
@@ -209,7 +326,7 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
                 .select("src", "dst", "_cos", "_rn")
                 .localCheckpoint(eager=True))
 
-    graph = top_k(init)
+    graph = top_k(init_edges)
     for _ in range(iters):
         edges = graph.select("src", "dst")
         # Neighbor-of-neighbor proposals over the UNDIRECTED graph —
