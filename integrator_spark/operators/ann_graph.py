@@ -112,14 +112,18 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
     mat_bc = None
     dim = len(b.select("_bv").first()[0])
     if n * dim * 8 <= matrix_budget_bytes:
+        # float32 storage (the source embeddings' own precision) halves
+        # the per-worker broadcast residency; gathered rows widen to
+        # float64 before the dot, so only storage rounding (~5e-7 on a
+        # unit-vector cosine) separates this from the join route.
         bpdf = b.toPandas()
         border = np.argsort(bpdf["cand"].to_numpy(), kind="stable")
         bids = bpdf["cand"].to_numpy()[border]
-        bmat = np.array(bpdf["_bv"].tolist(), dtype=np.float64)[border]
+        bmat = np.array(bpdf["_bv"].tolist(), dtype=np.float32)[border]
         qpdf = q.toPandas()
         qorder = np.argsort(qpdf["qid"].to_numpy(), kind="stable")
         qids = qpdf["qid"].to_numpy()[qorder]
-        qmat = np.array(qpdf["_qv"].tolist(), dtype=np.float64)[qorder]
+        qmat = np.array(qpdf["_qv"].tolist(), dtype=np.float32)[qorder]
         mat_bc = spark.sparkContext.broadcast((bids, bmat, qids, qmat))
 
     # Deterministic uniform id-space sample: hash-order, ties on id.
@@ -144,7 +148,10 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                     ci = np.searchsorted(bids_s, cnd)
                     yield pd.DataFrame({
                         "qid": qid, "cand": cnd,
-                        "_cos": np.einsum("ij,ij->i", qm[qi], bm[ci])})
+                        "_cos": np.einsum(
+                            "ij,ij->i",
+                            qm[qi].astype(np.float64),
+                            bm[ci].astype(np.float64))})
             scored = cand.mapInPandas(score, "qid long, cand long, _cos double")
         else:
             scored = (cand.join(q, "qid").join(b, "cand")
@@ -207,8 +214,9 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
     round's candidate pairs are scored by a C-level gather+rowdot in a
     mapInPandas kernel — the shuffle carries only (src, dst, cos), not
     vectors; above it, vectors attach via joins (works at any n).
-    Both paths compute the same float64 dots; the property test pins
-    identical edge sets."""
+    Both paths accumulate in float64 (the matrix route stores float32,
+    adding ~5e-7 of storage rounding on a unit-vector cosine); the
+    property test pins identical edge sets with cos agreement to 1e-5."""
     spark = emb.sparkSession
     n = emb.count()
     if n < 2:
@@ -232,10 +240,13 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
     if n * dim * 8 <= matrix_budget_bytes:
         # Bounded driver collect (<= budget bytes by the route check),
         # sorted by id so executor-side lookups are one searchsorted.
+        # float32 storage halves every worker's broadcast residency;
+        # gathered rows widen to float64 before the dot (storage
+        # rounding ~5e-7 on a unit-vector cosine).
         pdf = base.toPandas()
         order = np.argsort(pdf["nid"].to_numpy(), kind="stable")
         ids_sorted = pdf["nid"].to_numpy()[order]
-        mat = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+        mat = np.array(pdf["_v"].tolist(), dtype=np.float32)[order]
         mat_bc = spark.sparkContext.broadcast((ids_sorted, mat))
 
     # Dense positions 0..n-1 so hash-draws always hit a real node.
@@ -307,7 +318,10 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
                     di = np.searchsorted(ids_s, dst)
                     yield pd.DataFrame({
                         "src": src, "dst": dst,
-                        "_cos": np.einsum("ij,ij->i", m[si], m[di])})
+                        "_cos": np.einsum(
+                            "ij,ij->i",
+                            m[si].astype(np.float64),
+                            m[di].astype(np.float64))})
             return cand.mapInPandas(score, "src long, dst long, _cos double")
         return (cand
                 .join(base.select(F.col("nid").alias("src"),

@@ -811,8 +811,8 @@ def test_nn_descent_graph_shape(spark):
 def test_nn_descent_routes_agree(spark):
     # The broadcast-matrix scoring route (skinny shuffle, numpy rowdot)
     # and the vector-attach join route must build the same k-NN graph:
-    # same edge set, same cos to 1e-9 (both are float64 dots; only
-    # summation order differs).
+    # same edge set, cos to 1e-5 (float64 accumulation both ways; the
+    # matrix route stores float32, ~5e-7 rounding on unit vectors).
     from integrator_spark.io import load_table
     from integrator_spark.operators.ann_graph import nn_descent
     from .conftest import TEST_SF_DIR
@@ -825,7 +825,7 @@ def test_nn_descent_routes_agree(spark):
             for r in nn_descent(emb, k=5, iters=2,
                                 matrix_budget_bytes=0).collect()}
     assert set(fast) == set(slow)
-    assert all(abs(fast[e] - slow[e]) < 1e-9 for e in fast)
+    assert all(abs(fast[e] - slow[e]) < 1e-5 for e in fast)
 
 
 def test_graph_ann_search_recall_at_least_090(spark):
