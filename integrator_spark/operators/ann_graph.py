@@ -56,8 +56,8 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      exclude_self: bool = False,
-                     matrix_budget_bytes: int = MATRIX_BUDGET_BYTES
-                     ) -> DataFrame:
+                     matrix_budget_bytes: int = MATRIX_BUDGET_BYTES,
+                     entries: DataFrame | None = None) -> DataFrame:
     """Batch beam search over a k-NN graph for OUT-OF-SAMPLE queries —
     the HNSW-style navigate step, reshaped for Spark: instead of one
     sequential walk per query, every hop is one relational round over
@@ -65,17 +65,28 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
     score proposals, keep the best ``beam`` per query), so Q concurrent
     searches cost H joins total, not Q·H sequential probes.
 
-    Entry points: ``n_entries`` hash-ordered corpus ids (deterministic,
-    spread uniformly over the id space). Default is ~4*sqrt(n), clamped
-    to [16, 8192] — SCALE-CRITICAL, learned from the 1.1M measured run
+    Entry points — SCALE-CRITICAL, learned from the 1.1M measured run
     (SCALING.md round 6): a k-NN graph over clustered embeddings is
     near-disconnected ACROSS clusters, so a handful of fixed entries
     can only ever reach their own clusters (measured recall@1 0.002 at
-    1.1M/512 clusters with the old 4 fixed entries). sqrt-n seeding
-    lands an entry in (nearly) every cluster with high probability and
-    the hop-0 scoring — one cheap Q x n_entries matrix pass — picks the
-    right region before the graph walk refines within it; the per-hop
-    frontier afterwards stays Q · beam · degree, independent of n.
+    1.1M/512 clusters with the old 4 fixed entries). Two seeding modes:
+
+    - default: ``n_entries`` hash-ordered corpus ids (~4*sqrt(n),
+      clamped [16, 8192]), shared by every query. Hop-0 scores
+      Q x n_entries in one cheap matrix pass and picks the right
+      region. Coverage-limited: with C >> n_entries natural regions,
+      the probability an entry lands in the query's region caps recall
+      (measured 0.52 at 4096 cells / 4196 entries).
+    - ``entries`` (a (qid, cand) DataFrame): PER-QUERY seeds from a
+      coarse quantizer — rank cells by query-centroid similarity and
+      seed with members of the top cells (the SPANN/DiskANN-style
+      hybrid; scripts/graph_ann_at_scale.py builds these from the same
+      ivf_assign index the build's init used). This removes the
+      coverage cap: the seed is in the right region by construction
+      and the walk only has to refine.
+
+    Either way the per-hop frontier afterwards stays Q · beam · degree,
+    independent of n.
 
     Scoring is size-routed like the build: under ``matrix_budget_bytes``
     the normalized corpus + query matrices broadcast once and every
@@ -126,13 +137,17 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
         qmat = np.array(qpdf["_qv"].tolist(), dtype=np.float32)[qorder]
         mat_bc = spark.sparkContext.broadcast((bids, bmat, qids, qmat))
 
-    # Deterministic uniform id-space sample: hash-order, ties on id.
-    entries = F.broadcast(
-        b.select("cand")
-        .orderBy(F.xxhash64(F.col("cand"), F.lit(77)), F.col("cand"))
-        .limit(n_entries))
-    # Bounded broadcast nested-loop: every query × n_entries entry rows.
-    frontier = q.select("qid").join(entries)
+    if entries is not None:
+        frontier = entries.select(F.col("qid").cast("long").alias("qid"),
+                                  F.col("cand").cast("long").alias("cand"))
+    else:
+        # Deterministic uniform id-space sample: hash-order, ties on id.
+        shared = F.broadcast(
+            b.select("cand")
+            .orderBy(F.xxhash64(F.col("cand"), F.lit(77)), F.col("cand"))
+            .limit(n_entries))
+        # Bounded broadcast nested-loop: every query × n_entries rows.
+        frontier = q.select("qid").join(shared)
 
     def score_and_beam(cand: DataFrame, width: int) -> DataFrame:
         if exclude_self:
@@ -274,8 +289,14 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
                                n_clusters=n_cells,
                                sample_rows=min(100_000, n), iters=10,
                                id_col=id_col, vec_col=vec_col, seed=seed)
+        # n_assign=2: each node also draws from its SECOND-nearest cell,
+        # so edges form across adjacent sub-cells of the same latent
+        # cluster — without them the graph is navigable only within one
+        # k-means cell and a walk cannot cross to a neighboring one
+        # (measured at 1.1M: entry-cell coverage capped recall; see
+        # SCALING.md round 6).
         assign = (ivf_assign(emb.select(F.col(id_col), F.col(vec_col)),
-                             cent, n_assign=1,
+                             cent, n_assign=2,
                              id_col=id_col, vec_col=vec_col)
                   .select(F.col(id_col).cast("long").alias("nid"), "bucket"))
         wpos = Window.partitionBy("bucket").orderBy("nid")

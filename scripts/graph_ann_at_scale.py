@@ -80,25 +80,6 @@ def main() -> int:
     t_exact = time.perf_counter() - t0
     print(f"exact ground truth: {t_exact:.1f}s", flush=True)
 
-    # --- NN-Descent build + beam search ---------------------------------
-    graph_path = derived_dir("/root/testdata/sf0.1", "bigknn", "nnd_graph")
-    t0 = time.perf_counter()
-    g = nn_descent(emb, k=K_GRAPH, iters=ITERS)
-    g.write.mode("overwrite").parquet(graph_path)
-    t_build = time.perf_counter() - t0
-    graph = spark.read.parquet(graph_path)
-    print(f"nn_descent build (k={K_GRAPH}, iters={ITERS}): "
-          f"{t_build:.1f}s ({graph.count()} edges)", flush=True)
-
-    t0 = time.perf_counter()
-    got_g = {r["query_id"]: r["cos_sim"]
-             for r in graph_ann_search(graph, emb, queries, k=1,
-                                       beam=BEAM, hops=HOPS).collect()}
-    t_gsearch = time.perf_counter() - t0
-    rec_g = recall(exact, got_g)
-    print(f"beam search (beam={BEAM}, hops={HOPS}): {t_gsearch:.1f}s "
-          f"recall@1={rec_g}", flush=True)
-
     # --- IVF on the same corpus/queries ---------------------------------
     t0 = time.perf_counter()
     cent = train_centroids(emb, n_clusters=ann.N_CLUSTERS,
@@ -117,12 +98,55 @@ def main() -> int:
     print(f"IVF build {t_ivf_build:.1f}s; n_probe=8 search "
           f"{t_isearch:.1f}s recall@1={rec_i}", flush=True)
 
+    # --- NN-Descent build + quantizer-seeded beam search ----------------
+    graph_path = derived_dir("/root/testdata/sf0.1", "bigknn", "nnd_graph")
+    t0 = time.perf_counter()
+    g = nn_descent(emb, k=K_GRAPH, iters=ITERS)
+    g.write.mode("overwrite").parquet(graph_path)
+    t_build = time.perf_counter() - t0
+    graph = spark.read.parquet(graph_path)
+    print(f"nn_descent build (k={K_GRAPH}, iters={ITERS}): "
+          f"{t_build:.1f}s ({graph.count()} edges)", flush=True)
+
+    # Per-query entries from the coarse quantizer (the SPANN-style
+    # hybrid): top-2 cells per query by centroid similarity, 8 members
+    # per cell. Query-side work is one tiny driver matmul (2000 x
+    # n_cells); member lookup is a broadcast join against the index.
+    import numpy as np
+    from pyspark.sql import Window
+    qpdf = queries.toPandas()
+    qmat = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    top2 = np.argsort(-(qmat @ cent.T), axis=1)[:, :2]
+    probe_pdf = {"qid": np.repeat(qpdf["vec_id"].to_numpy(), 2),
+                 "bucket": top2.reshape(-1).astype("int32")}
+    import pandas as pd
+    probe_df = spark.createDataFrame(pd.DataFrame(probe_pdf))
+    members = (index.select("vec_id", "bucket")
+               .withColumn("_rn", F.row_number().over(
+                   Window.partitionBy("bucket").orderBy("vec_id")))
+               .filter(F.col("_rn") <= 8)
+               .select("bucket", F.col("vec_id").alias("cand")))
+    entry_df = probe_df.join(F.broadcast(members), "bucket") \
+        .select("qid", "cand")
+
+    t0 = time.perf_counter()
+    got_g = {r["query_id"]: r["cos_sim"]
+             for r in graph_ann_search(graph, emb, queries, k=1,
+                                       beam=BEAM, hops=HOPS,
+                                       entries=entry_df).collect()}
+    t_gsearch = time.perf_counter() - t0
+    rec_g = recall(exact, got_g)
+    print(f"beam search (beam={BEAM}, hops={HOPS}, quantizer-seeded): "
+          f"{t_gsearch:.1f}s recall@1={rec_g}", flush=True)
+
     print(f"\n| plan | build s (one-time) | search s ({n_q} q) | QPS | recall@1 |")
     print(f"| ---- | ------------------ | ------------------ | --- | -------- |")
     print(f"| exact knn_search_broadcast | — | {t_exact:.1f} | "
           f"{n_q / t_exact:.0f} | 1.0 |")
-    print(f"| NN-Descent + beam (k={K_GRAPH}, beam={BEAM}, hops={HOPS}) | "
-          f"{t_build:.1f} | {t_gsearch:.1f} | {n_q / t_gsearch:.0f} | {rec_g} |")
+    print(f"| NN-Descent + quantizer-seeded beam (k={K_GRAPH}, beam={BEAM}, "
+          f"hops={HOPS}) | {t_build:.1f} | {t_gsearch:.1f} | "
+          f"{n_q / t_gsearch:.0f} | {rec_g} |")
     print(f"| IVF n_probe=8 ({ann.N_CLUSTERS} cells) | {t_ivf_build:.1f} | "
           f"{t_isearch:.1f} | {n_q / t_isearch:.0f} | {rec_i} |")
     spark.stop()
