@@ -94,6 +94,27 @@ def table_bytes(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """LOGICAL row count of one fixture table from parquet footers only
+    (pyarrow metadata read — no Spark job, no data pages). Unlike
+    table_bytes this is invariant to compression codec, parquet
+    version, and partition layout, so routing decisions made on it are
+    reproducible for the same logical dataset (the r6 advisor flagged
+    byte-size routing as a determinism hazard for exact-vs-approx
+    plan swaps). None when the path isn't locally readable (object
+    store); callers must treat None as 'assume big'."""
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(pq.ParquetFile(e.path).metadata.num_rows
+                       for e in os.scandir(path)
+                       if e.is_file() and e.name.endswith(".parquet"))
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def load_all(spark: SparkSession, sf_dir: str,
              tables: list[str] | None = None) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in (tables or TABLES)}

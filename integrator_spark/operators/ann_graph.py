@@ -50,6 +50,23 @@ from .knn import _dot_expr
 MATRIX_BUDGET_BYTES = 1 << 30
 
 
+def _sorted_lookup(ids_sorted: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Indices of ``values`` in a sorted id array; -1 for non-members.
+
+    A bare np.searchsorted returns an INSERTION POINT — for an id
+    absent from the array that silently gathers a *different* vector
+    (or IndexErrors at the array end). Clip + equality-mask restores
+    the join route's inner-join semantics: non-member rows (possible
+    via caller-supplied ``entries`` or a graph whose neighbor_id isn't
+    in ``base``) are dropped, never mis-scored, so the matrix and join
+    routes agree on bad input too (r6 advisor)."""
+    if len(ids_sorted) == 0:
+        return np.full(len(values), -1, dtype=np.int64)
+    idx = np.searchsorted(ids_sorted, values)
+    idx = np.clip(idx, 0, len(ids_sorted) - 1)
+    return np.where(ids_sorted[idx] == values, idx, -1)
+
+
 def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                      k: int = 1, beam: int = 8, hops: int = 3,
                      n_entries: int | None = None,
@@ -122,7 +139,13 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
 
     mat_bc = None
     dim = len(b.select("_bv").first()[0])
-    if n * dim * 8 <= matrix_budget_bytes:
+    # Route on corpus AND query batch size: the matrix path collects +
+    # broadcasts BOTH (q.toPandas() below), and the stated use case is
+    # batch navigation where Q can exceed n — counting only the corpus
+    # would let an oversized query batch blow the driver through the
+    # module's own size-routing contract (r6 advisor, medium).
+    nq = q.count()
+    if (n + nq) * dim * 8 <= matrix_budget_bytes:
         # float32 storage (the source embeddings' own precision) halves
         # the per-worker broadcast residency; gathered rows widen to
         # float64 before the dot, so only storage rounding (~5e-7 on a
@@ -159,8 +182,17 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                 for pdf in batches:
                     qid = pdf["qid"].to_numpy()
                     cnd = pdf["cand"].to_numpy()
-                    qi = np.searchsorted(qids_s, qid)
-                    ci = np.searchsorted(bids_s, cnd)
+                    # Membership-validated gather (r6 advisor): an id
+                    # absent from the sorted arrays (caller-supplied
+                    # `entries`, or graph neighbor_ids not in `base`)
+                    # must be DROPPED — the join route inner-joins such
+                    # rows away, and an unguarded searchsorted would
+                    # silently score the insertion-point row instead
+                    # (or IndexError at the array end).
+                    qi = _sorted_lookup(qids_s, qid)
+                    ci = _sorted_lookup(bids_s, cnd)
+                    ok = (qi >= 0) & (ci >= 0)
+                    qid, cnd, qi, ci = qid[ok], cnd[ok], qi[ok], ci[ok]
                     yield pd.DataFrame({
                         "qid": qid, "cand": cnd,
                         "_cos": np.einsum(
@@ -335,8 +367,14 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
                 for pdf in batches:
                     src = pdf["src"].to_numpy()
                     dst = pdf["dst"].to_numpy()
-                    si = np.searchsorted(ids_s, src)
-                    di = np.searchsorted(ids_s, dst)
+                    # Same membership guard as graph_ann_search: ids
+                    # come from internal draws here, but the guard
+                    # keeps both routes' semantics identical on any
+                    # input (non-members dropped like the join route).
+                    si = _sorted_lookup(ids_s, src)
+                    di = _sorted_lookup(ids_s, dst)
+                    ok = (si >= 0) & (di >= 0)
+                    src, dst, si, di = src[ok], dst[ok], si[ok], di[ok]
                     yield pd.DataFrame({
                         "src": src, "dst": dst,
                         "_cos": np.einsum(

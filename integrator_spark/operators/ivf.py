@@ -117,7 +117,7 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray, n_assign: int = 1,
 def ivf_search(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
                n_probe: int = 8, k: int = 1,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               prune_buckets: bool = True) -> DataFrame:
+               prune_buckets: bool = False) -> DataFrame:
     """Probe-bounded ANN search: each query meets only its n_probe
     buckets' vectors. Per-bucket cogrouped matmul (exact float64 cosine
     inside the bucket), then one window reduces bucket winners to the
@@ -130,13 +130,17 @@ def ivf_search(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
     partition pruning — the scan reads only the probed fraction of a
     100 TB index. Without it the cogroup computes the same result but
     SCANS the whole index (each unprobed bucket is read, shuffled, and
-    dropped as an empty cogroup). Pruning costs an eager probe pass +
-    a bounded driver collect at call time; it is the DEFAULT because
-    serving-style workloads (|Q| × n_probe far below the cluster count)
-    are what this operator exists for at scale. Pass
-    ``prune_buckets=False`` only when every bucket gets probed anyway —
-    true of the whole-corpus registered query `vec_ann_ivf_matmul`,
-    where pruning would pay the extra job and filter nothing."""
+    dropped as an empty cogroup).
+
+    SIDE EFFECT — why the default is False (r6 advisor): pruning runs
+    an EAGER Spark job at *call* time (localCheckpoint of the probe
+    pass + a distinct().collect() of probed bucket ids, bounded by
+    |Q| × n_probe ints) before any action on the returned DataFrame,
+    breaking the usual fully-lazy contract. Serving-style callers
+    (|Q| × n_probe far below the cluster count over a partitioned
+    index) should opt in with ``prune_buckets=True``; whole-corpus
+    callers like the registered `vec_ann_ivf_matmul` probe every
+    bucket anyway and would pay the extra job to filter nothing."""
     spark = index.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
 

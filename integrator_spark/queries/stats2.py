@@ -21,15 +21,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.num import laplace_share, psi_term
-from ..io import load_table, table_bytes
+from ..io import load_table, table_rows
 from ..registry import register
 
-#: events_outliers_mad routes to approx medians above this on-disk
-#: size: exact F.median whole-sorts each event_type group, which at
+#: events_outliers_mad routes to approx medians above this LOGICAL row
+#: count: exact F.median whole-sorts each event_type group, which at
 #: ~5 types means a few giant single-task sorts (measured sf10
-#: exponent 0.57). 64 MiB keeps every committed fixture (sf0.001-sf1)
-#: on the exact, oracle-checked path.
-_MAD_EXACT_MAX_BYTES = 64 * 1024 * 1024
+#: exponent 0.57). Routing on parquet-footer row count (not on-disk
+#: bytes) keeps the exact/approx decision invariant to codec, parquet
+#: version, and partition layout — the same logical dataset always
+#: takes the same path (r6 advisor). 3M rows keeps every committed
+#: fixture (sf0.001-sf1, 1M events) on the exact, oracle-checked path
+#: and routes sf10 (10M) to approx, matching the measured cutover.
+_MAD_EXACT_MAX_ROWS = 3_000_000
 
 # --------------------------------------------------------------------------
 # Kaplan-Meier survival over user lifetimes
@@ -1657,16 +1661,18 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIZE-ROUTED (round 6, measured sf10 exponent 0.57 on the exact
     path): F.median sorts each event_type group whole, and with a
     handful of types that is a few giant sort tasks — the classic
-    big-group scale wall. Above _MAD_EXACT_MAX_BYTES the route swaps
+    big-group scale wall. Above _MAD_EXACT_MAX_ROWS the route swaps
     both medians for percentile_approx(0.5, 10k accuracy) — the
     documented 100 TB substitution (rank error ≤ n/accuracy; the 3.5
     robust-z cut only moves for values within ~1e-4 of it). Fixture
     scales stay on the exact path, so the oracle contract is
-    unchanged; the routing is by on-disk table size, deterministic for
-    a given fixture."""
+    unchanged; the routing is by LOGICAL row count from parquet
+    footers (r7: was on-disk bytes — codec/layout-dependent, a
+    reproducibility hazard the r6 advisor flagged), so the same
+    logical dataset always takes the same path."""
     e = load_table(spark, sf_dir, "events")
-    nbytes = table_bytes(sf_dir, "events")
-    exact = nbytes is not None and nbytes <= _MAD_EXACT_MAX_BYTES
+    nrows = table_rows(sf_dir, "events")
+    exact = nrows is not None and nrows <= _MAD_EXACT_MAX_ROWS
 
     def med50(col):
         return (F.median(col) if exact

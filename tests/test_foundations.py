@@ -22,6 +22,20 @@ def test_load_all_tables_have_rows_and_ts_types(spark):
     assert dict(dfs["embeddings"].dtypes)["embedding"] == "array<float>"
 
 
+def test_table_rows_is_logical_and_footer_only(spark):
+    # table_rows must agree with the engine's own count (it reads only
+    # parquet footers) and return None for a missing table — the
+    # 'assume big' contract its routing callers rely on. Unlike
+    # table_bytes it is invariant to codec/layout, which is why
+    # exact-vs-approx plan routing (events_outliers_mad) uses it.
+    from integrator_spark.io import table_rows
+    assert table_rows(TEST_SF_DIR, "events") == \
+        load_table(spark, TEST_SF_DIR, "events").count()
+    assert table_rows(TEST_SF_DIR, "nation") == 25
+    assert table_rows(TEST_SF_DIR, "no_such_table") is None
+    assert table_rows("/nonexistent_dir", "events") is None
+
+
 def test_register_views_enables_sql(spark):
     register_views(spark, TEST_SF_DIR, ["nation", "region"])
     n = spark.sql("SELECT COUNT(*) AS n FROM nation JOIN region "

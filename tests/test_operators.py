@@ -344,6 +344,19 @@ def test_ivf_matmul_recall_at_least_090(spark):
     assert recall >= 0.9, f"ivf_matmul recall {recall}"
 
 
+def test_ivf_search_is_lazy_by_default():
+    # Bucket pruning runs an EAGER job at call time (localCheckpoint +
+    # distinct().collect() of probed buckets), so it must be opt-in:
+    # the default call keeps the usual fully-lazy DataFrame contract
+    # (r6 advisor — external callers shouldn't trigger jobs by
+    # constructing a result they may never act on).
+    import inspect
+
+    from integrator_spark.operators.ivf import ivf_search
+    assert inspect.signature(ivf_search) \
+        .parameters["prune_buckets"].default is False
+
+
 def test_connected_components_hand_graph(spark):
     from integrator_spark.operators.dedup import connected_components
     # components: {1,2,3} (chain), {7,9}, singleton edges only
@@ -844,6 +857,83 @@ def test_graph_ann_search_recall_at_least_090(spark):
         F.avg(F.when(F.col("cos_sim") >= F.col("_best") - 1e-6, 1.0)
               .otherwise(0.0)).alias("r")).collect()[0].r
     assert r >= 0.9, r
+
+
+def test_sorted_lookup_masks_nonmembers():
+    # The guard behind both matrix-route kernels: absent ids map to -1
+    # (never an insertion-point alias, never an IndexError at the end).
+    import numpy as np
+
+    from integrator_spark.operators.ann_graph import _sorted_lookup
+
+    ids = np.array([2, 5, 9], dtype=np.int64)
+    got = _sorted_lookup(ids, np.array([2, 3, 9, 100, -7], dtype=np.int64))
+    assert got.tolist() == [0, -1, 2, -1, -1]
+    assert _sorted_lookup(np.array([], dtype=np.int64),
+                          np.array([1, 2], dtype=np.int64)).tolist() == [-1, -1]
+
+
+def test_graph_ann_search_nonmember_ids_agree_across_routes(spark):
+    # Caller-supplied `entries` with ids absent from `base`, and a graph
+    # edge pointing outside `base`: the join route inner-joins such rows
+    # away; the matrix route must DROP them too (not gather the
+    # insertion-point row, not IndexError) — identical output both ways.
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.ann_graph import (
+        graph_ann_search,
+        nn_descent,
+    )
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 60)
+    g = nn_descent(e, k=5, iters=2)
+    # One edge to a node outside base (id 999999 > any fixture id).
+    g_bad = g.unionByName(spark.createDataFrame(
+        [(0, 999_999, 0.5, 99)],
+        "vec_id long, neighbor_id long, cos_sim double, rank int"))
+    # Per-query seeds: two real ids + one non-member each.
+    seeds = e.select(F.col("vec_id").alias("qid")).crossJoin(
+        spark.createDataFrame([(3,), (17,), (888_888,)], "cand long"))
+    kw = dict(k=1, beam=8, hops=2, exclude_self=True, entries=seeds)
+    fast = {(r.query_id, r.neighbor_id): r.cos_sim
+            for r in graph_ann_search(g_bad, e, e, **kw).collect()}
+    slow = {(r.query_id, r.neighbor_id): r.cos_sim
+            for r in graph_ann_search(g_bad, e, e,
+                                      matrix_budget_bytes=0, **kw).collect()}
+    assert set(fast) == set(slow) and len(fast) > 0
+    assert all(nbr < 60 for _, nbr in fast)
+    assert all(abs(fast[p] - slow[p]) < 1e-5 for p in fast)
+
+
+def test_graph_ann_search_budget_counts_query_matrix(spark, monkeypatch):
+    # The matrix route collects AND broadcasts corpus + query matrices,
+    # so the route check must count BOTH: with a budget that fits the
+    # corpus alone but not corpus+queries, the function must take the
+    # join path — observable as zero driver toPandas() calls.
+    from pyspark.sql import DataFrame
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.ann_graph import (
+        graph_ann_search,
+        nn_descent,
+    )
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 40)
+    g = nn_descent(e, k=5, iters=2)
+    n = e.count()
+    dim = 64
+    budget = (2 * n) * dim * 8 - 1  # fits n, not n + nq (queries == e)
+
+    def boom(self):
+        raise AssertionError("matrix route collected under-budget batch")
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    out = graph_ann_search(g, e, e, k=1, beam=8, hops=2,
+                           n_entries=8, exclude_self=True,
+                           matrix_budget_bytes=budget)
+    assert out.count() == n
 
 
 def test_knn_exact_none_estimate_falls_back_to_stats_job(spark):
