@@ -101,6 +101,133 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, jaccard_dist: float = 0.5,
             .filter(F.col("d1") < F.col("d2")))
 
 
+def containment_pairs(docs: DataFrame, k: int = 3,
+                      threshold: float = 0.9,
+                      id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """DIRECTED containment near-dup pairs: C(d1 → d2) =
+    |shingles(d1) ∩ shingles(d2)| / |shingles(d1)| — the asymmetric
+    companion to :func:`ngram_jaccard_pairs`. A 200-token doc fully
+    embedded in a 10k-token aggregation page has Jaccard ≈ 0.02 (both
+    Jaccard and MinHash are blind to it) but containment 1.0 — the
+    subset-duplication case (quotes, mirrors, wrapper pages) a
+    training-data pipeline must catch separately.
+
+    Same collide-only candidate shape as the Jaccard operator: the
+    shingle-equality join only ever pairs docs sharing a shingle (never
+    all-pairs), each unordered candidate yields both directions, and
+    ``max_doc_freq`` drops stop-phrase shingles before the join (the
+    identical skew guard, applied before counting so the containment
+    denominator uses the filtered sets on both engines)."""
+    sh = (docs.select(F.col(id_col).alias("doc_id"),
+                      word_shingles(F.col(text_col), k).alias("_sh"))
+          .select("doc_id", F.explode("_sh").alias("shingle")))
+    if max_doc_freq is not None:
+        hot = (sh.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_doc_freq)
+               .select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("d1") != F.col("d2"))
+             .groupBy("d1", "d2")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    ca = counts.select(F.col("doc_id").alias("d1"),
+                       F.col("n_sh").alias("n_src"))
+    cont = F.col("n_inter") / F.col("n_src")
+    return (inter.join(ca, "d1")
+            .select("d1", "d2", F.round(cont, 6).alias("containment"),
+                    "n_inter", "n_src")
+            .filter(F.col("containment") >= threshold))
+
+
+#: Modulus for the deterministic MinHash permutation family: the
+#: Mersenne prime 2^31-1. Shingle base hashes are reduced below it, so
+#: a_i * h + b_i stays under ~2.4e15 — exact in int64/BIGINT on BOTH
+#: engines (no overflow, no unsigned wraparound to agree on).
+MINHASH_PRIME = 2_147_483_647
+_MH_A0, _MH_A1 = 1_000_003, 7_919
+_MH_B0, _MH_B1 = 12_345, 104_729
+
+
+def minhash_det_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 16,
+                      n_bands: int = 4,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_band_freq: int | None = None) -> DataFrame:
+    """Deterministic MinHash + banded LSH near-dup candidates — the
+    oracle-checkable twin of :func:`minhash_lsh_pairs` (whose spark.ml
+    hash family is engine-private). Every step is reproducible from the
+    raw text in ANSI-ish SQL: base shingle hash = first 8 hex chars of
+    md5 reduced mod 2^31-1, permutation i is the affine map
+    (a_i*h + b_i) mod p with a_i = 1000003 + 7919*i,
+    b_i = 12345 + 104729*i, signature = per-doc MIN under each map,
+    bands = ``n_bands`` groups of r = n_hashes/n_bands consecutive
+    components, candidates = pairs agreeing on a FULL band.
+
+    Output: (d1, d2, n_equal, est_jaccard = n_equal/n_hashes) for every
+    candidate pair — est_jaccard is the standard unbiased MinHash
+    estimate of shingle-set Jaccard.
+
+    Scale shape: ONE groupBy(doc) computes all ``n_hashes`` mins
+    map-side-combinably (the shuffle carries n_hashes longs per doc,
+    not per shingle); the band self-join is the usual
+    collide-only candidate join; ``max_band_freq`` is the hot-bucket
+    guard (same semantics as simhash_pairs' band cutoff) bounding
+    fan-out on boilerplate-collapsed corpora."""
+    r = n_hashes // n_bands
+    assert r * n_bands == n_hashes, "n_hashes must divide into n_bands"
+    sh = (docs.select(F.col(id_col).alias("doc_id"),
+                      word_shingles(F.col(text_col), k).alias("_sh"))
+          .select("doc_id", F.explode("_sh").alias("shingle")))
+    hv = (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+          .cast("long") % MINHASH_PRIME)
+    hashed = sh.select("doc_id", hv.alias("_h"))
+    mins = [F.min((F.lit(_MH_A0 + _MH_A1 * i) * F.col("_h")
+                   + F.lit(_MH_B0 + _MH_B1 * i)) % MINHASH_PRIME)
+            .alias(f"_mh{i}") for i in range(n_hashes)]
+    sig = hashed.groupBy("doc_id").agg(*mins)
+
+    band_structs = [
+        F.struct(F.lit(j).alias("band"),
+                 F.concat_ws(",", *[F.col(f"_mh{j * r + t}").cast("string")
+                                    for t in range(r)]).alias("val"))
+        for j in range(n_bands)]
+    bands = (sig.select("doc_id",
+                        F.explode(F.array(*band_structs)).alias("_b"))
+             .select("doc_id", "_b.band", "_b.val"))
+    if max_band_freq is not None:
+        wb = Window.partitionBy("band", "val")
+        bands = (bands.withColumn("_df", F.count(F.lit(1)).over(wb))
+                 .filter(F.col("_df") <= max_band_freq)
+                 .drop("_df"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  [F.col("a.band") == F.col("b.band"),
+                   F.col("a.val") == F.col("b.val"),
+                   F.col("a.doc_id") < F.col("b.doc_id")])
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"))
+            .distinct())
+    sa = sig.select(F.col("doc_id").alias("d1"),
+                    *[F.col(f"_mh{i}").alias(f"_a{i}")
+                      for i in range(n_hashes)])
+    sb = sig.select(F.col("doc_id").alias("d2"),
+                    *[F.col(f"_mh{i}").alias(f"_b{i}")
+                      for i in range(n_hashes)])
+    n_equal = sum(F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+                  for i in range(n_hashes))
+    return (cand.join(sa, "d1").join(sb, "d2")
+            .select("d1", "d2",
+                    n_equal.cast("long").alias("n_equal"))
+            .withColumn("est_jaccard",
+                        F.round(F.col("n_equal") / F.lit(float(n_hashes)),
+                                6)))
+
+
 _SIMHASH_BITS = 64
 _BAND_BITS = 16
 _N_BANDS = _SIMHASH_BITS // _BAND_BITS

@@ -1,0 +1,214 @@
+"""Product quantization (PQ): the embedding-compression ANN path.
+
+Completes the vector-index family next to LSH (queries/vectors.py),
+IVF (operators/ivf.py), and graph ANN (operators/ann_graph.py) with
+the technique that actually makes 100 TB of embeddings storable and
+scannable (Jégou, Douze, Schmid — "Product quantization for nearest
+neighbor search", TPAMI 2011; the workhorse inside faiss IndexPQ /
+IVFPQ): split each dim-D vector into ``m`` subvectors, k-means each
+subspace to ``ksub`` centroids, and store only the m centroid ids —
+one byte each at ksub ≤ 256. A dim-64 float32 vector (256 B) becomes
+m=8 codes (8 B): 32× less storage AND 32× less scan IO, which at the
+100 TB posture is the difference between an exabyte-class problem and
+a merely-large one.
+
+Search is ADC (asymmetric distance computation): each query builds an
+m × ksub lookup table of subvector inner products ONCE, then any
+corpus vector's approximate cosine is m table lookups + adds — no
+per-pair float math at all. The scan over codes is embarrassingly
+partition-parallel (broadcast LUTs, mapInPandas over the code table),
+followed by a relational top-``shortlist`` window and an EXACT rerank
+of the shortlist against the true vectors — the standard
+shortlist-then-rerank recipe that restores recall lost to
+quantization.
+
+Determinism: k-means uses the same bounded hash-sample + seeded-RNG
+discipline as operators/ivf.train_centroids (per-subspace seed
+offset); encode breaks argmin ties at the lowest centroid id
+(np.argmax-on-negated-distance semantics); rerank ties break on
+(cos DESC, neighbor id ASC) like every other vector query.
+
+Scale posture: the codebook is m × ksub × dsub floats (8×16×8 = 8 KB
+at the registered dials; 256×256 subspace dials are < 2 MB) — always
+broadcastable. Query LUTs are Q × m × ksub doubles, chunked so the
+broadcast stays bounded. The code table shuffles NOTHING during the
+scan; only (query_id, neighbor_id, adc) shortlist rows (Q × shortlist)
+ever move.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .knn import _collect_matrix, _dot_expr
+
+
+def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
+             sample_rows: int = 100_000, iters: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42) -> np.ndarray:
+    """Train the PQ codebook: per-subspace Lloyd k-means over a
+    bounded, deterministic hash-sample (same sampling contract as
+    train_centroids — the driver holds ≤ sample_rows × dim float64).
+    Returns codebook [m, ksub, dsub] over L2-NORMALIZED vectors, so
+    summed subspace inner products approximate full-vector cosine."""
+    n = emb.count()
+    if n == 0:
+        raise ValueError("pq_train: empty input DataFrame")
+    every = max(1, -(-n // sample_rows))
+    sample = emb.filter(F.col(id_col) % every == 0).select(id_col, vec_col)
+    _ids, mat = _collect_matrix(sample, id_col, vec_col)   # unit rows
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(ksub, len(mat))
+    codebook = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        rng = np.random.RandomState(seed + j)
+        cent = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            # Euclidean argmin == argmax(2 x·c - |c|²); ties -> lowest id.
+            score = 2.0 * (sub @ cent.T) - (cent * cent).sum(axis=1)
+            assign = score.argmax(axis=1)
+            worst_first = np.argsort(score.max(axis=1), kind="stable")
+            n_empty = 0
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+                else:
+                    # Distinct worst-covered rows, same re-seed rule as
+                    # train_centroids (never collapse empties together).
+                    cent[c] = sub[int(worst_first[n_empty % len(sub)])]
+                    n_empty += 1
+        codebook[j, :k] = cent
+    return codebook
+
+
+def pq_encode(emb: DataFrame, codebook: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> DataFrame:
+    """Quantize the corpus: (id, codes array<int>) — m centroid ids per
+    vector, the 32×-smaller representation the ADC scan reads instead
+    of the raw embeddings. One broadcast + one Arrow-batched matmul per
+    subspace; zero shuffle."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(codebook)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc.value
+        m, _ksub, dsub = cb.shape
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            v = v / norms
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * dsub:(j + 1) * dsub]
+                score = 2.0 * (sub @ cb[j].T) - (cb[j] * cb[j]).sum(axis=1)
+                codes[:, j] = score.argmax(axis=1)
+            yield pd.DataFrame({id_col: ids, "codes": list(codes)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, codes array<int>")
+
+
+def pq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
+              codebook: np.ndarray, k: int = 1, shortlist: int = 32,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              exclude_self: bool = False) -> DataFrame:
+    """ADC scan + exact rerank: queries build m × ksub inner-product
+    LUTs once (broadcast), every code row is scored by m table lookups
+    (no float math per pair), a window keeps the top-``shortlist``
+    candidates per query, and the shortlist alone is rescored EXACTLY
+    against the true vectors. Returns (query_id, neighbor_id, cos_sim,
+    rank) — cos_sim is the exact rerank cosine, so output precision
+    matches the other vector queries; quantization only affects which
+    candidates reach the rerank (measured as recall, pinned in tests).
+    """
+    spark = codes.sparkSession
+    qpdf = (queries.select(F.col(id_col).alias("query_id"), vec_col)
+            .toPandas())
+    qids = qpdf["query_id"].to_numpy()
+    qv = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
+    if len(qv) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int")
+    qn = np.linalg.norm(qv, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qv = qv / qn
+    m, ksub, dsub = codebook.shape
+    # LUT[q, j, c] = q_sub_j · centroid_jc ; summed over j it is the
+    # ADC approximation of cos(q, x) for any code row x.
+    lut = np.einsum("qjd,jcd->qjc",
+                    qv.reshape(len(qv), m, dsub), codebook)
+    bc = spark.sparkContext.broadcast((qids, lut.reshape(len(qv), m * ksub)))
+    offsets = (np.arange(m) * ksub).astype(np.int64)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, lutr = bc.value
+        nq = len(q_ids)
+        top = min(shortlist, 10_000)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            cd = np.array(pdf["codes"].tolist(), dtype=np.int64) + offsets
+            # scores[q, i] = Σ_j lutr[q, cd[i, j]] — gather + sum, the
+            # Q × B × m intermediate is chunked by Arrow batch size.
+            scores = lutr[:, cd].sum(axis=2)
+            # per-batch pre-truncation: only each query's local top-
+            # shortlist can survive the global window, so emit Q × top
+            # rows instead of Q × B.
+            if scores.shape[1] > top:
+                part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            else:
+                part = np.broadcast_to(np.arange(scores.shape[1]),
+                                       (nq, scores.shape[1]))
+            rows_q = np.repeat(q_ids, part.shape[1])
+            rows_c = c_ids[part.reshape(-1)]
+            rows_s = np.take_along_axis(scores, part, axis=1).reshape(-1)
+            yield pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_c,
+                                "_adc": rows_s})
+
+    scored = codes.mapInPandas(
+        adc, "query_id long, neighbor_id long, _adc double")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id"))
+    short = (scored.withColumn("_rn", F.row_number().over(w_short))
+             .filter(F.col("_rn") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    # Exact rerank: shortlist rows re-attach true vectors (the ONLY
+    # touch of raw embeddings in the whole search — Q × shortlist rows).
+    qnorm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    bnorm = (base.select(F.col(id_col).alias("neighbor_id"),
+                         F.transform(F.col(vec_col),
+                                     lambda x: x.cast("double") / qnorm)
+                         .alias("_bv")))
+    qdf = (queries.select(F.col(id_col).alias("query_id"),
+                          F.transform(F.col(vec_col),
+                                      lambda x: x.cast("double") / qnorm)
+                          .alias("_qv")))
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id"))
+    return (short.join(qdf, "query_id").join(bnorm, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    _dot_expr(F.col("_qv"), F.col("_bv")).alias("_cos"))
+            .withColumn("_rn", F.row_number().over(w_k))
+            .filter(F.col("_rn") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("_cos", 6).alias("cos_sim"),
+                    F.col("_rn").cast("int").alias("rank")))

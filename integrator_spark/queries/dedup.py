@@ -194,6 +194,124 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("d1", "d2"))
 
 
+@register("dedup_containment", oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+       FROM words, unnest(range(1, len(w) - 1)) t(i)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2,
+       ROUND(n_inter * 1.0 / ca.n, 6) AS containment,
+       n_inter,
+       ca.n AS n_src
+FROM pairs JOIN cnt ca ON ca.doc_id = d1
+WHERE n_inter * 1.0 / ca.n >= 0.9
+""", tags=("dedup", "neardup", "containment"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment dedup (C(d1→d2) ≥ 0.9): the asymmetric
+    screen that catches a document EMBEDDED in a longer one — quotes,
+    mirrors, boilerplate-wrapped reposts — where Jaccard (and MinHash,
+    which estimates Jaccard) stays near |A|/|B| ≈ 0 and never fires.
+    Exact over 3-gram shingle sets via the same collide-only
+    shingle-equality join as dedup_ngram; each direction is reported
+    separately because containment is not symmetric (the short doc is
+    the duplicate; the long host usually is not)."""
+    from ..operators.dedup import containment_pairs
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, k=3, threshold=0.9)
+
+
+# DuckDB recomputes the deterministic MinHash end-to-end: 3-gram
+# shingles, md5[:8]-hex base hash mod 2^31-1, the 16 affine
+# permutations (a_i = 1000003 + 7919 i, b_i = 12345 + 104729 i), per-doc
+# MIN signatures, 4x4 banding (string_agg ORDER BY i == Spark's
+# concat_ws over consecutive components), full-band candidate join, and
+# the per-pair equal-component count. All arithmetic stays under 2.4e15
+# — exact BIGINT on both engines. A hash, min, banding, or counting bug
+# on either side breaks the value-hash match. {GUARD} is the optional
+# hot-bucket cutoff.
+_MINHASH_DET_ORACLE_TMPL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+       FROM words, unnest(range(1, len(w) - 1)) t(i)),
+hv AS (SELECT doc_id,
+              CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT)
+                   % 2147483647 AS BIGINT) AS h
+       FROM sh),
+mh AS (SELECT doc_id, i,
+              MIN(((1000003 + 7919 * i) * h + (12345 + 104729 * i))
+                  % 2147483647) AS mh
+       FROM hv CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+       GROUP BY 1, 2),
+bands AS (SELECT doc_id, i // 4 AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS val
+          FROM mh GROUP BY doc_id, i // 4),
+kept AS (
+  SELECT doc_id, band, val FROM (
+    SELECT doc_id, band, val,
+           COUNT(*) OVER (PARTITION BY band, val) AS _df
+    FROM bands)
+  {GUARD}
+),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM kept a JOIN kept b
+           ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT c.d1, c.d2,
+       CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_equal,
+       ROUND(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0, 6)
+         AS est_jaccard
+FROM cand c
+JOIN mh x ON x.doc_id = c.d1
+JOIN mh y ON y.doc_id = c.d2 AND y.i = x.i
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_minhash_det",
+          oracle=_MINHASH_DET_ORACLE_TMPL.replace("{GUARD}", ""),
+          tags=("dedup", "neardup", "approx"))
+def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH with a DETERMINISTIC, engine-independent
+    hash family — graduates the MinHash dedup family to oracle-backed
+    (spark.ml's MinHashLSH in dedup_minhash uses a private seeded
+    family no other engine can replay; this one is md5 + affine maps
+    mod 2^31-1, recomputed from raw text by DuckDB). Signature build is
+    ONE map-side-combinable groupBy (16 mins at once — the shuffle
+    carries 16 longs per doc, not per shingle); candidates come from
+    the 4x4 banded self-join, never all-pairs. Output includes the
+    standard n_equal/16 Jaccard estimate per candidate pair."""
+    from ..operators.dedup import minhash_det_pairs
+    d = load_table(spark, sf_dir, "documents")
+    return (minhash_det_pairs(d, k=3, n_hashes=16, n_bands=4)
+            .orderBy("d1", "d2"))
+
+
+@register("dedup_minhash_det_guarded",
+          oracle=_MINHASH_DET_ORACLE_TMPL.replace("{GUARD}",
+                                                  "WHERE _df <= 50"),
+          tags=("dedup", "neardup", "approx", "skew"))
+def dedup_minhash_det_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_det with the hot-bucket guard (band-value cutoff
+    50) — same skew posture as dedup_simhash_guarded: a (band, value)
+    bucket holding more than 50 docs (boilerplate-collapsed corpora
+    where thousands of docs share a signature band) is excluded before
+    the candidate join, bounding fan-out to cutoff² per bucket. The
+    oracle applies the identical cutoff, so the pair set is exact over
+    the guarded buckets."""
+    from ..operators.dedup import minhash_det_pairs
+    d = load_table(spark, sf_dir, "documents")
+    return (minhash_det_pairs(d, k=3, n_hashes=16, n_bands=4,
+                              max_band_freq=50)
+            .orderBy("d1", "d2"))
+
+
 @register("dedup_simhash",
           oracle=_SIMHASH_ORACLE_TMPL.replace("{GUARD}", ""),
           tags=("dedup", "neardup", "approx"))

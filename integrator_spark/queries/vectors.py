@@ -487,6 +487,35 @@ def vec_ann_ivf_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+@register("vec_ann_pq", oracle=None, tags=("vector", "knn", "approx", "pq"))
+def vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): codes are 32× smaller
+    than the raw float32 embeddings (8 one-byte subspace ids vs 256
+    bytes), the ADC scan reads ONLY codes + broadcast query LUTs (m
+    table lookups per pair, zero per-pair float math, zero shuffle),
+    and the top-32 shortlist per query is reranked EXACTLY against the
+    true vectors — the faiss IndexPQ recipe as a DataFrame pipeline.
+    This is the storage/IO-bound scale path of the ANN family: at
+    100 TB of embeddings the PQ code table is ~3 TB, so the full-scan
+    cost drops by the same 32× before any IVF-style probe pruning is
+    even applied. Rows-only (subspace k-means isn't SQL-expressible);
+    recall@1 vs exact kNN pinned >= 0.9 in tests (measured 0.926 at
+    m=8/ksub=64/shortlist=32; the m=16 and shortlist=64 dials measured
+    0.936/0.970 — dial sweep in the round-7 notes); determinism via the
+    seeded bounded-sample trainer and (score DESC, id ASC) ties."""
+    from ..operators.pq import pq_encode, pq_search, pq_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    if e.isEmpty():   # the subspace quantizer needs a nonempty sample
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int")
+    cb = pq_train(e, m=8, ksub=64, sample_rows=2000, iters=10)
+    codes = pq_encode(e, cb)
+    return (pq_search(codes, e, e, cb, k=1, shortlist=32,
+                      exclude_self=True)
+            .orderBy("query_id"))
+
+
 @register("vec_mmr", oracle=None, tags=("vector", "retrieval"))
 def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval via maximal marginal relevance — the

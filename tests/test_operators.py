@@ -936,6 +936,66 @@ def test_graph_ann_search_budget_counts_query_matrix(spark, monkeypatch):
     assert out.count() == n
 
 
+def test_pq_recall_at_least_090(spark):
+    # PQ ADC + exact rerank must hit the true nearest neighbor for
+    # >= 90% of queries (value-based hit rule), same bar as LSH/IVF/
+    # graph ANN. Measured 0.926 at the registered dials.
+    from integrator_spark.registry import get_queries
+    from .conftest import TEST_SF_DIR
+    qs = get_queries()
+    exact = {r.vec_id: r.cos_sim
+             for r in qs["vec_knn"](spark, TEST_SF_DIR).collect()}
+    got = {r.query_id: r.cos_sim
+           for r in qs["vec_ann_pq"](spark, TEST_SF_DIR)
+           .filter(F.col("rank") == 1).collect()}
+    hits = sum(1 for k, b in exact.items() if got.get(k, -2.0) >= b - 1e-6)
+    assert hits / len(exact) >= 0.9, hits / len(exact)
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    # Codes: m ids in [0, ksub) per vector; training + encoding twice
+    # yields byte-identical codes (seeded sampler, stable tie-breaks).
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.pq import pq_encode, pq_train
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings") \
+        .filter(F.col("vec_id") < 100)
+    cb1 = pq_train(e, m=8, ksub=16, sample_rows=100, iters=5)
+    cb2 = pq_train(e, m=8, ksub=16, sample_rows=100, iters=5)
+    assert cb1.shape == (8, 16, 8)
+    assert (cb1 == cb2).all()
+    codes = {r.vec_id: r.codes for r in pq_encode(e, cb1).collect()}
+    assert len(codes) == 100
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+               for c in codes.values())
+    codes2 = {r.vec_id: r.codes for r in pq_encode(e, cb1).collect()}
+    assert codes == codes2
+
+
+def test_pq_rerank_cos_is_exact(spark):
+    # The returned cos_sim comes from the exact rerank, not the ADC
+    # approximation: for every output row it must equal the true cosine
+    # of that (query, neighbor) pair to 6 dp.
+    import numpy as np
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.pq import pq_encode, pq_search, pq_train
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings") \
+        .filter(F.col("vec_id") < 60)
+    cb = pq_train(e, m=8, ksub=16, sample_rows=60, iters=5)
+    out = pq_search(pq_encode(e, cb), e, e, cb, k=1, shortlist=8,
+                    exclude_self=True).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in e.collect()}
+    for r in out:
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos_sim - round(true, 6)) <= 1e-6, r
+
+
 def test_knn_exact_none_estimate_falls_back_to_stats_job(spark):
     # est_cells=None (non-local source) must still route correctly via
     # the count+dim aggregate instead of crashing or guessing.
@@ -1012,6 +1072,59 @@ def test_dedup_candidate_recall_minhash_full(spark):
                 spark, "/root/testdata/sf0.001").collect()}
     assert rows["minhash_lsh"].recall == 1.0, rows
     assert rows["simhash"].recall >= 0.8, rows
+
+
+def test_minhash_det_finds_every_planted_pair(spark):
+    # The deterministic MinHash's band candidates must reach every
+    # exact Jaccard>=0.8 pair on the fixture (same bar as spark.ml's
+    # MinHashLSH at the registered dials), and the n_equal/16 estimate
+    # must sit near the true Jaccard for those pairs (+-0.25: 16
+    # hashes give sigma = sqrt(J(1-J)/16) ~ 0.05, so 5 sigma).
+    from integrator_spark.registry import get_queries
+    qs = get_queries()
+    exact = {(r.d1, r.d2): r.jaccard
+             for r in qs["dedup_ngram"](spark, "/root/testdata/sf0.001")
+             .collect()}
+    est = {(r.d1, r.d2): r.est_jaccard
+           for r in qs["dedup_minhash_det"](spark, "/root/testdata/sf0.001")
+           .collect()}
+    assert exact and set(exact) <= set(est), \
+        f"missed {set(exact) - set(est)}"
+    assert all(abs(est[p] - exact[p]) <= 0.25 for p in exact)
+
+
+def test_minhash_det_identical_texts_estimate_one(spark):
+    # Identical shingle sets share every min-hash: est_jaccard exactly
+    # 1.0; a disjoint third doc must produce no candidate with them.
+    from integrator_spark.operators.dedup import minhash_det_pairs
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six seven")],
+        "doc_id long, text string")
+    rows = minhash_det_pairs(docs).collect()
+    assert [(r.d1, r.d2, r.n_equal, r.est_jaccard) for r in rows] \
+        == [(1, 2, 16, 1.0)]
+
+
+def test_containment_catches_embedded_doc(spark):
+    # A short doc fully embedded in a long host: containment 1.0 in the
+    # short->long direction ONLY (the long doc is not contained), and
+    # Jaccard-based dedup at 0.8 never fires on the same pair.
+    from integrator_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    short = "the quick brown fox jumps over the lazy dog"
+    host = " ".join(f"filler{i} pad{i} tok{i}" for i in range(40)) \
+        + " " + short + " " + " ".join(f"tail{i} end{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, host), (3, "completely different text here now")],
+        "doc_id long, text string")
+    got = {(r.d1, r.d2): r.containment
+           for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0}
+    assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
 
 
 def test_triangle_census_matches_bruteforce(spark):
