@@ -154,6 +154,53 @@ _MH_A0, _MH_A1 = 1_000_003, 7_919
 _MH_B0, _MH_B1 = 12_345, 104_729
 
 
+def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 16,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Deterministic MinHash signatures: (doc_id, _mh0 .. _mh{n-1}).
+
+    All ``n_hashes`` mins are computed in ONE map-side-combinable
+    groupBy — the shuffle carries n_hashes longs per doc, never a row
+    per (shingle, hash). Eagerly localCheckpoint'ed: every consumer
+    (band self-join sides, n_equal join sides, incremental batch/corpus
+    splits) would otherwise re-run the dominant aggregation from the
+    raw text."""
+    sh = (docs.select(F.col(id_col).alias("doc_id"),
+                      word_shingles(F.col(text_col), k).alias("_sh"))
+          .select("doc_id", F.explode("_sh").alias("shingle")))
+    hv = (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+          .cast("long") % MINHASH_PRIME)
+    hashed = sh.select("doc_id", hv.alias("_h"))
+    mins = [F.min((F.lit(_MH_A0 + _MH_A1 * i) * F.col("_h")
+                   + F.lit(_MH_B0 + _MH_B1 * i)) % MINHASH_PRIME)
+            .alias(f"_mh{i}") for i in range(n_hashes)]
+    return hashed.groupBy("doc_id").agg(*mins).localCheckpoint(eager=True)
+
+
+def minhash_bands(sig: DataFrame, n_hashes: int = 16, n_bands: int = 4,
+                  max_band_freq: int | None = None) -> DataFrame:
+    """Explode signatures into LSH band keys: (doc_id, band, val) with
+    val the ','-joined r = n_hashes/n_bands consecutive components.
+    ``max_band_freq`` drops hot (band, val) buckets before any join —
+    the boilerplate-collapse fan-out guard."""
+    r = n_hashes // n_bands
+    assert r * n_bands == n_hashes, "n_hashes must divide into n_bands"
+    band_structs = [
+        F.struct(F.lit(j).alias("band"),
+                 F.concat_ws(",", *[F.col(f"_mh{j * r + t}").cast("string")
+                                    for t in range(r)]).alias("val"))
+        for j in range(n_bands)]
+    bands = (sig.select("doc_id",
+                        F.explode(F.array(*band_structs)).alias("_b"))
+             .select("doc_id", "_b.band", "_b.val"))
+    if max_band_freq is not None:
+        wb = Window.partitionBy("band", "val")
+        bands = (bands.withColumn("_df", F.count(F.lit(1)).over(wb))
+                 .filter(F.col("_df") <= max_band_freq)
+                 .drop("_df"))
+    return bands
+
+
 def minhash_det_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 16,
                       n_bands: int = 4,
                       id_col: str = "doc_id", text_col: str = "text",
@@ -178,32 +225,10 @@ def minhash_det_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 16,
     collide-only candidate join; ``max_band_freq`` is the hot-bucket
     guard (same semantics as simhash_pairs' band cutoff) bounding
     fan-out on boilerplate-collapsed corpora."""
-    r = n_hashes // n_bands
-    assert r * n_bands == n_hashes, "n_hashes must divide into n_bands"
-    sh = (docs.select(F.col(id_col).alias("doc_id"),
-                      word_shingles(F.col(text_col), k).alias("_sh"))
-          .select("doc_id", F.explode("_sh").alias("shingle")))
-    hv = (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
-          .cast("long") % MINHASH_PRIME)
-    hashed = sh.select("doc_id", hv.alias("_h"))
-    mins = [F.min((F.lit(_MH_A0 + _MH_A1 * i) * F.col("_h")
-                   + F.lit(_MH_B0 + _MH_B1 * i)) % MINHASH_PRIME)
-            .alias(f"_mh{i}") for i in range(n_hashes)]
-    sig = hashed.groupBy("doc_id").agg(*mins)
-
-    band_structs = [
-        F.struct(F.lit(j).alias("band"),
-                 F.concat_ws(",", *[F.col(f"_mh{j * r + t}").cast("string")
-                                    for t in range(r)]).alias("val"))
-        for j in range(n_bands)]
-    bands = (sig.select("doc_id",
-                        F.explode(F.array(*band_structs)).alias("_b"))
-             .select("doc_id", "_b.band", "_b.val"))
-    if max_band_freq is not None:
-        wb = Window.partitionBy("band", "val")
-        bands = (bands.withColumn("_df", F.count(F.lit(1)).over(wb))
-                 .filter(F.col("_df") <= max_band_freq)
-                 .drop("_df"))
+    sig = minhash_signatures(docs, k=k, n_hashes=n_hashes,
+                             id_col=id_col, text_col=text_col)
+    bands = minhash_bands(sig, n_hashes=n_hashes, n_bands=n_bands,
+                          max_band_freq=max_band_freq)
     cand = (bands.alias("a")
             .join(bands.alias("b"),
                   [F.col("a.band") == F.col("b.band"),

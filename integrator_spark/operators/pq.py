@@ -153,32 +153,54 @@ def pq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
                     qv.reshape(len(qv), m, dsub), codebook)
     bc = spark.sparkContext.broadcast((qids, lut.reshape(len(qv), m * ksub)))
     offsets = (np.arange(m) * ksub).astype(np.int64)
+    # Gather-buffer cap: the scoring intermediate is Q × chunk × m
+    # float64 cells; unchunked it scales with the Arrow batch size and
+    # at 10k-row batches × 2000 queries × m=8 would be a 1.3 GB buffer
+    # PER TASK (the exact failure mode the 1.1M kNN run exposed in
+    # round 6 — see operators/knn.py). 32M cells ≈ 256 MB.
+    max_cells = 32_000_000
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids, lutr = bc.value
         nq = len(q_ids)
         top = min(shortlist, 10_000)
+        chunk = max(1, max_cells // max(1, nq * m))
+        # Per-PARTITION running top-`top`: chunks contribute candidate
+        # (id, score) blocks; one merge at iterator end emits Q × top
+        # rows per partition total — the relational window that follows
+        # sees n_partitions × Q × top rows, independent of corpus size.
+        cand_ids: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            c_ids = pdf[id_col].to_numpy()
-            cd = np.array(pdf["codes"].tolist(), dtype=np.int64) + offsets
-            # scores[q, i] = Σ_j lutr[q, cd[i, j]] — gather + sum, the
-            # Q × B × m intermediate is chunked by Arrow batch size.
-            scores = lutr[:, cd].sum(axis=2)
-            # per-batch pre-truncation: only each query's local top-
-            # shortlist can survive the global window, so emit Q × top
-            # rows instead of Q × B.
-            if scores.shape[1] > top:
-                part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
-            else:
-                part = np.broadcast_to(np.arange(scores.shape[1]),
-                                       (nq, scores.shape[1]))
-            rows_q = np.repeat(q_ids, part.shape[1])
-            rows_c = c_ids[part.reshape(-1)]
-            rows_s = np.take_along_axis(scores, part, axis=1).reshape(-1)
-            yield pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_c,
-                                "_adc": rows_s})
+            c_ids_all = pdf[id_col].to_numpy()
+            cd_all = np.array(pdf["codes"].tolist(), dtype=np.int64) + offsets
+            for s in range(0, len(c_ids_all), chunk):
+                c_ids = c_ids_all[s:s + chunk]
+                cd = cd_all[s:s + chunk]
+                # scores[q, i] = Σ_j lutr[q, cd[i, j]] — gather + sum.
+                scores = lutr[:, cd].sum(axis=2)
+                if scores.shape[1] > top:
+                    part = np.argpartition(-scores, top - 1,
+                                           axis=1)[:, :top]
+                    cand_ids.append(c_ids[part])
+                    cand_scores.append(
+                        np.take_along_axis(scores, part, axis=1))
+                else:
+                    cand_ids.append(
+                        np.broadcast_to(c_ids, (nq, len(c_ids))))
+                    cand_scores.append(scores)
+        if not cand_ids:
+            return
+        ids_m = np.concatenate(cand_ids, axis=1)      # [Q, Σ chunk tops]
+        sc_m = np.concatenate(cand_scores, axis=1)
+        if sc_m.shape[1] > top:
+            part = np.argpartition(-sc_m, top - 1, axis=1)[:, :top]
+            ids_m = np.take_along_axis(ids_m, part, axis=1)
+            sc_m = np.take_along_axis(sc_m, part, axis=1)
+        width = ids_m.shape[1]
+        yield pd.DataFrame({"query_id": np.repeat(q_ids, width),
+                            "neighbor_id": ids_m.reshape(-1),
+                            "_adc": sc_m.reshape(-1)})
 
     scored = codes.mapInPandas(
         adc, "query_id long, neighbor_id long, _adc double")

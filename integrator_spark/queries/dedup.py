@@ -312,6 +312,85 @@ def dedup_minhash_det_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("d1", "d2"))
 
 
+# Same deterministic-MinHash CTEs as _MINHASH_DET_ORACLE_TMPL, with the
+# dedup_incremental 80/20 id split (corpus: doc_id % 10 < 8; batch: the
+# rest) applied AFTER signature computation — candidates pair a batch
+# doc with a corpus doc only.
+_MINHASH_INCR_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+       FROM words, unnest(range(1, len(w) - 1)) t(i)),
+hv AS (SELECT doc_id,
+              CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT)
+                   % 2147483647 AS BIGINT) AS h
+       FROM sh),
+mh AS (SELECT doc_id, i,
+              MIN(((1000003 + 7919 * i) * h + (12345 + 104729 * i))
+                  % 2147483647) AS mh
+       FROM hv CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+       GROUP BY 1, 2),
+bands AS (SELECT doc_id, i // 4 AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS val
+          FROM mh GROUP BY doc_id, i // 4),
+cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         FROM bands n JOIN bands c
+           ON n.band = c.band AND n.val = c.val
+         WHERE n.doc_id % 10 >= 8 AND c.doc_id % 10 < 8)
+SELECT p.new_id, p.corpus_id,
+       CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_equal,
+       ROUND(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0, 6)
+         AS est_jaccard
+FROM cand p
+JOIN mh x ON x.doc_id = p.new_id
+JOIN mh y ON y.doc_id = p.corpus_id AND y.i = x.i
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_minhash_incremental", oracle=_MINHASH_INCR_ORACLE,
+          tags=("dedup", "neardup", "incremental"))
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup incremental ingest — the fuzzy companion to
+    dedup_incremental's exact-hash gate, same 80/20 crawl-batch split:
+    each batch doc's MinHash bands probe ONLY the corpus band index
+    (batch-side bands join corpus-side bands; batch-batch and
+    corpus-corpus pairs never form), reporting which existing document
+    each new one near-duplicates and the n_equal/16 Jaccard estimate.
+    Steady-state cost is proportional to the BATCH (the corpus band
+    index is write-once, append-per-batch — here both sides derive
+    from one checkpointed signature pass); the corpus is never
+    self-joined. Oracle: DuckDB recomputes signatures and applies the
+    identical split."""
+    from ..operators.dedup import minhash_bands, minhash_signatures
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, k=3, n_hashes=16)
+    bands = minhash_bands(sig, n_hashes=16, n_bands=4)
+    batch_b = bands.filter(F.col("doc_id") % 10 >= 8)
+    corpus_b = bands.filter(F.col("doc_id") % 10 < 8)
+    cand = (batch_b.alias("n")
+            .join(corpus_b.alias("c"),
+                  [F.col("n.band") == F.col("c.band"),
+                   F.col("n.val") == F.col("c.val")])
+            .select(F.col("n.doc_id").alias("new_id"),
+                    F.col("c.doc_id").alias("corpus_id"))
+            .distinct())
+    sa = sig.select(F.col("doc_id").alias("new_id"),
+                    *[F.col(f"_mh{i}").alias(f"_a{i}") for i in range(16)])
+    sb = sig.select(F.col("doc_id").alias("corpus_id"),
+                    *[F.col(f"_mh{i}").alias(f"_b{i}") for i in range(16)])
+    n_equal = sum(F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+                  for i in range(16))
+    return (cand.join(sa, "new_id").join(sb, "corpus_id")
+            .select("new_id", "corpus_id",
+                    n_equal.cast("long").alias("n_equal"))
+            .withColumn("est_jaccard",
+                        F.round(F.col("n_equal") / F.lit(16.0), 6))
+            .orderBy("new_id", "corpus_id"))
+
+
 @register("dedup_simhash",
           oracle=_SIMHASH_ORACLE_TMPL.replace("{GUARD}", ""),
           tags=("dedup", "neardup", "approx"))
