@@ -48,24 +48,15 @@ from pyspark.sql import functions as F
 from .knn import _collect_matrix, _dot_expr
 
 
-def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
-             sample_rows: int = 100_000, iters: int = 10,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 42) -> np.ndarray:
-    """Train the PQ codebook: per-subspace Lloyd k-means over a
-    bounded, deterministic hash-sample (same sampling contract as
-    train_centroids — the driver holds ≤ sample_rows × dim float64).
-    Returns codebook [m, ksub, dsub] over L2-NORMALIZED vectors, so
-    summed subspace inner products approximate full-vector cosine."""
-    n = emb.count()
-    if n == 0:
-        raise ValueError("pq_train: empty input DataFrame")
-    every = max(1, -(-n // sample_rows))
-    sample = emb.filter(F.col(id_col) % every == 0).select(id_col, vec_col)
-    _ids, mat = _collect_matrix(sample, id_col, vec_col)   # unit rows
+def _train_codebook(mat: np.ndarray, m: int, ksub: int, iters: int,
+                    seed: int) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a driver-resident sample matrix.
+    Deterministic: seeded init per subspace, argmin ties at the lowest
+    centroid id, empty clusters re-seeded on DISTINCT worst-covered
+    rows (same rule as ivf.train_centroids)."""
     dim = mat.shape[1]
     if dim % m != 0:
-        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+        raise ValueError(f"pq codebook: dim {dim} not divisible by m={m}")
     dsub = dim // m
     k = min(ksub, len(mat))
     codebook = np.zeros((m, ksub, dsub), dtype=np.float64)
@@ -84,12 +75,37 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
                 if len(members):
                     cent[c] = members.mean(axis=0)
                 else:
-                    # Distinct worst-covered rows, same re-seed rule as
-                    # train_centroids (never collapse empties together).
                     cent[c] = sub[int(worst_first[n_empty % len(sub)])]
                     n_empty += 1
         codebook[j, :k] = cent
     return codebook
+
+
+def _bounded_sample_matrix(emb: DataFrame, sample_rows: int,
+                           id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic modulo-on-id sample collected as an L2-normalized
+    float64 matrix — the shared bounded-collect contract of every
+    trainer in the vector family (≤ sample_rows × dim on the driver)."""
+    n = emb.count()
+    if n == 0:
+        raise ValueError("pq_train: empty input DataFrame")
+    every = max(1, -(-n // sample_rows))
+    sample = emb.filter(F.col(id_col) % every == 0).select(id_col, vec_col)
+    _ids, mat = _collect_matrix(sample, id_col, vec_col)   # unit rows
+    return mat
+
+
+def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
+             sample_rows: int = 100_000, iters: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42) -> np.ndarray:
+    """Train the PQ codebook: per-subspace Lloyd k-means over a
+    bounded, deterministic hash-sample (same sampling contract as
+    train_centroids — the driver holds ≤ sample_rows × dim float64).
+    Returns codebook [m, ksub, dsub] over L2-NORMALIZED vectors, so
+    summed subspace inner products approximate full-vector cosine."""
+    mat = _bounded_sample_matrix(emb, sample_rows, id_col, vec_col)
+    return _train_codebook(mat, m, ksub, iters, seed)
 
 
 def pq_encode(emb: DataFrame, codebook: np.ndarray,
@@ -211,18 +227,25 @@ def pq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
     short = (scored.withColumn("_rn", F.row_number().over(w_short))
              .filter(F.col("_rn") <= shortlist)
              .select("query_id", "neighbor_id"))
-    # Exact rerank: shortlist rows re-attach true vectors (the ONLY
-    # touch of raw embeddings in the whole search — Q × shortlist rows).
-    qnorm = F.sqrt(F.aggregate(
+    return _exact_rerank(short, base, queries, k, id_col, vec_col)
+
+
+def _exact_rerank(short: DataFrame, base: DataFrame, queries: DataFrame,
+                  k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Exact rerank of a (query_id, neighbor_id) shortlist: re-attach
+    true vectors (the ONLY touch of raw embeddings in a quantized
+    search — Q × shortlist rows), exact float64 cosine, top-k window
+    with (cos DESC, id ASC) ties."""
+    nrm = F.sqrt(F.aggregate(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda a, x: a + x))
     bnorm = (base.select(F.col(id_col).alias("neighbor_id"),
                          F.transform(F.col(vec_col),
-                                     lambda x: x.cast("double") / qnorm)
+                                     lambda x: x.cast("double") / nrm)
                          .alias("_bv")))
     qdf = (queries.select(F.col(id_col).alias("query_id"),
                           F.transform(F.col(vec_col),
-                                      lambda x: x.cast("double") / qnorm)
+                                      lambda x: x.cast("double") / nrm)
                           .alias("_qv")))
     w_k = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id"))
@@ -234,3 +257,171 @@ def pq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
             .select("query_id", "neighbor_id",
                     F.round("_cos", 6).alias("cos_sim"),
                     F.col("_rn").cast("int").alias("rank")))
+
+
+def ivfpq_train(emb: DataFrame, centroids: np.ndarray, m: int = 8,
+                ksub: int = 64, sample_rows: int = 100_000,
+                iters: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding", seed: int = 42) -> np.ndarray:
+    """Train the RESIDUAL codebook for IVF-PQ: the sample is assigned
+    to its nearest coarse centroid and the per-subspace k-means runs on
+    x - centroid[bucket] — residuals are much more compressible than
+    raw vectors (their spread is the within-cell spread, not the whole
+    space), which is why faiss IVFPQ encodes residuals too."""
+    mat = _bounded_sample_matrix(emb, sample_rows, id_col, vec_col)
+    assign = (mat @ centroids.T).argmax(axis=1)
+    return _train_codebook(mat - centroids[assign], m, ksub, iters, seed)
+
+
+def ivfpq_encode(emb: DataFrame, centroids: np.ndarray,
+                 codebook: np.ndarray, n_assign: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """Quantize the corpus for IVF-PQ: (id, bucket, codes) — the coarse
+    cell id plus m residual-codebook ids. Write this
+    ``partitionBy("bucket")`` and the probe bound becomes directory
+    pruning exactly like the IVF-Flat index, at 1/32 the bytes.
+    ``n_assign > 1`` replicates each vector into its n nearest cells
+    (the recall lever the IVF-Flat index uses too — a vector near a
+    cell boundary is findable from both sides); each replica's residual
+    and codes are relative to ITS OWN cell's centroid, so the ADC
+    decomposition q·cent_b + q·r̂ stays exact per replica. One
+    broadcast + two matmuls per Arrow batch, zero shuffle."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, codebook))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent, cb = bc.value
+        m, _ksub, dsub = cb.shape
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            v = v / norms
+            sims = v @ cent.T
+            na = min(n_assign, cent.shape[0])
+            buckets = (sims.argmax(axis=1)[:, None] if na == 1
+                       else np.argsort(-sims, axis=1)[:, :na])
+            rep_ids = np.repeat(ids, na)
+            rep_buckets = buckets.reshape(-1)
+            resid = np.repeat(v, na, axis=0) - cent[rep_buckets]
+            codes = np.empty((len(resid), m), dtype=np.int32)
+            for j in range(m):
+                sub = resid[:, j * dsub:(j + 1) * dsub]
+                score = 2.0 * (sub @ cb[j].T) - (cb[j] * cb[j]).sum(axis=1)
+                codes[:, j] = score.argmax(axis=1)
+            yield pd.DataFrame({id_col: rep_ids,
+                                "bucket": rep_buckets.astype(np.int32),
+                                "codes": list(codes)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, bucket int, codes array<int>")
+
+
+def ivfpq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
+                 centroids: np.ndarray, codebook: np.ndarray,
+                 n_probe: int = 8, k: int = 1, shortlist: int = 32,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 exclude_self: bool = False) -> DataFrame:
+    """The combined 100 TB index: IVF probe pruning × PQ code
+    compression (faiss IVFPQ as a DataFrame pipeline). Each query meets
+    only its ``n_probe`` buckets' CODE rows — scan fraction ~n_probe /
+    n_cells of a table that is already ~32× smaller than the raw
+    embeddings — and scoring inside a bucket is residual-ADC:
+    cos(q, x) ≈ q·centroid[b] (per probed pair, exact) + Σ_j
+    LUT[q, j, code_j] (m table lookups). The per-query shortlist then
+    pays the exact rerank, restoring output precision.
+
+    Plan shape: probe assignment is one Arrow matmul over the queries;
+    the bucket-local ADC is a cogroup on bucket (co-partitioned with a
+    partitionBy("bucket") layout — no wide shuffle of codes); only
+    (query, neighbor) shortlist rows reach the global window."""
+    spark = codes.sparkSession
+    m, ksub, dsub = codebook.shape
+    bc = spark.sparkContext.broadcast((centroids, codebook))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent, cb = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            v = v / norms
+            sims = v @ cent.T
+            probes = np.argsort(-sims, axis=1)[:, :n_probe]
+            reps = probes.shape[1]
+            # LUT[j, c] = q_sub_j · codebook[j, c]; flattened per row.
+            lut = np.einsum("qjd,jcd->qjc",
+                            v.reshape(len(v), m, dsub), cb)
+            yield pd.DataFrame({
+                "query_id": np.repeat(ids, reps),
+                "bucket": probes.reshape(-1).astype(np.int32),
+                "_off": np.take_along_axis(sims, probes, axis=1)
+                          .reshape(-1),
+                "_lut": list(np.repeat(lut.reshape(len(v), m * ksub),
+                                       reps, axis=0)
+                             .astype(np.float32)),
+            })
+
+    probed = queries.select(id_col, vec_col).mapInPandas(
+        probe, "query_id long, bucket int, _off double, _lut array<float>")
+    offsets = (np.arange(m) * ksub).astype(np.int64)
+
+    def bucket_adc(q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "neighbor_id", "_adc"]
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        c_ids = c_pdf[id_col].to_numpy()
+        cd = np.array(c_pdf["codes"].tolist(), dtype=np.int64) + offsets
+        q_ids = q_pdf["query_id"].to_numpy()
+        off = q_pdf["_off"].to_numpy()
+        lut = np.array(q_pdf["_lut"].tolist(), dtype=np.float64)
+        # Same gather-buffer cap as the flat-ADC kernel: a skewed cell
+        # (or a hot serving bucket) must not materialize Q × |cell| × m
+        # at once; chunk the cell and keep a running per-query top.
+        chunk = max(1, 32_000_000 // max(1, len(q_ids) * cd.shape[1]))
+        top = min(shortlist, 10_000)
+        best_ids: list[np.ndarray] = []
+        best_scores: list[np.ndarray] = []
+        for s in range(0, len(c_ids), chunk):
+            # scores[q, i] = q·cent[b] + Σ_j LUT[q, cd[i, j]]
+            scores = off[:, None] + lut[:, cd[s:s + chunk]].sum(axis=2)
+            if scores.shape[1] > top:
+                part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+                best_ids.append(c_ids[s:s + chunk][part])
+                best_scores.append(
+                    np.take_along_axis(scores, part, axis=1))
+            else:
+                best_ids.append(np.broadcast_to(c_ids[s:s + chunk],
+                                                scores.shape))
+                best_scores.append(scores)
+        ids_m = np.concatenate(best_ids, axis=1)
+        sc_m = np.concatenate(best_scores, axis=1)
+        if sc_m.shape[1] > top:
+            part = np.argpartition(-sc_m, top - 1, axis=1)[:, :top]
+            ids_m = np.take_along_axis(ids_m, part, axis=1)
+            sc_m = np.take_along_axis(sc_m, part, axis=1)
+        return pd.DataFrame({
+            "query_id": np.repeat(q_ids, ids_m.shape[1]),
+            "neighbor_id": ids_m.reshape(-1),
+            "_adc": sc_m.reshape(-1)})
+
+    local = (probed.groupBy("bucket")
+             .cogroup(codes.groupBy("bucket"))
+             .applyInPandas(lambda ql, cl: bucket_adc(ql, cl),
+                            "query_id long, neighbor_id long, _adc double"))
+    if exclude_self:
+        local = local.filter(F.col("query_id") != F.col("neighbor_id"))
+    # Multi-assignment replicas surface the same (query, neighbor) from
+    # several probed cells with different residual-ADC scores (each
+    # replica quantizes against its own centroid); keep the best.
+    local = (local.groupBy("query_id", "neighbor_id")
+             .agg(F.max("_adc").alias("_adc")))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id"))
+    short = (local.withColumn("_rn", F.row_number().over(w_short))
+             .filter(F.col("_rn") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    return _exact_rerank(short, base, queries, k, id_col, vec_col)

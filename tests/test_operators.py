@@ -996,6 +996,55 @@ def test_pq_rerank_cos_is_exact(spark):
         assert abs(r.cos_sim - round(true, 6)) <= 1e-6, r
 
 
+def test_ivfpq_recall_at_least_090(spark):
+    # The combined probe-bounded + code-compressed index must still hit
+    # the true nearest neighbor for >= 90% of queries (measured 0.954
+    # at the registered dials).
+    from integrator_spark.registry import get_queries
+    from .conftest import TEST_SF_DIR
+    qs = get_queries()
+    exact = {r.vec_id: r.cos_sim
+             for r in qs["vec_knn"](spark, TEST_SF_DIR).collect()}
+    got = {r.query_id: r.cos_sim
+           for r in qs["vec_ann_ivfpq"](spark, TEST_SF_DIR)
+           .filter(F.col("rank") == 1).collect()}
+    hits = sum(1 for k, b in exact.items() if got.get(k, -2.0) >= b - 1e-6)
+    assert hits / len(exact) >= 0.9, hits / len(exact)
+
+
+def test_ivfpq_residual_adc_decomposition_is_tight(spark):
+    # Residual ADC = q·centroid + q·r̂. With ksub large enough to give
+    # every sample row its own residual centroid (here: tiny corpus,
+    # ksub >= n), quantization error vanishes and the ADC score must
+    # equal the exact cosine to float32-storage precision — validating
+    # the offset + LUT decomposition end-to-end.
+    import numpy as np
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.ivf import train_centroids
+    from integrator_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_search,
+        ivfpq_train,
+    )
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings") \
+        .filter(F.col("vec_id") < 40)
+    cent = train_centroids(e, n_clusters=4, sample_rows=40, iters=5)
+    cb = ivfpq_train(e, cent, m=8, ksub=40, sample_rows=40, iters=8)
+    codes = ivfpq_encode(e, cent, cb, n_assign=2)
+    out = ivfpq_search(codes, e, e, cent, cb, n_probe=4, k=1,
+                       shortlist=8, exclude_self=True).collect()
+    assert len(out) == 40
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in e.collect()}
+    for r in out:
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos_sim - round(true, 6)) <= 1e-6, r
+
+
 def test_knn_exact_none_estimate_falls_back_to_stats_job(spark):
     # est_cells=None (non-local source) must still route correctly via
     # the count+dim aggregate instead of crashing or guessing.
