@@ -95,6 +95,15 @@ def _bounded_sample_matrix(emb: DataFrame, sample_rows: int,
     return mat
 
 
+def _unpack_codes(col: pd.Series, m: int) -> np.ndarray:
+    """byte-packed code column → int64 [n, m] matrix (one frombuffer
+    over the concatenated bytes; no per-row Python loop)."""
+    if len(col) == 0:
+        return np.empty((0, m), dtype=np.int64)
+    return (np.frombuffer(b"".join(col.tolist()), dtype=np.uint8)
+            .reshape(-1, m).astype(np.int64))
+
+
 def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
              sample_rows: int = 100_000, iters: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -111,10 +120,17 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
 def pq_encode(emb: DataFrame, codebook: np.ndarray,
               id_col: str = "vec_id", vec_col: str = "embedding"
               ) -> DataFrame:
-    """Quantize the corpus: (id, codes array<int>) — m centroid ids per
-    vector, the 32×-smaller representation the ADC scan reads instead
-    of the raw embeddings. One broadcast + one Arrow-batched matmul per
+    """Quantize the corpus: (id, codes binary) — m centroid ids PACKED
+    one byte each (requires ksub ≤ 256), the 32×-smaller representation
+    the ADC scan reads instead of the raw embeddings. Binary packing is
+    the difference between nominal and REAL compression: an array<int>
+    layout spends 4 B + list overhead per 1-byte code and parquet
+    stores residual-ADC codes near their ~log2(ksub)-bit entropy only
+    when they arrive as raw bytes (measured on the 1.1M corpus —
+    SCALING.md round 7). One broadcast + one Arrow-batched matmul per
     subspace; zero shuffle."""
+    if codebook.shape[1] > 256:
+        raise ValueError("pq_encode: byte-packed codes need ksub <= 256")
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(codebook)
 
@@ -127,15 +143,16 @@ def pq_encode(emb: DataFrame, codebook: np.ndarray,
             norms = np.linalg.norm(v, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             v = v / norms
-            codes = np.empty((len(v), m), dtype=np.int32)
+            codes = np.empty((len(v), m), dtype=np.uint8)
             for j in range(m):
                 sub = v[:, j * dsub:(j + 1) * dsub]
                 score = 2.0 * (sub @ cb[j].T) - (cb[j] * cb[j]).sum(axis=1)
                 codes[:, j] = score.argmax(axis=1)
-            yield pd.DataFrame({id_col: ids, "codes": list(codes)})
+            yield pd.DataFrame({id_col: ids,
+                                "codes": [r.tobytes() for r in codes]})
 
     return emb.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, codes array<int>")
+        encode, f"{id_col} long, codes binary")
 
 
 def pq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
@@ -189,7 +206,7 @@ def pq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
         cand_scores: list[np.ndarray] = []
         for pdf in batches:
             c_ids_all = pdf[id_col].to_numpy()
-            cd_all = np.array(pdf["codes"].tolist(), dtype=np.int64) + offsets
+            cd_all = _unpack_codes(pdf["codes"], m) + offsets
             for s in range(0, len(c_ids_all), chunk):
                 c_ids = c_ids_all[s:s + chunk]
                 cd = cd_all[s:s + chunk]
@@ -285,8 +302,12 @@ def ivfpq_encode(emb: DataFrame, centroids: np.ndarray,
     (the recall lever the IVF-Flat index uses too — a vector near a
     cell boundary is findable from both sides); each replica's residual
     and codes are relative to ITS OWN cell's centroid, so the ADC
-    decomposition q·cent_b + q·r̂ stays exact per replica. One
-    broadcast + two matmuls per Arrow batch, zero shuffle."""
+    decomposition q·cent_b + q·r̂ stays exact per replica. Codes are
+    byte-packed (binary, m bytes — see pq_encode on why that is the
+    real compression). One broadcast + two matmuls per Arrow batch,
+    zero shuffle."""
+    if codebook.shape[1] > 256:
+        raise ValueError("ivfpq_encode: byte-packed codes need ksub <= 256")
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast((centroids, codebook))
 
@@ -306,17 +327,17 @@ def ivfpq_encode(emb: DataFrame, centroids: np.ndarray,
             rep_ids = np.repeat(ids, na)
             rep_buckets = buckets.reshape(-1)
             resid = np.repeat(v, na, axis=0) - cent[rep_buckets]
-            codes = np.empty((len(resid), m), dtype=np.int32)
+            codes = np.empty((len(resid), m), dtype=np.uint8)
             for j in range(m):
                 sub = resid[:, j * dsub:(j + 1) * dsub]
                 score = 2.0 * (sub @ cb[j].T) - (cb[j] * cb[j]).sum(axis=1)
                 codes[:, j] = score.argmax(axis=1)
             yield pd.DataFrame({id_col: rep_ids,
                                 "bucket": rep_buckets.astype(np.int32),
-                                "codes": list(codes)})
+                                "codes": [r.tobytes() for r in codes]})
 
     return emb.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, bucket int, codes array<int>")
+        encode, f"{id_col} long, bucket int, codes binary")
 
 
 def ivfpq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
@@ -374,7 +395,7 @@ def ivfpq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
         if len(q_pdf) == 0 or len(c_pdf) == 0:
             return pd.DataFrame(columns=cols)
         c_ids = c_pdf[id_col].to_numpy()
-        cd = np.array(c_pdf["codes"].tolist(), dtype=np.int64) + offsets
+        cd = _unpack_codes(c_pdf["codes"], m) + offsets
         q_ids = q_pdf["query_id"].to_numpy()
         off = q_pdf["_off"].to_numpy()
         lut = np.array(q_pdf["_lut"].tolist(), dtype=np.float64)
