@@ -84,7 +84,15 @@ def main() -> int:
         t0 = time.perf_counter()
         codes_path = derived_dir("/root/testdata/sf0.1", "bigknn",
                                  f"ivfpq_codes_a{n_assign}")
+        # repartition("bucket") before the partitioned write: without
+        # it every one of the 32 encode tasks writes its own file into
+        # every bucket directory — 31,523 files measured for 1024
+        # buckets, 258 MB of du for ~18 MB of data (the classic
+        # small-files failure). With it each bucket is one task → one
+        # file; at real scale the same line keeps file count = bucket
+        # count instead of tasks × buckets.
         (ivfpq_encode(emb, cent, cb, n_assign=n_assign)
+         .repartition("bucket")
          .write.mode("overwrite").partitionBy("bucket").parquet(codes_path))
         codes = spark.read.parquet(codes_path)
         t_encode = time.perf_counter() - t0
