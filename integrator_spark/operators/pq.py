@@ -95,6 +95,47 @@ def _bounded_sample_matrix(emb: DataFrame, sample_rows: int,
     return mat
 
 
+#: ADC scores are quantized to this grid (2^-40 ≈ 9e-13) before ANY
+#: ordering decision — kernel-side shortlist truncation AND the
+#: relational window both order by the same quantized value, so pairs
+#: with exactly-equal code sums tie EVERYWHERE and resolve by neighbor
+#: id everywhere. Without this, argpartition's arbitrary tie handling
+#: inside a kernel could keep a different member of a tied set than
+#: the window's (adc DESC, id ASC) spec — the result would then depend
+#: on partitioning/salting (caught by the hot-bucket invariance test).
+_ADC_SCALE = float(1 << 40)
+
+
+def _chunk_topk(c_ids: np.ndarray, kq: np.ndarray, top: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-``top`` by (kq DESC, id ASC) when all rows share the
+    same ASCENDING-id candidate axis: pack (kq << 20) - position into
+    one int64 key so a single argpartition is tie-exact (smaller
+    position == smaller id wins equal kq). Requires chunk width < 2^20
+    (callers clamp) and |score| < 4 (true of cosine-family sums)."""
+    nq, width = kq.shape
+    if width <= top:
+        return np.broadcast_to(c_ids, (nq, width)), kq
+    key = (kq << 20) - np.arange(width, dtype=np.int64)
+    part = np.argpartition(-key, top - 1, axis=1)[:, :top]
+    return c_ids[part], np.take_along_axis(kq, part, axis=1)
+
+
+def _merge_topk(ids_m: np.ndarray, kq_m: np.ndarray, top: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-``top`` by (kq DESC, id ASC) for per-row id arrays
+    (chunk-block merges): id-ascending pre-sort, then a stable sort on
+    -kq — stability resolves equal kq to the smaller id."""
+    if ids_m.shape[1] > top:
+        o = np.argsort(ids_m, axis=1, kind="stable")
+        ids_m = np.take_along_axis(ids_m, o, axis=1)
+        kq_m = np.take_along_axis(kq_m, o, axis=1)
+        o2 = np.argsort(-kq_m, axis=1, kind="stable")[:, :top]
+        ids_m = np.take_along_axis(ids_m, o2, axis=1)
+        kq_m = np.take_along_axis(kq_m, o2, axis=1)
+    return ids_m, kq_m
+
+
 def _unpack_codes(col: pd.Series, m: int) -> np.ndarray:
     """byte-packed code column → int64 [n, m] matrix (one frombuffer
     over the concatenated bytes; no per-row Python loop)."""
@@ -197,43 +238,48 @@ def pq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
         q_ids, lutr = bc.value
         nq = len(q_ids)
         top = min(shortlist, 10_000)
-        chunk = max(1, max_cells // max(1, nq * m))
+        chunk = min(max(1, max_cells // max(1, nq * m)), (1 << 20) - 1)
         # Per-PARTITION running top-`top`: chunks contribute candidate
-        # (id, score) blocks; one merge at iterator end emits Q × top
+        # (id, kq) blocks; one merge at iterator end emits Q × top
         # rows per partition total — the relational window that follows
         # sees n_partitions × Q × top rows, independent of corpus size.
+        # All selection is tie-exact by (quantized score DESC, id ASC),
+        # matching the window spec (see _ADC_SCALE).
         cand_ids: list[np.ndarray] = []
-        cand_scores: list[np.ndarray] = []
+        cand_kq: list[np.ndarray] = []
         for pdf in batches:
             c_ids_all = pdf[id_col].to_numpy()
             cd_all = _unpack_codes(pdf["codes"], m) + offsets
+            # Ascending-id candidate axis: _chunk_topk's positional
+            # tiebreak then IS the id tiebreak.
+            o = np.argsort(c_ids_all, kind="stable")
+            c_ids_all, cd_all = c_ids_all[o], cd_all[o]
             for s in range(0, len(c_ids_all), chunk):
                 c_ids = c_ids_all[s:s + chunk]
                 cd = cd_all[s:s + chunk]
                 # scores[q, i] = Σ_j lutr[q, cd[i, j]] — gather + sum.
-                scores = lutr[:, cd].sum(axis=2)
-                if scores.shape[1] > top:
-                    part = np.argpartition(-scores, top - 1,
-                                           axis=1)[:, :top]
-                    cand_ids.append(c_ids[part])
-                    cand_scores.append(
-                        np.take_along_axis(scores, part, axis=1))
-                else:
-                    cand_ids.append(
-                        np.broadcast_to(c_ids, (nq, len(c_ids))))
-                    cand_scores.append(scores)
+                kq = np.round(lutr[:, cd].sum(axis=2)
+                              * _ADC_SCALE).astype(np.int64)
+                if exclude_self:
+                    # Mask BEFORE truncation (like knn._chunked_topk_
+                    # rows): a self-pair holding a shortlist slot and
+                    # dying in the later filter would silently shrink
+                    # this kernel's contribution to top-(top-1) — and
+                    # make results depend on which shard the self-pair
+                    # landed in.
+                    kq[q_ids[:, None] == c_ids[None, :]] = -(1 << 41)
+                ids_c, kq_c = _chunk_topk(c_ids, kq, top)
+                cand_ids.append(ids_c)
+                cand_kq.append(kq_c)
         if not cand_ids:
             return
         ids_m = np.concatenate(cand_ids, axis=1)      # [Q, Σ chunk tops]
-        sc_m = np.concatenate(cand_scores, axis=1)
-        if sc_m.shape[1] > top:
-            part = np.argpartition(-sc_m, top - 1, axis=1)[:, :top]
-            ids_m = np.take_along_axis(ids_m, part, axis=1)
-            sc_m = np.take_along_axis(sc_m, part, axis=1)
+        kq_m = np.concatenate(cand_kq, axis=1)
+        ids_m, kq_m = _merge_topk(ids_m, kq_m, top)
         width = ids_m.shape[1]
         yield pd.DataFrame({"query_id": np.repeat(q_ids, width),
                             "neighbor_id": ids_m.reshape(-1),
-                            "_adc": sc_m.reshape(-1)})
+                            "_adc": kq_m.reshape(-1) / _ADC_SCALE})
 
     scored = codes.mapInPandas(
         adc, "query_id long, neighbor_id long, _adc double")
@@ -344,7 +390,9 @@ def ivfpq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
                  centroids: np.ndarray, codebook: np.ndarray,
                  n_probe: int = 8, k: int = 1, shortlist: int = 32,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 exclude_self: bool = False) -> DataFrame:
+                 exclude_self: bool = False,
+                 split_hot_buckets: bool = False,
+                 hot_bucket_rows: int = 250_000) -> DataFrame:
     """The combined 100 TB index: IVF probe pruning × PQ code
     compression (faiss IVFPQ as a DataFrame pipeline). Each query meets
     only its ``n_probe`` buckets' CODE rows — scan fraction ~n_probe /
@@ -357,7 +405,27 @@ def ivfpq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
     Plan shape: probe assignment is one Arrow matmul over the queries;
     the bucket-local ADC is a cogroup on bucket (co-partitioned with a
     partitionBy("bucket") layout — no wide shuffle of codes); only
-    (query, neighbor) shortlist rows reach the global window."""
+    (query, neighbor) shortlist rows reach the global window.
+
+    SKEW: k-means cells on real corpora are heavily imbalanced (a hot
+    cell can hold 10-100× the mean), and a cogroup task processes one
+    whole key — a hot cell is one straggler doing |cell| × its-probes
+    work while 999 tasks idle. ``split_hot_buckets`` salts any bucket
+    whose code-row count exceeds ``hot_bucket_rows`` into
+    ceil(count/hot_bucket_rows) sub-keys (codes side: hash-of-id salt;
+    probe side: replicated across the salts), so the per-task bound is
+    hot_bucket_rows regardless of cell skew. Costs one bounded
+    count-by-bucket pass (≤ n_cells rows to the driver) + probe-row
+    replication on the hot cells only. With n_assign=1 indexes the
+    result is EXACTLY invariant (each pair is scored once with one
+    value; shard-level top-shortlists are supersets of bucket-level
+    ones, and both contain the true global ADC top-shortlist the
+    window extracts). With multi-assignment replicas the marginal
+    shortlist tail can differ: per-bucket truncation may drop one
+    replica of a pair that the finer shard truncation keeps, changing
+    that pair's max-ADC — recall-neutral-or-better (strictly more
+    candidates survive to the exact rerank), but not byte-identical;
+    the invariance test pins the n_assign=1 contract."""
     spark = codes.sparkSession
     m, ksub, dsub = codebook.shape
     bc = spark.sparkContext.broadcast((centroids, codebook))
@@ -390,47 +458,83 @@ def ivfpq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
         probe, "query_id long, bucket int, _off double, _lut array<float>")
     offsets = (np.arange(m) * ksub).astype(np.int64)
 
+    group_keys = ["bucket"]
+    if split_hot_buckets:
+        # Bounded driver collect: one row per NON-EMPTY cell (≤ n_cells).
+        sizes = {r["bucket"]: r["n"] for r in
+                 codes.groupBy("bucket")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        splits = {b: -(-n // hot_bucket_rows) for b, n in sizes.items()
+                  if n > hot_bucket_rows}
+        if splits:
+            splits_df = F.broadcast(spark.createDataFrame(
+                [(b, s) for b, s in sorted(splits.items())],
+                "bucket int, _ns int"))
+            # Codes side: deterministic hash-of-id salt in [0, _ns).
+            codes = (codes.join(splits_df, "bucket", "left")
+                     .withColumn("_salt",
+                                 F.when(F.col("_ns").isNull(), F.lit(0))
+                                 .otherwise(F.pmod(F.xxhash64(id_col),
+                                                   F.col("_ns"))
+                                            .cast("int")))
+                     .drop("_ns"))
+            # Probe side: replicate each probed (query, hot bucket) row
+            # across that bucket's salts; cold buckets keep salt 0.
+            probed = (probed.join(splits_df, "bucket", "left")
+                      .withColumn(
+                          "_salt",
+                          F.explode(F.sequence(
+                              F.lit(0),
+                              F.coalesce(F.col("_ns"), F.lit(1)) - 1)))
+                      .withColumn("_salt", F.col("_salt").cast("int"))
+                      .drop("_ns"))
+            group_keys = ["bucket", "_salt"]
+
     def bucket_adc(q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["query_id", "neighbor_id", "_adc"]
         if len(q_pdf) == 0 or len(c_pdf) == 0:
             return pd.DataFrame(columns=cols)
         c_ids = c_pdf[id_col].to_numpy()
         cd = _unpack_codes(c_pdf["codes"], m) + offsets
+        # Ascending-id candidate axis for tie-exact selection (see
+        # _ADC_SCALE / _chunk_topk).
+        o = np.argsort(c_ids, kind="stable")
+        c_ids, cd = c_ids[o], cd[o]
         q_ids = q_pdf["query_id"].to_numpy()
         off = q_pdf["_off"].to_numpy()
         lut = np.array(q_pdf["_lut"].tolist(), dtype=np.float64)
         # Same gather-buffer cap as the flat-ADC kernel: a skewed cell
         # (or a hot serving bucket) must not materialize Q × |cell| × m
         # at once; chunk the cell and keep a running per-query top.
-        chunk = max(1, 32_000_000 // max(1, len(q_ids) * cd.shape[1]))
+        chunk = min(max(1, 32_000_000 // max(1, len(q_ids) * m)),
+                    (1 << 20) - 1)
         top = min(shortlist, 10_000)
         best_ids: list[np.ndarray] = []
-        best_scores: list[np.ndarray] = []
+        best_kq: list[np.ndarray] = []
         for s in range(0, len(c_ids), chunk):
             # scores[q, i] = q·cent[b] + Σ_j LUT[q, cd[i, j]]
-            scores = off[:, None] + lut[:, cd[s:s + chunk]].sum(axis=2)
-            if scores.shape[1] > top:
-                part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
-                best_ids.append(c_ids[s:s + chunk][part])
-                best_scores.append(
-                    np.take_along_axis(scores, part, axis=1))
-            else:
-                best_ids.append(np.broadcast_to(c_ids[s:s + chunk],
-                                                scores.shape))
-                best_scores.append(scores)
+            kq = np.round((off[:, None] + lut[:, cd[s:s + chunk]]
+                           .sum(axis=2)) * _ADC_SCALE).astype(np.int64)
+            if exclude_self:
+                # Same pre-truncation self-mask as the flat kernel —
+                # without it the result depends on which shard the
+                # self-pair lands in (see that comment).
+                kq[q_ids[:, None] == c_ids[s:s + chunk][None, :]] \
+                    = -(1 << 41)
+            ids_c, kq_c = _chunk_topk(c_ids[s:s + chunk], kq, top)
+            best_ids.append(ids_c)
+            best_kq.append(kq_c)
         ids_m = np.concatenate(best_ids, axis=1)
-        sc_m = np.concatenate(best_scores, axis=1)
-        if sc_m.shape[1] > top:
-            part = np.argpartition(-sc_m, top - 1, axis=1)[:, :top]
-            ids_m = np.take_along_axis(ids_m, part, axis=1)
-            sc_m = np.take_along_axis(sc_m, part, axis=1)
+        kq_m = np.concatenate(best_kq, axis=1)
+        ids_m, kq_m = _merge_topk(ids_m, kq_m, top)
+        sc_m = kq_m / _ADC_SCALE
         return pd.DataFrame({
             "query_id": np.repeat(q_ids, ids_m.shape[1]),
             "neighbor_id": ids_m.reshape(-1),
             "_adc": sc_m.reshape(-1)})
 
-    local = (probed.groupBy("bucket")
-             .cogroup(codes.groupBy("bucket"))
+    local = (probed.groupBy(*group_keys)
+             .cogroup(codes.groupBy(*group_keys))
              .applyInPandas(lambda ql, cl: bucket_adc(ql, cl),
                             "query_id long, neighbor_id long, _adc double"))
     if exclude_self:

@@ -1045,6 +1045,46 @@ def test_ivfpq_residual_adc_decomposition_is_tight(spark):
         assert abs(r.cos_sim - round(true, 6)) <= 1e-6, r
 
 
+def test_ivfpq_hot_bucket_split_is_result_invariant(spark):
+    # Salting hot cells (per-task bound regardless of cell skew) must
+    # not change results for single-assignment indexes: a tiny
+    # hot_bucket_rows forces every cell to split, and the output must
+    # be byte-identical to the unsplit path (each pair scored once;
+    # shard top-shortlists are supersets of bucket ones; the global
+    # window extracts the same true ADC top-shortlist either way).
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.ivf import train_centroids
+    from integrator_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_search,
+        ivfpq_train,
+    )
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings")
+    cent = train_centroids(e, n_clusters=8, sample_rows=2000, iters=5)
+    cb = ivfpq_train(e, cent, m=8, ksub=32, sample_rows=2000, iters=5)
+    kw = dict(n_probe=4, k=2, shortlist=16, exclude_self=True)
+    codes1 = ivfpq_encode(e, cent, cb, n_assign=1)
+    plain = sorted(map(tuple, ivfpq_search(
+        codes1, e, e, cent, cb, **kw).collect()))
+    split = sorted(map(tuple, ivfpq_search(
+        codes1, e, e, cent, cb, split_hot_buckets=True,
+        hot_bucket_rows=20, **kw).collect()))
+    assert plain == split and len(plain) == 1000
+    # Multi-assignment: the shortlist tail may differ (see docstring),
+    # but the split path must not LOSE rank-1 quality — it only ever
+    # feeds more candidates to the exact rerank.
+    codes2 = ivfpq_encode(e, cent, cb, n_assign=2)
+    p1 = {r.query_id: r.cos_sim for r in ivfpq_search(
+        codes2, e, e, cent, cb, **kw).collect() if r.rank == 1}
+    s1 = {r.query_id: r.cos_sim for r in ivfpq_search(
+        codes2, e, e, cent, cb, split_hot_buckets=True,
+        hot_bucket_rows=20, **kw).collect() if r.rank == 1}
+    assert set(p1) == set(s1)
+    assert all(s1[q] >= p1[q] - 1e-9 for q in p1)
+
+
 def test_knn_exact_none_estimate_falls_back_to_stats_job(spark):
     # est_cells=None (non-local source) must still route correctly via
     # the count+dim aggregate instead of crashing or guessing.
