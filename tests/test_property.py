@@ -219,3 +219,59 @@ def test_asof_joins_agree_with_pandas_merge_asof(c, spark):
         return out
 
     assert counts(got) == counts(want), direction
+
+
+doc_corpus = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps",
+                              "zeta", "eta", "theta"]),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=10)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=doc_corpus)
+def test_minhash_det_matches_python_reference(texts, spark):
+    # The deterministic MinHash pipeline (md5[:8] mod p base hash, 16
+    # affine mins, 4x4 banding, candidate pairs + n_equal) must agree
+    # with a direct scalar Python reference on fuzzed corpora —
+    # including short docs (< 3 words -> no shingles -> no signature)
+    # and identical-text collisions. This is the engine-independence
+    # property the DuckDB oracle checks at fixture scale, pinned here
+    # on adversarially small inputs.
+    import hashlib
+
+    from integrator_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_det_pairs,
+    )
+
+    P = MINHASH_PRIME
+
+    def sig(text):
+        words = text.split(" ")
+        sh = {"|".join(words[i:i + 3]) for i in range(len(words) - 2)} \
+            if len(words) >= 3 else set()
+        if not sh:
+            return None
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % P
+              for s in sh]
+        return tuple(min(((1000003 + 7919 * i) * h + (12345 + 104729 * i))
+                         % P for h in hs) for i in range(16))
+
+    sigs = {i: sig(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sigs[a], sigs[b]
+            if sa is None or sb is None:
+                continue
+            if any(sa[4 * j:4 * j + 4] == sb[4 * j:4 * j + 4]
+                   for j in range(4)):
+                want[(a, b)] = sum(x == y for x, y in zip(sa, sb))
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {(r.d1, r.d2): r.n_equal
+           for r in minhash_det_pairs(docs).collect()}
+    assert got == want
