@@ -312,6 +312,38 @@ def dedup_minhash_det_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("d1", "d2"))
 
 
+@register("dedup_containment_guarded", oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+       FROM words, unnest(range(1, len(w) - 1)) t(i)),
+cold AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+          FROM shf a JOIN shf b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2,
+       ROUND(n_inter * 1.0 / ca.n, 6) AS containment,
+       n_inter,
+       ca.n AS n_src
+FROM pairs JOIN cnt ca ON ca.doc_id = d1
+WHERE n_inter * 1.0 / ca.n >= 0.9
+""", tags=("dedup", "neardup", "containment", "skew"))
+def dedup_containment_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_containment with the hot-shingle guard engaged (DF cutoff
+    25, same dial as dedup_ngram_guarded): stop-phrase shingles are
+    dropped BEFORE both the candidate join and the containment
+    denominator, so the fan-out bound AND the score semantics match
+    between engines. The asymmetric screen is the one most exposed to
+    boilerplate (short wrapper docs are mostly hot shingles), so the
+    guarded form is what actually runs on crawl corpora."""
+    from ..operators.dedup import containment_pairs
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, k=3, threshold=0.9, max_doc_freq=25)
+
+
 # Same deterministic-MinHash CTEs as _MINHASH_DET_ORACLE_TMPL, with the
 # dedup_incremental 80/20 id split (corpus: doc_id % 10 < 8; batch: the
 # rest) applied AFTER signature computation — candidates pair a batch
