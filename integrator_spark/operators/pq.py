@@ -392,7 +392,8 @@ def ivfpq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  exclude_self: bool = False,
                  split_hot_buckets: bool = False,
-                 hot_bucket_rows: int = 250_000) -> DataFrame:
+                 hot_bucket_rows: int = 250_000,
+                 prune_buckets: bool = False) -> DataFrame:
     """The combined 100 TB index: IVF probe pruning × PQ code
     compression (faiss IVFPQ as a DataFrame pipeline). Each query meets
     only its ``n_probe`` buckets' CODE rows — scan fraction ~n_probe /
@@ -457,6 +458,20 @@ def ivfpq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
     probed = queries.select(id_col, vec_col).mapInPandas(
         probe, "query_id long, bucket int, _off double, _lut array<float>")
     offsets = (np.arange(m) * ksub).astype(np.int64)
+
+    if prune_buckets:
+        # Same opt-in (and same EAGER-job caveat) as ivf_search's
+        # pruning: the distinct probed cell ids (≤ |Q| × n_probe ints,
+        # driver-bounded) become an isin filter a partitionBy("bucket")
+        # code layout turns into directory pruning — a serving batch
+        # reads ~|Q| × n_probe / n_cells of the code table instead of
+        # scanning-and-dropping every unprobed cell as an empty
+        # cogroup. Opt-in because constructing the result then runs a
+        # probe job at call time.
+        probed = probed.localCheckpoint(eager=True)   # probe once
+        bucket_ids = [int(r["bucket"]) for r in
+                      probed.select("bucket").distinct().collect()]
+        codes = codes.filter(F.col("bucket").isin(bucket_ids))
 
     group_keys = ["bucket"]
     if split_hot_buckets:

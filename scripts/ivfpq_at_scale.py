@@ -116,6 +116,21 @@ def main() -> int:
             print(f"  n_probe={n_probe}: wall={wall:.1f}s "
                   f"recall@1={rec:.4f}", flush=True)
 
+    # Serving shape: a small batch probes few distinct cells, so
+    # prune_buckets turns the probe bound into directory pruning on
+    # the partitionBy("bucket") code layout (same shape as the IVF
+    # serve measurement in ann_at_scale.py).
+    codes1 = spark.read.parquet(
+        derived_dir("/root/testdata/sf0.1", "bigknn", "ivfpq_codes_a1"))
+    serve_q = emb.filter(F.col("vec_id") % 34375 == 0)   # 32 queries
+    for pruned in (False, True):
+        t0 = time.perf_counter()
+        n_out = ivfpq_search(codes1, emb, serve_q, cent, cb, n_probe=8,
+                             k=1, shortlist=32,
+                             prune_buckets=pruned).count()
+        print(f"serve 32 queries n_probe=8 prune_buckets={pruned}: "
+              f"{time.perf_counter() - t0:.1f}s ({n_out} rows)", flush=True)
+
     print("\n| plan | build s | codes vs raw | search s | recall@1 "
           "| ~scan frac |")
     print("| ---- | ------- | ------------ | -------- | -------- "

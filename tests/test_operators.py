@@ -1085,6 +1085,37 @@ def test_ivfpq_hot_bucket_split_is_result_invariant(spark):
     assert all(s1[q] >= p1[q] - 1e-9 for q in p1)
 
 
+def test_ivfpq_prune_buckets_is_result_invariant(spark):
+    # Pruning only drops cells NO query probes (empty cogroups), so
+    # results must be byte-identical; and the default call must stay
+    # lazy (no probe job at construction) — same contract as
+    # ivf_search's opt-in pruning.
+    import inspect
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.ivf import train_centroids
+    from integrator_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_search,
+        ivfpq_train,
+    )
+    from .conftest import TEST_SF_DIR
+
+    assert inspect.signature(ivfpq_search) \
+        .parameters["prune_buckets"].default is False
+    e = load_table(spark, TEST_SF_DIR, "embeddings")
+    cent = train_centroids(e, n_clusters=16, sample_rows=2000, iters=5)
+    cb = ivfpq_train(e, cent, m=8, ksub=32, sample_rows=2000, iters=5)
+    codes = ivfpq_encode(e, cent, cb, n_assign=1)
+    serve = e.filter(F.col("vec_id") % 100 == 0)   # 5 queries, 2 cells
+    kw = dict(n_probe=2, k=1, shortlist=8)
+    plain = sorted(map(tuple, ivfpq_search(
+        codes, e, serve, cent, cb, **kw).collect()))
+    pruned = sorted(map(tuple, ivfpq_search(
+        codes, e, serve, cent, cb, prune_buckets=True, **kw).collect()))
+    assert plain == pruned and len(plain) == 5
+
+
 def test_knn_exact_none_estimate_falls_back_to_stats_job(spark):
     # est_cells=None (non-local source) must still route correctly via
     # the count+dim aggregate instead of crashing or guessing.
