@@ -181,6 +181,44 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("method")
 
 
+@register("vec_ann_recall_quantized", oracle=None,
+          tags=("vector", "knn", "approx", "quality", "pq"))
+def vec_ann_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_ann_recall for the quantized family: measured recall@1 of
+    flat PQ (ADC + exact rerank) and IVF-PQ (probe-bounded residual
+    ADC) against exact kNN, same value-based hit rule (exact-tie twins
+    count; a query with no candidates is a miss). Completes the
+    driver-visible quality row so all SIX ANN paths (lsh, ivf, graph,
+    graph-search, pq, ivfpq) report measured recall, not vibes.
+    Rows-only (k-means internals); both methods are pinned >= 0.9 in
+    tests at the registered dials."""
+    from pyspark.sql import Window
+
+    if load_table(spark, sf_dir, "embeddings").isEmpty():
+        return spark.createDataFrame(
+            [], "method string, n_queries long, n_hits long, recall_at_1 double")
+    exact = (vec_knn(spark, sf_dir)
+             .select("vec_id", F.col("cos_sim").alias("_best")))
+    per_method = []
+    for method, fn in (("ivfpq", vec_ann_ivfpq), ("pq", vec_ann_pq)):
+        top1 = (fn(spark, sf_dir)
+                .filter(F.col("rank") == 1)
+                .select(F.col("query_id").alias("vec_id"),
+                        F.col("cos_sim").alias("_got")))
+        hits = (exact.join(top1, "vec_id", "left")
+                .agg(F.count(F.lit(1)).alias("n_queries"),
+                     F.sum(F.when(F.col("_got") >= F.col("_best") - 1e-6, 1)
+                            .otherwise(0)).alias("n_hits"))
+                .select(F.lit(method).alias("method"), "n_queries", "n_hits",
+                        F.round(F.col("n_hits") / F.col("n_queries"), 4)
+                         .alias("recall_at_1")))
+        per_method.append(hits)
+    out = per_method[0]
+    for df in per_method[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("method")
+
+
 @register("vec_knn5", oracle=_KNN5_ORACLE, tags=("vector", "knn"))
 def vec_knn5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 neighbors per vector through the auto-routed exact plan —
