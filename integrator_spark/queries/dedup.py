@@ -423,6 +423,71 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("new_id", "corpus_id"))
 
 
+_MINHASH_KEEP_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+       FROM words, unnest(range(1, len(w) - 1)) t(i)),
+hv AS (SELECT doc_id,
+              CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT)
+                   % 2147483647 AS BIGINT) AS h
+       FROM sh),
+mh AS (SELECT doc_id, i,
+              MIN(((1000003 + 7919 * i) * h + (12345 + 104729 * i))
+                  % 2147483647) AS mh
+       FROM hv CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+       GROUP BY 1, 2),
+bands AS (SELECT doc_id, i // 4 AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS val
+          FROM mh GROUP BY doc_id, i // 4),
+kept_b AS (
+  SELECT doc_id, band, val FROM (
+    SELECT doc_id, band, val,
+           COUNT(*) OVER (PARTITION BY band, val) AS _df
+    FROM bands)
+  WHERE _df <= 50
+),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM kept_b a JOIN kept_b b
+           ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
+losers AS (
+  SELECT DISTINCT c.d2 AS doc_id
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.d1
+  JOIN mh y ON y.doc_id = c.d2 AND y.i = x.i
+  GROUP BY c.d1, c.d2
+  HAVING SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) >= 12
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@register("dedup_minhash_keep", oracle=_MINHASH_KEEP_ORACLE,
+          tags=("dedup", "neardup"))
+def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup SURVIVOR SET — what a corpus build actually
+    consumes: every document except those whose deterministic-MinHash
+    estimate puts them at >= 0.75 Jaccard (n_equal >= 12 of 16) of a
+    LOWER-id document (keep-first policy, the same tie rule as
+    dedup_exact_rows). Candidate pairs come from the guarded banded
+    join; the drop set materializes via one broadcast-friendly
+    left-anti join, so the fact table shuffles once on the band keys
+    and once never — losers are a tiny fraction. Fully oracle-backed
+    end-to-end: DuckDB recomputes sketches, pairs, the 12/16 cut, and
+    the anti-join."""
+    from ..operators.dedup import minhash_det_pairs
+    d = load_table(spark, sf_dir, "documents")
+    losers = (minhash_det_pairs(d, k=3, n_hashes=16, n_bands=4,
+                                max_band_freq=50)
+              .filter(F.col("n_equal") >= 12)
+              .select(F.col("d2").alias("doc_id"))
+              .distinct())
+    return (d.join(losers, "doc_id", "left_anti")
+            .select("doc_id", "lang", "source"))
+
+
 @register("dedup_simhash",
           oracle=_SIMHASH_ORACLE_TMPL.replace("{GUARD}", ""),
           tags=("dedup", "neardup", "approx"))
