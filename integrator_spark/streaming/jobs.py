@@ -280,12 +280,40 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("user_id").alias("n_distinct_users")))
 
 
-@register("stream_session", oracle=None, tags=("streaming", "session"))
+@register("stream_session", oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+isl AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*) AS n_events
+FROM isl GROUP BY user_id, sid
+-- append-mode emission: a session is final only when the watermark
+-- (max event time - 1 h) has passed its window END (last ts + gap);
+-- sessions still open at end-of-replay are withheld by the sink.
+HAVING MAX(ts) + INTERVAL '30 minutes'
+         <= (SELECT MAX(ts) FROM events) - INTERVAL '1 hour'
+""", tags=("streaming", "session"))
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows under streaming execution (merging session state
-    + watermark). Rows-only: batch-equivalence for sessions is already
-    oracle-checked by events_session; this covers the stateful
-    streaming operator itself."""
+    + watermark). Oracle-backed as of round 7: on the bounded
+    availableNow replay the merging-session-state result coincides
+    with the batch islands construction (lag-gap >= 30 min starts a
+    session — the same boundary rule session_window applies), so
+    DuckDB reproduces (user, session_start, n_events) exactly; the
+    code path exercised is still the genuine streaming one
+    (watermark + session-merging state store)."""
     s = events_stream(spark, sf_dir)
     agg = (s.withWatermark("ts", "1 hour")
            .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
