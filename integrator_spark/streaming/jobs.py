@@ -791,14 +791,49 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                              output_mode="append")
 
 
-@register("stream_session_dynamic", oracle=None, tags=("streaming", "session"))
+@register("stream_session_dynamic", oracle="""
+WITH gapped AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN INTERVAL '10 minutes'
+              WHEN event_type = 'purchase' THEN INTERVAL '60 minutes'
+              ELSE INTERVAL '30 minutes' END AS gap
+  FROM events
+), marked AS (
+  SELECT user_id, ts, gap,
+         CASE WHEN MAX(ts + gap) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR ts >= MAX(ts + gap) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_session
+  FROM gapped
+), sessions AS (
+  SELECT user_id, ts, gap,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+-- append-mode emission (same rule as stream_session's oracle): a
+-- session is final only when the watermark (max event time - 1h) has
+-- passed its window end MAX(ts + gap).
+HAVING MAX(ts + gap)
+         <= (SELECT MAX(ts) FROM events) - INTERVAL '1 hour'
+""", tags=("streaming", "session"))
 def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-gap session windows under streaming execution — the
     stateful merge now has to unify sessions whose extents depend on
-    each event's type (batch analog + oracle: events_session_dynamic).
-    Rows-only like stream_session; bounded availableNow replay makes
-    the final state equal the batch computation, and the determinism
-    gate pins it run-to-run."""
+    each event's type (batch analog: events_session_dynamic).
+    Oracle-backed as of round 7, like stream_session: the running
+    MAX(ts + gap) islands construction plus the append-mode emission
+    rule (watermark must pass the window end) reproduces the drained
+    result exactly on the bounded replay."""
     s = events_stream(spark, sf_dir)
     gap = (F.when(F.col("event_type") == "click", "10 minutes")
            .when(F.col("event_type") == "purchase", "60 minutes")
