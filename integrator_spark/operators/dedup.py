@@ -514,3 +514,128 @@ def connected_components(pairs: DataFrame, a_col: str = "d1",
             break
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+# --- Sign-random-projection (hyperplane) LSH over embeddings ---------------
+#
+# The embedding analogue of the deterministic-MinHash family above: a
+# cross-engine-replayable sketch whose every step an ANSI-SQL oracle can
+# recompute from the raw vectors. Two determinism tricks make that
+# possible:
+#
+# 1. Hyperplanes are md5-derived +/-1 vectors (coefficient for plane p,
+#    component j = parity of the first md5 byte of "p:j"), not RNG
+#    Gaussians — any engine with md5 regenerates the identical planes.
+# 2. The projection sign is computed in EXACT integer arithmetic:
+#    components are quantized once as floor(x * 2^20) (double multiply
+#    and floor are IEEE-deterministic), then dotted with the +/-1 ints.
+#    A float dot's sum order could flip a near-zero sign between
+#    engines; int64 sums cannot (|sum| <= 64 * 2^21 * 2^20 << 2^63).
+#
+# Collision probability per plane for angle theta is 1 - theta/pi, so
+# with r planes per band and b bands recall at cosine c is
+# 1 - (1 - (1 - acos(c)/pi)^r)^b — dial r down / b up for low
+# thresholds. Cost tracks colliding pairs only (bucket-equality join,
+# never all-pairs); sign-LSH selectivity is strongest in the
+# high-similarity regime, and the honest low-threshold scale path is
+# the IVF-bucketed variant (semantic_pairs_ivf below).
+
+
+def signlsh_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic +/-1 hyperplane matrix [n_planes, dim]: coefficient
+    (p, j) is +1 iff the first byte of md5("p:j") is even. Engine-
+    portable by construction — the DuckDB oracle recomputes the same
+    matrix with its own md5()."""
+    coef = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for j in range(dim):
+            h = hashlib.md5(f"{p}:{j}".encode()).hexdigest()
+            coef[p, j] = 1 if int(h[:2], 16) % 2 == 0 else -1
+    return coef
+
+
+def signlsh_buckets(emb: DataFrame, dim: int, bits_per_band: int = 3,
+                    n_bands: int = 12, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, band, bucket) rows — one integer bucket per band per vector.
+    One Arrow-batched int64 matmul per batch against the broadcast
+    plane matrix; no shuffle, cost n x planes x dim integer MACs."""
+    n_planes = bits_per_band * n_bands
+    coef = signlsh_planes(dim, n_planes)
+    bc = emb.sparkSession.sparkContext.broadcast(coef)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = bc.value
+        weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if v.shape[1] != planes.shape[1]:
+                raise ValueError(
+                    f"signlsh_buckets: dim mismatch {v.shape[1]} != "
+                    f"{planes.shape[1]}")
+            q = np.floor(v * float(1 << 20)).astype(np.int64)
+            bits = (q @ planes.T >= 0).astype(np.int64)  # [n, planes]
+            buckets = (bits.reshape(len(pdf), n_bands, bits_per_band)
+                       * weights).sum(axis=2)            # [n, bands]
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32),
+                                len(pdf)),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        bucketize, f"{id_col} long, band int, bucket long")
+
+
+def signlsh_pairs(emb: DataFrame, threshold: float = 0.45, dim: int = 64,
+                  bits_per_band: int = 3, n_bands: int = 12,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  max_bucket_freq: int | None = None) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold) with sign-LSH
+    candidate generation: same-(band, bucket) equality self-join (the
+    only shuffle), distinct candidate pairs, then an exact float64
+    cosine residual filter on just those pairs. ``max_bucket_freq``
+    is the standard hot-bucket skew guard (drop buckets collecting
+    more than that many vectors before the join — same posture as the
+    hot-shingle guards above).
+
+    Output: id_a < id_b, cos_sim rounded to 6 dp."""
+    buckets = signlsh_buckets(emb, dim, bits_per_band, n_bands,
+                              id_col, vec_col)
+    if max_bucket_freq is not None:
+        hot = (buckets.groupBy("band", "bucket")
+               .agg(F.count(F.lit(1)).alias("_bf"))
+               .filter(F.col("_bf") > max_bucket_freq)
+               .select("band", "bucket"))
+        buckets = buckets.join(F.broadcast(hot), ["band", "bucket"],
+                               "left_anti")
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ea = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("_va"))
+    eb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("_vb"))
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series([], dtype="float64")
+        x = np.array(va.tolist(), dtype=np.float64)
+        y = np.array(vb.tolist(), dtype=np.float64)
+        num = (x * y).sum(axis=1)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, 0.0)
+        return pd.Series(out)
+
+    return (cand.join(ea, "id_a").join(eb, "id_b")
+            .withColumn("_c", _cos("_va", "_vb"))
+            .filter(F.col("_c") >= threshold)
+            .select("id_a", "id_b", F.round("_c", 6).alias("cos_sim")))

@@ -868,3 +868,129 @@ def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("method")
+
+
+# Sign-random-projection LSH oracle: DuckDB recomputes the ENTIRE
+# pipeline from the raw vectors — the md5-parity +/-1 hyperplanes, the
+# exact integer quantized projections (floor(x*2^20) int64 dot), the
+# banded bucket packing, the bucket-equality candidate join, and the
+# exact-cosine residual filter. Any divergence in plane derivation,
+# quantization, sign convention, banding, or the residual threshold
+# breaks the value-hash match. Constants: dim=64, 3 bits x 12 bands
+# = 36 planes, residual cosine >= 0.45 (same threshold as
+# dedup_embedding so the recall row below is directly comparable).
+_SIGNLSH_CAND = """
+qv AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                             x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+       FROM embeddings),
+comp AS (SELECT vec_id, j, q[j + 1] AS val
+         FROM qv, unnest(range(0, 64)) t(j)),
+planes AS (SELECT p, j,
+                  CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR)
+                                 || ':' || CAST(j AS VARCHAR)), 1, 2)
+                            AS UBIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END AS c
+           FROM range(0, 36) tp(p) CROSS JOIN range(0, 64) tj(j)),
+proj AS (SELECT comp.vec_id, planes.p,
+                SUM(comp.val * planes.c) AS s
+         FROM comp JOIN planes ON comp.j = planes.j
+         GROUP BY 1, 2),
+buck AS (SELECT vec_id, CAST(p // 3 AS INT) AS band,
+                SUM(CASE WHEN s >= 0
+                         THEN (1 << CAST(p % 3 AS INT)) ELSE 0 END) AS bucket
+         FROM proj GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM buck a JOIN buck b
+           ON a.band = b.band AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id)
+"""
+
+_SIGNLSH_PAIRS_ORACLE = f"""
+WITH {_SIGNLSH_CAND}
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 6)
+         AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) >= 0.45
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_embedding_lsh", oracle=_SIGNLSH_PAIRS_ORACLE,
+          tags=("dedup", "embedding", "approx"))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-random-projection LSH — the
+    sub-quadratic candidate path for cosine dedup, ORACLE-BACKED end to
+    end (the md5-derived hyperplanes and exact-integer sign arithmetic
+    make the sketch engine-replayable; DuckDB recomputes planes,
+    projections, bands, candidates, and the residual filter from raw
+    vectors). Candidates come from a bucket-equality self-join — cost
+    tracks colliding pairs, never n²; the exact cosine runs only on
+    candidates. 3 bits x 12 bands targets the fixture's 0.45-0.55
+    near-dup regime (per-plane collision 1 - theta/pi); dedups at
+    higher thresholds dial bits up for sharper selectivity."""
+    from ..operators.dedup import signlsh_pairs
+    e = load_table(spark, sf_dir, "embeddings")
+    return (signlsh_pairs(e, threshold=0.45, dim=64,
+                          bits_per_band=3, n_bands=12)
+            .orderBy("id_a", "id_b"))
+
+
+_SIGNLSH_RECALL_ORACLE = f"""
+WITH {_SIGNLSH_CAND},
+lsh AS (SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[]))
+              >= 0.45),
+exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))
+                >= 0.45)
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+       CAST((SELECT COUNT(*) FROM exact e
+             JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b)
+            AS BIGINT) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM exact e
+              JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b) * 1.0
+             / NULLIF((SELECT COUNT(*) FROM exact), 0), 4) AS recall
+"""
+
+
+@register("dedup_embedding_lsh_recall", oracle=_SIGNLSH_RECALL_ORACLE,
+          tags=("dedup", "embedding", "recall"))
+def dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible, ORACLE-CHECKED recall of the sign-LSH candidate
+    path against the exact cosine pair set (both pipelines are
+    SQL-expressible, so even the recall arithmetic is cross-engine
+    verified — stronger than the rows-only recall rows the
+    engine-private sketches get)."""
+    from ..operators.dedup import signlsh_pairs
+    e = load_table(spark, sf_dir, "embeddings")
+    from .vectors import _emb_cells_estimate
+    exact = (cosine_pairs_exact(e, threshold=0.45,
+                                est_cells=_emb_cells_estimate(sf_dir))
+             .select("id_a", "id_b"))
+    lsh = (signlsh_pairs(e, threshold=0.45, dim=64,
+                         bits_per_band=3, n_bands=12)
+           .select("id_a", "id_b"))
+    hit = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    return (exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(F.col("n_exact").cast("long").alias("n_exact"),
+                    F.col("n_lsh").cast("long").alias("n_lsh"),
+                    F.col("n_hit").cast("long").alias("n_hit"),
+                    F.when(F.col("n_exact") > 0,
+                           F.round(F.col("n_hit") / F.col("n_exact"), 4))
+                     .otherwise(F.lit(None).cast("double"))
+                     .alias("recall")))
