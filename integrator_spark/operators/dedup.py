@@ -639,3 +639,82 @@ def signlsh_pairs(emb: DataFrame, threshold: float = 0.45, dim: int = 64,
             .withColumn("_c", _cos("_va", "_vb"))
             .filter(F.col("_c") >= threshold)
             .select("id_a", "id_b", F.round("_c", 6).alias("cos_sim")))
+
+
+def semantic_pairs_ivf(emb: DataFrame, threshold: float = 0.45,
+                       n_clusters: int | None = None, n_assign: int = 3,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_bucket_rows: int | None = None,
+                       chunk_cells: int = 32_000_000) -> DataFrame:
+    """Embedding near-dup pairs via IVF cell bucketing — the scale path
+    for LOW-threshold semantic dedup where sign-LSH selectivity decays
+    (per-plane collision for cosine 0.45 is ~0.65, so low-threshold
+    banding either misses pairs or admits near-all-pairs; clustering
+    concentrates true neighbors into the same coarse cell instead).
+
+    Shape: deterministic k-means coarse quantizer (bounded driver
+    sample), each vector multi-assigned to its ``n_assign`` nearest
+    cells (boundary pairs meet in a shared second cell), one shuffle on
+    the cell key, then an exact chunked float64 matmul WITHIN each cell
+    (upper-triangle, >= threshold). Work is sum(|cell|²), never n²;
+    memory per task is bounded by ``chunk_cells``. ``max_bucket_rows``
+    drops degenerate mega-cells (same posture as every hot-key guard in
+    this module — recall impact is measured, not silent: see
+    dedup_semantic_recall). Rows-only by design: the quantizer is
+    engine-private, so recall vs the exact pair set is the registered
+    check."""
+    from .ivf import ivf_assign, train_centroids
+
+    if n_clusters is None:
+        # ~64 vectors per cell, floor 2, modest cap: measured 1.0
+        # recall at both committed fixtures (7/7 at 50 rows with 2
+        # cells, 14/14 at 500 rows with 7 cells). Callers at real
+        # corpus scale pass n_clusters explicitly (~sqrt(n), the
+        # usual IVF sizing) — the cap only governs the default.
+        n_clusters = max(2, min(256, emb.count() // 64))
+    n_assign = min(n_assign, n_clusters)
+    cent = train_centroids(emb, n_clusters=n_clusters,
+                           id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(emb, cent, n_assign=n_assign,
+                          id_col=id_col, vec_col=vec_col)
+    if max_bucket_rows is not None:
+        hot = (assigned.groupBy("bucket")
+               .agg(F.count(F.lit(1)).alias("_bf"))
+               .filter(F.col("_bf") > max_bucket_rows)
+               .select("bucket"))
+        assigned = assigned.join(F.broadcast(hot), "bucket", "left_anti")
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="float64")})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        v = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vn = v / norms
+        chunk = max(1, chunk_cells // max(n, 1))
+        outs_a, outs_b, outs_c = [], [], []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = vn[lo:hi] @ vn.T                     # [hi-lo, n]
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = (rows + lo) < cols                   # strict upper tri
+            rows, cols = rows[keep], cols[keep]
+            outs_a.append(ids[rows + lo])
+            outs_b.append(ids[cols])
+            outs_c.append(sims[rows, cols])
+        return pd.DataFrame({"id_a": np.concatenate(outs_a),
+                             "id_b": np.concatenate(outs_b),
+                             "cos_sim": np.concatenate(outs_c)})
+
+    pairs = assigned.groupBy("bucket").applyInPandas(
+        cell_pairs, "id_a long, id_b long, cos_sim double")
+    # Multi-assignment finds the same pair in every shared cell; the
+    # kernel is deterministic, so (id_a, id_b, round6) dedups exactly.
+    return (pairs.select("id_a", "id_b",
+                         F.round("cos_sim", 6).alias("cos_sim"))
+            .distinct())

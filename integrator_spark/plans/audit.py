@@ -50,6 +50,7 @@ CROSS_JOIN_ALLOWED = {
     "corpus_quality_filter",   # 1-row p75-threshold frame broadcast to scan
     "dedup_candidate_recall",  # two 1-row count frames crossJoined per method
     "dedup_embedding_lsh_recall",  # three 1-row count frames crossJoined
+    "dedup_semantic_recall",   # three 1-row count frames crossJoined
     "graph_triangles",     # three 1-row census frames crossJoined
     "basket_rules",        # 1-row basket-total frame broadcast to rules
     "stats_bootstrap",     # bounded B-replicate explode + 1-row estimate

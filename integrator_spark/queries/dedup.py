@@ -994,3 +994,56 @@ def dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.round(F.col("n_hit") / F.col("n_exact"), 4))
                      .otherwise(F.lit(None).cast("double"))
                      .alias("recall")))
+
+
+def _empty_pairs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "id_a long, id_b long, cos_sim double")
+
+
+@register("dedup_semantic_ivf", oracle=None,
+          tags=("dedup", "embedding", "approx", "scale"))
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via IVF cell bucketing — the
+    low-threshold scale path (sign-LSH banding loses selectivity as the
+    threshold drops; k-means cells concentrate true neighbors instead).
+    Multi-assignment (each vector in its 2 nearest cells) recovers
+    boundary pairs; within-cell scan is an exact chunked float64
+    matmul. Rows-only by design (the coarse quantizer is
+    engine-private); dedup_semantic_recall is the registered
+    driver-visible check against the exact pair set."""
+    from ..operators.dedup import semantic_pairs_ivf
+    e = load_table(spark, sf_dir, "embeddings")
+    if not e.head(1):
+        return _empty_pairs(spark)
+    return (semantic_pairs_ivf(e, threshold=0.45)
+            .orderBy("id_a", "id_b"))
+
+
+@register("dedup_semantic_recall", oracle=None,
+          tags=("dedup", "embedding", "recall"))
+def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the IVF-bucketed semantic dedup against the exact
+    cosine pair set (same 0.45 threshold). Registered so the driver
+    sees the measured number every round; tests pin it >= 0.9."""
+    from ..operators.dedup import semantic_pairs_ivf
+    from .vectors import _emb_cells_estimate
+    e = load_table(spark, sf_dir, "embeddings")
+    if not e.head(1):
+        return spark.createDataFrame(
+            [], "n_exact long, n_ivf long, n_hit long, recall double")
+    exact = (cosine_pairs_exact(e, threshold=0.45,
+                                est_cells=_emb_cells_estimate(sf_dir))
+             .select("id_a", "id_b"))
+    ivf = (semantic_pairs_ivf(e, threshold=0.45)
+           .select("id_a", "id_b"))
+    hit = exact.join(ivf, ["id_a", "id_b"], "left_semi")
+    return (exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(ivf.agg(F.count(F.lit(1)).alias("n_ivf")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(F.col("n_exact").cast("long").alias("n_exact"),
+                    F.col("n_ivf").cast("long").alias("n_ivf"),
+                    F.col("n_hit").cast("long").alias("n_hit"),
+                    F.when(F.col("n_exact") > 0,
+                           F.round(F.col("n_hit") / F.col("n_exact"), 4))
+                     .otherwise(F.lit(None).cast("double"))
+                     .alias("recall")))

@@ -1448,3 +1448,49 @@ def test_logistic_irls_matches_numpy_reference(spark):
     with _pytest.raises(ValueError, match="empty input"):
         logistic_irls(spark.createDataFrame(pdf).limit(0),
                       ["intercept", "f1", "f2"], "label", iterations=1)
+
+
+def test_semantic_ivf_recall_at_least_090(spark):
+    # The IVF-bucketed semantic dedup is rows-only (engine-private
+    # quantizer) — this pin is its correctness contract: >= 0.9 of the
+    # exact cosine pair set must survive the cell bucketing at BOTH
+    # committed fixtures (measured 1.0 / 1.0 when added).
+    from integrator_spark.registry import all_specs
+    spec = all_specs()["dedup_semantic_recall"]
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        r = spec.fn(spark, sf_dir).collect()[0]
+        assert r.n_exact > 0
+        assert r.recall >= 0.9, f"{sf_dir} recall {r.recall}"
+
+
+def test_signlsh_planes_match_md5_parity():
+    # The Spark-side hyperplane matrix must equal the md5-parity
+    # formula the DuckDB oracle recomputes — a drift here would not
+    # crash anything, it would silently change the candidate sets on
+    # one engine only.
+    import hashlib
+
+    import numpy as np
+
+    from integrator_spark.operators.dedup import signlsh_planes
+    coef = signlsh_planes(8, 6)
+    assert coef.shape == (6, 8)
+    for p in range(6):
+        for j in range(8):
+            h = hashlib.md5(f"{p}:{j}".encode()).hexdigest()
+            want = 1 if int(h[:2], 16) % 2 == 0 else -1
+            assert coef[p, j] == want
+    assert set(np.unique(coef)) <= {-1, 1}
+
+
+def test_semantic_ivf_pairs_partitioning_invariant(spark):
+    # Repartitioning the input must not change the emitted pair set —
+    # the within-cell kernel sorts by id and the multi-assign dedup is
+    # on exact (id_a, id_b, round6) values.
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import semantic_pairs_ivf
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    a = sorted(map(tuple, semantic_pairs_ivf(e, 0.45).collect()))
+    b = sorted(map(tuple,
+                   semantic_pairs_ivf(e.repartition(13), 0.45).collect()))
+    assert a == b
