@@ -1047,3 +1047,37 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.round(F.col("n_hit") / F.col("n_exact"), 4))
                      .otherwise(F.lit(None).cast("double"))
                      .alias("recall")))
+
+
+_SIGNLSH_KEEP_ORACLE = f"""
+WITH {_SIGNLSH_CAND},
+losers AS (SELECT DISTINCT c.id_b
+           FROM cand c
+           JOIN embeddings ea ON ea.vec_id = c.id_a
+           JOIN embeddings eb ON eb.vec_id = c.id_b
+           WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[]))
+                 >= 0.45)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT id_b FROM losers)
+"""
+
+
+@register("dedup_embedding_lsh_keep", oracle=_SIGNLSH_KEEP_ORACLE,
+          tags=("dedup", "embedding"))
+def dedup_embedding_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup SURVIVOR SET: every embedding except those
+    whose sign-LSH pipeline pairs them at >= 0.45 cosine with a
+    LOWER-id vector (keep-first, the same tie rule as
+    dedup_minhash_keep). One left-anti join against the tiny loser set
+    — the corpus shuffles only on the LSH bucket keys. Oracle-backed
+    end to end (planes, candidates, residual filter, anti-join)."""
+    from ..operators.dedup import signlsh_pairs
+    e = load_table(spark, sf_dir, "embeddings")
+    losers = (signlsh_pairs(e, threshold=0.45, dim=64,
+                            bits_per_band=3, n_bands=12)
+              .select(F.col("id_b").alias("vec_id"))
+              .distinct())
+    return (e.join(losers, "vec_id", "left_anti")
+            .select("vec_id", "label"))
