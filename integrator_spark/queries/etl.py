@@ -672,3 +672,78 @@ def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("pct_rows"),
                     F.when(F.col("k") < 5, "suppress").otherwise("ok")
                      .alias("risk")))
+
+
+@register("etl_er_multipass", oracle="""
+WITH dirty AS (
+  SELECT p_partkey AS d_key,
+         CASE WHEN p_partkey % 4 = 0
+              THEN substr(p_name, 1, (p_partkey % length(p_name)))
+                   || substr(p_name, (p_partkey % length(p_name)) + 2)
+              ELSE p_name END AS d_name
+  FROM part
+),
+cand AS (
+  SELECT d.d_key, c.p_partkey AS matched_key,
+         levenshtein(d.d_name, c.p_name) AS dist
+  FROM dirty d
+  JOIN part c ON substr(d.d_name, 1, 4) = substr(c.p_name, 1, 4)
+  WHERE levenshtein(d.d_name, c.p_name) <= 2
+  UNION
+  SELECT d.d_key, c.p_partkey,
+         levenshtein(d.d_name, c.p_name)
+  FROM dirty d
+  JOIN part c ON substr(d.d_name, length(d.d_name) - 3, 4)
+                 = substr(c.p_name, length(c.p_name) - 3, 4)
+  WHERE levenshtein(d.d_name, c.p_name) <= 2
+)
+SELECT d_key, matched_key, CAST(dist AS INT) AS dist
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY d_key
+                           ORDER BY dist, matched_key) = 1
+""", tags=("etl", "fuzzy", "entity-resolution"))
+def etl_er_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocked entity resolution — the production posture
+    etl_er_blocked's docstring promises: candidates are the UNION of a
+    4-char PREFIX block and a 4-char SUFFIX block, so a single-char
+    deletion anywhere is recoverable by at least one pass whenever
+    len >= 8 (delete at p <= 4 keeps the suffix, p <= len-4 keeps the
+    prefix; only len-7 names torn at p = 4 escape both — the honest
+    blocked-ER residual). The dirty feed is harder than er_blocked's:
+    the deletion position ROAMS (p = 1 + key % len), including inside
+    the prefix block, which pass A alone cannot recover.
+
+    Scale posture identical to every blocking pass here: two equality
+    hash joins (never a cartesian), a cheap Levenshtein residual only
+    on block-mates, one best-match window. Passes stack linearly —
+    each added block multiplies candidates by its selectivity, not the
+    corpus."""
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.select(
+        F.col("p_partkey").alias("d_key"),
+        F.when(F.col("p_partkey") % 4 == 0,
+               F.concat(F.expr("substr(p_name, 1, "
+                               "p_partkey % length(p_name))"),
+                        F.expr("substr(p_name, "
+                               "(p_partkey % length(p_name)) + 2, "
+                               "100000)")))
+         .otherwise(F.col("p_name")).alias("d_name"))
+    clean = part.select(F.col("p_partkey").alias("matched_key"),
+                        F.col("p_name").alias("c_name"))
+
+    def pass_join(cond):
+        return (dirty.join(clean, cond)
+                .withColumn("dist", F.levenshtein("d_name", "c_name"))
+                .filter(F.col("dist") <= 2)
+                .select("d_key", "matched_key", "dist"))
+
+    pre = pass_join(F.expr("substr(d_name, 1, 4)")
+                    == F.expr("substr(c_name, 1, 4)"))
+    suf = pass_join(F.expr("substr(d_name, length(d_name) - 3, 4)")
+                    == F.expr("substr(c_name, length(c_name) - 3, 4)"))
+    cand = pre.unionByName(suf).distinct()
+    w = Window.partitionBy("d_key").orderBy("dist", "matched_key")
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("d_key", "matched_key",
+                    F.col("dist").cast("int").alias("dist")))
