@@ -618,13 +618,21 @@ def signlsh_pairs(emb: DataFrame, threshold: float = 0.45, dim: int = 64,
     cand = (a.join(b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    ea = emb.select(F.col(id_col).alias("id_a"),
-                    F.col(vec_col).alias("_va"))
-    eb = emb.select(F.col(id_col).alias("id_b"),
-                    F.col(vec_col).alias("_vb"))
+    return _cosine_residual(cand, emb, emb, threshold, "id_a", "id_b",
+                            id_col, vec_col)
+
+
+def _cosine_residual(cand: DataFrame, emb_a: DataFrame, emb_b: DataFrame,
+                     threshold: float, a_out: str, b_out: str,
+                     id_col: str, vec_col: str) -> DataFrame:
+    """Attach the exact cosine to candidate id pairs and apply the
+    threshold — the shared residual step of every LSH candidate path
+    (cost: |cand| vector fetch-joins, never corpus x corpus). The UDF
+    is defined here (not module level) because pandas_udf resolves its
+    return type against the ACTIVE session at decoration time."""
 
     @F.pandas_udf("double")
-    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+    def _cos_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
         if not len(va):
             return pd.Series([], dtype="float64")
         x = np.array(va.tolist(), dtype=np.float64)
@@ -635,10 +643,37 @@ def signlsh_pairs(emb: DataFrame, threshold: float = 0.45, dim: int = 64,
             out = np.where(den > 0, num / den, 0.0)
         return pd.Series(out)
 
-    return (cand.join(ea, "id_a").join(eb, "id_b")
-            .withColumn("_c", _cos("_va", "_vb"))
+    ea = emb_a.select(F.col(id_col).alias(a_out),
+                      F.col(vec_col).alias("_va"))
+    eb = emb_b.select(F.col(id_col).alias(b_out),
+                      F.col(vec_col).alias("_vb"))
+    return (cand.join(ea, a_out).join(eb, b_out)
+            .withColumn("_c", _cos_batch("_va", "_vb"))
             .filter(F.col("_c") >= threshold)
-            .select("id_a", "id_b", F.round("_c", 6).alias("cos_sim")))
+            .select(a_out, b_out, F.round("_c", 6).alias("cos_sim")))
+
+
+def signlsh_pairs_between(new: DataFrame, corpus: DataFrame,
+                          threshold: float = 0.45, dim: int = 64,
+                          bits_per_band: int = 3, n_bands: int = 12,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Incremental semantic ingest: each NEW vector's band buckets
+    probe ONLY the corpus band index (new x corpus bucket join —
+    new-new and corpus-corpus pairs never form), then the exact-cosine
+    residual runs on the collisions. Steady-state cost tracks the
+    batch; the corpus index is write-once/append-per-batch. Output:
+    (new_id, corpus_id, cos_sim >= threshold)."""
+    bn = (signlsh_buckets(new, dim, bits_per_band, n_bands,
+                          id_col, vec_col)
+          .select(F.col(id_col).alias("new_id"), "band", "bucket"))
+    bc = (signlsh_buckets(corpus, dim, bits_per_band, n_bands,
+                          id_col, vec_col)
+          .select(F.col(id_col).alias("corpus_id"), "band", "bucket"))
+    cand = (bn.join(bc, ["band", "bucket"])
+            .select("new_id", "corpus_id").distinct())
+    return _cosine_residual(cand, new, corpus, threshold,
+                            "new_id", "corpus_id", id_col, vec_col)
 
 
 def semantic_pairs_ivf(emb: DataFrame, threshold: float = 0.45,

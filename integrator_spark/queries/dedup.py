@@ -879,7 +879,7 @@ def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # breaks the value-hash match. Constants: dim=64, 3 bits x 12 bands
 # = 36 planes, residual cosine >= 0.45 (same threshold as
 # dedup_embedding so the recall row below is directly comparable).
-_SIGNLSH_CAND = """
+_SIGNLSH_BUCK = """
 qv AS (SELECT vec_id,
               list_transform(CAST(embedding AS DOUBLE[]),
                              x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
@@ -899,7 +899,10 @@ proj AS (SELECT comp.vec_id, planes.p,
 buck AS (SELECT vec_id, CAST(p // 3 AS INT) AS band,
                 SUM(CASE WHEN s >= 0
                          THEN (1 << CAST(p % 3 AS INT)) ELSE 0 END) AS bucket
-         FROM proj GROUP BY 1, 2),
+         FROM proj GROUP BY 1, 2)
+"""
+
+_SIGNLSH_CAND = _SIGNLSH_BUCK + """,
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM buck a JOIN buck b
            ON a.band = b.band AND a.bucket = b.bucket
@@ -1081,3 +1084,42 @@ def dedup_embedding_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
               .distinct())
     return (e.join(losers, "vec_id", "left_anti")
             .select("vec_id", "label"))
+
+
+_SIGNLSH_INCR_ORACLE = "WITH " + _SIGNLSH_BUCK + """,
+cand AS (SELECT DISTINCT n.vec_id AS new_id, c.vec_id AS corpus_id
+         FROM buck n JOIN buck c
+           ON n.band = c.band AND n.bucket = c.bucket
+         WHERE n.vec_id % 10 >= 8 AND c.vec_id % 10 < 8)
+SELECT d.new_id, d.corpus_id,
+       ROUND(list_cosine_similarity(CAST(en.embedding AS DOUBLE[]),
+                                    CAST(ec.embedding AS DOUBLE[])), 6)
+         AS cos_sim
+FROM cand d
+JOIN embeddings en ON en.vec_id = d.new_id
+JOIN embeddings ec ON ec.vec_id = d.corpus_id
+WHERE list_cosine_similarity(CAST(en.embedding AS DOUBLE[]),
+                             CAST(ec.embedding AS DOUBLE[])) >= 0.45
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_embedding_lsh_incremental", oracle=_SIGNLSH_INCR_ORACLE,
+          tags=("dedup", "embedding", "incremental"))
+def dedup_embedding_lsh_incremental(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC ingest — the embedding companion to
+    dedup_minhash_incremental, same 80/20 crawl-batch split: each new
+    vector's sign-LSH band buckets probe ONLY the corpus band index
+    (new x corpus bucket join; new-new and corpus-corpus pairs never
+    form), then the exact cosine runs on the collisions. Steady-state
+    cost tracks the batch — the corpus index is write-once,
+    append-per-batch. Oracle-backed end to end (DuckDB recomputes
+    planes, buckets, the split, the probe join, and the residual)."""
+    from ..operators.dedup import signlsh_pairs_between
+    e = load_table(spark, sf_dir, "embeddings")
+    new = e.filter(F.col("vec_id") % 10 >= 8)
+    corpus = e.filter(F.col("vec_id") % 10 < 8)
+    return (signlsh_pairs_between(new, corpus, threshold=0.45, dim=64,
+                                  bits_per_band=3, n_bands=12)
+            .orderBy("new_id", "corpus_id"))
