@@ -453,3 +453,39 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(name, round(float(b), 6)) for name, b in zip(names, beta)]
     rows += [("_log_loss", round(loss, 6)), ("_n", float(n))]
     return spark.createDataFrame(rows, "feature string, coef double")
+
+
+@register("sample_cluster_cap", oracle="""
+WITH ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS cluster_size
+  FROM embeddings
+)
+SELECT vec_id, CAST(label AS INT) AS label,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked
+WHERE rn <= 10
+""", tags=("mlprep", "sample", "embedding"))
+def sample_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-capped diversity sampling — the curation counterpart of
+    semantic dedup: cap every embedding cluster at 10 representatives
+    (md5-of-id rank — reproducible across engines, runs, partitionings)
+    so over-represented modes can't dominate a training mix, the
+    SemDeDup-style prototype selection expressed as one window over the
+    cluster key. Emits the original cluster_size so the curation report
+    can weight what was kept. At 100 TB the per-cluster sort is bounded
+    by the cluster key's cardinality x cap; a hot mega-cluster costs a
+    straggler, not memory (rank + filter, no collect)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id")
+    wn = Window.partitionBy("label")
+    return (e.select("vec_id", F.col("label").cast("int").alias("label"),
+                     F.row_number().over(w).alias("_rn"),
+                     F.count(F.lit(1)).over(wn).cast("long")
+                      .alias("cluster_size"))
+            .filter(F.col("_rn") <= 10)
+            .drop("_rn"))
