@@ -1137,3 +1137,142 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (drained.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= 10)
             .select("rank", "user_id", "n_events"))
+
+
+@register("stream_semantic_dedup", oracle="""
+WITH qv AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                             x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+       FROM embeddings),
+comp AS (SELECT vec_id, j, q[j + 1] AS val
+         FROM qv, unnest(range(0, 64)) t(j)),
+planes AS (SELECT p, j,
+                  CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR)
+                                 || ':' || CAST(j AS VARCHAR)), 1, 2)
+                            AS UBIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END AS c
+           FROM range(0, 36) tp(p) CROSS JOIN range(0, 64) tj(j)),
+proj AS (SELECT comp.vec_id, planes.p,
+                SUM(comp.val * planes.c) AS s
+         FROM comp JOIN planes ON comp.j = planes.j
+         GROUP BY 1, 2),
+buck AS (SELECT vec_id, CAST(p // 3 AS INT) AS band,
+                SUM(CASE WHEN s >= 0
+                         THEN (1 << CAST(p % 3 AS INT)) ELSE 0 END) AS bucket
+         FROM proj GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM buck a JOIN buck b
+           ON a.band = b.band AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id),
+losers AS (SELECT DISTINCT c.id_b
+           FROM cand c
+           JOIN embeddings ea ON ea.vec_id = c.id_a
+           JOIN embeddings eb ON eb.vec_id = c.id_b
+           WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[]))
+                 >= 0.45)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT id_b FROM losers)
+""", tags=("streaming", "dedup", "embedding"))
+def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING semantic dedup — the sign-LSH keep-first pipeline run
+    as a genuine incremental stream: the embedding corpus arrives as 5
+    id-ordered micro-batches (file source, maxFilesPerTrigger=1, file
+    mtimes force arrival order), and each batch's vectors are checked
+    against (a) lower-id vectors of the SAME batch and (b) the
+    accumulated seen-set from every earlier batch, via the same
+    md5-plane LSH buckets + exact-cosine residual as
+    dedup_embedding_lsh. Survivors append to the output sink;
+    the WHOLE batch (survivors and losers) appends to the seen-store,
+    which is what makes the contract exactly keep-first ("drop v iff
+    some lower-id vector anywhere pairs with it") — id-ordered arrival
+    then guarantees the streamed survivor set equals the BATCH oracle
+    (dedup_embedding_lsh_keep's rule), so an incremental stateful
+    pipeline lands under the driver's strongest gate.
+
+    Scale shape: per batch the probe cost is |batch| x colliding
+    candidates — the corpus is touched only through the bucket join
+    (in this demo the seen-store holds raw vectors and buckets are
+    recomputed per trigger, an O(seen) map each batch; the production
+    variant appends (vec_id, band, bucket) rows to a persisted band
+    index so each trigger pays only the join). Exactly-once comes from
+    the checkpointed file source + idempotent per-batch output
+    overwrite, same posture as stream_foreach_batch."""
+    import shutil
+    import time as _time
+
+    from ..operators.dedup import signlsh_pairs, signlsh_pairs_between
+
+    ensure_runtime_confs(spark)
+    fixture = os.path.join(sf_dir, "embeddings.parquet")
+    src_dir = derived_dir(sf_dir, "semdedup_stream_src")
+    if not _fingerprint_ok(src_dir, fixture):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        os.makedirs(src_dir, exist_ok=True)
+        e = spark.read.parquet(fixture)
+        hi = e.agg(F.max("vec_id")).first()[0]
+        n_files = 5
+        step = ((int(hi) + 1) + n_files - 1) // n_files if hi is not None else 1
+        base = _time.time() - 600
+        for i in range(n_files):
+            part = e.filter((F.col("vec_id") >= i * step)
+                            & (F.col("vec_id") < (i + 1) * step))
+            tmp = os.path.join(src_dir, f"_tmp_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src_file = next(f for f in os.listdir(tmp)
+                            if f.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, src_file), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            # Strictly increasing mtimes: the file source orders files
+            # by timestamp, which pins micro-batch order to id order.
+            os.utime(dst, (base + 60 * i, base + 60 * i))
+        _write_fingerprint(src_dir, fixture)
+
+    state_root = derived_dir(sf_dir, "semdedup_stream_state")
+    _reap_stale_checkpoints(state_root, "run")
+    work = os.path.join(state_root, f"run_pid{os.getpid()}")
+    shutil.rmtree(work, ignore_errors=True)
+    seen_dir = os.path.join(work, "seen")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "_ckpt")
+
+    schema = spark.read.parquet(src_dir).schema
+    raw = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(src_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        losers = (signlsh_pairs(batch, threshold=0.45, dim=64,
+                                bits_per_band=3, n_bands=12)
+                  .select(F.col("id_b").alias("vec_id")))
+        if os.path.exists(os.path.join(seen_dir, "_SUCCESS")) or any(
+                f.endswith(".parquet") for f in
+                (os.listdir(seen_dir) if os.path.isdir(seen_dir) else [])):
+            seen = spark.read.parquet(seen_dir)
+            cross = (signlsh_pairs_between(batch, seen, threshold=0.45,
+                                           dim=64, bits_per_band=3,
+                                           n_bands=12)
+                     .select(F.col("new_id").alias("vec_id")))
+            losers = losers.unionByName(cross)
+        survivors = batch.join(losers.distinct(), "vec_id", "left_anti")
+        # Idempotent per-batch output: a replayed batch overwrites its
+        # own partition instead of double-appending.
+        (survivors.select("vec_id", "label")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+        batch.write.mode("append").parquet(seen_dir)
+
+    q = (raw.writeStream
+         .foreachBatch(process)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], "vec_id long, label int")
+    return (spark.read.parquet(os.path.join(out_dir, "batch=*"))
+            .select("vec_id", F.col("label").cast("int").alias("label"))
+            .orderBy("vec_id"))

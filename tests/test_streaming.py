@@ -72,3 +72,18 @@ def test_stream_soak_restart_exactly_once(spark):
     assert row["n_dupes"] == 0
     assert row["resumed_from_checkpoint"] == 1
     assert row["target_reached"] == 1
+
+
+def test_stream_semantic_dedup_equals_batch_keep(spark):
+    # The streamed (5 id-ordered micro-batches) survivor set must equal
+    # the batch keep-first query byte for byte — the id-ordered arrival
+    # + whole-batch seen-store append is exactly what makes the
+    # incremental pipeline reproduce the batch contract.
+    from integrator_spark.registry import all_specs
+    sf = "/root/testdata/sf0.01"
+    streamed = (all_specs()["stream_semantic_dedup"].fn(spark, sf)
+                .collect())
+    batch = (all_specs()["dedup_embedding_lsh_keep"].fn(spark, sf)
+             .orderBy("vec_id").collect())
+    assert [(r.vec_id, r.label) for r in streamed] \
+        == [(r.vec_id, int(r.label)) for r in batch]
