@@ -1123,3 +1123,76 @@ def dedup_embedding_lsh_incremental(spark: SparkSession,
     return (signlsh_pairs_between(new, corpus, threshold=0.45, dim=64,
                                   bits_per_band=3, n_bands=12)
             .orderBy("new_id", "corpus_id"))
+
+
+_CURATION_ORACLE = f"""
+WITH {_SIGNLSH_CAND},
+losers AS (SELECT DISTINCT c.id_b
+           FROM cand c
+           JOIN embeddings ea ON ea.vec_id = c.id_a
+           JOIN embeddings eb ON eb.vec_id = c.id_b
+           WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[]))
+                 >= 0.45),
+surv AS (SELECT e.vec_id, e.label
+         FROM embeddings e
+         WHERE e.vec_id NOT IN (SELECT id_b FROM losers)),
+sampled AS (SELECT vec_id, label FROM (
+              SELECT vec_id, label,
+                     row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM surv)
+            WHERE rn <= 10)
+SELECT t.label,
+       CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(COALESCE(s.n_surv, 0) AS BIGINT) AS n_survivors,
+       CAST(COALESCE(p.n_samp, 0) AS BIGINT) AS n_sampled
+FROM (SELECT CAST(label AS INT) AS label, COUNT(*) AS n_total
+      FROM embeddings GROUP BY 1) t
+LEFT JOIN (SELECT CAST(label AS INT) AS label, COUNT(*) AS n_surv
+           FROM surv GROUP BY 1) s ON s.label = t.label
+LEFT JOIN (SELECT CAST(label AS INT) AS label, COUNT(*) AS n_samp
+           FROM sampled GROUP BY 1) p ON p.label = t.label
+ORDER BY 1
+"""
+
+
+@register("pipeline_semantic_curation", oracle=_CURATION_ORACLE,
+          tags=("dedup", "embedding", "pipeline", "mlprep"))
+def pipeline_semantic_curation(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The embedding-side curation funnel end to end, under ONE oracle —
+    the vector counterpart of pipeline_pretrain: (1) semantic dedup
+    (sign-LSH keep-first at cosine 0.45), (2) cluster-capped diversity
+    sampling (<= 10 per cluster by md5 rank) over the SURVIVORS,
+    (3) the per-cluster funnel report n_total -> n_survivors ->
+    n_sampled. Every stage is the registered operator itself, not a
+    re-implementation, so this is the composition a corpus build would
+    run — and DuckDB replays the full funnel (planes, candidates,
+    residual, anti-join, capped window, report joins)."""
+    from ..operators.dedup import signlsh_pairs
+    e = load_table(spark, sf_dir, "embeddings")
+    losers = (signlsh_pairs(e, threshold=0.45, dim=64,
+                            bits_per_band=3, n_bands=12)
+              .select(F.col("id_b").alias("vec_id"))
+              .distinct())
+    surv = (e.join(losers, "vec_id", "left_anti")
+            .select("vec_id", F.col("label").cast("int").alias("label")))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id")
+    sampled = (surv.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= 10)
+               .select("vec_id", "label"))
+    total = (e.groupBy(F.col("label").cast("int").alias("label"))
+             .agg(F.count(F.lit(1)).alias("n_total")))
+    n_surv = surv.groupBy("label").agg(F.count(F.lit(1)).alias("_ns"))
+    n_samp = sampled.groupBy("label").agg(F.count(F.lit(1)).alias("_np"))
+    return (total.join(n_surv, "label", "left")
+            .join(n_samp, "label", "left")
+            .select("label", "n_total",
+                    F.coalesce("_ns", F.lit(0)).cast("long")
+                     .alias("n_survivors"),
+                    F.coalesce("_np", F.lit(0)).cast("long")
+                     .alias("n_sampled"))
+            .orderBy("label"))
