@@ -1494,3 +1494,33 @@ def test_semantic_ivf_pairs_partitioning_invariant(spark):
     b = sorted(map(tuple,
                    semantic_pairs_ivf(e.repartition(13), 0.45).collect()))
     assert a == b
+
+
+def test_signlsh_pairs_partitioning_invariant(spark):
+    # Same rule as the IVF kernel: repartitioning must not change the
+    # pair set — buckets are pure per-row functions and the residual is
+    # an exact join, so any divergence means a kernel bug.
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import signlsh_pairs
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    a = sorted(map(tuple, signlsh_pairs(e).collect()))
+    b = sorted(map(tuple, signlsh_pairs(e.repartition(13)).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_signlsh_between_never_pairs_within_sides(spark):
+    # The incremental probe joins new x corpus only: no new-new or
+    # corpus-corpus pair may appear even when both sides contain
+    # near-dup pairs internally.
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import signlsh_pairs_between
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    new = e.filter(F.col("vec_id") % 10 >= 8)
+    corpus = e.filter(F.col("vec_id") % 10 < 8)
+    rows = signlsh_pairs_between(new, corpus).collect()
+    new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+    corp_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    assert all(r.new_id in new_ids and r.corpus_id in corp_ids
+               for r in rows)
