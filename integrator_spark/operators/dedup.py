@@ -697,7 +697,14 @@ def semantic_pairs_ivf(emb: DataFrame, threshold: float = 0.45,
     this module — recall impact is measured, not silent: see
     dedup_semantic_recall). Rows-only by design: the quantizer is
     engine-private, so recall vs the exact pair set is the registered
-    check."""
+    check.
+
+    EAGERNESS: ``n_clusters=None`` (the default) sizes cells from a
+    ``count()`` — one Spark job at CALL time, before the returned
+    DataFrame is acted on (and ``train_centroids`` always runs its
+    bounded sample collect eagerly). Callers that need a fully lazy
+    build pass ``n_clusters`` explicitly and accept the quantizer
+    collect on first action."""
     from .ivf import ivf_assign, train_centroids
 
     if n_clusters is None:
