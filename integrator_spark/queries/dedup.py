@@ -1196,3 +1196,48 @@ def pipeline_semantic_curation(spark: SparkSession,
                     F.coalesce("_np", F.lit(0)).cast("long")
                      .alias("n_sampled"))
             .orderBy("label"))
+
+
+_SIGNLSH_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_SIGNLSH_CAND},
+pairs AS (SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.id_a
+          JOIN embeddings eb ON eb.vec_id = c.id_b
+          WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[]))
+                >= 0.45),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id AS src, id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+ORDER BY 1
+"""
+
+
+@register("dedup_embedding_lsh_cluster", oracle=_SIGNLSH_CLUSTER_ORACLE,
+          tags=("dedup", "embedding", "iterative"))
+def dedup_embedding_lsh_cluster(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Semantic near-dup CLUSTERING: connected components over the
+    sign-LSH pair set (cosine >= 0.45), each member mapped to its
+    component's canonical (minimum) id — the cluster-representative
+    policy, vs keep-first's pairwise rule (they differ on chains:
+    a-c, b-c with a<b<c keeps {a,b} under keep-first but canonicalizes
+    all three to a here). Spark iterates min-label propagation to a
+    fixpoint; the oracle closes the same edges with a recursive
+    transitive-closure CTE — the identical cross-check shape as
+    dedup_cluster, now on the embedding side."""
+    from ..operators.dedup import connected_components, signlsh_pairs
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = signlsh_pairs(e, threshold=0.45, dim=64,
+                          bits_per_band=3, n_bands=12)
+    return (connected_components(pairs, a_col="id_a", b_col="id_b")
+            .select(F.col("doc_id").alias("vec_id"), "cluster_id")
+            .orderBy("vec_id"))
