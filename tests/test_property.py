@@ -275,3 +275,59 @@ def test_minhash_det_matches_python_reference(texts, spark):
     got = {(r.d1, r.d2): r.n_equal
            for r in minhash_det_pairs(docs).collect()}
     assert got == want
+
+
+vec_corpus = st.lists(
+    st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=8, max_size=8),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=vec_corpus)
+def test_signlsh_buckets_match_python_reference(vecs, spark):
+    # The sign-LSH bucket pipeline (md5-parity planes, floor(x*2^20)
+    # int64 quantization, >= 0 sign bits, little-endian band packing)
+    # must agree with a direct scalar Python reference on fuzzed
+    # vectors — including exact zeros (sign convention: 0 -> bit 1)
+    # and float32-boundary values. This is the engine-independence
+    # property the DuckDB oracle checks at fixture scale.
+    import hashlib
+
+    from integrator_spark.operators.dedup import signlsh_buckets
+
+    DIM, BITS, BANDS = 8, 3, 4
+
+    def ref_buckets(v):
+        out = []
+        for band in range(BANDS):
+            val = 0
+            for i in range(BITS):
+                p = band * BITS + i
+                s = 0
+                for j in range(DIM):
+                    h = hashlib.md5(f"{p}:{j}".encode()).hexdigest()
+                    c = 1 if int(h[:2], 16) % 2 == 0 else -1
+                    s += c * math.floor(float(np.float32(v[j])) * (1 << 20))
+                if s >= 0:
+                    val |= 1 << i
+            out.append((band, val))
+        return out
+
+    import math
+
+    import numpy as np
+
+    emb = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in v])
+         for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = {(r.vec_id, r.band): r.bucket
+           for r in signlsh_buckets(emb, DIM, BITS, BANDS).collect()}
+    want = {(i, band): val
+            for i, v in enumerate(vecs)
+            for band, val in ref_buckets(v)}
+    assert got == want
