@@ -1191,18 +1191,18 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_embedding_lsh_keep's rule), so an incremental stateful
     pipeline lands under the driver's strongest gate.
 
-    Scale shape: per batch the probe cost is |batch| x colliding
-    candidates — the corpus is touched only through the bucket join
-    (in this demo the seen-store holds raw vectors and buckets are
-    recomputed per trigger, an O(seen) map each batch; the production
-    variant appends (vec_id, band, bucket) rows to a persisted band
-    index so each trigger pays only the join). Exactly-once comes from
-    the checkpointed file source + idempotent per-batch output
-    overwrite, same posture as stream_foreach_batch."""
+    Scale shape — the production one: each trigger hashes ONLY its
+    batch (buckets computed once, persisted), probes the accumulated
+    (vec_id, band, bucket) BAND INDEX with an equality join, and
+    fetches corpus vectors by id solely for the exact-cosine residual
+    on collisions — the seen corpus is never re-hashed and never
+    scanned outside the index join. Exactly-once comes from the
+    checkpointed file source + idempotent per-batch output overwrite,
+    same posture as stream_foreach_batch."""
     import shutil
     import time as _time
 
-    from ..operators.dedup import signlsh_pairs, signlsh_pairs_between
+    from ..operators.dedup import _cosine_residual, signlsh_buckets
 
     ensure_runtime_confs(spark)
     fixture = os.path.join(sf_dir, "embeddings.parquet")
@@ -1235,6 +1235,7 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = os.path.join(state_root, f"run_pid{os.getpid()}")
     shutil.rmtree(work, ignore_errors=True)
     seen_dir = os.path.join(work, "seen")
+    bands_dir = os.path.join(work, "bands")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "_ckpt")
 
@@ -1243,18 +1244,38 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("maxFilesPerTrigger", "1")
            .parquet(src_dir))
 
+    def _has_parquet(d: str) -> bool:
+        return os.path.isdir(d) and any(f.endswith(".parquet")
+                                        for f in os.listdir(d))
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # Buckets are computed ONCE per batch and persisted — each
+        # trigger pays |batch| hashing plus the band-index join; the
+        # accumulated corpus is touched only through the index and the
+        # id-keyed vector fetch for the residual, never re-hashed.
         batch = batch_df.localCheckpoint(eager=True)
-        losers = (signlsh_pairs(batch, threshold=0.45, dim=64,
-                                bits_per_band=3, n_bands=12)
+        bands = signlsh_buckets(batch, 64, 3, 12).localCheckpoint(
+            eager=True)
+        wa = bands.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+        wb = bands.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+        within = (wa.join(wb, ["band", "bucket"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b").distinct())
+        losers = (_cosine_residual(within, batch, batch, 0.45,
+                                   "id_a", "id_b", "vec_id", "embedding")
                   .select(F.col("id_b").alias("vec_id")))
-        if os.path.exists(os.path.join(seen_dir, "_SUCCESS")) or any(
-                f.endswith(".parquet") for f in
-                (os.listdir(seen_dir) if os.path.isdir(seen_dir) else [])):
+        if _has_parquet(bands_dir):
+            idx = spark.read.parquet(bands_dir)
+            cand = (bands.select(F.col("vec_id").alias("new_id"),
+                                 "band", "bucket")
+                    .join(idx.select(F.col("vec_id").alias("corpus_id"),
+                                     "band", "bucket"),
+                          ["band", "bucket"])
+                    .select("new_id", "corpus_id").distinct())
             seen = spark.read.parquet(seen_dir)
-            cross = (signlsh_pairs_between(batch, seen, threshold=0.45,
-                                           dim=64, bits_per_band=3,
-                                           n_bands=12)
+            cross = (_cosine_residual(cand, batch, seen, 0.45,
+                                      "new_id", "corpus_id",
+                                      "vec_id", "embedding")
                      .select(F.col("new_id").alias("vec_id")))
             losers = losers.unionByName(cross)
         survivors = batch.join(losers.distinct(), "vec_id", "left_anti")
@@ -1264,6 +1285,7 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("overwrite")
          .parquet(os.path.join(out_dir, f"batch={batch_id}")))
         batch.write.mode("append").parquet(seen_dir)
+        bands.write.mode("append").parquet(bands_dir)
 
     q = (raw.writeStream
          .foreachBatch(process)
