@@ -1244,8 +1244,8 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("maxFilesPerTrigger", "1")
            .parquet(src_dir))
 
-    def _has_parquet(d: str) -> bool:
-        return os.path.isdir(d) and any(f.endswith(".parquet")
+    def _has_batches(d: str) -> bool:
+        return os.path.isdir(d) and any(f.startswith("batch=")
                                         for f in os.listdir(d))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -1264,15 +1264,15 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         losers = (_cosine_residual(within, batch, batch, 0.45,
                                    "id_a", "id_b", "vec_id", "embedding")
                   .select(F.col("id_b").alias("vec_id")))
-        if _has_parquet(bands_dir):
-            idx = spark.read.parquet(bands_dir)
+        if _has_batches(bands_dir):
+            idx = spark.read.parquet(os.path.join(bands_dir, "batch=*"))
             cand = (bands.select(F.col("vec_id").alias("new_id"),
                                  "band", "bucket")
                     .join(idx.select(F.col("vec_id").alias("corpus_id"),
                                      "band", "bucket"),
                           ["band", "bucket"])
                     .select("new_id", "corpus_id").distinct())
-            seen = spark.read.parquet(seen_dir)
+            seen = spark.read.parquet(os.path.join(seen_dir, "batch=*"))
             cross = (_cosine_residual(cand, batch, seen, 0.45,
                                       "new_id", "corpus_id",
                                       "vec_id", "embedding")
@@ -1284,8 +1284,13 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (survivors.select("vec_id", "label")
          .write.mode("overwrite")
          .parquet(os.path.join(out_dir, f"batch={batch_id}")))
-        batch.write.mode("append").parquet(seen_dir)
-        bands.write.mode("append").parquet(bands_dir)
+        # State stores are batch-partitioned and overwritten, not
+        # appended: a crash-replayed batch rewrites its own partition,
+        # so the seen-store and band index stay exactly-once too.
+        batch.write.mode("overwrite").parquet(
+            os.path.join(seen_dir, f"batch={batch_id}"))
+        bands.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"batch={batch_id}"))
 
     q = (raw.writeStream
          .foreachBatch(process)
