@@ -30,10 +30,16 @@ offset); encode breaks argmin ties at the lowest centroid id
 
 Scale posture: the codebook is m × ksub × dsub floats (8×16×8 = 8 KB
 at the registered dials; 256×256 subspace dials are < 2 MB) — always
-broadcastable. Query LUTs are Q × m × ksub doubles, chunked so the
-broadcast stays bounded. The code table shuffles NOTHING during the
-scan; only (query_id, neighbor_id, adc) shortlist rows (Q × shortlist)
-ever move.
+broadcastable. Query LUTs are Q × m × ksub doubles and are
+SIZE-ROUTED (``LUT_BUDGET_BYTES``, same discipline as
+knn.MAX_BROADCAST_CELLS / ann_graph.MATRIX_BUDGET_BYTES): under the
+budget the whole LUT block is collected + broadcast once (zero
+shuffle); above it the LUT rows are computed executor-side in a
+``mapInPandas`` and meet code blocks in a cogrouped grid — the driver
+never materializes the query set at any Q. Both routes are
+byte-identical (float64 LUTs, the same quantized tie-exact selection).
+The code table shuffles NOTHING during the broadcast-route scan; only
+(query_id, neighbor_id, adc) shortlist rows (Q × shortlist) ever move.
 """
 
 from __future__ import annotations
@@ -196,27 +202,87 @@ def pq_encode(emb: DataFrame, codebook: np.ndarray,
         encode, f"{id_col} long, codes binary")
 
 
+#: Query-side routing budget for the flat-PQ scan: the broadcast route
+#: collects the query matrix (nq × dim float64) and broadcasts the LUT
+#: block (nq × m × ksub float64); when their sum exceeds this many
+#: bytes, pq_search switches to the blocked-cogroup route, which never
+#: collects anything query-sized to the driver. 1 GiB — the same order
+#: as knn.MAX_BROADCAST_CELLS (64M float64 cells ≈ 512 MB).
+LUT_BUDGET_BYTES = 1 << 30
+
+#: Code rows per cogroup block on the blocked route: applyInPandas
+#: materializes one (query-block × code-block) group per task, so this
+#: bounds the per-task code residency (~(8 + m) bytes/row packed;
+#: 4M rows × m=8 ≈ 64 MB as pandas). The in-kernel scoring is further
+#: chunked (see the 32M-cell gather cap), so this only sizes the
+#: group materialization, not the score buffer.
+CODE_BLOCK_ROWS = 4_000_000
+
+
 def pq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
               codebook: np.ndarray, k: int = 1, shortlist: int = 32,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              exclude_self: bool = False) -> DataFrame:
+              exclude_self: bool = False,
+              lut_budget_bytes: int = LUT_BUDGET_BYTES,
+              code_block_rows: int = CODE_BLOCK_ROWS) -> DataFrame:
     """ADC scan + exact rerank: queries build m × ksub inner-product
-    LUTs once (broadcast), every code row is scored by m table lookups
-    (no float math per pair), a window keeps the top-``shortlist``
-    candidates per query, and the shortlist alone is rescored EXACTLY
-    against the true vectors. Returns (query_id, neighbor_id, cos_sim,
-    rank) — cos_sim is the exact rerank cosine, so output precision
-    matches the other vector queries; quantization only affects which
-    candidates reach the rerank (measured as recall, pinned in tests).
-    """
+    LUTs once, every code row is scored by m table lookups (no float
+    math per pair), a window keeps the top-``shortlist`` candidates per
+    query, and the shortlist alone is rescored EXACTLY against the true
+    vectors. Returns (query_id, neighbor_id, cos_sim, rank) — cos_sim
+    is the exact rerank cosine, so output precision matches the other
+    vector queries; quantization only affects which candidates reach
+    the rerank (measured as recall, pinned in tests).
+
+    The query side is size-routed on ``lut_budget_bytes``: a query
+    batch whose collected matrix + LUT broadcast fit the budget takes
+    the zero-shuffle broadcast route; a larger batch (e.g. corpus-as-
+    queries at the 1e9-vector posture) computes LUT rows executor-side
+    and scores them against hash-blocked code groups in a cogrouped
+    grid — no driver collect of anything query-sized, per-task
+    residency bounded by ``lut_budget_bytes`` (query blocks) and
+    ``code_block_rows`` (code blocks). Both routes produce
+    byte-identical rows: LUTs are float64 on both, per-pair ADC sums
+    are the same gather+sum, and every truncation is tie-exact by
+    (quantized score DESC, id ASC) — block-level tops are supersets of
+    the global top the final window extracts (route-equivalence pinned
+    in tests with a collect-forbidding monkeypatch)."""
+    spark = codes.sparkSession
+    m, ksub, dsub = codebook.shape
+    dim = m * dsub
+    nq = queries.count()
+    if nq == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int")
+    if nq * (m * ksub * 8 + dim * 8) <= lut_budget_bytes:
+        scored = _adc_scan_broadcast(codes, queries, codebook, shortlist,
+                                     id_col, vec_col, exclude_self)
+    else:
+        scored = _adc_scan_blocked(codes, queries, codebook, shortlist,
+                                   id_col, vec_col, exclude_self,
+                                   nq, lut_budget_bytes, code_block_rows)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id"))
+    short = (scored.withColumn("_rn", F.row_number().over(w_short))
+             .filter(F.col("_rn") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    return _exact_rerank(short, base, queries, k, id_col, vec_col)
+
+
+def _adc_scan_broadcast(codes: DataFrame, queries: DataFrame,
+                        codebook: np.ndarray, shortlist: int,
+                        id_col: str, vec_col: str,
+                        exclude_self: bool) -> DataFrame:
+    """Under-budget ADC scan: collect + broadcast the full query LUT
+    block, mapInPandas over the code table (zero shuffle); emits
+    per-partition top-``shortlist`` candidate rows."""
     spark = codes.sparkSession
     qpdf = (queries.select(F.col(id_col).alias("query_id"), vec_col)
             .toPandas())
     qids = qpdf["query_id"].to_numpy()
     qv = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
-    if len(qv) == 0:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rank int")
     qn = np.linalg.norm(qv, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
     qv = qv / qn
@@ -281,16 +347,118 @@ def pq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
                             "neighbor_id": ids_m.reshape(-1),
                             "_adc": kq_m.reshape(-1) / _ADC_SCALE})
 
-    scored = codes.mapInPandas(
+    return codes.mapInPandas(
         adc, "query_id long, neighbor_id long, _adc double")
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("_adc").desc(), F.col("neighbor_id"))
-    short = (scored.withColumn("_rn", F.row_number().over(w_short))
-             .filter(F.col("_rn") <= shortlist)
-             .select("query_id", "neighbor_id"))
-    return _exact_rerank(short, base, queries, k, id_col, vec_col)
+
+
+def _adc_scan_blocked(codes: DataFrame, queries: DataFrame,
+                      codebook: np.ndarray, shortlist: int,
+                      id_col: str, vec_col: str, exclude_self: bool,
+                      nq: int, lut_budget_bytes: int,
+                      code_block_rows: int) -> DataFrame:
+    """Over-budget ADC scan: LUT rows are computed executor-side
+    (mapInPandas — only the tiny codebook broadcasts) and meet the code
+    table in a (query-block × code-block) cogrouped grid, the same
+    two-sided blocked shape as knn.cosine_pairs_twosided / the ivfpq
+    bucket cogroup. Zero driver collects of query- or corpus-sized
+    data; per-task residency ≤ one query block's float64 LUTs
+    (≤ lut_budget_bytes) + one code block (≤ code_block_rows rows).
+    Shuffle: LUT rows replicate ×n_code_blocks and code rows
+    ×n_query_blocks — the price of a flat full scan at a Q that
+    doesn't fit anywhere whole. Emits per-(block-pair)
+    top-``shortlist`` rows; every (query, code) pair is scored exactly
+    once (each side lives in exactly one block), so the caller's
+    global window needs no dedup."""
+    spark = codes.sparkSession
+    m, ksub, dsub = codebook.shape
+    bc = spark.sparkContext.broadcast(codebook)
+    offsets = (np.arange(m) * ksub).astype(np.int64)
+    # Block counts: query blocks sized so one block's LUTs fit the same
+    # budget the broadcast route enforces; code blocks by row count.
+    # The count on `codes` is one scan of the (32×-compressed) code
+    # table — metadata-cheap when the index is a persisted parquet
+    # layout, which is the over-budget serving posture.
+    n_codes = codes.count()
+    qb_n = max(2, -(-(nq * m * ksub * 8) // max(1, lut_budget_bytes)))
+    cb_n = max(1, -(-n_codes // max(1, code_block_rows)))
+    # Parallelism floor (same rationale as knn.route_exact_plan): the
+    # grid should yield at least ~defaultParallelism tasks.
+    par = spark.sparkContext.defaultParallelism
+    if qb_n * cb_n < par:
+        cb_n = -(-par // qb_n)
+
+    def mk_lut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            v = v / norms
+            # float64 LUT rows — NOT float32 like ivfpq's probe rows —
+            # so this route is byte-identical to the broadcast route's
+            # float64 einsum (the route-equivalence test relies on it).
+            lut = np.einsum("qjd,jcd->qjc", v.reshape(len(v), m, dsub), cb)
+            yield pd.DataFrame({"query_id": ids,
+                                "_lut": list(lut.reshape(len(v), m * ksub))})
+
+    lut_rows = queries.select(id_col, vec_col).mapInPandas(
+        mk_lut, "query_id long, _lut array<double>")
+    q_side = (lut_rows
+              .withColumn("_qb", F.pmod(F.xxhash64("query_id"),
+                                        F.lit(qb_n)).cast("int"))
+              .withColumn("_cb", F.explode(F.sequence(
+                  F.lit(0), F.lit(int(cb_n) - 1)))))
+    c_side = (codes
+              .withColumn("_cb", F.pmod(F.xxhash64(id_col),
+                                        F.lit(int(cb_n))).cast("int"))
+              .withColumn("_qb", F.explode(F.sequence(
+                  F.lit(0), F.lit(int(qb_n) - 1)))))
+
+    def block_adc(q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype=np.int64),
+                "neighbor_id": pd.Series(dtype=np.int64),
+                "_adc": pd.Series(dtype=np.float64)})
+        q_ids = q_pdf["query_id"].to_numpy()
+        lutr = np.array(q_pdf["_lut"].tolist(), dtype=np.float64)
+        c_ids = c_pdf[id_col].to_numpy()
+        cd = _unpack_codes(c_pdf["codes"], m) + offsets
+        # Ascending-id candidate axis for tie-exact selection (see
+        # _ADC_SCALE / _chunk_topk).
+        o = np.argsort(c_ids, kind="stable")
+        c_ids, cd = c_ids[o], cd[o]
+        top = min(shortlist, 10_000)
+        # Same 32M-cell gather cap as the broadcast kernel.
+        chunk = min(max(1, 32_000_000 // max(1, len(q_ids) * m)),
+                    (1 << 20) - 1)
+        best_ids: list[np.ndarray] = []
+        best_kq: list[np.ndarray] = []
+        for s in range(0, len(c_ids), chunk):
+            kq = np.round(lutr[:, cd[s:s + chunk]].sum(axis=2)
+                          * _ADC_SCALE).astype(np.int64)
+            if exclude_self:
+                # Pre-truncation self-mask — same reasoning as the
+                # broadcast kernel: a self-pair must not hold a
+                # shortlist slot in only SOME block assignments.
+                kq[q_ids[:, None] == c_ids[s:s + chunk][None, :]] \
+                    = -(1 << 41)
+            ids_c, kq_c = _chunk_topk(c_ids[s:s + chunk], kq, top)
+            best_ids.append(ids_c)
+            best_kq.append(kq_c)
+        ids_m = np.concatenate(best_ids, axis=1)
+        kq_m = np.concatenate(best_kq, axis=1)
+        ids_m, kq_m = _merge_topk(ids_m, kq_m, top)
+        return pd.DataFrame({
+            "query_id": np.repeat(q_ids, ids_m.shape[1]),
+            "neighbor_id": ids_m.reshape(-1),
+            "_adc": kq_m.reshape(-1) / _ADC_SCALE})
+
+    return (q_side.groupBy("_qb", "_cb")
+            .cogroup(c_side.groupBy("_qb", "_cb"))
+            .applyInPandas(lambda ql, cl: block_adc(ql, cl),
+                           "query_id long, neighbor_id long, _adc double"))
 
 
 def _exact_rerank(short: DataFrame, base: DataFrame, queries: DataFrame,

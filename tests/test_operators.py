@@ -952,6 +952,41 @@ def test_pq_recall_at_least_090(spark):
     assert hits / len(exact) >= 0.9, hits / len(exact)
 
 
+def test_pq_search_budget_routes_query_collect(spark, monkeypatch):
+    # pq_search's query side is size-routed: over budget it must do
+    # ZERO driver collects (LUT rows computed executor-side, scored via
+    # the blocked cogroup) and return byte-identical rows to the
+    # broadcast route — same contract/test shape as
+    # test_graph_ann_search_budget_counts_query_matrix.
+    from pyspark.sql import DataFrame
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.pq import pq_encode, pq_search, pq_train
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 120)
+    cb = pq_train(e, m=8, ksub=16, sample_rows=120, iters=5)
+    codes = pq_encode(e, cb)
+    kw = dict(k=2, shortlist=8, exclude_self=True)
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in pq_search(codes, e, e, cb, **kw).collect())
+
+    nq = 120
+    budget = nq * (8 * 16 * 8 + 64 * 8) - 1   # one byte under the need
+
+    def boom(self):
+        raise AssertionError("over-budget pq_search collected to driver")
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in pq_search(codes, e, e, cb,
+                           lut_budget_bytes=budget,
+                           code_block_rows=50, **kw).collect())
+    assert got == want and len(got) == 2 * nq
+
+
 def test_pq_encode_shape_and_determinism(spark):
     # Codes: m ids in [0, ksub) per vector; training + encoding twice
     # yields byte-identical codes (seeded sampler, stable tie-breaks).
