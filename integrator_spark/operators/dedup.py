@@ -156,15 +156,19 @@ _MH_B0, _MH_B1 = 12_345, 104_729
 
 def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 16,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       eager: bool = False) -> DataFrame:
     """Deterministic MinHash signatures: (doc_id, _mh0 .. _mh{n-1}).
 
     All ``n_hashes`` mins are computed in ONE map-side-combinable
     groupBy — the shuffle carries n_hashes longs per doc, never a row
-    per (shingle, hash). Eagerly localCheckpoint'ed: every consumer
-    (band self-join sides, n_equal join sides, incremental batch/corpus
-    splits) would otherwise re-run the dominant aggregation from the
-    raw text."""
+    per (shingle, hash). The result is ``persist()``-ed (LAZY — no job
+    runs at construction, matching the operator family's lazy
+    contract) because every consumer (band self-join sides, n_equal
+    join sides, incremental batch/corpus splits) would otherwise
+    re-run the dominant aggregation from the raw text; ``eager=True``
+    opts into the round-6-style localCheckpoint (truncated lineage,
+    materialized NOW) for iterative callers that want it."""
     sh = (docs.select(F.col(id_col).alias("doc_id"),
                       word_shingles(F.col(text_col), k).alias("_sh"))
           .select("doc_id", F.explode("_sh").alias("shingle")))
@@ -174,7 +178,8 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 16,
     mins = [F.min((F.lit(_MH_A0 + _MH_A1 * i) * F.col("_h")
                    + F.lit(_MH_B0 + _MH_B1 * i)) % MINHASH_PRIME)
             .alias(f"_mh{i}") for i in range(n_hashes)]
-    return hashed.groupBy("doc_id").agg(*mins).localCheckpoint(eager=True)
+    sig = hashed.groupBy("doc_id").agg(*mins)
+    return sig.localCheckpoint(eager=True) if eager else sig.persist()
 
 
 def minhash_bands(sig: DataFrame, n_hashes: int = 16, n_bands: int = 4,

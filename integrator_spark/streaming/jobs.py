@@ -799,7 +799,7 @@ WITH gapped AS (
               ELSE INTERVAL '30 minutes' END AS gap
   FROM events
 ), marked AS (
-  SELECT user_id, ts, gap,
+  SELECT user_id, ts, event_id, gap,
          CASE WHEN MAX(ts + gap) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
@@ -809,8 +809,11 @@ WITH gapped AS (
               THEN 1 ELSE 0 END AS new_session
   FROM gapped
 ), sessions AS (
+  -- ORDER BY must be the SAME total order as marked's window
+  -- (ts, event_id): a ts-only ROWS frame leaves same-ts tie order
+  -- unspecified, so session membership could flip nondeterministically.
   SELECT user_id, ts, gap,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW) AS session_id
   FROM marked
@@ -1139,6 +1142,90 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rank", "user_id", "n_events"))
 
 
+def _semdedup_prior_batches(d: str, batch_id: int) -> list[str]:
+    """Partition dirs ``batch=N`` with N < batch_id — the probe-read
+    set for one trigger. Excluding the CURRENT batch id is what makes
+    crash replay idempotent: a replayed batch's own (already-written)
+    seen/band partitions must not be probed, or every vector in the
+    batch would pair with itself (cos = 1), be classed a loser, and
+    the replayed output partition would be overwritten as empty."""
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("batch="):
+            try:
+                n = int(f.split("=", 1)[1])
+            except ValueError:
+                continue
+            if n < batch_id:
+                out.append(os.path.join(d, f))
+    return sorted(out)
+
+
+def _semdedup_process_batch(batch_df: DataFrame, batch_id: int,
+                            seen_dir: str, bands_dir: str,
+                            out_dir: str, threshold: float = 0.45,
+                            dim: int = 64, bits: int = 3,
+                            n_bands: int = 12) -> None:
+    """One stream_semantic_dedup trigger, exactly-once under replay.
+
+    Buckets are computed ONCE per batch and persisted — each trigger
+    pays |batch| hashing plus the band-index join; the accumulated
+    corpus is touched only through the index and the id-keyed vector
+    fetch for the residual, never re-hashed. All three stores (output,
+    seen, band index) are batch-partitioned and OVERWRITTEN, and probe
+    reads see only batch ids STRICTLY BELOW this one
+    (:func:`_semdedup_prior_batches`), so a crash-replayed batch reads
+    the same prior state as the original attempt and rewrites
+    byte-identical partitions (pinned by
+    test_semdedup_batch_replay_is_idempotent). Module-level so the
+    replay contract is testable outside a running stream."""
+    from ..operators.dedup import _cosine_residual, signlsh_buckets
+
+    spark = batch_df.sparkSession
+    batch = batch_df.localCheckpoint(eager=True)
+    bands = signlsh_buckets(batch, dim, bits, n_bands).localCheckpoint(
+        eager=True)
+    wa = bands.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    wb = bands.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    within = (wa.join(wb, ["band", "bucket"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b").distinct())
+    losers = (_cosine_residual(within, batch, batch, threshold,
+                               "id_a", "id_b", "vec_id", "embedding")
+              .select(F.col("id_b").alias("vec_id")))
+    prior_bands = _semdedup_prior_batches(bands_dir, batch_id)
+    prior_seen = _semdedup_prior_batches(seen_dir, batch_id)
+    if prior_bands and prior_seen:
+        idx = spark.read.parquet(*prior_bands)
+        cand = (bands.select(F.col("vec_id").alias("new_id"),
+                             "band", "bucket")
+                .join(idx.select(F.col("vec_id").alias("corpus_id"),
+                                 "band", "bucket"),
+                      ["band", "bucket"])
+                .select("new_id", "corpus_id").distinct())
+        seen = spark.read.parquet(*prior_seen)
+        cross = (_cosine_residual(cand, batch, seen, threshold,
+                                  "new_id", "corpus_id",
+                                  "vec_id", "embedding")
+                 .select(F.col("new_id").alias("vec_id")))
+        losers = losers.unionByName(cross)
+    survivors = batch.join(losers.distinct(), "vec_id", "left_anti")
+    # Idempotent per-batch output: a replayed batch overwrites its
+    # own partition instead of double-appending.
+    (survivors.select("vec_id", "label")
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+    # State stores are batch-partitioned and overwritten, not
+    # appended: a crash-replayed batch rewrites its own partition,
+    # so the seen-store and band index stay exactly-once too.
+    batch.write.mode("overwrite").parquet(
+        os.path.join(seen_dir, f"batch={batch_id}"))
+    bands.write.mode("overwrite").parquet(
+        os.path.join(bands_dir, f"batch={batch_id}"))
+
+
 @register("stream_semantic_dedup", oracle="""
 WITH qv AS (SELECT vec_id,
               list_transform(CAST(embedding AS DOUBLE[]),
@@ -1202,8 +1289,6 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import time as _time
 
-    from ..operators.dedup import _cosine_residual, signlsh_buckets
-
     ensure_runtime_confs(spark)
     fixture = os.path.join(sf_dir, "embeddings.parquet")
     src_dir = derived_dir(sf_dir, "semdedup_stream_src")
@@ -1244,53 +1329,9 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("maxFilesPerTrigger", "1")
            .parquet(src_dir))
 
-    def _has_batches(d: str) -> bool:
-        return os.path.isdir(d) and any(f.startswith("batch=")
-                                        for f in os.listdir(d))
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # Buckets are computed ONCE per batch and persisted — each
-        # trigger pays |batch| hashing plus the band-index join; the
-        # accumulated corpus is touched only through the index and the
-        # id-keyed vector fetch for the residual, never re-hashed.
-        batch = batch_df.localCheckpoint(eager=True)
-        bands = signlsh_buckets(batch, 64, 3, 12).localCheckpoint(
-            eager=True)
-        wa = bands.select(F.col("vec_id").alias("id_a"), "band", "bucket")
-        wb = bands.select(F.col("vec_id").alias("id_b"), "band", "bucket")
-        within = (wa.join(wb, ["band", "bucket"])
-                  .filter(F.col("id_a") < F.col("id_b"))
-                  .select("id_a", "id_b").distinct())
-        losers = (_cosine_residual(within, batch, batch, 0.45,
-                                   "id_a", "id_b", "vec_id", "embedding")
-                  .select(F.col("id_b").alias("vec_id")))
-        if _has_batches(bands_dir):
-            idx = spark.read.parquet(os.path.join(bands_dir, "batch=*"))
-            cand = (bands.select(F.col("vec_id").alias("new_id"),
-                                 "band", "bucket")
-                    .join(idx.select(F.col("vec_id").alias("corpus_id"),
-                                     "band", "bucket"),
-                          ["band", "bucket"])
-                    .select("new_id", "corpus_id").distinct())
-            seen = spark.read.parquet(os.path.join(seen_dir, "batch=*"))
-            cross = (_cosine_residual(cand, batch, seen, 0.45,
-                                      "new_id", "corpus_id",
-                                      "vec_id", "embedding")
-                     .select(F.col("new_id").alias("vec_id")))
-            losers = losers.unionByName(cross)
-        survivors = batch.join(losers.distinct(), "vec_id", "left_anti")
-        # Idempotent per-batch output: a replayed batch overwrites its
-        # own partition instead of double-appending.
-        (survivors.select("vec_id", "label")
-         .write.mode("overwrite")
-         .parquet(os.path.join(out_dir, f"batch={batch_id}")))
-        # State stores are batch-partitioned and overwritten, not
-        # appended: a crash-replayed batch rewrites its own partition,
-        # so the seen-store and band index stay exactly-once too.
-        batch.write.mode("overwrite").parquet(
-            os.path.join(seen_dir, f"batch={batch_id}"))
-        bands.write.mode("overwrite").parquet(
-            os.path.join(bands_dir, f"batch={batch_id}"))
+        _semdedup_process_batch(batch_df, batch_id,
+                                seen_dir, bands_dir, out_dir)
 
     q = (raw.writeStream
          .foreachBatch(process)

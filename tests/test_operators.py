@@ -357,6 +357,31 @@ def test_ivf_search_is_lazy_by_default():
         .parameters["prune_buckets"].default is False
 
 
+def test_minhash_signatures_lazy_by_default(spark):
+    # Same lazy-construction contract as ivf_search/ivfpq_search's
+    # opt-in pruning (r6/r7 advisors): constructing signatures must not
+    # run the dominant shingle-hash aggregation job; persist() is lazy,
+    # the eager localCheckpoint is opt-in.
+    import inspect
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import minhash_signatures
+    from .conftest import TEST_SF_DIR
+
+    assert inspect.signature(minhash_signatures) \
+        .parameters["eager"].default is False
+    d = load_table(spark, TEST_SF_DIR, "documents").limit(50)
+    sc = spark.sparkContext
+    sc.setJobGroup("mh_lazy_probe", "construction must run no job")
+    try:
+        sig = minhash_signatures(d)
+        jobs = sc.statusTracker().getJobIdsForGroup("mh_lazy_probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == [], f"construction ran jobs {jobs}"
+    assert sig.count() == 50   # and it still computes
+
+
 def test_connected_components_hand_graph(spark):
     from integrator_spark.operators.dedup import connected_components
     # components: {1,2,3} (chain), {7,9}, singleton edges only

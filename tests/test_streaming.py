@@ -87,3 +87,36 @@ def test_stream_semantic_dedup_equals_batch_keep(spark):
              .orderBy("vec_id").collect())
     assert [(r.vec_id, r.label) for r in streamed] \
         == [(r.vec_id, int(r.label)) for r in batch]
+
+
+def test_semdedup_batch_replay_is_idempotent(spark, tmp_path):
+    # Crash-replay contract (r7 advisor, medium): when a batch is
+    # replayed, its OWN already-written seen/band partitions are on
+    # disk — the probe must read only batch ids strictly below it, or
+    # every replayed vector self-pairs (cos = 1), becomes a loser, and
+    # the replayed output partition is rewritten EMPTY. Replay must
+    # reproduce the original survivors byte-for-byte.
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.streaming.jobs import _semdedup_process_batch
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 60)
+    b0 = e.filter(F.col("vec_id") < 30)
+    b1 = e.filter(F.col("vec_id") >= 30)
+    seen, bands, out = (str(tmp_path / d) for d in ("seen", "bands", "out"))
+    _semdedup_process_batch(b0, 0, seen, bands, out)
+    _semdedup_process_batch(b1, 1, seen, bands, out)
+
+    def read_out():
+        return sorted((r.vec_id, r.label)
+                      for r in spark.read.parquet(out + "/batch=*")
+                      .collect())
+
+    want = read_out()
+    assert len(want) > 0
+    # Replay batch 1 with its own state partitions already present.
+    _semdedup_process_batch(b1, 1, seen, bands, out)
+    assert read_out() == want
+    assert spark.read.parquet(out + "/batch=1").count() > 0
