@@ -546,6 +546,32 @@ def connected_components(pairs: DataFrame, a_col: str = "d1",
 # the IVF-bucketed variant (semantic_pairs_ivf below).
 
 
+#: Target mean bucket occupancy for the adaptive band-bits default:
+#: ~64 rows/bucket, the same dial semantic_pairs_ivf's adaptive cell
+#: count targets — candidate volume Σ C(bucket, 2) then grows ~linearly
+#: with n instead of quadratically.
+SIGNLSH_TARGET_BUCKET_ROWS = 64
+
+
+def signlsh_adaptive_bits(n: int,
+                          target_bucket_rows: int =
+                          SIGNLSH_TARGET_BUCKET_ROWS,
+                          lo: int = 3, hi: int = 20) -> int:
+    """Bits per band sized to the corpus: clamp(ceil(log2(n /
+    target_bucket_rows)), lo, hi). The rule SCALING.md's round-7
+    inflation curve measured: band keyspace (2^bits buckets) must grow
+    with log2(corpus) or buckets saturate and the bucket-equality join
+    degenerates toward all-pairs (3-bit bands went quadratic at 8k
+    rows while 16-bit bands held 0.06%-of-all-pairs volume at 1.155M).
+    Pure/deterministic — unit-tested at the boundaries; a given n
+    always pins the same bits, so fixture-scale results are stable."""
+    import math
+
+    if n <= target_bucket_rows:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_bucket_rows))))
+
+
 def signlsh_planes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic +/-1 hyperplane matrix [n_planes, dim]: coefficient
     (p, j) is +1 iff the first byte of md5("p:j") is even. Engine-
@@ -559,12 +585,24 @@ def signlsh_planes(dim: int, n_planes: int) -> np.ndarray:
     return coef
 
 
-def signlsh_buckets(emb: DataFrame, dim: int, bits_per_band: int = 3,
+def signlsh_buckets(emb: DataFrame, dim: int,
+                    bits_per_band: int | None = None,
                     n_bands: int = 12, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """(id, band, bucket) rows — one integer bucket per band per vector.
     One Arrow-batched int64 matmul per batch against the broadcast
-    plane matrix; no shuffle, cost n x planes x dim integer MACs."""
+    plane matrix; no shuffle, cost n x planes x dim integer MACs.
+
+    ``bits_per_band=None`` (the default) sizes the band keyspace to the
+    corpus via :func:`signlsh_adaptive_bits` — callers using fixture
+    dials can no longer silently carry them into a corpus where the
+    keyspace saturates. Auto mode runs ONE count aggregate at
+    construction (the only way to know n before building the plane
+    matrix); pass an explicit dial for a fully-lazy plan and for
+    cross-engine oracle parity (the registered queries pin bits so the
+    DuckDB oracle regenerates identical planes)."""
+    if bits_per_band is None:
+        bits_per_band = signlsh_adaptive_bits(emb.count())
     n_planes = bits_per_band * n_bands
     coef = signlsh_planes(dim, n_planes)
     bc = emb.sparkSession.sparkContext.broadcast(coef)
@@ -597,7 +635,7 @@ def signlsh_buckets(emb: DataFrame, dim: int, bits_per_band: int = 3,
 
 
 def signlsh_pairs(emb: DataFrame, threshold: float = 0.45, dim: int = 64,
-                  bits_per_band: int = 3, n_bands: int = 12,
+                  bits_per_band: int | None = None, n_bands: int = 12,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   max_bucket_freq: int | None = None) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold) with sign-LSH
@@ -607,6 +645,10 @@ def signlsh_pairs(emb: DataFrame, threshold: float = 0.45, dim: int = 64,
     is the standard hot-bucket skew guard (drop buckets collecting
     more than that many vectors before the join — same posture as the
     hot-shingle guards above).
+
+    ``bits_per_band=None`` (default) adapts the band keyspace to
+    log2(corpus) — see :func:`signlsh_adaptive_bits`; explicit dials
+    remain for oracle-pinned fixture queries.
 
     Output: id_a < id_b, cos_sim rounded to 6 dp."""
     buckets = signlsh_buckets(emb, dim, bits_per_band, n_bands,
@@ -660,7 +702,8 @@ def _cosine_residual(cand: DataFrame, emb_a: DataFrame, emb_b: DataFrame,
 
 def signlsh_pairs_between(new: DataFrame, corpus: DataFrame,
                           threshold: float = 0.45, dim: int = 64,
-                          bits_per_band: int = 3, n_bands: int = 12,
+                          bits_per_band: int | None = None,
+                          n_bands: int = 12,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
     """Incremental semantic ingest: each NEW vector's band buckets
@@ -668,7 +711,13 @@ def signlsh_pairs_between(new: DataFrame, corpus: DataFrame,
     new-new and corpus-corpus pairs never form), then the exact-cosine
     residual runs on the collisions. Steady-state cost tracks the
     batch; the corpus index is write-once/append-per-batch. Output:
-    (new_id, corpus_id, cos_sim >= threshold)."""
+    (new_id, corpus_id, cos_sim >= threshold).
+
+    ``bits_per_band=None`` adapts the keyspace to the CORPUS size
+    (both sides must hash with identical planes, and the corpus is
+    the side whose buckets saturate)."""
+    if bits_per_band is None:
+        bits_per_band = signlsh_adaptive_bits(corpus.count())
     bn = (signlsh_buckets(new, dim, bits_per_band, n_bands,
                           id_col, vec_col)
           .select(F.col(id_col).alias("new_id"), "band", "bucket"))

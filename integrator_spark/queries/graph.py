@@ -40,14 +40,75 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str,
             .filter(F.col("w") >= min_weight).select("s", "d"))
 
 
-@register("graph_pagerank", oracle=None, tags=("graph", "pagerank"))
+def _pagerank_oracle_sql(damping: float = 0.85, iterations: int = 10,
+                         limit: int = 50) -> str:
+    """Unrolled power-iteration oracle (graduated graph_pagerank from
+    rows-only in round 8, VERDICT r7 item 5b): the iteration count is
+    FIXED, so instead of fighting recursive-CTE aggregate restrictions
+    the oracle chains one (contrib, dangling, rank) CTE triple per
+    iteration — each triple mirrors the operator's round verbatim
+    (contrib = SUM(rank/deg) per dst, dangling mass folded back
+    uniformly, rank = (1-d)/n + d*(contrib + dang/n)). Per-term
+    arithmetic is IEEE-identical across engines (same doubles divided
+    by the same integer degrees); only the sum ORDER differs, ~1e-16
+    noise against the final ROUND(rank, 9) half-grid at 5e-10 — the
+    same coarse-grid-over-noise discipline as the registry header."""
+    d, od = damping, 1.0 - damping
+    its = []
+    for i in range(1, iterations + 1):
+        p = i - 1
+        its.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT e.d AS node, SUM(r.rank / o.deg) AS contrib
+  FROM e JOIN outdeg o ON e.s = o.s JOIN r{p} r ON r.node = e.s
+  GROUP BY e.d
+), g{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dang
+  FROM r{p} r LEFT JOIN outdeg o ON r.node = o.s WHERE o.s IS NULL
+), r{i} AS MATERIALIZED (
+  SELECT n.node,
+         {od!r} / nn.n + {d!r} * (COALESCE(c.contrib, 0.0)
+                                  + g.dang / nn.n) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node, g{i} g, nn
+)""")
+    return f"""
+WITH words AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+              w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+       FROM words, unnest(range(1, len(w) - 1)) t(i)),
+cnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+sim AS MATERIALIZED (SELECT d1, d2 FROM prs
+        JOIN cnt ca ON ca.doc_id = d1
+        JOIN cnt cb ON cb.doc_id = d2
+        WHERE n_inter * 1.0 / (ca.n + cb.n - n_inter) >= 0.5),
+e AS MATERIALIZED (SELECT d1 AS s, d2 AS d FROM sim
+      UNION ALL SELECT d2 AS s, d1 AS d FROM sim),
+nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),{",".join(its)}
+SELECT node AS doc_id, ROUND(rank, 9) AS rank
+FROM r{iterations}
+ORDER BY ROUND(rank, 9) DESC, node
+LIMIT {limit}
+"""
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle_sql(),
+          tags=("graph", "pagerank"))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected ≥0.5-Jaccard document similarity
     graph (each pair contributes both directions): ranks the central
-    member of every near-dup cluster. Rows-only: iterative FP has no
-    ANSI-SQL oracle; tests/test_operators.py property-checks the
-    operator against a NumPy power iteration to 1e-9 on fuzzed graphs,
-    and asserts mass conservation here."""
+    member of every near-dup cluster. Oracle-backed since round 8: the
+    fixed-iteration, fixed-damping power iteration unrolls into one
+    chained CTE triple per round (see ``_pagerank_oracle_sql``); the
+    similarity edges reuse dedup_ngram's shingle-join SQL at the 0.5
+    threshold. tests/test_operators.py additionally property-checks
+    the operator against a NumPy power iteration to 1e-9 on fuzzed
+    graphs, and asserts mass conservation here."""
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5).select("d1", "d2")
     edges = pairs.unionByName(

@@ -367,19 +367,89 @@ def vec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("l2"), 6).alias("max_norm")))
 
 
-@register("vec_quantize_int8", oracle=None, tags=("vector", "quantize"))
+@register("vec_quantize_int8", oracle="""
+WITH m AS (
+  SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x)))) AS maxabs
+  FROM embeddings
+), s AS (
+  SELECT CASE WHEN maxabs IS NOT NULL AND maxabs > 0
+              THEN 127.0 / maxabs ELSE 1.0 END AS scale
+  FROM m
+), el AS (
+  SELECT e.vec_id,
+         CAST(u.x AS DOUBLE) AS x,
+         FLOOR(CAST(u.x AS DOUBLE) * s.scale + 0.5) AS code
+  FROM embeddings e, s, UNNEST(e.embedding) AS u(x)
+)
+SELECT COUNT(DISTINCT el.vec_id) AS n_vectors,
+       COUNT(*) AS n_elements,
+       ROUND((SELECT scale FROM s), 6) AS scale,
+       CAST(SUM(el.code) AS BIGINT) AS sum_codes,
+       CAST(SUM(ABS(el.code)) AS BIGINT) AS sum_abs_codes,
+       CAST(SUM(CASE WHEN ABS(el.code) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_saturated,
+       ROUND(MAX(ABS(el.x - el.code / (SELECT scale FROM s))), 6)
+         AS max_abs_err,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(el.x - el.code / (SELECT scale FROM s)),
+                                 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_abs_err
+FROM el
+""", tags=("vector", "quantize"))
 def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar int8 quantization of the embedding corpus (symmetric scale
-    fit on the global max |x|), reporting the memory ratio and the
-    recall@1 of running exact kNN on the QUANTIZED vectors vs the float
-    baseline — the 4x-memory-cut every billion-vector deployment takes
-    first, with its accuracy cost measured rather than assumed.
+    """Scalar int8 quantization round-trip, oracle-exact (graduated from
+    rows-only in round 8, VERDICT r7 item 5a): symmetric scale fit on
+    the global max |x| (scale = 127 / maxabs), per-element code =
+    floor(x·scale + 0.5) — floor(+0.5) instead of ROUND so both engines
+    share ONE rounding rule with no half-even/half-up ambiguity — and
+    the reconstruction error of decoding code/scale. Everything is
+    plain relational: one global max, one explode, one aggregate;
+    integer code sums are exact cross-engine, float error stats use the
+    per-element-round-then-DECIMAL-sum discipline from the registry
+    header. The kNN recall measurement on the quantized corpus lives in
+    ``vec_quantize_recall`` (rows-only by design — recall of an
+    engine-internal index walk isn't SQL)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    maxabs_expr = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0).cast("double"), lambda acc, x: F.greatest(acc, x))
+    row = e.agg(F.max(maxabs_expr).alias("m")).first()
+    maxabs = row["m"]
+    scale = 127.0 / maxabs if maxabs else 1.0
+    el = e.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding",
+                                 lambda x: x.cast("double")))
+         .alias("pos", "x"))
+    code = F.floor(F.col("x") * F.lit(scale) + F.lit(0.5))
+    err = F.abs(F.col("x") - code / F.lit(scale))
+    return (el.select("vec_id", code.alias("code"), err.alias("err"))
+            .agg(F.countDistinct("vec_id").alias("n_vectors"),
+                 F.count(F.lit(1)).alias("n_elements"),
+                 F.round(F.lit(scale), 6).alias("scale"),
+                 F.sum("code").cast("long").alias("sum_codes"),
+                 F.sum(F.abs(F.col("code"))).cast("long")
+                  .alias("sum_abs_codes"),
+                 F.sum(F.when(F.abs(F.col("code")) == 127, 1)
+                        .otherwise(0)).cast("long").alias("n_saturated"),
+                 F.round(F.max("err"), 6).alias("max_abs_err"),
+                 F.round(F.sum(F.round(F.col("err"), 6).cast(DEC))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  .alias("mean_abs_err")))
 
-    The quantized corpus is genuinely ``array<tinyint>`` + one scalar
-    scale (see ``quantize_embeddings_int8``) — the 4x storage ratio is
-    realized in the payload schema, not simulated; consumers dequantize
-    on read. Rows-only (sketch-adjacent); tests/test_operators.py
-    asserts recall >= 0.9, the 4x ratio, and the tinyint schema."""
+
+@register("vec_quantize_recall", oracle=None, tags=("vector", "quantize"))
+def vec_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1 of exact kNN run on the int8-QUANTIZED corpus vs the
+    float baseline — the accuracy cost of the 4× memory cut, measured
+    rather than assumed. The quantized corpus is genuinely
+    ``array<tinyint>`` + one scalar scale (see
+    ``quantize_embeddings_int8``) — the 4× storage ratio is realized in
+    the payload schema, not simulated; consumers dequantize on read.
+    Rows-only (the kNN comparison isn't SQL-expressible at fixture
+    cost); tests/test_operators.py asserts recall >= 0.9, the 4× ratio,
+    and the tinyint schema. The code/error round-trip itself is
+    oracle-exact in ``vec_quantize_int8``."""
     from ..operators.knn import knn_blocked
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -403,7 +473,11 @@ def quantize_embeddings_int8(e: DataFrame, vec_col: str = "embedding"
     ``q_embedding`` plus the symmetric scale (one double for the whole
     corpus, fit on global max |x| so dequantization needs no per-row
     metadata). This is the storable form: 1 byte/dim vs 4 — writing
-    ``q_embedding`` to parquet realizes the 4x cut."""
+    ``q_embedding`` to parquet realizes the 4x cut.
+
+    Codes are floor(x·scale + 0.5) — a single explicit rounding rule
+    with no half-even/half-up ambiguity, shared verbatim by the
+    vec_quantize_int8 oracle so DuckDB recomputes identical codes."""
     maxabs = e.select(F.aggregate(
         F.transform(vec_col, lambda x: F.abs(x)),
         F.lit(0.0).cast("double"),
@@ -412,7 +486,8 @@ def quantize_embeddings_int8(e: DataFrame, vec_col: str = "embedding"
     # empty corpus (or all-zero vectors): nothing to fit — identity scale
     scale = 127.0 / maxabs if maxabs else 1.0
     quant = F.transform(
-        vec_col, lambda x: F.round(x.cast("double") * scale).cast("tinyint"))
+        vec_col,
+        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("tinyint"))
     cols = [c for c in e.columns if c != vec_col]
     return e.select(*cols, quant.alias("q_embedding")), scale
 

@@ -672,7 +672,8 @@ def test_merge_upsert_matches_dict_reference(spark):
 def test_int8_quantization_recall(spark):
     from integrator_spark.registry import get_queries
     from .conftest import TEST_SF_DIR
-    row = get_queries()["vec_quantize_int8"](spark, TEST_SF_DIR).collect()[0]
+    row = get_queries()["vec_quantize_recall"](spark,
+                                               TEST_SF_DIR).collect()[0]
     assert row.n_vectors > 0
     assert row.recall_at_1 >= 0.9, row
     assert row.memory_ratio_fp32_int8 == 4.0
@@ -1541,6 +1542,35 @@ def test_signlsh_planes_match_md5_parity():
             want = 1 if int(h[:2], 16) % 2 == 0 else -1
             assert coef[p, j] == want
     assert set(np.unique(coef)) <= {-1, 1}
+
+
+def test_signlsh_adaptive_bits_boundaries():
+    # The keyspace rule SCALING.md measured (3-bit bands go quadratic
+    # at 8k rows): bits = clamp(ceil(log2(n / 64)), 3, 20). Boundary
+    # cases are the contract — a given n must always pin the same bits
+    # so fixture-scale results stay byte-stable.
+    from integrator_spark.operators.dedup import signlsh_adaptive_bits as ab
+
+    assert ab(0) == 3 and ab(64) == 3 and ab(500) == 3       # floor
+    assert ab(513) == 4                                       # first step
+    assert ab(8_000) == 7                                     # r7 cliff n
+    assert ab(1_155_000) == 15                                # 1.1M run
+    assert ab(10**12) == 20                                   # cap
+    assert all(ab(n) <= ab(n + 1) for n in range(1, 5000))    # monotone
+
+
+def test_signlsh_auto_bits_matches_explicit_at_fixture_scale(spark):
+    # At the sf0.01 fixture (500 vectors) the adaptive default resolves
+    # to the SAME 3 bits the oracle-pinned registered queries dial in,
+    # so auto mode is byte-identical there — the dial only moves when
+    # the corpus outgrows the keyspace.
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import signlsh_pairs
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    auto = sorted(map(tuple, signlsh_pairs(e).collect()))
+    explicit = sorted(map(tuple,
+                          signlsh_pairs(e, bits_per_band=3).collect()))
+    assert auto == explicit and len(auto) > 0
 
 
 def test_semantic_ivf_pairs_partitioning_invariant(spark):
