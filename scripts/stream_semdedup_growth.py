@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Streaming semantic-dedup band-index growth + compaction (round 8).
+
+stream_semantic_dedup's per-trigger claim is O(|batch| + collisions)
+against an append-only persisted (vec_id, band, bucket) band index —
+the seen corpus is never re-hashed. Round 7 measured the rewrite's win
+on the 5-batch fixture drain; this script proves the claim HOLDS AS
+THE SEEN-STORE GROWS and demonstrates the index-maintenance story:
+
+1. 24-batch drain (2,000 new vectors per trigger, 48k total; 5%
+   planted near-copies of earlier batches so the cross-batch probe has
+   genuine work) driving the exact foreachBatch body
+   (`_semdedup_process_batch`), recording per-trigger wall vs
+   seen-store size. Flat-ish wall = the claim; a slope tracking the
+   seen-store = re-hash/rescan leakage. Band width uses the round-8
+   adaptive rule sized to the FINAL corpus (log2(48k/64) = 10 bits) —
+   sizing the keyspace to the stream's expected total is exactly the
+   dial the rule exists for.
+2. The small-files ledger: per-batch overwrite partitions accumulate
+   tasks x batches files (the partitionBy cliff SCALING.md round 7
+   measured applies to this index layout too).
+3. Compaction (maint_compact-style): batches 0..N-1 of both stores
+   collapse into ONE coalesced partition each (`batch=<N-1>` keeps the
+   strictly-below probe protocol valid for every future batch id
+   >= N), then batch N is processed against original vs compacted
+   state — survivors must be byte-identical, file count and probe
+   wall drop.
+
+Usage: python scripts/stream_semdedup_growth.py  (markdown table ->
+SCALING.md round-8 section)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+from collections.abc import Iterator
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from integrator_spark.functions.synth import splitmix_vectors  # noqa: E402
+from integrator_spark.operators.dedup import (  # noqa: E402
+    signlsh_adaptive_bits,
+)
+from integrator_spark.session import build_session  # noqa: E402
+from integrator_spark.streaming.jobs import (  # noqa: E402
+    _semdedup_process_batch,
+)
+
+BATCHES, BATCH_ROWS, DIM = 24, 2_000, 64
+DUP_EVERY = 20            # 5% of each batch copies an earlier vector
+WORK = "/tmp/semdedup_growth"
+
+
+def gen_batch(spark, b: int):
+    """Batch b: ids [b*R, (b+1)*R); every DUP_EVERY-th row is a near-
+    copy (cosine ~0.999) of a deterministic earlier-batch vector, so
+    cross-batch collisions exist at every trigger."""
+    lo = b * BATCH_ROWS
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            v = splitmix_vectors(ids, DIM).astype(np.float64)
+            if lo > 0:
+                dup = ids % DUP_EVERY == 0
+                src = (ids[dup] * 2_654_435_761) % lo   # earlier id
+                v[dup] = (splitmix_vectors(src, DIM).astype(np.float64)
+                          + 0.01 * v[dup])
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "label": (ids % 7).astype(np.int32),
+                "embedding": list(v.astype(np.float32))})
+
+    return (spark.range(lo, lo + BATCH_ROWS).select(F.col("id"))
+            .repartition(8)
+            .mapInPandas(gen, "vec_id long, label int, "
+                              "embedding array<float>"))
+
+
+def count_files(d: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        total += sum(1 for f in files if f.endswith(".parquet"))
+    return total
+
+
+def main() -> None:
+    spark = build_session("semdedup-growth")
+    shutil.rmtree(WORK, ignore_errors=True)
+    seen, bands, out = (os.path.join(WORK, d)
+                        for d in ("seen", "bands", "out"))
+    bits = signlsh_adaptive_bits(BATCHES * BATCH_ROWS)
+    print(f"adaptive bits for {BATCHES * BATCH_ROWS} rows: {bits}")
+
+    walls = []
+    for b in range(BATCHES):
+        batch = gen_batch(spark, b)
+        t0 = time.perf_counter()
+        _semdedup_process_batch(batch, b, seen, bands, out,
+                                threshold=0.9, dim=DIM, bits=bits,
+                                n_bands=12)
+        walls.append(time.perf_counter() - t0)
+        if b % 4 == 3 or b == 0:
+            print(f"batch={b} seen={b * BATCH_ROWS} wall={walls[-1]:.2f}s",
+                  flush=True)
+
+    n_files_before = count_files(bands) + count_files(seen)
+    survivors_before = (spark.read.parquet(os.path.join(out, "batch=*"))
+                        .count())
+
+    # --- probe batch N against the UNCOMPACTED state -------------------
+    probe_id = BATCHES
+    probe = gen_batch(spark, probe_id).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    _semdedup_process_batch(probe, probe_id, seen, bands, out,
+                            threshold=0.9, dim=DIM, bits=bits, n_bands=12)
+    t_probe_raw = time.perf_counter() - t0
+    surv_raw = sorted(r.vec_id for r in spark.read.parquet(
+        os.path.join(out, f"batch={probe_id}")).collect())
+
+    # --- compact batches 0..N-1 into one partition each ----------------
+    t0 = time.perf_counter()
+    for store in (seen, bands):
+        prior = [os.path.join(store, f) for f in sorted(os.listdir(store))
+                 if f.startswith("batch=") and
+                 int(f.split("=")[1]) < probe_id]
+        df = spark.read.parquet(*prior).coalesce(4)
+        tmp = store + "_compact"
+        df.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"batch={probe_id - 1}"))
+        shutil.rmtree(store)
+        shutil.move(tmp, store)
+    t_compact = time.perf_counter() - t0
+    n_files_after = count_files(bands) + count_files(seen)
+
+    # --- replay the probe batch against the COMPACTED state ------------
+    shutil.rmtree(os.path.join(out, f"batch={probe_id}"))
+    t0 = time.perf_counter()
+    _semdedup_process_batch(probe, probe_id, seen, bands, out,
+                            threshold=0.9, dim=DIM, bits=bits, n_bands=12)
+    t_probe_compact = time.perf_counter() - t0
+    surv_compact = sorted(r.vec_id for r in spark.read.parquet(
+        os.path.join(out, f"batch={probe_id}")).collect())
+
+    ident = surv_raw == surv_compact
+    print(f"\nsurvivors through batch {BATCHES - 1}: {survivors_before}")
+    print(f"index files before/after compaction: "
+          f"{n_files_before} -> {n_files_after} "
+          f"(compaction wall {t_compact:.1f}s)")
+    print(f"probe batch wall raw={t_probe_raw:.2f}s "
+          f"compacted={t_probe_compact:.2f}s "
+          f"survivors identical={ident} ({len(surv_raw)} rows)")
+    assert ident, "compaction changed survivors!"
+
+    print("\n| batch | seen rows | trigger wall |")
+    print("| ----- | --------- | -----------: |")
+    for b in (0, 3, 7, 11, 15, 19, 23):
+        print(f"| {b} | {b * BATCH_ROWS:,} | {walls[b]:.2f} s |")
+    print(f"\nmean wall batches 1-8: "
+          f"{sum(walls[1:9]) / 8:.2f} s; batches 16-23: "
+          f"{sum(walls[16:24]) / 8:.2f} s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
