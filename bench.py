@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Headline benchmark — the 10 BASELINE.md queries at $SPARK_GRAFT_SF_DIR
+"""Headline benchmark — the 10 BASELINE.md queries plus the round-8
+dedup/ANN family representatives at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Protocol mirrors BASELINE.md: one warm-up execution, then the median of
@@ -41,6 +42,15 @@ HEADLINE = [
     "events_json",
     "docs_wordcount",
     "vec_knn",
+    # Round 8 (VERDICT r7 item 6): one representative each from the
+    # dedup and quantized-ANN families, so a regression in the repo's
+    # largest operator code is visible round-over-round. Their naive
+    # all-pairs twins are ~235 s (crossJoin Jaccard) and ~74 s
+    # (crossJoin kNN — the same plan as vec_knn's twin) per execution,
+    # so they are measured ONCE in BASELINE.md's appendix instead of
+    # per-session here.
+    "dedup_minhash_det",
+    "vec_ann_ivfpq",
 ]
 
 RUNS = 5
