@@ -660,7 +660,64 @@ def vec_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
-@register("vec_mmr", oracle=None, tags=("vector", "retrieval"))
+def _mmr_oracle_sql(k: int = 10, n_cand: int = 30,
+                    lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR oracle (graduated vec_mmr from rows-only in
+    round 8, same unrolling idea as graph_pagerank's oracle): the pick
+    count is FIXED, so each greedy step is one chained CTE pair —
+    p{i} = argmax over unpicked candidates of
+    lam·rel − (1−lam)·max(sim to picked), picked{i} = picked{i-1} ∪
+    p{i}. Cross-engine float parity: rel is the 6-dp-rounded candidate
+    cosine, the redundancy sims are rounded to 6 dp on BOTH engines
+    before the max (the Spark kernel input is np.round(sims, 6)), so
+    every score is the same two-term expression over identical grid
+    doubles; ties break (score DESC, rel DESC, vec_id) — the SQL
+    restatement of mmr_select's sorted-entry first-index rule."""
+    d, od = lam, 1.0 - lam
+    cos = ("list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+           "CAST(q.embedding AS DOUBLE[]))")
+    steps = []
+    for i in range(2, k + 1):
+        p = i - 1
+        steps.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel, c.emb,
+         {d!r} * c.rel - {od!r} * (
+           SELECT MAX(ROUND(list_cosine_similarity(
+                              CAST(c.emb AS DOUBLE[]),
+                              CAST(s.emb AS DOUBLE[])), 6))
+           FROM picked{p} s) AS score
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM picked{p})
+  ORDER BY score DESC, c.rel DESC, c.vec_id
+  LIMIT 1
+), picked{i} AS MATERIALIZED (
+  SELECT * FROM picked{p}
+  UNION ALL SELECT {i} AS rank, vec_id, rel, emb, score FROM p{i}
+)""")
+    return f"""
+WITH q AS MATERIALIZED (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT c.vec_id, ROUND({cos}, 6) AS rel, c.embedding AS emb
+  FROM embeddings c, q
+  WHERE c.vec_id <> 0
+  ORDER BY {cos} DESC, c.vec_id
+  LIMIT {n_cand}
+),
+p1 AS MATERIALIZED (
+  SELECT vec_id, rel, emb, {d!r} * rel AS score
+  FROM cand ORDER BY {d!r} * rel DESC, rel DESC, vec_id LIMIT 1
+), picked1 AS MATERIALIZED (
+  SELECT 1 AS rank, vec_id, rel, emb, score FROM p1
+){"".join(steps)}
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel,
+       ROUND(score, 6) AS mmr_score
+FROM picked{k}
+ORDER BY rank
+"""
+
+
+@register("vec_mmr", oracle=_mmr_oracle_sql(), tags=("vector", "retrieval"))
 def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval via maximal marginal relevance — the
     standard two-stage retrieve-then-rerank: stage 1 runs the
@@ -673,11 +730,14 @@ def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     time companion to dedup_embedding: near-duplicate corpus entries
     that would dominate a plain top-10 get suppressed.
 
-    Rows-only: the greedy argmax chain isn't ANSI-SQL-expressible; the
-    kernel (operators/knn.py:mmr_select) is pinned against an
-    independent reference implementation and determinism-gated in
-    tests/test_analytics.py. Output ranks are deterministic: candidates
-    enter sorted (rel desc, vec_id), ties keep the earlier candidate."""
+    Oracle-backed since round 8: the fixed-k greedy chain unrolls into
+    one CTE pair per pick (see ``_mmr_oracle_sql``); redundancy sims
+    are 6-dp-rounded on both engines so scores live on an exact shared
+    grid. The kernel (operators/knn.py:mmr_select) additionally stays
+    pinned against an independent reference implementation and
+    determinism-gated in tests/test_analytics.py. Output ranks are
+    deterministic: candidates enter sorted (rel desc, vec_id), ties
+    keep the earlier candidate."""
     import numpy as np
 
     from ..operators.knn import knn_search_broadcast, mmr_select
@@ -703,7 +763,11 @@ def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mis-ranking everything after the first pick. Clamp: a zero vector
     # has similarity 0 to everything (mat row is all zeros already).
     norms = np.where(norms == 0.0, 1.0, norms)
-    sims = (mat @ mat.T) / np.outer(norms, norms)
+    # 6-dp grid BEFORE selection: the oracle's redundancy term rounds
+    # its cosines the same way, so both engines' scores are the same
+    # two-term expression over identical grid doubles — without this,
+    # BLAS-vs-DuckDB dot-product sum order could flip a near-tied pick.
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
     picked = mmr_select(rel, sims, k=10, lam=0.7)
     out = [(rank + 1, int(ids[i]), round(float(rel[i]), 6), round(score, 6))
            for rank, (i, score) in enumerate(picked)]
