@@ -127,19 +127,11 @@ def main() -> None:
         os.path.join(out, f"batch={probe_id}")).collect())
 
     # --- compact batches 0..N-1 into one partition each ----------------
+    from integrator_spark.streaming.jobs import semdedup_compact_stores
+
     t0 = time.perf_counter()
-    for store in (seen, bands):
-        prior = [os.path.join(store, f) for f in sorted(os.listdir(store))
-                 if f.startswith("batch=") and
-                 int(f.split("=")[1]) < probe_id]
-        df = spark.read.parquet(*prior).coalesce(4)
-        tmp = store + "_compact"
-        df.write.mode("overwrite").parquet(
-            os.path.join(tmp, f"batch={probe_id - 1}"))
-        shutil.rmtree(store)
-        shutil.move(tmp, store)
+    n_files_after = semdedup_compact_stores(spark, seen, bands, probe_id)
     t_compact = time.perf_counter() - t0
-    n_files_after = count_files(bands) + count_files(seen)
 
     # --- replay the probe batch against the COMPACTED state ------------
     shutil.rmtree(os.path.join(out, f"batch={probe_id}"))

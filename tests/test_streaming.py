@@ -120,3 +120,45 @@ def test_semdedup_batch_replay_is_idempotent(spark, tmp_path):
     _semdedup_process_batch(b1, 1, seen, bands, out)
     assert read_out() == want
     assert spark.read.parquet(out + "/batch=1").count() > 0
+
+
+def test_semdedup_compaction_preserves_survivors(spark, tmp_path):
+    # semdedup_compact_stores collapses prior batch partitions into one
+    # (named batch=N-1, keeping the strictly-below probe protocol
+    # valid); the next batch's survivors must be byte-identical to the
+    # uncompacted path, and the parquet file count must drop.
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.streaming.jobs import (
+        _semdedup_process_batch,
+        semdedup_compact_stores,
+    )
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 90)
+    batches = [e.filter((F.col("vec_id") >= 30 * i)
+                        & (F.col("vec_id") < 30 * (i + 1)))
+               for i in range(3)]
+
+    def count_files(*dirs):
+        import os
+        return sum(1 for d in dirs for _r, _d, fs in os.walk(d)
+                   for f in fs if f.endswith(".parquet"))
+
+    outs = {}
+    for variant in ("raw", "compacted"):
+        seen, bands, out = (str(tmp_path / variant / d)
+                            for d in ("seen", "bands", "out"))
+        _semdedup_process_batch(batches[0], 0, seen, bands, out)
+        _semdedup_process_batch(batches[1], 1, seen, bands, out)
+        if variant == "compacted":
+            before = count_files(seen, bands)
+            after = semdedup_compact_stores(spark, seen, bands,
+                                            upto_batch=2, n_files=1)
+            assert after < before
+        _semdedup_process_batch(batches[2], 2, seen, bands, out)
+        outs[variant] = sorted(
+            (r.vec_id, r.label)
+            for r in spark.read.parquet(out + "/batch=*").collect())
+    assert outs["raw"] == outs["compacted"] and len(outs["raw"]) > 0
