@@ -40,9 +40,22 @@ def _topk_idx(row: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
     subset when equal sims straddle the k-th position, so we partition,
     read the k-th value as a threshold, keep EVERY index at-or-above it,
     and only then lexsort (-sim, id) — identical to the window spec
-    ``ORDER BY cos_sim DESC, neighbor_id`` used by knn_bruteforce.
-    Non-finite entries (the masked self-pair) are dropped.
+    ``ORDER BY round(cos_sim, 6) DESC, neighbor_id`` used by
+    knn_bruteforce. Non-finite entries (the masked self-pair) are
+    dropped.
+
+    Selection happens on the 6-dp OUTPUT grid (``np.round(row, 6)``),
+    not on raw float64 sims: two bit-identical vectors scored by
+    *separate* BLAS calls (different block pairs, different batch
+    shapes) can disagree in the last ulp, which would flip the id
+    tie-break nondeterministically between physical plans. Real dedup
+    corpora are full of exact-duplicate vectors, so ties are the norm,
+    not the corner case; rounding first makes every exact strategy —
+    and the DuckDB oracles, which order by the same ROUND(..., 6) —
+    agree by construction (coarse-grid-over-noise discipline,
+    registry header).
     """
+    row = np.round(row, 6)
     finite = np.isfinite(row)
     kk = min(k, int(finite.sum()))
     if kk <= 0:
@@ -84,12 +97,19 @@ def _chunked_topk_rows(q_ids: np.ndarray, q: np.ndarray,
     sims-budget chunks, masks exact id matches (self-pairs) to -inf,
     and returns (query_id, candidate_id, sim) tuples. Both matrices
     must be row-L2-normalized. Centralized so the tie-break and buffer
-    budget can never drift between physical plans."""
+    budget can never drift between physical plans.
+
+    Sims are snapped to the 6-dp output grid BEFORE selection (see
+    ``_topk_idx``) so the local winners this kernel emits — later
+    merged by a plain ``ORDER BY cos_sim DESC, id`` window across
+    blocks/batches — carry grid values: the cross-call ulp noise that
+    would otherwise make the merge's tie-break nondeterministic is
+    gone by the time rows leave the task."""
     order = np.argsort(c_ids, kind="stable")
     c_ids, c = c_ids[order], c[order]
     rows: list[tuple[int, int, float]] = []
     for lo, hi in _q_chunks(len(q_ids), len(c_ids)):
-        sims = q[lo:hi] @ c.T
+        sims = np.round(q[lo:hi] @ c.T, 6)
         sims[q_ids[lo:hi, None] == c_ids[None, :]] = -np.inf
         for r in range(sims.shape[0]):
             rows.extend(
@@ -137,13 +157,16 @@ def knn_bruteforce(emb: DataFrame, id_col: str = "vec_id",
     pairs = (a.crossJoin(b)
              .filter(F.col("vec_id") != F.col("neighbor_id"))
              .select("vec_id", "neighbor_id",
-                     (_dot_expr(F.col("_va"), F.col("_vb"))
-                      / (F.col("_na") * F.col("_nb"))).alias("_cos")))
+                     # Selection on the 6-dp output grid — matches the
+                     # blocked kernels' grid-before-select tie-break.
+                     F.round(_dot_expr(F.col("_va"), F.col("_vb"))
+                             / (F.col("_na") * F.col("_nb")), 6)
+                     .alias("_cos")))
     w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(),
                                              F.col("neighbor_id"))
     return (pairs.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
-            .select("vec_id", "neighbor_id", F.round("_cos", 6).alias("cos_sim")))
+            .select("vec_id", "neighbor_id", F.col("_cos").alias("cos_sim")))
 
 
 def _collect_matrix(emb: DataFrame, id_col: str, vec_col: str):
@@ -192,7 +215,8 @@ def knn_blocked(emb: DataFrame, id_col: str = "vec_id",
             out_rows = []
             for lo, hi in _q_chunks(len(all_ids), len(cand_ids)):
                 q_ids, q = all_ids[lo:hi], all_q[lo:hi]
-                sims = q @ cand.T                         # [chunk, n_cand]
+                # Grid-before-select, same as _chunked_topk_rows.
+                sims = np.round(q @ cand.T, 6)            # [chunk, n_cand]
                 self_mask = q_ids[:, None] == cand_ids[None, :]
                 sims[self_mask] = -np.inf
                 for r in range(sims.shape[0]):

@@ -25,8 +25,9 @@ FROM embeddings a
 JOIN embeddings b ON a.vec_id <> b.vec_id
 QUALIFY row_number() OVER (
     PARTITION BY a.vec_id
-    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])) DESC,
+    ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   6) DESC,
              b.vec_id) = 1
 """
 
@@ -129,8 +130,9 @@ FROM embeddings a
 JOIN embeddings b ON a.vec_id <> b.vec_id
 QUALIFY row_number() OVER (
     PARTITION BY a.vec_id
-    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])) DESC,
+    ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   6) DESC,
              b.vec_id) <= 5
 """
 
@@ -547,8 +549,9 @@ JOIN embeddings c ON q.vec_id <> c.vec_id
 WHERE q.vec_id % 40 = 0
 QUALIFY row_number() OVER (
     PARTITION BY q.vec_id
-    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(c.embedding AS DOUBLE[])) DESC,
+    ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])),
+                   6) DESC,
              c.vec_id) = 1
 """
 
@@ -701,7 +704,7 @@ cand AS MATERIALIZED (
   SELECT c.vec_id, ROUND({cos}, 6) AS rel, c.embedding AS emb
   FROM embeddings c, q
   WHERE c.vec_id <> 0
-  ORDER BY {cos} DESC, c.vec_id
+  ORDER BY ROUND({cos}, 6) DESC, c.vec_id
   LIMIT {n_cand}
 ),
 p1 AS MATERIALIZED (
