@@ -151,6 +151,51 @@ def triangle_census(edges: DataFrame, src: str = "src",
                     .alias("clustering_coeff")))
 
 
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6,
+               src: str = "src", dst: str = "dst",
+               assume_canonical: bool = False) -> DataFrame:
+    """k-core decomposition by FIXED-round bulk-synchronous peeling →
+    (node, core_degree) for every node still alive after ``rounds``
+    peels with degree ≥ k.
+
+    Per round: one degree groupBy over the surviving symmetric edge
+    list, a ``deg ≥ k`` node filter, and two hash equi-joins that drop
+    every edge touching a peeled node — lineage truncated with an eager
+    localCheckpoint per round (same discipline as pagerank /
+    connected_components). Peeling is MONOTONE (the surviving edge set
+    only shrinks) and idempotent once converged, so a fixed round count
+    keeps every run — and a round-for-round unrolled SQL oracle —
+    identical; graphs whose peeling cascade is deeper than ``rounds``
+    return the (well-defined) partial peel, which callers bound with
+    the same log-diameter argument as BFS depth. All arithmetic is
+    integer-exact: no float noise anywhere.
+
+    Scale: state per round is one slim (s, d) edge frame + a node
+    list; both joins shuffle on node keys (AQE-coalesced, and the
+    survivor side shrinks monotonically — late rounds are broadcast
+    joins in practice). The classic single-machine bucket-queue
+    algorithm is inherently sequential; this is the standard BSP
+    reformulation that trades O(peel-depth) rounds for full
+    parallelism within each round.
+    """
+    u = undirected_edges(edges, src, dst, assume_canonical)
+    cur = (u.select(F.col("a").alias("s"), F.col("b").alias("d"))
+           .unionByName(u.select(F.col("b").alias("s"),
+                                 F.col("a").alias("d")))
+           .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = (deg.filter(F.col("deg") >= k).select("s")
+                .localCheckpoint(eager=True))
+        cur = (cur.join(keep, "s")
+               .join(keep.select(F.col("s").alias("d")), "d")
+               .select("s", "d")
+               .localCheckpoint(eager=True))
+    return (cur.groupBy("s").agg(F.count(F.lit(1)).alias("core_degree"))
+            .filter(F.col("core_degree") >= k)
+            .select(F.col("s").alias("node"), "core_degree"))
+
+
 def bfs_levels(edges: DataFrame, source: int, max_depth: int = 6,
                src: str = "src", dst: str = "dst",
                assume_canonical: bool = False) -> DataFrame:

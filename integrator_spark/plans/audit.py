@@ -60,6 +60,8 @@ CROSS_JOIN_ALLOWED = {
     "events_active_users",   # bounded |days| x 7 trailing-week grid
     "ml_standardize",      # 1-row sufficient-stats frame broadcast to scan
     "stats_power",         # 1-row rates frame x 4-row literal MDE grid
+    "ml_naive_bayes",      # bounded n_classes-row grid broadcast to tf/docs
+    "stats_theilsen",      # bounded |days|² day-pair grid + 1-row count frame
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

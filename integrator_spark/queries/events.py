@@ -884,3 +884,67 @@ def events_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(delay_d, 0.25) / 1e6, 4).alias("p25_s"),
         F.round(F.percentile(delay_d, 0.50) / 1e6, 4).alias("p50_s"),
         F.round(F.percentile(delay_d, 0.75) / 1e6, 4).alias("p75_s"))
+
+
+@register("events_streaks", oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, (CAST(ts AS DATE) - DATE '1970-01-01') AS x
+  FROM events
+),
+isl AS (
+  SELECT user_id, x,
+         x - row_number() OVER (PARTITION BY user_id ORDER BY x) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, grp,
+         CAST(COUNT(*) AS BIGINT) AS streak_days,
+         strftime(DATE '1970-01-01' + CAST(MIN(x) AS INTEGER),
+                  '%Y-%m-%d') AS streak_start
+  FROM isl GROUP BY user_id, grp
+),
+best AS (
+  SELECT user_id, streak_days, streak_start FROM runs
+  QUALIFY row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY streak_days DESC, streak_start) = 1
+)
+SELECT user_id, streak_days, streak_start
+FROM best
+ORDER BY streak_days DESC, user_id
+LIMIT 20
+""", tags=("events", "window", "timeseries"))
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands window pattern: day_number − row_number is
+    constant exactly within a consecutive run, so one window plus one
+    groupBy finds every island with no self-join and no iteration.
+    The retention-adjacent "how sticky is this user" metric that
+    events_active_users' fixed 7-day window can't express.
+
+    Scale: one distinct over (user, day) — the only wide shuffle,
+    partitioned by the same user key the window then uses, so the sort
+    reuses the exchange — then per-user windows and one small agg. All
+    integer arithmetic (epoch-day grid), deterministic ties: equal-
+    length streaks resolve to the earliest start, the global top-20 to
+    (streak DESC, user_id). Output: (user_id, streak_days,
+    streak_start)."""
+    e = load_table(spark, sf_dir, "events")
+    days = (e.select("user_id",
+                     F.datediff(F.to_date("ts"),
+                                F.lit("1970-01-01").cast("date")).alias("x"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("x")
+    isl = days.withColumn("grp", F.col("x") - F.row_number().over(w))
+    runs = (isl.groupBy("user_id", "grp")
+            .agg(F.count(F.lit(1)).alias("streak_days"),
+                 F.date_format(
+                     F.date_add(F.lit("1970-01-01").cast("date"),
+                                F.min("x").cast("int")),
+                     "yyyy-MM-dd").alias("streak_start")))
+    bw = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), "streak_start")
+    best = (runs.withColumn("_rn", F.row_number().over(bw))
+            .filter(F.col("_rn") == 1))
+    return (best.select("user_id", "streak_days", "streak_start")
+            .orderBy(F.col("streak_days").desc(), "user_id").limit(20))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.num import laplace_share, psi_term
+from ..functions.text import tokens
 from ..io import load_table, table_rows
 from ..registry import register
 
@@ -2046,3 +2047,210 @@ def stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("mde_rel", "p0", "p1",
                     F.col("n0").alias("current_n_per_arm"),
                     n_req.cast("long").alias("n_required_per_arm")))
+
+
+_NB_ORACLE = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+train AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 5 <> 0),
+test  AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 5 = 0),
+ttok AS MATERIALIZED (
+  SELECT lang, unnest(toks) AS tok FROM train
+),
+cls AS MATERIALIZED (SELECT lang, COUNT(*) AS tot FROM ttok GROUP BY lang),
+vsz AS (SELECT COUNT(DISTINCT tok) AS v FROM ttok),
+ntr AS (SELECT COUNT(*) AS n FROM train),
+priors AS MATERIALIZED (
+  SELECT lang,
+         CAST(ROUND(ln(COUNT(*) * 1.0 / (SELECT n FROM ntr)), 9)
+              AS DECIMAL(28,9)) AS lp
+  FROM train GROUP BY lang
+),
+cnt AS MATERIALIZED (
+  SELECT lang, tok, COUNT(*) AS c FROM ttok GROUP BY lang, tok
+),
+vocab AS MATERIALIZED (SELECT DISTINCT tok FROM ttok),
+tf AS MATERIALIZED (
+  SELECT t.doc_id, t.lang_true, t.tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, lang AS lang_true, unnest(toks) AS tok
+        FROM test) t
+  JOIN vocab v ON v.tok = t.tok
+  GROUP BY 1, 2, 3
+),
+term AS MATERIALIZED (
+  SELECT g.doc_id, g.lang_true, g.lang,
+         CAST(g.tf
+              * ROUND(ln((COALESCE(cnt.c, 0) + 1) * 1.0
+                         / (cls.tot + (SELECT v FROM vsz))), 9)
+              AS DECIMAL(28,9)) AS trm
+  FROM (SELECT tf.*, c2.lang FROM tf CROSS JOIN (SELECT lang FROM cls) c2) g
+  JOIN cls ON cls.lang = g.lang
+  LEFT JOIN cnt ON cnt.lang = g.lang AND cnt.tok = g.tok
+),
+tscore AS MATERIALIZED (
+  SELECT doc_id, lang_true, lang, SUM(trm) AS s
+  FROM term GROUP BY 1, 2, 3
+),
+score AS MATERIALIZED (
+  SELECT b.doc_id, b.lang_true, b.lang,
+         COALESCE(ts.s, 0) + p.lp AS total
+  FROM (SELECT t.doc_id, t.lang AS lang_true, c.lang
+        FROM test t CROSS JOIN (SELECT lang FROM cls) c) b
+  LEFT JOIN tscore ts ON ts.doc_id = b.doc_id AND ts.lang = b.lang
+  JOIN priors p ON p.lang = b.lang
+),
+pred AS (
+  SELECT doc_id, lang_true, lang AS lang_pred FROM score
+  QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY total DESC, lang) = 1
+)
+SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY lang_true, lang_pred
+ORDER BY lang_true, lang_pred
+"""
+
+
+@register("ml_naive_bayes", oracle=_NB_ORACLE, tags=("ml", "text"))
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained IN the engine — the classic
+    fully-relational classifier: training is two hash aggregations
+    (per-class token counts + class totals), scoring is a join of the
+    test term-frequency matrix against the count table and one
+    argmax window. No model object leaves the cluster; the "model" IS
+    a DataFrame, which is how a 100 TB corpus gets a cheap first-pass
+    label (language, topic, quality tier) before anything neural runs.
+    Output: the 80/20 hash-split holdout confusion matrix
+    (lang_true, lang_pred, n) of a language classifier over the
+    documents table.
+
+    Cross-engine determinism: per-token Laplace log-likelihoods
+    ln((c+1)/(tot+V)) are snapped to a 9-dp grid on BOTH engines
+    (ulp-level ln() noise sits far below the grid, the pagerank
+    argument), then every per-doc-class score is an exact
+    DECIMAL(28,9) sum of grid terms + the grid log-prior; argmax ties
+    break on lang ASC. OOV test tokens (absent from the train
+    vocabulary) are dropped — the textbook convention — via one
+    vocab semi-join; a test doc that is ALL-OOV still classifies by
+    prior alone (the docs×classes grid below). Scale: the big shuffle
+    keys are (lang, tok) — vocabulary-bounded — and the docs×classes
+    grid is |test| × n_classes (classes are ~5: a broadcast
+    crossJoin, audit-allowlisted)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("toks"))
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    ttok = train.select("lang", F.explode("toks").alias("tok"))
+    cls = ttok.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    # Bounded driver scalars (one int each): vocabulary size and train
+    # doc count feed the smoothing constants on both engines.
+    v_size = ttok.select("tok").distinct().count()
+    n_train = train.count()
+    priors = (train.groupBy("lang")
+              .agg(F.round(F.log(F.count(F.lit(1)).cast("double")
+                                 / F.lit(float(n_train))), 9)
+                   .cast("decimal(28,9)").alias("lp")))
+    cnt = ttok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cnt.select("tok").distinct()
+    tf = (test.select("doc_id", F.col("lang").alias("lang_true"),
+                      F.explode("toks").alias("tok"))
+          .join(vocab, "tok")          # OOV drop: train-vocab semi
+          .groupBy("doc_id", "lang_true", "tok")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    langs = cls.select("lang")
+    grid = tf.crossJoin(F.broadcast(langs))
+    lg = F.round(F.log((F.coalesce(F.col("c"), F.lit(0)) + 1)
+                       .cast("double")
+                       / (F.col("tot") + F.lit(v_size))), 9)
+    term = (grid.join(F.broadcast(cls), "lang")
+            .join(cnt, ["lang", "tok"], "left")
+            .select("doc_id", "lang_true", "lang",
+                    (F.col("tf").cast("double") * lg)
+                    .cast("decimal(28,9)").alias("trm")))
+    tscore = (term.groupBy("doc_id", "lang_true", "lang")
+              .agg(F.sum("trm").alias("s")))
+    base = (test.select("doc_id", F.col("lang").alias("lang_true"))
+            .crossJoin(F.broadcast(langs)))
+    score = (base.join(tscore.drop("lang_true"),
+                      ["doc_id", "lang"], "left")
+             .join(F.broadcast(priors), "lang")
+             .select("doc_id", "lang_true", "lang",
+                     (F.coalesce(F.col("s"), F.lit(0).cast("decimal(28,9)"))
+                      + F.col("lp")).alias("total")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("total").desc(), "lang")
+    pred = (score.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    return (pred.groupBy("lang_true", F.col("lang").alias("lang_pred"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang_true", "lang_pred"))
+
+
+_THEILSEN_ORACLE = """
+WITH daily AS MATERIALIZED (
+  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS x,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+prs AS MATERIALIZED (
+  SELECT a.x AS x1, b.x AS x2, (b.y - a.y) / (b.x - a.x) AS slope
+  FROM daily a JOIN daily b ON a.x < b.x
+),
+ord AS (
+  SELECT slope,
+         row_number() OVER (ORDER BY slope, x1, x2) AS rn,
+         COUNT(*) OVER () AS np
+  FROM prs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       CAST(np AS BIGINT) AS n_pairs,
+       ROUND(slope, 6) AS theilsen_slope
+FROM ord WHERE rn = (np + 1) // 2
+"""
+
+
+@register("stats_theilsen", oracle=_THEILSEN_ORACLE,
+          tags=("stats", "robust", "timeseries"))
+def stats_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate of daily event revenue — the
+    median of all pairwise day-to-day slopes. Unlike the least-squares
+    slope (window_regression), one corrupted day cannot move it: the
+    estimator has a 29% breakdown point, which is why it's the
+    standard drift/trend monitor over pipelines whose daily totals
+    occasionally take ingestion spikes.
+
+    Shape: the heavy lifting is ONE daily hash aggregation over the
+    raw events (decimal-exact sums); everything after operates on the
+    tiny |days| frame — the |days|² pair grid (bounded: a DECADE is
+    ~3.7k days → 6.7M pairs, kilobytes a row) is an audit-allowlisted
+    broadcast crossJoin, and the median is the explicit
+    lower-median element in (slope, x1, x2) order — no interpolation,
+    no float-order ambiguity: both engines pick position (n+1)÷2 of
+    identical slope multisets (identical doubles in, identical IEEE
+    divisions out). Output: (n_days, n_pairs, theilsen_slope)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(38,6)"))
+                  .cast("double").alias("y"))
+             .select(F.datediff("day", F.lit("1970-01-01").cast("date"))
+                     .alias("x"), "y"))
+    a = daily.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    prs = (a.crossJoin(b).filter(F.col("x1") < F.col("x2"))
+           .select("x1", "x2",
+                   ((F.col("y2") - F.col("y1"))
+                    / (F.col("x2") - F.col("x1")).cast("double"))
+                   .alias("slope")))
+    w_all = Window.partitionBy(F.lit(1))
+    ordw = Window.partitionBy(F.lit(1)).orderBy("slope", "x1", "x2")
+    ranked = prs.select(
+        "slope",
+        F.row_number().over(ordw).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("np"))
+    # Integer lower-median position: (np + 1) DIV 2, exact on both
+    # engines (no float division).
+    med = ranked.filter(F.col("rn") == F.expr("(np + 1) DIV 2"))
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (med.crossJoin(F.broadcast(n_days))  # 1-row frame
+            .select(F.col("n_days").cast("long").alias("n_days"),
+                    F.col("np").cast("long").alias("n_pairs"),
+                    F.round("slope", 6).alias("theilsen_slope")))

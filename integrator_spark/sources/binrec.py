@@ -22,7 +22,8 @@ import uuid
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
 
 RECORD_FMT = "<qqd"
 RECORD_SIZE = struct.calcsize(RECORD_FMT)
@@ -53,6 +54,60 @@ class BinRecReader(DataSourceReader):
             yield struct.unpack_from(RECORD_FMT, data, off)
 
 
+class BinRecStreamReader(DataSourceStreamReader):
+    """Streaming face of the binrec format (Spark 4
+    ``DataSourceStreamReader``): the offset is simply "how many shard
+    files (in sorted-name order) have been consumed", so a micro-batch
+    is a contiguous shard range and replaying any committed range
+    re-reads exactly the same bytes — the idempotent-offset contract
+    Kafka's (topic, partition, offset) triples implement, in one
+    integer. ``shardsPerTrigger`` rate-limits how far ``latestOffset``
+    advances per call, which is the documented way a Python streaming
+    source bounds micro-batch size (the engine drains repeated
+    latestOffset calls until it stops moving under availableNow).
+
+    New shards appended later (names sort AFTER consumed ones — the
+    staging uses uuid names, so production would use monotonic names)
+    are picked up by subsequent triggers; `commit` is a no-op because
+    shards are immutable and progress lives in the checkpoint."""
+
+    def __init__(self, options):
+        self.dir = options["path"]
+        self.per_trigger = int(options.get("shardsPerTrigger", 0) or 0)
+
+    def _shards(self) -> list[str]:
+        return sorted(f for f in os.listdir(self.dir)
+                      if f.endswith(".bin"))
+
+    def initialOffset(self) -> dict:
+        return {"shard": 0}
+
+    def latestOffset(self) -> dict:
+        n = len(self._shards())
+        if self.per_trigger > 0:
+            cur = getattr(self, "_last", 0)
+            n = min(n, cur + self.per_trigger)
+        self._last = n
+        return {"shard": n}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        shards = self._shards()
+        return [BinRecPartition(os.path.join(self.dir, f))
+                for f in shards[start["shard"]:end["shard"]]]
+
+    def read(self, partition: BinRecPartition) -> Iterator[tuple]:
+        with open(partition.path, "rb") as fh:
+            data = fh.read()
+        if len(data) % RECORD_SIZE:
+            raise ValueError(f"corrupt shard {partition.path}: "
+                             f"{len(data)} bytes not a record multiple")
+        for off in range(0, len(data), RECORD_SIZE):
+            yield struct.unpack_from(RECORD_FMT, data, off)
+
+    def commit(self, end: dict) -> None:
+        pass  # shards are immutable; progress lives in the checkpoint
+
+
 class BinRecDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -63,6 +118,9 @@ class BinRecDataSource(DataSource):
 
     def reader(self, schema) -> BinRecReader:
         return BinRecReader(self.options)
+
+    def streamReader(self, schema) -> BinRecStreamReader:
+        return BinRecStreamReader(self.options)
 
 
 def stage_binrec(df: DataFrame, out_dir: str) -> None:

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.num import dsum, sql_dsum
-from ..io import derived_dir, normalize_events_ts
+from ..io import derived_dir, load_table, normalize_events_ts
 from ..registry import register
 from ..session import ensure_runtime_confs
 
@@ -1379,3 +1379,77 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.parquet(os.path.join(out_dir, "batch=*"))
             .select("vec_id", F.col("label").cast("int").alias("label"))
             .orderBy("vec_id"))
+
+
+@register("stream_custom_source", oracle=f"""
+SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY user_id % 8
+""", tags=("streaming", "source", "custom"))
+def stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING data source end-to-end (Spark 4
+    ``DataSourceStreamReader``): events staged as binrec shards, then
+    read back through ``spark.readStream.format("binrec")`` — shard
+    count IS the offset, each micro-batch a contiguous shard range
+    (sources/binrec.py BinRecStreamReader) — into a complete-mode
+    running aggregation drained by availableNow. The oracle computes
+    the same per-bucket aggregate from the original table, so one
+    dropped/duplicated record across the offset math fails the gate.
+    This is the no-JVM-connector path for streaming a proprietary
+    wire format: the same offset/partitions/read/commit contract a
+    Kafka source implements, minus the jar.
+
+    ``shardsPerTrigger=2`` rate-limits each latestOffset call, so the
+    6-shard stage drains over ≥3 genuine micro-batches (asserted via
+    LAST_RUN_PROGRESS in tests/test_streaming.py) — exercising
+    offset-range planning and cross-batch state, not a one-shot read.
+    availableNow cannot drive a rate-limited Python source (it reads
+    ONE latestOffset and stops — measured: 2 of 6 shards), so the
+    drain is a processingTime loop that polls the complete-mode sink
+    until the running total equals the staged row count, then stops —
+    the stream_soak drain pattern."""
+    import shutil
+    import time as _time
+
+    from ..sources import binrec
+
+    e = load_table(spark, sf_dir, "events")
+    total = e.count()    # bounded scalar: the drain's stop condition
+    if total == 0:       # nothing to stage: no shards for the reader
+        return spark.createDataFrame(
+            [], "bucket long, n_events long, total_value double")
+    out = derived_dir(sf_dir, "binrec_events_stream")
+    binrec.stage_binrec(e.repartition(6), out)
+    binrec.register(spark)
+    raw = (spark.readStream.format("binrec")
+           .option("path", out)
+           .option("shardsPerTrigger", "2")
+           .load())
+    agg = (raw.groupBy((F.col("user_id") % 8).cast("long").alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value")))
+    name = "stream_custom_source"
+    query_name = f"{name}_{uuid.uuid4().hex[:8]}"
+    ckpt_root = derived_dir(sf_dir, "checkpoints")
+    _reap_stale_checkpoints(ckpt_root, name)
+    ckpt = os.path.join(ckpt_root, f"{name}_pid{os.getpid()}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (agg.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds")
+         .start())
+    t0 = _time.monotonic()
+    while _time.monotonic() - t0 < 120.0:
+        done = spark.table(query_name).agg(
+            F.sum("n_events").alias("n")).first()["n"]
+        if done is not None and int(done) == total:
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    global LAST_RUN_PROGRESS
+    LAST_RUN_PROGRESS = list(q.recentProgress)
+    return spark.table(query_name)

@@ -1614,3 +1614,26 @@ def test_signlsh_between_never_pairs_within_sides(spark):
     corp_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
     assert all(r.new_id in new_ids and r.corpus_id in corp_ids
                for r in rows)
+
+
+def test_kcore_peel_cascade(spark):
+    """k-core must peel CASCADES, not just low-degree nodes: a star
+    hub has high degree but dies once its leaves are peeled; a
+    triangle survives k=2 forever. Also pins idempotence: extra
+    rounds past convergence change nothing."""
+    from integrator_spark.operators.graph import kcore_peel
+
+    # Triangle {1,2,3} + star hub 10 with leaves 11..20 + bridge 3-10.
+    edges = [(1, 2), (1, 3), (2, 3), (3, 10)] + [(10, x)
+                                                 for x in range(11, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r.core_degree)
+           for r in kcore_peel(df, k=2, rounds=5).collect()}
+    # Leaves (deg 1) die round 1; hub 10 then has deg 1 (bridge only)
+    # and dies round 2 despite starting at degree 11; triangle stays.
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    more = {(r.node, r.core_degree)
+            for r in kcore_peel(df, k=2, rounds=8).collect()}
+    assert more == got
+    # k above the max core: everything dies, typed empty out.
+    assert kcore_peel(df, k=4, rounds=5).count() == 0

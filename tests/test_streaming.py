@@ -162,3 +162,52 @@ def test_semdedup_compaction_preserves_survivors(spark, tmp_path):
             (r.vec_id, r.label)
             for r in spark.read.parquet(out + "/batch=*").collect())
     assert outs["raw"] == outs["compacted"] and len(outs["raw"]) > 0
+
+
+def test_stream_custom_source_multi_batch(spark):
+    """The rate-limited Python streaming source must drain over
+    MULTIPLE micro-batches (shardsPerTrigger=2 over 6 shards → ≥3
+    batches with input rows), and the streamed running aggregate must
+    equal the batch aggregate over the same staged records."""
+    from integrator_spark.io import load_table
+    from integrator_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    out = jobs.stream_custom_source(spark, sf)
+    got = {(r.bucket, r.n_events, round(r.total_value, 6))
+           for r in out.collect()}
+    e = load_table(spark, sf, "events")
+    from pyspark.sql import functions as F
+
+    from integrator_spark.functions.num import dsum
+    want = {(r.bucket, r.n_events, round(r.total_value, 6))
+            for r in e.groupBy((F.col("user_id") % 8).cast("long")
+                               .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("total_value")).collect()}
+    assert got == want
+    fed = [p for p in jobs.LAST_RUN_PROGRESS
+           if p["numInputRows"] > 0]
+    assert len(fed) >= 3, f"expected ≥3 rate-limited batches, got {fed}"
+
+
+def test_binrec_stream_reader_offsets(tmp_path):
+    """Offset math of the streaming reader, no session needed:
+    partitions(start, end) slices sorted shard names; latestOffset
+    honors shardsPerTrigger per call."""
+    from integrator_spark.sources.binrec import BinRecStreamReader
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    for i in range(5):
+        (d / f"s{i}.bin").write_bytes(b"")
+    r = BinRecStreamReader({"path": str(d), "shardsPerTrigger": "2"})
+    assert r.initialOffset() == {"shard": 0}
+    assert r.latestOffset() == {"shard": 2}
+    assert r.latestOffset() == {"shard": 4}
+    assert r.latestOffset() == {"shard": 5}
+    assert r.latestOffset() == {"shard": 5}
+    parts = r.partitions({"shard": 2}, {"shard": 4})
+    assert [p.path.rsplit("/", 1)[1] for p in parts] == ["s2.bin", "s3.bin"]
+    unlimited = BinRecStreamReader({"path": str(d)})
+    assert unlimited.latestOffset() == {"shard": 5}
