@@ -839,3 +839,59 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("bit3_set"),
                  F.sum(F.bit_count("m")).cast("long")
                   .alias("total_popcount")))
+
+
+@register("sql_recursive_hierarchy", oracle="""
+WITH RECURSIVE chain(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, ch.root, ch.depth + 1
+  FROM customer c JOIN chain ch ON ch.custkey = c.c_custkey // 10
+  WHERE c.c_custkey >= 10
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+         AS total_acctbal
+FROM chain JOIN customer c ON c.c_custkey = chain.custkey
+GROUP BY depth
+ORDER BY depth
+""", tags=("sql", "recursive"))
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (Spark 4 ``WITH RECURSIVE``) walking a
+    synthetic management hierarchy over customer (parent(c) = c DIV 10
+    — a forest rooted at custkeys < 10, depth ~log₁₀ n): per-depth
+    headcount, root count, and exact-decimal balance rollup. This is
+    the org-chart / bill-of-materials / referral-chain shape that had
+    NO bounded-iteration SQL answer before Spark 4 — the engine itself
+    iterates the recursion to a fixpoint (UnionLoop in the plan),
+    exactly like the DuckDB oracle's recursive CTE, so unlike the
+    fixed-round operators (pagerank, kcore) no unrolling is needed on
+    either side.
+
+    Scale: the recursion is LINEAR (each customer joins its single
+    parent level), state per step is one slim (custkey, root, depth)
+    frame, and depth is log-bounded by the key width — the same
+    per-level join shape as bfs_levels but planned natively. All
+    arithmetic integer/decimal-exact."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql("""
+        WITH RECURSIVE chain(custkey, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0
+          FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, ch.root, ch.depth + 1
+          FROM customer c JOIN chain ch ON ch.custkey = c.c_custkey DIV 10
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth,
+               COUNT(*) AS n_customers,
+               COUNT(DISTINCT root) AS n_roots,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total_acctbal
+        FROM chain JOIN customer c ON c.c_custkey = chain.custkey
+        GROUP BY depth
+        ORDER BY depth
+    """)
