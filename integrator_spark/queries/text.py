@@ -772,3 +772,122 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prec, 6).alias("precision"),
         F.round(F.col("tp").cast("double") / F.col("support"), 6)
          .alias("recall"))
+
+
+def _bpe_oracle_sql(merges: int = 10) -> str:
+    """Unrolled fixed-merge BPE-training oracle (the pagerank/kcore
+    unrolling pattern): each merge round is one (pair-counts, best-pair,
+    re-segmented-vocab) CTE triple mirroring the operator's round.
+    Pure string/integer arithmetic — zero floats, so the engines must
+    agree exactly; the only cross-engine contract beyond SQL semantics
+    is replace()'s left-to-right non-overlapping scan, which both
+    engines share (pinned for the overlap case in
+    tests/test_foundations.py)."""
+    its = []
+    for i in range(1, merges + 1):
+        p = i - 1
+        its.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT s[j] AS sym_l, s[j+1] AS sym_r,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT freq, string_split(seq, ' ') AS s FROM v{p}) t,
+       unnest(range(1, len(s))) u(j)
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT sym_l, sym_r, sym_l || sym_r AS merged, pair_count
+  FROM p{i}
+  ORDER BY pair_count DESC, sym_l, sym_r LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT word, freq,
+         trim(replace(' ' || seq || ' ',
+                      ' ' || (SELECT sym_l FROM b{i}) || ' '
+                          || (SELECT sym_r FROM b{i}) || ' ',
+                      ' ' || (SELECT merged FROM b{i}) || ' ')) AS seq
+  FROM v{p}
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, sym_l, sym_r, merged, pair_count FROM b{i}"
+        for i in range(1, merges + 1))
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+  FROM w
+),{",".join(its)}
+SELECT * FROM ({finals}) ORDER BY step
+"""
+
+
+@register("text_bpe_train", oracle=_bpe_oracle_sql(),
+          tags=("text", "tokenizer", "bpe"))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training IN the engine — the first
+    10 merge rules learned from the corpus, each round: count adjacent
+    symbol pairs weighted by word frequency, take the most frequent
+    pair ((count DESC, left, right) tie-break — the published BPE
+    algorithm, Sennrich et al. 2016), merge it everywhere, repeat.
+    This is how every modern LLM tokenizer's merge table starts; doing
+    it relationally means the 100 TB corpus is scanned ONCE (the word-
+    frequency aggregation) and all ten rounds run over the
+    vocabulary-bounded (word, freq, seq) frame — the standard trick
+    (word-level pre-count) that makes corpus size irrelevant to the
+    merge loop.
+
+    Per round one hash agg over exploded adjacent pairs + a 1-row
+    driver collect of the winning pair (bounded by construction) that
+    re-enters the plan as replace() literals. The greedy merge uses
+    replace()'s left-to-right non-overlapping scan on the
+    space-padded sequence — identical semantics in both engines
+    (pinned in tests). Zero floats anywhere. Output:
+    (step, sym_l, sym_r, merged, pair_count)."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(tokens("text")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+             .select("word", "freq",
+                     F.trim(F.regexp_replace("word", "(.)", "$1 "))
+                     .alias("seq"))
+             # One eager checkpoint: the corpus scan happens ONCE; the
+             # ten merge rounds iterate this vocabulary-bounded frame.
+             .localCheckpoint(eager=True))
+    pair_expr = F.expr("""
+        IF(size(s) >= 2,
+           transform(sequence(1, size(s) - 1),
+                     j -> struct(element_at(s, j) AS sym_l,
+                                 element_at(s, j + 1) AS sym_r)),
+           array())
+    """)
+    out_rows = []
+    cur = vocab
+    for step in range(1, 11):
+        pairs = (cur.select("freq", F.split("seq", " ").alias("s"))
+                 .select("freq", F.explode(pair_expr).alias("p"))
+                 .groupBy(F.col("p.sym_l").alias("sym_l"),
+                          F.col("p.sym_r").alias("sym_r"))
+                 .agg(F.sum("freq").alias("pair_count")))
+        best = (pairs.orderBy(F.col("pair_count").desc(), "sym_l", "sym_r")
+                .limit(1).collect())   # bounded 1-row driver collect
+        if not best:
+            break
+        b = best[0]
+        merged = b.sym_l + b.sym_r
+        out_rows.append((step, b.sym_l, b.sym_r, merged,
+                         int(b.pair_count)))
+        pat = f" {b.sym_l} {b.sym_r} "
+        cur = (cur.select(
+            "word", "freq",
+            F.trim(F.expr(
+                f"replace(' ' || seq || ' ', '{pat}', ' {merged} ')"))
+            .alias("seq"))
+            .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        out_rows,
+        "step int, sym_l string, sym_r string, merged string, "
+        "pair_count long")

@@ -68,3 +68,42 @@ def test_testing_module_compare_matches_gate(spark):
         assert r2.ok and r2.rows_only
     finally:
         con.close()
+
+
+def test_replace_overlap_semantics_match_duckdb(spark):
+    """text_bpe_train's greedy merge relies on replace() scanning
+    left-to-right without overlap and resuming AFTER the replacement —
+    pin that Spark and DuckDB agree on the overlapping-occurrence case
+    (' a a a a ' with pattern ' a a '), where a naive all-positions
+    replace would differ."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    cases = [(" a a a a ", " a a ", " aa "),
+             (" b a a a ", " a a ", " aa "),
+             (" a a a ", " a a ", " aa ")]
+    for s, pat, rep in cases:
+        got_s = spark.range(1).select(
+            F.expr(f"replace('{s}', '{pat}', '{rep}')").alias("r")
+        ).first()["r"]
+        got_d = duckdb.sql(
+            f"SELECT replace('{s}', '{pat}', '{rep}')").fetchone()[0]
+        assert got_s == got_d, (s, got_s, got_d)
+
+
+def test_bpe_train_learns_real_merges(spark):
+    """The learned merge table must be non-trivial: 10 rules, each
+    merged symbol the concatenation of its pair, later rules can build
+    on earlier merges, and counts are non-increasing-ish sanity (each
+    count positive)."""
+    from integrator_spark.registry import get_queries
+
+    rows = get_queries()["text_bpe_train"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    assert [r.step for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert r.merged == r.sym_l + r.sym_r
+        assert r.pair_count > 0
+    # at least one multi-char symbol participates in a later merge
+    assert any(len(r.sym_l) > 1 or len(r.sym_r) > 1 for r in rows)
