@@ -891,3 +891,67 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "step int, sym_l string, sym_r string, merged string, "
         "pair_count long")
+
+
+def _bpe_encode_oracle_sql(merges: int = 10) -> str:
+    """Tokenization-effect oracle: reuse the BPE training chain's CTEs
+    (same generator, same 10 rounds), then measure the corpus-level
+    effect of the learned merges — per-word symbol counts before
+    (characters) and after, frequency-weighted. Zero floats except the
+    final rounded ratio."""
+    body = _bpe_oracle_sql(merges)
+    # strip the generator's final SELECT (everything after the last CTE
+    # block) and substitute the encode aggregation over v{merges}.
+    cut = body.rindex("SELECT * FROM")
+    return body[:cut] + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(freq) AS BIGINT) AS total_words,
+       CAST(SUM(freq * length(word)) AS BIGINT) AS chars_total,
+       CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT)
+         AS tokens_total,
+       ROUND(SUM(freq * length(word)) * 1.0
+             / SUM(freq * len(string_split(seq, ' '))), 6)
+         AS compression
+FROM v{merges}
+"""
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle_sql(),
+          tags=("text", "tokenizer", "bpe"))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the learned BPE merges — the effect
+    side of text_bpe_train: after applying the 10 merge rules, how many
+    tokens does the corpus cost vs its character count? This
+    chars-per-token compression number is the metric every tokenizer
+    change is judged by before a pretraining run commits to it.
+
+    Same one-scan structure: the corpus collapses to the (word, freq,
+    seq) vocabulary once, the merge rules replay as replace() literals
+    over that bounded frame, and the answer is one frequency-weighted
+    aggregation. Output: (vocab_size, total_words, chars_total,
+    tokens_total, compression)."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(tokens("text")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+             .select("word", "freq",
+                     F.trim(F.regexp_replace("word", "(.)", "$1 "))
+                     .alias("seq"))
+             .localCheckpoint(eager=True))
+    rules = text_bpe_train(spark, sf_dir).collect()  # bounded: 10 rows
+    cur = vocab
+    for r in rules:
+        cur = cur.select(
+            "word", "freq",
+            F.trim(F.expr(
+                f"replace(' ' || seq || ' ', ' {r.sym_l} {r.sym_r} ',"
+                f" ' {r.merged} ')")).alias("seq"))
+    return cur.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("freq").alias("total_words"),
+        F.sum(F.col("freq") * F.length("word")).alias("chars_total"),
+        F.sum(F.col("freq") * F.size(F.split("seq", " ")))
+        .alias("tokens_total"),
+        F.round(F.sum(F.col("freq") * F.length("word")).cast("double")
+                / F.sum(F.col("freq") * F.size(F.split("seq", " "))), 6)
+        .alias("compression"))
