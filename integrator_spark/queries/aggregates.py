@@ -490,3 +490,41 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.date_format(F.date_trunc("day", "ts"),
                                       "yyyy-MM-dd")).alias("n_days"),
         F.count(F.lit(1)).alias("n_events"))
+
+
+@register("agg_listagg", oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id
+  FROM events WHERE user_id < 15
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id)
+         AS user_csv
+FROM du
+GROUP BY event_type
+ORDER BY event_type
+""", tags=("agg", "listagg"))
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ordered string aggregation (Spark 4 ``listagg …
+    WITHIN GROUP (ORDER BY …)`` — DuckDB's ``string_agg(… ORDER BY)``):
+    the report-friendly cousin of agg_collect's array output. The
+    WITHIN GROUP ordering is the part that matters: an unordered
+    string_agg is nondeterministic under partial aggregation, exactly
+    the trap the registry's determinism discipline (explicit ordering
+    on anything order-sensitive) exists to catch. Input bounded to a
+    distinct (type, user<15) frame so the group strings stay small at
+    every scale."""
+    e = load_table(spark, sf_dir, "events")
+    du = (e.filter(F.col("user_id") < 15)
+          .select("event_type", "user_id").distinct())
+    du.createOrReplaceTempView("_listagg_du")
+    return du.sparkSession.sql("""
+        SELECT event_type,
+               COUNT(*) AS n_users,
+               listagg(CAST(user_id AS STRING), ',')
+                 WITHIN GROUP (ORDER BY user_id) AS user_csv
+        FROM _listagg_du
+        GROUP BY event_type
+        ORDER BY event_type
+    """)

@@ -412,3 +412,29 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "purchase_us long, value double"))
     # ASOF JOIN (inner) drops clicks with no preceding purchase
     return merged.where(F.col("purchase_us").isNotNull())
+
+
+@register("udf_arrow_scalar", oracle="""
+SELECT doc_id,
+       CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT)
+         AS n_vowels
+FROM documents
+""", tags=("udf", "arrow"))
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (Spark 4 ``useArrow=True``):
+    per-row Python semantics with Arrow-batch transport — the middle
+    rung between the pickle-per-row ``@F.udf`` slow path
+    (udf_python_scalar) and the fully-vectorized pandas_udf
+    (udf_pandas_scalar). The function body is ordinary scalar Python
+    (here a vowel count), but rows cross the JVM/Python boundary as
+    Arrow batches, so the per-row dispatch cost survives while the
+    serialization cliff disappears — the right migration step for
+    legacy row UDFs too stateful to vectorize. The plan shows
+    ArrowEvalPython (asserted in tests/test_plans.py), which the
+    audit's BatchEvalPython row-Python gate deliberately permits."""
+    @F.udf("long", useArrow=True)
+    def n_vowels(text: str) -> int:
+        return sum(1 for ch in text if ch in "aeiou")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", n_vowels("text").alias("n_vowels"))

@@ -714,7 +714,7 @@ p1 AS MATERIALIZED (
   SELECT 1 AS rank, vec_id, rel, emb, score FROM p1
 ){"".join(steps)}
 SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel,
-       ROUND(score, 6) AS mmr_score
+       ROUND(score, 7) AS mmr_score
 FROM picked{k}
 ORDER BY rank
 """
@@ -772,6 +772,13 @@ def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BLAS-vs-DuckDB dot-product sum order could flip a near-tied pick.
     sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
     picked = mmr_select(rel, sims, k=10, lam=0.7)
-    out = [(rank + 1, int(ids[i]), round(float(rel[i]), 6), round(score, 6))
+    # Score grid: lam*rel - (1-lam)*red of 6-dp grid terms lives on an
+    # EXACT 1e-7 decimal grid, so rounding to 6 dp hits a half-grid tie
+    # on ~1/10 of picks — where python round (half-even on the binary
+    # double) and DuckDB ROUND (decimal half-away) disagree (caught by
+    # the sf0.001 oracle gate). Rounding AT the intrinsic 7-dp grid is
+    # tie-free: both engines hold the same double within ~1e-9 of the
+    # grid point and agree.
+    out = [(rank + 1, int(ids[i]), round(float(rel[i]), 6), round(score, 7))
            for rank, (i, score) in enumerate(picked)]
     return spark.createDataFrame(out, schema)

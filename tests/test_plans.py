@@ -119,3 +119,15 @@ def test_sql_recursive_hierarchy_native_union_loop(spark):
     # customers trace to a root<10 via repeated DIV 10.
     assert rows[0][0] == 10 and rows[0][1] == 10
     assert all(n > 0 for n, _ in rows.values())
+
+
+def test_udf_arrow_scalar_uses_arrow_eval(spark):
+    """useArrow=True must plan as ArrowEvalPython (Arrow transport),
+    not BatchEvalPython (pickle rows) — otherwise it IS the slow path
+    the audit exists to catch."""
+    from integrator_spark.registry import all_specs
+
+    df = all_specs()["udf_arrow_scalar"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
