@@ -747,3 +747,67 @@ def etl_er_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_rn") == 1)
             .select("d_key", "matched_key",
                     F.col("dist").cast("int").alias("dist")))
+
+
+@register("etl_backfill", oracle=f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1
+""", tags=("etl", "backfill", "incremental"))
+def etl_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped backfill with DYNAMIC partition overwrite —
+    the daily-pipeline repair pattern: a materialized day-partitioned
+    rollup holds an undercount for a window of days (here days 10–14,
+    planted by materializing them from only half the events — the
+    late-data shape), and the fix recomputes JUST that window from the
+    source and INSERT-OVERWRITEs it. ``partitionOverwriteMode=dynamic``
+    is the load-bearing setting: static overwrite mode would wipe the
+    WHOLE table and rewrite history (the classic backfill footgun);
+    dynamic replaces only the partitions present in the incoming
+    frame. A test pins the untouched partitions' files byte-identical
+    (same names, sizes, mtimes) across the backfill.
+
+    The oracle is the full recompute over events, so one missed or
+    doubled partition fails the gate. At 100 TB the cost is
+    |window days|, independent of table history — the same
+    partial-recompute economics as etl_matview_refresh, but at the
+    storage layout layer."""
+    import os
+
+    from ..io import derived_dir
+
+    e = load_table(spark, sf_dir, "events")
+    if e.isEmpty():
+        return spark.createDataFrame(
+            [], "n_events long, total_value double, day string")
+    daily_src = (e.withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (df.groupBy("day")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     dsum("value").alias("total_value")))
+
+    window = (F.dayofmonth(F.to_date("day")) >= 10) & \
+             (F.dayofmonth(F.to_date("day")) <= 14)
+    target = os.path.join(derived_dir(sf_dir, "backfill_rollup"),
+                          f"pid{os.getpid()}")
+    # Initial materialization: good days full, window days undercounted
+    # (built from every other event — the stale/late-data state).
+    initial = (rollup(daily_src).filter(~window)
+               .unionByName(
+                   rollup(daily_src.filter(F.col("event_id") % 2 == 0))
+                   .filter(window)))
+    (initial.write.mode("overwrite").partitionBy("day").parquet(target))
+    # Backfill: recompute ONLY the window from the full source; dynamic
+    # mode overwrites just those day partitions.
+    (rollup(daily_src).filter(window)
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("day").parquet(target))
+    # Partition-column reads infer DATE; the contract (and oracle)
+    # speak yyyy-MM-dd strings.
+    return (spark.read.parquet(target)
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "n_events", "total_value"))

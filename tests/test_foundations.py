@@ -107,3 +107,44 @@ def test_bpe_train_learns_real_merges(spark):
         assert r.pair_count > 0
     # at least one multi-char symbol participates in a later merge
     assert any(len(r.sym_l) > 1 or len(r.sym_r) > 1 for r in rows)
+
+
+def test_etl_backfill_leaves_other_partitions_untouched(spark, tmp_path):
+    """Dynamic partition overwrite must rewrite ONLY the partitions
+    present in the incoming frame: every other partition's files are
+    byte-stable (names, sizes, mtimes) across the overwrite, and the
+    replaced partition's content actually changes. Static mode would
+    wipe the whole table — the exact footgun etl_backfill's setting
+    exists to avoid."""
+    import os
+
+    target = str(tmp_path / "rollup")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)],
+        "day string, v int")
+    base.write.mode("overwrite").partitionBy("day").parquet(target)
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(target):
+            if d.startswith("day="):
+                p = os.path.join(target, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(p, f)),
+                     os.path.getmtime(os.path.join(p, f)))
+                    for f in os.listdir(p) if f.endswith(".parquet"))
+        return out
+
+    before = snapshot()
+    fix = spark.createDataFrame([("2024-01-02", 20)], "day string, v int")
+    (fix.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("day").parquet(target))
+    after = snapshot()
+    assert after["day=2024-01-01"] == before["day=2024-01-01"]
+    assert after["day=2024-01-03"] == before["day=2024-01-03"]
+    assert after["day=2024-01-02"] != before["day=2024-01-02"]
+    got = {(str(r.day), r.v)
+           for r in spark.read.parquet(target).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-02", 20),
+                   ("2024-01-03", 3)}
