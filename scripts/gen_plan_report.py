@@ -28,6 +28,9 @@ HEADLINE = [
 FAMILY_REPS = [
     "dedup_minhash_det", "dedup_semantic_ivf", "vec_ann_ivfpq",
     "dedup_embedding_lsh_keep", "graph_triangles", "etl_pipeline",
+    # round-8 additions
+    "graph_kcore", "text_bpe_train", "sql_recursive_hierarchy",
+    "ml_naive_bayes",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
