@@ -331,3 +331,116 @@ def test_signlsh_buckets_match_python_reference(vecs, spark):
             for i, v in enumerate(vecs)
             for band, val in ref_buckets(v)}
     assert got == want
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=0, max_size=40), k=st.integers(2, 4))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_peel_matches_python_reference(spark, edges, k):
+    """BSP k-core peeling == the sequential python peel on fuzzed
+    graphs (self-loops dropped, duplicates collapsed): same surviving
+    node set, same final in-core degrees."""
+    from integrator_spark.operators.graph import kcore_peel
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    # python reference: iterate until stable
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    want = {(n, len(adj[n] & alive)) for n in alive}
+    if not und:
+        df = spark.createDataFrame([], "src long, dst long")
+    else:
+        df = spark.createDataFrame(sorted(und), "src long, dst long")
+    got = {(r.node, r.core_degree)
+           for r in kcore_peel(df, k=k, rounds=10).collect()}
+    assert got == want
+
+
+@given(words=st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=0, max_size=15), merges=st.integers(1, 4))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_merge_rounds_match_python_reference(spark, words, merges):
+    """The engine's BPE merge loop == the textbook python BPE (Sennrich
+    et al.) with the same (count DESC, left, right) tie-break and
+    greedy left-to-right merging, on fuzzed word lists."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    # python reference over the word-frequency table
+    freq = Counter(words)
+    vocab = {w: list(w) for w in freq}
+    expect = []
+    for _ in range(merges):
+        pc = Counter()
+        for w, n in freq.items():
+            seq = vocab[w]
+            for i in range(len(seq) - 1):
+                pc[(seq[i], seq[i + 1])] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        expect.append((l, r, l + r, cnt))
+        for w in vocab:
+            seq, out, i = vocab[w], [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            vocab[w] = out
+
+    # engine: run the registered query's loop body over a temp doc table
+    import integrator_spark.queries.text as qt
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)] or [(0, "")],
+        "doc_id long, text string")
+
+    # inline mini-driver mirroring text_bpe_train but over `docs`
+    vocab_df = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+                .filter(F.col("word") != "")
+                .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+                .select("word", "freq",
+                        F.trim(F.regexp_replace("word", "(.)", "$1 "))
+                        .alias("seq")))
+    cur, got = vocab_df, []
+    pair_expr = F.expr("""
+        IF(size(s) >= 2,
+           transform(sequence(1, size(s) - 1),
+                     j -> struct(element_at(s, j) AS sym_l,
+                                 element_at(s, j + 1) AS sym_r)),
+           array())
+    """)
+    for _ in range(merges):
+        pairs = (cur.select("freq", F.split("seq", " ").alias("s"))
+                 .select("freq", F.explode(pair_expr).alias("p"))
+                 .groupBy(F.col("p.sym_l").alias("l"),
+                          F.col("p.sym_r").alias("r"))
+                 .agg(F.sum("freq").alias("c")))
+        best = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        got.append((b.l, b.r, b.l + b.r, int(b.c)))
+        cur = cur.select(
+            "word", "freq",
+            F.trim(F.expr(
+                f"replace(' ' || seq || ' ', ' {b.l} {b.r} ',"
+                f" ' {b.l + b.r} ')")).alias("seq"))
+    assert got == expect
