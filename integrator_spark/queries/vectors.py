@@ -782,3 +782,130 @@ def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [(rank + 1, int(ids[i]), round(float(rel[i]), 6), round(score, 7))
            for rank, (i, score) in enumerate(picked)]
     return spark.createDataFrame(out, schema)
+
+
+def _pca_power_oracle_sql(dim: int = 64, iterations: int = 16,
+                          squarings: int = 7) -> str:
+    """Unrolled power-iteration PCA oracle (the pagerank unrolling
+    pattern applied to linear algebra): covariance entries are exact
+    decimal sums snapped to a 12-dp grid; each iteration is one
+    (matvec, norm, renormalized-iterate) CTE triple whose arithmetic
+    is grid-exact — matvec terms quantize to DECIMAL(38,18) before
+    summation (order-independent), the iterate renormalizes through an
+    IEEE sqrt and snaps back to 12 dp. Every step mirrors
+    operators/pca.py:power_iteration_grid digit-for-digit, which is
+    what lets an eigen-computation sit in the oracle column at all."""
+    sqs = []
+    for k in range(1, squarings + 1):
+        prev = "cov" if k == 1 else f"bn{k - 1}"
+        sqs.append(f"""
+b{k} AS MATERIALIZED (
+  SELECT a.i, b.j,
+         CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,18))) AS DOUBLE) AS c
+  FROM {prev} a JOIN {prev} b ON a.j = b.i GROUP BY a.i, b.j
+), f{k} AS (
+  SELECT sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS f
+  FROM b{k}
+), bn{k} AS MATERIALIZED (
+  SELECT i, j, ROUND(c / (SELECT f FROM f{k}), 12) AS c FROM b{k}
+)""")
+    mat = f"bn{squarings}" if squarings else "cov"
+    its = []
+    for t in range(1, iterations + 1):
+        p = t - 1
+        its.append(f"""
+w{t} AS MATERIALIZED (
+  SELECT m.i AS pos,
+         CAST(SUM(CAST(m.c * v.v AS DECIMAL(38,18))) AS DOUBLE) AS w
+  FROM {mat} m JOIN v{p} v ON m.j = v.pos GROUP BY m.i
+), nm{t} AS (
+  SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nm
+  FROM w{t}
+), v{t} AS MATERIALIZED (
+  SELECT pos, ROUND(w / (SELECT nm FROM nm{t}), 12) AS v FROM w{t}
+)""")
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, j - 1 AS pos, CAST(embedding[j] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(j)
+),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
+means AS MATERIALIZED (
+  SELECT pos,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+               / (SELECT n FROM nn), 12) AS m
+  FROM ex GROUP BY pos
+),
+cx AS MATERIALIZED (
+  SELECT vec_id, pos, val - m AS c FROM ex JOIN means USING (pos)
+),
+cov AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j,
+         ROUND(CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,18))) AS DOUBLE)
+               / (SELECT n FROM nn), 12) AS c
+  FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v0 AS (SELECT DISTINCT pos, 0.125 AS v FROM ex),{",".join(sqs)},{",".join(its)}
+SELECT CAST(pos AS INTEGER) AS pos, v AS pc1_loading
+FROM v{iterations}
+ORDER BY pos
+"""
+
+
+@register("vec_pca_power", oracle=_pca_power_oracle_sql(),
+          tags=("vector", "pca"))
+def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA top principal component by exact-grid power iteration —
+    the ORACLE-CHECKABLE eigen-computation (vec_pca's LAPACK fit stays
+    the fast physical path, NumPy-pinned; this query proves the same
+    linear algebra can be held to the exact cross-engine bar).
+
+    Distributed part: the d×d covariance as EXACT decimal sums over
+    the centered per-row products (the only corpus-sized pass; at this
+    formulation it is one explode + self-join on vec_id — n·d² rows —
+    chosen because an ANSI oracle can recompute it; the Gram-partial
+    mapInPandas pass in operators/pca.py is the same statistic for the
+    physical path, exactly the tfidf relational-vs-ml pairing).
+    Driver part: 7 matrix squarings (Frobenius-renormalized — the
+    measured spectrum is nearly flat, λ2/λ1 = 0.987 at sf0.01, so
+    C^(2^7) compounds the eigengap to ratio^2048 where plain power
+    iteration would need ~550 rounds) then 16 power-iteration rounds,
+    all in exact grid arithmetic (operators/pca.py:
+    power_iteration_grid — 1e-18-quantized term sums, 12-dp snapping,
+    IEEE sqrt), so the unrolled SQL oracle reproduces every digit.
+    Bounded driver state: d² doubles, like fit_pca.
+
+    Output: (pos, pc1_loading) — the unit top-eigenvector on the
+    12-dp grid. Sign is pinned by the iteration dynamics from the
+    fixed uniform start (no LAPACK sign ambiguity); direction accuracy
+    vs NumPy eigh is asserted ≥ |cos| 0.999 in tests (measured 0.9999+
+    at sf0.001 — 16 plain rounds alone measured 0.66 on the flat
+    spectrum, which is why the squaring stage exists)."""
+    from ..operators.pca import power_iteration_grid
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()      # bounded scalar: the covariance denominator
+    if n == 0:
+        return spark.createDataFrame([], "pos int, pc1_loading double")
+    ex = (e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+          .select("vec_id", "pos", F.col("val").cast("double").alias("val")))
+    means = (ex.groupBy("pos")
+             .agg(F.round(F.sum(F.col("val").cast("decimal(38,12)"))
+                          .cast("double") / n, 12).alias("m")))
+    cx = (ex.join(F.broadcast(means), "pos")
+          .select("vec_id", "pos", (F.col("val") - F.col("m")).alias("c")))
+    a = cx.select("vec_id", F.col("pos").alias("i"), F.col("c").alias("ci"))
+    b = cx.select("vec_id", F.col("pos").alias("j"), F.col("c").alias("cj"))
+    cov = (a.join(b, "vec_id")
+           .groupBy("i", "j")
+           .agg(F.round(F.sum((F.col("ci") * F.col("cj"))
+                              .cast("decimal(38,18)"))
+                        .cast("double") / n, 12).alias("c")))
+    rows = cov.collect()   # bounded: d² = 4096 entries (the 4 KB matrix)
+    dim = 1 + max(int(r.i) for r in rows)
+    v = power_iteration_grid(((r.i, r.j, r.c) for r in rows), dim,
+                             iterations=16)
+    return spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(v)],
+        "pos int, pc1_loading double")

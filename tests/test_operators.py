@@ -1637,3 +1637,25 @@ def test_kcore_peel_cascade(spark):
     assert more == got
     # k above the max core: everything dies, typed empty out.
     assert kcore_peel(df, k=4, rounds=5).count() == 0
+
+
+def test_pca_power_direction_matches_numpy(spark):
+    """The grid power iteration must converge to LAPACK's top
+    eigenvector direction (|cos| >= 0.999 after 16 fixed rounds) —
+    exactness of the arithmetic is the oracle's job; this pins that
+    the fixed budget actually reaches the right answer."""
+    import numpy as np
+
+    from integrator_spark.io import load_table
+    from integrator_spark.registry import get_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = get_queries()["vec_pca_power"](spark, sf).collect()
+    v = np.array([r.pc1_loading for r in sorted(got, key=lambda r: r.pos)])
+    e = load_table(spark, sf, "embeddings")
+    m = np.array([r.embedding for r in e.collect()], dtype=np.float64)
+    m -= m.mean(axis=0)
+    evals, evecs = np.linalg.eigh((m.T @ m) / len(m))
+    top = evecs[:, int(np.argmax(evals))]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos >= 0.999, cos
