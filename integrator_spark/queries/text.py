@@ -774,15 +774,44 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("recall"))
 
 
+def _merge_fold_expr(l: str, r: str, merged: str) -> str:
+    """Spark SQL expression applying ONE BPE merge rule to the
+    space-joined symbol string ``seq`` — a left-fold over the token
+    array with a string accumulator, the textbook greedy
+    non-overlapping scan: merge when the previously-emitted token is
+    exactly ``l`` and the incoming token is ``r``. Mirrors the
+    oracle's DuckDB ``list_reduce`` lambda token-for-token. (The
+    obvious padded-replace trick is WRONG for runs: consecutive
+    merges share a boundary space, so ``a a a a`` merged only once —
+    a hypothesis counterexample.) A merged token can never equal
+    ``l`` (strictly longer), so the accumulator-tail check cannot
+    mis-fire on a token merged earlier in the same pass."""
+    def q(v: str) -> str:
+        return v.replace("'", "''")
+    return (
+        f"aggregate(split(seq, ' '), '', (acc, x) -> CASE"
+        f" WHEN acc = '' THEN x"
+        f" WHEN x = '{q(r)}' AND (acc = '{q(l)}'"
+        f"      OR endswith(acc, ' {q(l)}'))"
+        f" THEN substring(acc, 1, length(acc) - {len(l)}) || '{q(merged)}'"
+        f" ELSE acc || ' ' || x END)")
+
+
 def _bpe_oracle_sql(merges: int = 10) -> str:
     """Unrolled fixed-merge BPE-training oracle (the pagerank/kcore
     unrolling pattern): each merge round is one (pair-counts, best-pair,
     re-segmented-vocab) CTE triple mirroring the operator's round.
     Pure string/integer arithmetic — zero floats, so the engines must
-    agree exactly; the only cross-engine contract beyond SQL semantics
-    is replace()'s left-to-right non-overlapping scan, which both
-    engines share (pinned for the overlap case in
-    tests/test_foundations.py)."""
+    agree exactly. The merge itself is a left-fold over the token
+    array with a string accumulator (DuckDB ``list_reduce`` here,
+    Spark ``aggregate`` in the operator): merge x into the accumulator
+    when the previous emitted token is exactly ``sym_l`` and x is
+    ``sym_r`` — the textbook greedy non-overlapping scan. (A padded
+    ``replace(' l r ', ' m ')`` is NOT that scan: consecutive merges
+    share a boundary space, so ``a a a a`` merged only once —
+    hypothesis found the counterexample. A merged token can never
+    equal ``sym_l`` (it is strictly longer), so the tail check is
+    sound.)"""
     its = []
     for i in range(1, merges + 1):
         p = i - 1
@@ -801,11 +830,16 @@ b{i} AS MATERIALIZED (
 ),
 v{i} AS MATERIALIZED (
   SELECT word, freq,
-         trim(replace(' ' || seq || ' ',
-                      ' ' || (SELECT sym_l FROM b{i}) || ' '
-                          || (SELECT sym_r FROM b{i}) || ' ',
-                      ' ' || (SELECT merged FROM b{i}) || ' ')) AS seq
-  FROM v{p}
+         list_reduce(string_split(seq, ' '),
+           (acc, x) -> CASE
+              WHEN x = b.sym_r
+                   AND (acc = b.sym_l
+                        OR ends_with(acc, ' ' || b.sym_l))
+                THEN substring(acc, 1,
+                               length(acc) - length(b.sym_l))
+                     || b.merged
+              ELSE acc || ' ' || x END) AS seq
+  FROM v{p}, b{i} b
 )""")
     finals = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, sym_l, sym_r, merged, pair_count FROM b{i}"
@@ -842,10 +876,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per round one hash agg over exploded adjacent pairs + a 1-row
     driver collect of the winning pair (bounded by construction) that
-    re-enters the plan as replace() literals. The greedy merge uses
-    replace()'s left-to-right non-overlapping scan on the
-    space-padded sequence — identical semantics in both engines
-    (pinned in tests). Zero floats anywhere. Output:
+    re-enters the plan as fold literals. The greedy merge is a
+    left-fold over the token array (``_merge_fold_expr`` — Spark
+    ``aggregate``, mirrored by the oracle's DuckDB ``list_reduce``):
+    the textbook non-overlapping scan, property-tested against a pure
+    python reference. Zero floats anywhere. Output:
     (step, sym_l, sym_r, merged, pair_count)."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (d.select(F.explode(tokens("text")).alias("word"))
@@ -880,11 +915,9 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = b.sym_l + b.sym_r
         out_rows.append((step, b.sym_l, b.sym_r, merged,
                          int(b.pair_count)))
-        pat = f" {b.sym_l} {b.sym_r} "
         cur = (cur.select(
             "word", "freq",
-            F.trim(F.expr(
-                f"replace(' ' || seq || ' ', '{pat}', ' {merged} ')"))
+            F.expr(_merge_fold_expr(b.sym_l, b.sym_r, merged))
             .alias("seq"))
             .localCheckpoint(eager=True))
     return spark.createDataFrame(
@@ -943,9 +976,8 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rules:
         cur = cur.select(
             "word", "freq",
-            F.trim(F.expr(
-                f"replace(' ' || seq || ' ', ' {r.sym_l} {r.sym_r} ',"
-                f" ' {r.merged} ')")).alias("seq"))
+            F.expr(_merge_fold_expr(r.sym_l, r.sym_r, r.merged))
+            .alias("seq"))
     return cur.agg(
         F.count(F.lit(1)).alias("vocab_size"),
         F.sum("freq").alias("total_words"),

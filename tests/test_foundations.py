@@ -71,11 +71,14 @@ def test_testing_module_compare_matches_gate(spark):
 
 
 def test_replace_overlap_semantics_match_duckdb(spark):
-    """text_bpe_train's greedy merge relies on replace() scanning
-    left-to-right without overlap and resuming AFTER the replacement —
-    pin that Spark and DuckDB agree on the overlapping-occurrence case
-    (' a a a a ' with pattern ' a a '), where a naive all-positions
-    replace would differ."""
+    """General cross-engine pin: replace() scans left-to-right
+    without overlap and resumes AFTER the replacement, identically in
+    Spark and DuckDB, including the overlapping-occurrence case
+    (' a a a a ' with pattern ' a a '). NOTE this shared semantics is
+    exactly why padded-replace is NOT a valid BPE merge (it skips the
+    second merge of a run — see _merge_fold_expr); BPE now folds, and
+    this pin documents the replace behavior for anything else that
+    reaches for it."""
     import duckdb
 
     from pyspark.sql import functions as F

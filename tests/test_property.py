@@ -438,9 +438,8 @@ def test_bpe_merge_rounds_match_python_reference(spark, words, merges):
             break
         b = best[0]
         got.append((b.l, b.r, b.l + b.r, int(b.c)))
+        from integrator_spark.queries.text import _merge_fold_expr
         cur = cur.select(
             "word", "freq",
-            F.trim(F.expr(
-                f"replace(' ' || seq || ' ', ' {b.l} {b.r} ',"
-                f" ' {b.l + b.r} ')")).alias("seq"))
+            F.expr(_merge_fold_expr(b.l, b.r, b.l + b.r)).alias("seq"))
     assert got == expect
