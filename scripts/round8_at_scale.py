@@ -33,6 +33,8 @@ QUERIES = [
     "ml_naive_bayes",
     "events_streaks",
     "stats_theilsen",
+    "text_bpe_train",
+    "vec_pca_power",
 ]
 
 SF01 = "/root/testdata/sf0.1"
