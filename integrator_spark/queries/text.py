@@ -787,7 +787,11 @@ def _merge_fold_expr(l: str, r: str, merged: str) -> str:
     ``l`` (strictly longer), so the accumulator-tail check cannot
     mis-fire on a token merged earlier in the same pass."""
     def q(v: str) -> str:
-        return v.replace("'", "''")
+        # Spark's default parser treats backslash as an escape inside
+        # string literals (unlike DuckDB), so a learned symbol
+        # containing `\` must be doubled or the fold expression is
+        # corrupted; quotes double per ANSI.
+        return v.replace("\\", "\\\\").replace("'", "''")
     return (
         f"aggregate(split(seq, ' '), '', (acc, x) -> CASE"
         f" WHEN acc = '' THEN x"

@@ -74,6 +74,13 @@ class BinRecStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.dir = options["path"]
         self.per_trigger = int(options.get("shardsPerTrigger", 0) or 0)
+        # Rate-limit base. MUST be derived from engine-supplied offsets
+        # (partitions()/commit()), never trusted as a fresh in-memory
+        # counter: after a checkpoint restart this instance is new, and
+        # a base of 0 would let latestOffset return an offset BEHIND the
+        # committed start — offsets moving backwards breaks the
+        # microbatch planner's monotonicity contract.
+        self._last = 0
 
     def _shards(self) -> list[str]:
         return sorted(f for f in os.listdir(self.dir)
@@ -85,12 +92,15 @@ class BinRecStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         n = len(self._shards())
         if self.per_trigger > 0:
-            cur = getattr(self, "_last", 0)
-            n = min(n, cur + self.per_trigger)
-        self._last = n
+            n = min(n, self._last + self.per_trigger)
+        self._last = max(self._last, n)
         return {"shard": n}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # The engine replays the restart range through here before any
+        # latestOffset call is trusted — fold both ends into the
+        # rate-limit base so it can never lag the checkpoint.
+        self._last = max(self._last, start["shard"], end["shard"])
         shards = self._shards()
         return [BinRecPartition(os.path.join(self.dir, f))
                 for f in shards[start["shard"]:end["shard"]]]
@@ -105,7 +115,9 @@ class BinRecStreamReader(DataSourceStreamReader):
             yield struct.unpack_from(RECORD_FMT, data, off)
 
     def commit(self, end: dict) -> None:
-        pass  # shards are immutable; progress lives in the checkpoint
+        # Shards are immutable so there is nothing to clean up, but the
+        # committed end is another floor for the rate-limit base.
+        self._last = max(self._last, end["shard"])
 
 
 class BinRecDataSource(DataSource):

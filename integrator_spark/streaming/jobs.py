@@ -1420,7 +1420,10 @@ def stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     if total == 0:       # nothing to stage: no shards for the reader
         return spark.createDataFrame(
             [], "bucket long, n_events long, total_value double")
-    out = derived_dir(sf_dir, "binrec_events_stream")
+    # pid-suffixed like the checkpoint below: stage_binrec deletes
+    # existing .bin files first, so a shared dir would let two
+    # concurrent runs clobber each other's shards mid-stream.
+    out = derived_dir(sf_dir, "binrec_events_stream", f"pid{os.getpid()}")
     binrec.stage_binrec(e.repartition(6), out)
     binrec.register(spark)
     raw = (spark.readStream.format("binrec")
@@ -1442,6 +1445,7 @@ def stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(processingTime="0 seconds")
          .start())
     t0 = _time.monotonic()
+    done = None
     while _time.monotonic() - t0 < 120.0:
         done = spark.table(query_name).agg(
             F.sum("n_events").alias("n")).first()["n"]
@@ -1452,4 +1456,10 @@ def stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     global LAST_RUN_PROGRESS
     LAST_RUN_PROGRESS = list(q.recentProgress)
+    if done is None or int(done) != total:
+        # Fail loudly at the timeout, not later as a confusing oracle
+        # mismatch on a silently-partial complete-mode table.
+        raise TimeoutError(
+            f"stream_custom_source drain timed out: observed "
+            f"n_events={done} of staged {total} after 120s")
     return spark.table(query_name)

@@ -443,3 +443,20 @@ def test_bpe_merge_rounds_match_python_reference(spark, words, merges):
             "word", "freq",
             F.expr(_merge_fold_expr(b.l, b.r, b.l + b.r)).alias("seq"))
     assert got == expect
+
+
+def test_merge_fold_expr_escapes_backslash_and_quote(spark):
+    """ADVICE round 8: symbols embedded as Spark SQL literals must
+    double backslashes (Spark's parser treats `\\` as an escape,
+    DuckDB does not) and single quotes. A merge rule whose symbols
+    contain both must still apply exactly once per adjacent pair."""
+    from integrator_spark.queries.text import _merge_fold_expr
+
+    l, r = "a\\", "'b"
+    df = spark.createDataFrame(
+        [("a\\ 'b x a\\ 'b",), ("a\\ a\\ 'b",), ("'b a\\",)],
+        "seq string")
+    out = [row.m for row in df.select(
+        F.expr(_merge_fold_expr(l, r, l + r)).alias("m"))
+        .collect()]
+    assert out == ["a\\'b x a\\'b", "a\\ a\\'b", "'b a\\"]

@@ -211,3 +211,17 @@ def test_binrec_stream_reader_offsets(tmp_path):
     assert [p.path.rsplit("/", 1)[1] for p in parts] == ["s2.bin", "s3.bin"]
     unlimited = BinRecStreamReader({"path": str(d)})
     assert unlimited.latestOffset() == {"shard": 5}
+
+    # Checkpoint restart: a FRESH instance learns the committed
+    # position from the engine's partitions()/commit() replay, so
+    # latestOffset can never move backwards past the restart offset
+    # (ADVICE round 8 — the in-memory counter used to restart at 0).
+    restarted = BinRecStreamReader({"path": str(d),
+                                    "shardsPerTrigger": "2"})
+    restarted.partitions({"shard": 3}, {"shard": 4})
+    assert restarted.latestOffset() == {"shard": 5}, \
+        "latestOffset fell behind the restart offset"
+    committed = BinRecStreamReader({"path": str(d),
+                                    "shardsPerTrigger": "1"})
+    committed.commit({"shard": 4})
+    assert committed.latestOffset() == {"shard": 5}
