@@ -113,6 +113,21 @@ def main() -> None:
             per_naive[name] = measure(lambda: naive[name](sf_dir),
                                       1, warm=(name != "vec_knn"))
 
+    # Round-8 verdict item 1: the vec_ann_ivfpq end-to-end wall mixes
+    # train / build / serve, whose rebuilt-per-run variance answers
+    # different 100-TB questions. Attach a per-stage breakdown so the
+    # round-over-round comparable number is the SERVE wall (search
+    # against persisted codes), with train+build reported separately.
+    stage_breakdown = {}
+    if "vec_ann_ivfpq" in names:
+        try:
+            from integrator_spark.queries.vectors import \
+                vec_ann_ivfpq_stage_walls
+            stage_breakdown["vec_ann_ivfpq"] = vec_ann_ivfpq_stage_walls(
+                spark, sf_dir, serve_runs=RUNS)
+        except Exception as exc:  # diagnostics must not sink the bench
+            stage_breakdown["vec_ann_ivfpq"] = {"error": str(exc)}
+
     spark.stop()
     out = {
         "metric": "headline_total_sec",
@@ -121,6 +136,8 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
     }
+    if stage_breakdown:
+        out["stage_breakdown"] = stage_breakdown
     if per_naive:
         out["naive_same_session"] = per_naive
         out["naive_protocol"] = ("warmed single run per query, same "

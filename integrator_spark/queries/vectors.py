@@ -663,6 +663,51 @@ def vec_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+def vec_ann_ivfpq_stage_walls(spark: SparkSession, sf_dir: str,
+                              serve_runs: int = 3) -> dict:
+    """Diagnostic stage breakdown for the ``vec_ann_ivfpq`` bench entry
+    (round-8 verdict item 1): the end-to-end rebuilt-per-run wall mixes
+    three very different 100-TB questions — TRAIN (driver-bounded
+    sample collects + numpy k-means; amortized once per index life),
+    BUILD (one corpus encode pass; amortized per ingest), and SERVE
+    (the probe/ADC/rerank query path; the per-query cost a deployment
+    actually pays). Emits each wall separately, with SERVE measured
+    against persisted codes as median of ``serve_runs`` fresh builds of
+    the search plan. Not registered — bench.py attaches the result to
+    BENCH_r{N}.json as ``stage_breakdown``."""
+    import statistics as _stats
+    import time as _time
+
+    from ..operators.ivf import train_centroids
+    from ..operators.pq import ivfpq_encode, ivfpq_search, ivfpq_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    walls: dict[str, float] = {}
+    t0 = _time.perf_counter()
+    cent = train_centroids(e, n_clusters=16, sample_rows=2000, iters=10)
+    walls["train_centroids"] = round(_time.perf_counter() - t0, 4)
+    t0 = _time.perf_counter()
+    cb = ivfpq_train(e, cent, m=8, ksub=64, sample_rows=2000, iters=10)
+    walls["train_codebook"] = round(_time.perf_counter() - t0, 4)
+    t0 = _time.perf_counter()
+    codes = ivfpq_encode(e, cent, cb, n_assign=3).persist()
+    codes.count()
+    walls["build_encode"] = round(_time.perf_counter() - t0, 4)
+    serve = []
+    for _ in range(serve_runs):
+        t0 = _time.perf_counter()
+        (ivfpq_search(codes, e, e, cent, cb, n_probe=8, k=1,
+                      shortlist=64, exclude_self=True)
+         .orderBy("query_id").collect())
+        serve.append(_time.perf_counter() - t0)
+    codes.unpersist()
+    walls["serve_median"] = round(_stats.median(serve), 4)
+    walls["serve_runs"] = serve_runs
+    walls["train_total"] = round(walls["train_centroids"]
+                                 + walls["train_codebook"], 4)
+    return walls
+
+
 def _mmr_oracle_sql(k: int = 10, n_cand: int = 30,
                     lam: float = 0.7) -> str:
     """Unrolled greedy-MMR oracle (graduated vec_mmr from rows-only in
