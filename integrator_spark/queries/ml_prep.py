@@ -420,8 +420,124 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("shuffle_pos")))
 
 
-@register("ml_logreg", oracle=None, tags=("ml", "logreg", "iterative"))
+def _logreg_gd_oracle_sql(iters: int = 8, lr: float = 0.5) -> str:
+    """Unrolled fixed-iteration gradient-descent logistic-regression
+    oracle (graduates ml_logreg from rows-only — the vec_pca_power /
+    ml_naive_bayes grid discipline applied to an optimizer loop). Each
+    iteration is one (gradient-sums, new-beta) CTE pair over the SAME
+    feature scan:
+
+    - features x_j and label y are exact IEEE doubles derived from
+      integer/timestamp columns by identical arithmetic on both
+      engines (division, year(), modulo) — bit-identical inputs;
+    - z = ((b0*x0 + b1*x1) + b2*x2) + b3*x3 with FIXED association,
+      so the double result is bit-identical given grid betas;
+    - p = ROUND(sigmoid(z), 9) snaps the only libm call (exp) to a
+      9-dp grid — ulp-level exp() noise sits far below the grid (the
+      ml_naive_bayes ln() argument);
+    - gradient terms (p - y) * x_j are CAST to DECIMAL(28,9) and
+      summed EXACTLY (the only cross-partition traffic, k scalars);
+    - beta_j' = ROUND(beta_j - lr * grad_j / n, 9) re-snaps the
+      driver-side update to the grid.
+
+    Zero unexplained floats cross an engine boundary, so the engines
+    must agree exactly at every iteration."""
+    feat = """
+f AS MATERIALIZED (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         o_totalprice / 100000.0 AS x1,
+         (year(o_orderdate) - 1995) / 4.0 AS x2,
+         (o_custkey % 97) / 97.0 AS x3
+  FROM orders),
+nn AS (SELECT COUNT(*) AS n FROM f),
+b0 AS (SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1,
+              CAST(0.0 AS DOUBLE) AS c2, CAST(0.0 AS DOUBLE) AS c3)"""
+    its = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        z = ("(((b.c0 * f.x0 + b.c1 * f.x1) + b.c2 * f.x2) "
+             "+ b.c3 * f.x3)")
+        pg = f"ROUND(1.0 / (1.0 + exp(-{z})), 9)"
+        sums = ", ".join(
+            f"SUM(CAST(({pg} - f.y) * f.x{j} AS DECIMAL(28,9))) AS g{j}"
+            for j in range(4))
+        upd = ", ".join(
+            f"ROUND(b.c{j} - {lr!r} * (CAST(g.g{j} AS DOUBLE) / nn.n), 9)"
+            f" AS c{j}" for j in range(4))
+        its.append(f"""
+g{i} AS MATERIALIZED (
+  SELECT {sums}
+  FROM f CROSS JOIN b{p} b),
+b{i} AS MATERIALIZED (
+  SELECT {upd}
+  FROM b{p} b CROSS JOIN g{i} g CROSS JOIN nn)""")
+    names = ["intercept", "price", "yr", "noise"]
+    finals = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS feature, c{j} AS coef FROM b{iters}"
+        for j, name in enumerate(names))
+    return (f"WITH {feat},{','.join(its)}\n"
+            f"SELECT feature, coef FROM ({finals})\n"
+            f"ORDER BY feature")
+
+
+@register("ml_logreg", oracle=_logreg_gd_oracle_sql(),
+          tags=("ml", "logreg", "iterative"))
 def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression by fixed-iteration gradient
+    descent — ORACLE-BACKED (graduated from rows-only in round 9; the
+    Newton/IRLS fit lives on as ``ml_logreg_irls``). Each of the 8
+    iterations is ONE whole-stage-codegen aggregation pass over the
+    feature scan producing k=4 decimal-exact gradient sums (the only
+    thing that crosses the executor boundary), with the O(k) update on
+    the driver — the classic scalable-GD shape: at 100 TB each step is
+    a map-side-combinable scan, no shuffle wider than k scalars.
+
+    Cross-engine determinism (see _logreg_gd_oracle_sql): sigmoid
+    outputs snap to a 9-dp grid, gradient terms sum as DECIMAL(28,9),
+    betas re-snap to the grid each update — both engines walk the
+    identical sequence of grid points, so even this ITERATIVE
+    optimizer hash-matches exactly.
+
+    On the synthetic fixture every feature is near-uninformative, so
+    8 GD steps at lr=0.5 walk toward the base-rate intercept with
+    small feature weights — the same (correct) answer the IRLS twin
+    reaches faster; recovery of planted structure is pinned by the
+    NumPy-reference test on generated data."""
+    o = load_table(spark, sf_dir, "orders")
+    feats = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+        .alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("o_totalprice") / 100000.0).alias("x1"),
+        ((F.year("o_orderdate") - F.lit(1995)) / 4.0).alias("x2"),
+        ((F.col("o_custkey") % 97) / 97.0).alias("x3"))
+    n = feats.count()
+    if n == 0:
+        raise ValueError("ml_logreg: empty input — nothing to fit")
+    lr = 0.5
+    beta = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(8):
+        # Same FIXED association as the oracle's z expression.
+        z = (((F.lit(beta[0]) * F.col("x0")
+               + F.lit(beta[1]) * F.col("x1"))
+              + F.lit(beta[2]) * F.col("x2"))
+             + F.lit(beta[3]) * F.col("x3"))
+        pg = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        sums = [F.sum(((pg - F.col("y")) * F.col(f"x{j}"))
+                      .cast("decimal(28,9)")).alias(f"g{j}")
+                for j in range(4)]
+        g = feats.agg(*sums).first()   # k bounded scalars per step
+        beta = [round(beta[j] - lr * (float(g[f"g{j}"]) / n), 9)
+                for j in range(4)]
+    names = ["intercept", "price", "yr", "noise"]
+    rows = [(name, float(b)) for name, b in zip(names, beta)]
+    return (spark.createDataFrame(rows, "feature string, coef double")
+            .orderBy("feature"))
+
+
+@register("ml_logreg_irls", oracle=None, tags=("ml", "logreg", "iterative"))
+def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic regression (operators/ml.py logistic_irls):
     P(order is finalized | price, order year, noise) fit by 8 Newton
     steps, each one whole-stage-codegen aggregation pass producing

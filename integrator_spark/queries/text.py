@@ -991,3 +991,97 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("freq") * F.length("word")).cast("double")
                 / F.sum(F.col("freq") * F.size(F.split("seq", " "))), 6)
         .alias("compression"))
+
+
+def _bpe_tokenize_oracle_sql(merges: int = 10) -> str:
+    """Per-document tokenization oracle: reuse the BPE training chain
+    (same generator, same 10 rounds) through v{merges} = (word, freq,
+    seq), then replay tokenization over every document position —
+    word positions from the same space-split the trainer used, symbol
+    positions from the learned seq, a dense symbol->token_id vocabulary
+    (row_number over symbol ASC), and a per-doc global token position.
+    Zero floats; every ordering is explicit, so the engines must agree
+    row for row."""
+    body = _bpe_oracle_sql(merges)
+    cut = body.rindex("SELECT * FROM")
+    return body[:cut] + f""",
+wp AS MATERIALIZED (
+  SELECT doc_id, j AS word_pos, ws[j + 1] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+       unnest(range(0, len(ws))) u(j)
+  WHERE ws[j + 1] <> ''
+),
+sym AS MATERIALIZED (
+  SELECT q.doc_id, q.word_pos, k AS sym_pos, ss[k + 1] AS symbol
+  FROM (SELECT wp.doc_id, wp.word_pos, string_split(v.seq, ' ') AS ss
+        FROM wp JOIN v{merges} v ON v.word = wp.word) q,
+       unnest(range(0, len(ss))) u(k)
+),
+ids AS MATERIALIZED (
+  SELECT symbol,
+         CAST(row_number() OVER (ORDER BY symbol) - 1 AS INT) AS token_id
+  FROM (SELECT DISTINCT symbol FROM sym)
+)
+SELECT s.doc_id,
+       CAST(row_number() OVER (PARTITION BY s.doc_id
+                               ORDER BY s.word_pos, s.sym_pos) - 1
+            AS BIGINT) AS pos,
+       i.token_id, s.symbol
+FROM sym s JOIN ids i ON i.symbol = s.symbol
+ORDER BY doc_id, pos
+"""
+
+
+@register("text_bpe_tokenize", oracle=_bpe_tokenize_oracle_sql(),
+          tags=("text", "tokenizer", "bpe"))
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE tokenization — the operator a pretraining data
+    pipeline actually feeds to sharding/packing (round-8 verdict item
+    6): text_bpe_encode reports corpus-level compression; this emits
+    (doc_id, pos, token_id, symbol), one row per token in reading
+    order, with a dense deterministic vocabulary id (symbol ASC).
+
+    Scale shape: the corpus is scanned once to the (word, freq, seq)
+    vocabulary (the merge rules replay over that bounded frame, same
+    as text_bpe_encode), then tokenization is a WORD-VOCABULARY JOIN —
+    each document position joins its word's pre-tokenized seq, so the
+    per-document work is linear in document length and never re-runs
+    the merge fold per occurrence. The only per-doc operation is the
+    global-position window (partitioned by doc_id — bounded by doc
+    length, no global sort). Output is LINEAR in corpus size, the one
+    BPE-family query that should scale ~1.0 in SCALING.md (train and
+    encode are vocabulary-bounded and measured flat)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(tokens("text")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+             .select("word",
+                     F.trim(F.regexp_replace("word", "(.)", "$1 "))
+                     .alias("seq"))
+             .localCheckpoint(eager=True))
+    rules = text_bpe_train(spark, sf_dir).collect()  # bounded: 10 rows
+    for r in rules:
+        vocab = vocab.select(
+            "word",
+            F.expr(_merge_fold_expr(r.sym_l, r.sym_r, r.merged))
+            .alias("seq"))
+    words = (d.select("doc_id",
+                      F.posexplode(tokens("text"))
+                      .alias("word_pos", "word"))
+             .filter(F.col("word") != ""))
+    syms = (words.join(vocab, "word")
+            .select("doc_id", "word_pos",
+                    F.posexplode(F.split("seq", " "))
+                    .alias("sym_pos", "symbol")))
+    ids = (syms.select("symbol").distinct()
+           .select("symbol",
+                   (F.row_number().over(Window.orderBy("symbol")) - 1)
+                   .cast("int").alias("token_id")))
+    w = Window.partitionBy("doc_id").orderBy("word_pos", "sym_pos")
+    return (syms.join(F.broadcast(ids), "symbol")
+            .select("doc_id",
+                    (F.row_number().over(w) - 1).cast("long").alias("pos"),
+                    "token_id", "symbol")
+            .orderBy("doc_id", "pos"))

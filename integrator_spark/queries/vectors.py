@@ -72,14 +72,110 @@ def vec_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(e, k=1)
 
 
-@register("vec_ann_lsh", oracle=None, tags=("vector", "knn", "approx"))
+# ANN-over-sign-LSH oracle: DuckDB replays the ENTIRE candidate
+# pipeline from raw vectors — the md5-parity +/-1 hyperplanes, the
+# exact-integer quantized projections, the banded bucket packing
+# (identical CTE text to the dedup_embedding_lsh family: same
+# dials dim=64, 3 bits x 12 bands), then the ANN-specific part: a
+# SYMMETRIC bucket-collision join (a <> b, both directions) and the
+# exact-cosine top-1 rerank per query, ties (cos DESC, neighbor ASC)
+# on the 6-dp grid both engines share. Queries with zero collisions
+# are absent on both sides — a deterministic property of the planes.
+_ANN_SIGNLSH_ORACLE = """
+WITH
+qv AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                             x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+       FROM embeddings),
+comp AS (SELECT vec_id, j, q[j + 1] AS val
+         FROM qv, unnest(range(0, 64)) t(j)),
+planes AS (SELECT p, j,
+                  CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR)
+                                 || ':' || CAST(j AS VARCHAR)), 1, 2)
+                            AS UBIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END AS c
+           FROM range(0, 36) tp(p) CROSS JOIN range(0, 64) tj(j)),
+proj AS (SELECT comp.vec_id, planes.p,
+                SUM(comp.val * planes.c) AS s
+         FROM comp JOIN planes ON comp.j = planes.j
+         GROUP BY 1, 2),
+buck AS (SELECT vec_id, CAST(p // 3 AS INT) AS band,
+                SUM(CASE WHEN s >= 0
+                         THEN (1 << CAST(p % 3 AS INT)) ELSE 0 END) AS bucket
+         FROM proj GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+         FROM buck a JOIN buck b
+           ON a.band = b.band AND a.bucket = b.bucket
+              AND a.vec_id <> b.vec_id),
+scored AS (SELECT c.vec_id, c.neighbor_id,
+                  ROUND(list_cosine_similarity(
+                          CAST(ea.embedding AS DOUBLE[]),
+                          CAST(eb.embedding AS DOUBLE[])), 6) AS approx_cos
+           FROM cand c
+           JOIN embeddings ea ON ea.vec_id = c.vec_id
+           JOIN embeddings eb ON eb.vec_id = c.neighbor_id)
+SELECT vec_id, neighbor_id, approx_cos
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id
+          ORDER BY approx_cos DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+@register("vec_ann_lsh", oracle=_ANN_SIGNLSH_ORACLE,
+          tags=("vector", "knn", "approx"))
 def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH bucketing
-    (BucketedRandomProjectionLSH on L2-normalized vectors, where
-    euclidean distance is monotone in cosine). Rows-only: approximate
-    recall is engine-specific — measured in vec_ann_recall (asserted
-    >= 0.9 in tests). This is the 100 TB path once the candidate
-    matrix no longer broadcasts.
+    """Approximate NN via sign-random-projection LSH — ORACLE-BACKED
+    end to end (graduated from rows-only in round 9): candidates come
+    from the deterministic md5-parity hyperplane buckets the
+    dedup_embedding_lsh family already proved engine-replayable (same
+    dials: dim=64, 3 bits x 12 bands, exact-integer sign arithmetic),
+    so DuckDB regenerates planes, buckets, the symmetric collision
+    join, AND the exact-cosine top-1 rerank. Only the recall number
+    stays rows-only (vec_ann_recall, pinned >= 0.9 in tests).
+
+    Plan: one Arrow matmul pass for buckets (no shuffle), one
+    bucket-equality self-join (the only wide shuffle — cost tracks
+    colliding pairs, never n²), exact cosine on candidates only, one
+    per-query window for top-1. The 100 TB path once the candidate
+    matrix no longer broadcasts. Registered dials pin bits=3 for
+    oracle parity; production corpora use signlsh_adaptive_bits so
+    the band keyspace grows with log2(n) (SCALING.md round-7 curve).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _cosine_residual, signlsh_buckets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = signlsh_buckets(e, dim=64, bits_per_band=3, n_bands=12)
+    q = buckets.select("vec_id", "band", "bucket")
+    nb = buckets.select(F.col("vec_id").alias("neighbor_id"),
+                        "band", "bucket")
+    cand = (q.join(nb, ["band", "bucket"])
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id").distinct())
+    scored = _cosine_residual(cand, e, e, -1.0, "vec_id", "neighbor_id",
+                              "vec_id", "embedding")
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
+                                             "neighbor_id")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "neighbor_id",
+                    F.col("cos_sim").alias("approx_cos"))
+            .orderBy("vec_id"))
+
+
+@register("vec_ann_lsh_ml", oracle=None, tags=("vector", "knn", "approx"))
+def vec_ann_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.ml face of LSH ANN (BucketedRandomProjectionLSH on
+    L2-normalized vectors, where euclidean distance is monotone in
+    cosine) — kept registered alongside the oracle-backed
+    deterministic ``vec_ann_lsh`` exactly like ``dedup_minhash`` /
+    ``dedup_minhash_det``: the MLlib estimator surface a Spark shop
+    would reach for first. Rows-only: MLlib's random hyperplanes are
+    engine-private, so no ANSI-SQL oracle can replay them.
 
     Dials: the join radius is the quality/cost knob — 1.25 in L2 over
     unit vectors == cosine >= ~0.22, below the fixture's true-NN floor

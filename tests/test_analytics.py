@@ -268,7 +268,7 @@ def test_mmr_matches_independent_reference_and_is_deterministic(spark):
 _PACK = sorted(n for n in SPECS if not n.startswith("stream_"))
 
 #: Operators whose contract is a clean needs-data error, not empty-out.
-_EMPTY_RAISES = {"ml_logreg"}
+_EMPTY_RAISES = {"ml_logreg", "ml_logreg_irls"}
 
 
 @pytest.fixture(scope="module")
