@@ -18,7 +18,8 @@ Scale posture: round cost is bounded by |E|·k = n·k² candidate pairs
 refinement drops that further by sampling neighbor lists. Iterations are
 fixed (convergence on random init is empirically 3-5 rounds for
 recall@1 ≥ 0.9 on dim-64 corpora — asserted in tests); each round is
-lineage-truncated with an eager localCheckpoint, without which the plan
+lineage-truncated with the stats-resetting checkpoint
+(operators/ckpt.py), without which the plan
 tree doubles per round and the driver dies generating it long before
 the data is big (same discipline as operators/graph.py).
 
@@ -36,6 +37,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .ckpt import truncated_checkpoint
 
 from .knn import _dot_expr
 
@@ -207,9 +210,9 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                               .alias("_cos")))
         w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(),
                                               F.col("cand"))
-        return (scored.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= width)
-                .localCheckpoint(eager=True))
+        return truncated_checkpoint(
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= width))
 
     best = score_and_beam(frontier, beam)
     for _ in range(hops):
@@ -394,10 +397,10 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
         scored = score_pairs(cand)
         w = Window.partitionBy("src").orderBy(F.col("_cos").desc(),
                                               F.col("dst"))
-        return (scored.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= kk)
-                .select("src", "dst", "_cos", "_rn")
-                .localCheckpoint(eager=True))
+        return truncated_checkpoint(
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= kk)
+            .select("src", "dst", "_cos", "_rn"))
 
     graph = top_k(init_edges)
     for _ in range(iters):

@@ -1,0 +1,36 @@
+"""Lineage truncation for iterative DataFrame loops.
+
+``localCheckpoint(eager=True)`` truncates the *execution* lineage but
+Spark's ``LogicalRDD`` PRESERVES the origin plan's Catalyst statistics,
+and the size-only stats visitor estimates a join as the PRODUCT of its
+children's ``sizeInBytes``. In a loop whose next state joins the
+previous checkpointed state with frames derived from it, the stat's
+digit count therefore grows geometrically per round (measured ×3/round
+in k-core peeling: 57 → 169 → 505 → 1513 digits …) until BigInteger
+multiplication inside stats estimation dominates the driver — minutes
+per round past ~15 rounds, hours past ~20. Fixed 10-round loops never
+noticed; convergence-detected loops die on it.
+
+:func:`truncated_checkpoint` adds the missing half: checkpoint, then
+rebuild the frame from the checkpointed RDD so the leaf reports the
+conservative default size instead of the inherited product. Join
+results are unchanged; join strategy for these loop frames is
+unchanged too (the inherited products were already far above every
+broadcast threshold, and AQE re-plans from runtime shuffle sizes).
+Measured: flat 19-digit stats and flat per-round wall over 14+ rounds
+where plain ``localCheckpoint`` doubled the wall every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def truncated_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint + Catalyst-stats reset (see module doc)."""
+    ck = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    jdf = ck._jdf
+    jnew = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False)
+    return DataFrame(jnew, spark)

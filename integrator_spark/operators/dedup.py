@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ckpt import truncated_checkpoint
+
 from ..functions.text import word_shingles
 
 
@@ -424,10 +426,12 @@ def connected_components_star(pairs: DataFrame, a_col: str = "d1",
     ``exceptAll``; the fixpoint is exact because the edge set itself
     stops changing.
     """
-    # Lineage is truncated each round with an eager localCheckpoint:
-    # the logical plan otherwise doubles per iteration (edges appears
-    # twice per round) and exponential plans OOM the driver long before
-    # the data does. On a real cluster swap in reliable checkpointing
+    # Lineage is truncated each round with the stats-resetting
+    # checkpoint (operators/ckpt.py): the logical plan otherwise
+    # doubles per iteration (edges appears twice per round) and
+    # exponential plans OOM the driver long before the data does —
+    # and a plain localCheckpoint still inherits origin Catalyst
+    # stats whose join products compound geometrically per round. On a real cluster swap in reliable checkpointing
     # (spark.sparkContext.setCheckpointDir + .checkpoint()) to also
     # survive executor loss.
     edges = (pairs.select(F.col(a_col).cast("long").alias("u"),
@@ -453,8 +457,8 @@ def connected_components_star(pairs: DataFrame, a_col: str = "d1",
                      .select(F.col("lo").alias("u"), F.col("_m").alias("v"))
                      .unionByName(mins2.select(F.col("hi").alias("u"),
                                                F.col("_m").alias("v")))
-                     .filter(F.col("u") != F.col("v")).distinct()
-                     .localCheckpoint(eager=True))
+                     .filter(F.col("u") != F.col("v")).distinct())
+        new_edges = truncated_checkpoint(new_edges)
         sig = new_edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
@@ -494,9 +498,11 @@ def connected_components(pairs: DataFrame, a_col: str = "d1",
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
-    # Eager localCheckpoint (not plain cache) truncates lineage: the
-    # label plan otherwise grows by one join per round and the driver
-    # OOMs generating exponential plan trees on high-diameter graphs.
+    # Stats-resetting checkpoint (operators/ckpt.py; not plain cache)
+    # truncates lineage: the label plan otherwise grows by one join per
+    # round and the driver OOMs generating exponential plan trees on
+    # high-diameter graphs — and inherited Catalyst join-stat products
+    # would compound across rounds even with plain localCheckpoint.
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iterations):
@@ -507,8 +513,8 @@ def connected_components(pairs: DataFrame, a_col: str = "d1",
                                   labels.node == neighbor_min.src, "left")
                       .select("node",
                               F.least("label", F.coalesce("nbr_label", "label"))
-                               .alias("label"))
-                      .localCheckpoint(eager=True))
+                               .alias("label")))
+        new_labels = truncated_checkpoint(new_labels)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
                    .filter(F.col("n.label") != F.col("o.label"))

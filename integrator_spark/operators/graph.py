@@ -16,25 +16,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ckpt import truncated_checkpoint
+
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
-             damping: float = 0.85, iterations: int = 10) -> DataFrame:
+             damping: float = 0.85, iterations: int | None = 10,
+             grid_dp: int = 9, max_rounds: int = 200) -> DataFrame:
     """Power-iteration PageRank over a directed edge list →
     (node, rank), sum(rank) == 1.
 
     Pure DataFrame formulation — per round: one join (ranks × edges),
     one groupBy-sum of contributions, one left-anti-derived dangling
     mass folded back uniformly (random-surfer model). Every round's
-    lineage is truncated with an eager localCheckpoint, same as
-    connected_components: without it the plan doubles per iteration.
+    lineage is truncated with a stats-resetting checkpoint
+    (operators/ckpt.py): a plain eager localCheckpoint keeps the plan
+    from doubling but PRESERVES origin Catalyst stats, whose join
+    products grow geometrically per round until BigInteger stats math
+    stalls the driver — fatal for convergence-length loops.
 
-    Fixed iteration count (no convergence collect): power iteration
-    contracts by the damping factor per round, so ``iterations=10``
-    bounds the rank error by ~0.85^10 ≈ 0.2% of total mass — and a
-    fixed count keeps every run's result identical. Scale: the join
-    shuffles on the edge key both ways; node/rank state is 16 bytes a
-    row; hot pages skew the contribution groupBy, which AQE skew-join
-    splits.
+    ``iterations=N`` runs exactly N rounds (the oracle-pinned mode:
+    power iteration contracts by the damping factor per round, so 10
+    rounds bound the rank error by ~0.85^10 ≈ 0.2% of total mass, and
+    a fixed count keeps every run — and the unrolled SQL oracle —
+    identical). ``iterations=None`` iterates to CONVERGENCE with
+    signature-based termination (the dedup_cluster pattern): after
+    each round one bounded 1-scalar collect takes the xxhash64-sum
+    signature of the rank vector snapped to a ``grid_dp``-decimal
+    grid, and the loop stops the first time the signature repeats —
+    the grid-stationary fixed point, reached in ~log(10^-grid_dp) /
+    log(damping) rounds (≈127 at 9 dp / 0.85). ``max_rounds`` is the
+    runaway backstop for adversarial damping values.
+
+    Scale: the join shuffles on the edge key both ways; node/rank
+    state is 16 bytes a row; hot pages skew the contribution groupBy,
+    which AQE skew-join splits.
     """
     e = (edges.select(F.col(src).cast("long").alias("src"),
                       F.col(dst).cast("long").alias("dst"))
@@ -48,7 +63,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
-    for _ in range(iterations):
+
+    def power_round(ranks: DataFrame) -> DataFrame:
         contribs = (e.join(out_deg, "src")
                     .join(ranks, F.col("src") == F.col("node"))
                     .groupBy(F.col("dst").alias("node"))
@@ -56,13 +72,28 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         dangling = (ranks.join(out_deg,
                                ranks["node"] == out_deg["src"], "left_anti")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")))
-        ranks = (nodes.join(contribs, "node", "left")
-                 .crossJoin(F.broadcast(dangling))
-                 .select("node",
-                         ((1.0 - damping) / n
-                          + damping * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                                       + F.col("dang") / n)).alias("rank"))
-                 .localCheckpoint(eager=True))
+        return truncated_checkpoint(
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("node",
+                    ((1.0 - damping) / n
+                     + damping * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                  + F.col("dang") / n)).alias("rank")))
+
+    if iterations is None:
+        prev_sig = None
+        for _ in range(max_rounds):
+            ranks = power_round(ranks)
+            sig = ranks.agg(
+                F.sum(F.xxhash64("node", F.round("rank", grid_dp))
+                      .cast("decimal(38,0)")).alias("h")
+            ).collect()[0].h
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    else:
+        for _ in range(iterations):
+            ranks = power_round(ranks)
     return ranks
 
 
@@ -151,24 +182,31 @@ def triangle_census(edges: DataFrame, src: str = "src",
                     .alias("clustering_coeff")))
 
 
-def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6,
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int | None = 6,
                src: str = "src", dst: str = "dst",
                assume_canonical: bool = False) -> DataFrame:
-    """k-core decomposition by FIXED-round bulk-synchronous peeling →
-    (node, core_degree) for every node still alive after ``rounds``
-    peels with degree ≥ k.
+    """k-core decomposition by bulk-synchronous peeling →
+    (node, core_degree): ``rounds=N`` runs exactly N peels (the
+    oracle-pinned mode — a fixed count keeps every run and the
+    round-for-round unrolled SQL oracle identical); ``rounds=None``
+    peels to CONVERGENCE with signature-based early termination (the
+    dedup_cluster pattern): after each round one bounded 2-scalar
+    collect takes the surviving edge set's (count, xxhash64-sum)
+    signature and the loop stops the first time it repeats — peeling
+    is MONOTONE (the edge set only shrinks), so an unchanged signature
+    IS the fixed point, and the converged result equals the sequential
+    bucket-queue peel (property-tested against a pure-python reference
+    on fuzzed graphs). Non-oracle callers get the true k-core of
+    arbitrarily deep peeling cascades at the cost of one tiny collect
+    per round.
 
     Per round: one degree groupBy over the surviving symmetric edge
     list, a ``deg ≥ k`` node filter, and two hash equi-joins that drop
-    every edge touching a peeled node — lineage truncated with an eager
-    localCheckpoint per round (same discipline as pagerank /
-    connected_components). Peeling is MONOTONE (the surviving edge set
-    only shrinks) and idempotent once converged, so a fixed round count
-    keeps every run — and a round-for-round unrolled SQL oracle —
-    identical; graphs whose peeling cascade is deeper than ``rounds``
-    return the (well-defined) partial peel, which callers bound with
-    the same log-diameter argument as BFS depth. All arithmetic is
-    integer-exact: no float noise anywhere.
+    every edge touching a peeled node — lineage truncated per round with
+    the stats-resetting checkpoint (operators/ckpt.py; a plain eager
+    localCheckpoint inherits origin Catalyst stats whose join products
+    compound ×3 per round here — fatal past ~15 rounds). All
+    arithmetic is integer-exact: no float noise anywhere.
 
     Scale: state per round is one slim (s, d) edge frame + a node
     list; both joins shuffle on node keys (AQE-coalesced, and the
@@ -183,14 +221,33 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6,
            .unionByName(u.select(F.col("b").alias("s"),
                                  F.col("a").alias("d")))
            .localCheckpoint(eager=True))
-    for _ in range(rounds):
+
+    def peel_round(cur: DataFrame) -> DataFrame:
         deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-        keep = (deg.filter(F.col("deg") >= k).select("s")
-                .localCheckpoint(eager=True))
-        cur = (cur.join(keep, "s")
-               .join(keep.select(F.col("s").alias("d")), "d")
-               .select("s", "d")
-               .localCheckpoint(eager=True))
+        keep = truncated_checkpoint(
+            deg.filter(F.col("deg") >= k).select("s"))
+        return truncated_checkpoint(
+            cur.join(keep, "s")
+            .join(keep.select(F.col("s").alias("d")), "d")
+            .select("s", "d"))
+
+    if rounds is None:
+        prev_sig = None
+        while True:
+            cur = peel_round(cur)
+            row = cur.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.xxhash64("s", "d")
+                                 .cast("decimal(38,0)")),
+                           F.lit(0).cast("decimal(38,0)")).alias("h")
+            ).collect()[0]
+            sig = (row.n, row.h)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    else:
+        for _ in range(rounds):
+            cur = peel_round(cur)
     return (cur.groupBy("s").agg(F.count(F.lit(1)).alias("core_degree"))
             .filter(F.col("core_degree") >= k)
             .select(F.col("s").alias("node"), "core_degree"))
@@ -204,9 +261,11 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 6,
 
     Bulk-synchronous frontier BFS: per round, join the frontier with
     the adjacency (shuffle on the node key), distinct the discovered
-    set, anti-join against visited, truncate lineage with an eager
-    localCheckpoint (same discipline as pagerank/connected_components
-    — without it the plan doubles per round). State per round is two
+    set, anti-join against visited, truncate lineage with the
+    stats-resetting checkpoint (operators/ckpt.py — a plain eager
+    localCheckpoint keeps the plan from doubling per round but lets
+    Catalyst join-stat products compound geometrically). State per
+    round is two
     slim (node[, level]) frames; the adjacency is checkpointed once
     and re-shuffled on its join key each round, which AQE coalesces.
     The empty-frontier early exit costs one bounded isEmpty per round.
@@ -220,14 +279,13 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 6,
     visited = spark.createDataFrame([(int(source), 0)], "node long, level int")
     frontier = visited.select("node")
     for lvl in range(1, max_depth + 1):
-        nxt = (frontier.join(adj, frontier["node"] == adj["e_s"])
-               .select(F.col("e_d").alias("node")).distinct()
-               .join(visited, "node", "left_anti")
-               .localCheckpoint(eager=True))
+        nxt = truncated_checkpoint(
+            frontier.join(adj, frontier["node"] == adj["e_s"])
+            .select(F.col("e_d").alias("node")).distinct()
+            .join(visited, "node", "left_anti"))
         if nxt.isEmpty():
             break
-        visited = (visited.unionByName(
-            nxt.select("node", F.lit(lvl).alias("level")))
-            .localCheckpoint(eager=True))
+        visited = truncated_checkpoint(visited.unionByName(
+            nxt.select("node", F.lit(lvl).alias("level"))))
         frontier = nxt
     return visited

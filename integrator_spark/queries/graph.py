@@ -389,7 +389,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE triples, so both engines execute the same monotone cascade on
     exact integers (peeling is idempotent once stable — extra rounds
     are no-ops, and an unconverged deeper cascade is the same
-    well-defined partial peel on both sides). Output is
+    well-defined partial peel on both sides; non-oracle callers pass
+    ``rounds=None`` for signature-terminated peeling to the TRUE
+    k-core regardless of cascade depth). Output is
     (node, core_degree) sorted by node."""
     edges = _copurchase_edges(spark, sf_dir, min_weight=2)
     core = kcore_peel(edges, k=3, rounds=10, src="s", dst="d",

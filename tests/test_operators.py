@@ -1659,3 +1659,76 @@ def test_pca_power_direction_matches_numpy(spark):
     top = evecs[:, int(np.argmax(evals))]
     cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
     assert cos >= 0.999, cos
+
+
+def test_kcore_converged_matches_python_full_peel(spark):
+    """rounds=None (signature-terminated peeling, round-8 verdict item
+    4) must equal the sequential python peel iterated to its true
+    fixed point — including on a DEEP-cascade graph where any fixed
+    round budget under the cascade depth returns the wrong answer."""
+    import random
+
+    from integrator_spark.operators.graph import kcore_peel
+
+    cases = []
+    # Path graph: k=2 peels one end vertex per round -> cascade depth
+    # ~n/2, far beyond the default rounds=6.
+    cases.append([(i, i + 1) for i in range(30)])
+    for seed in (7, 23):
+        rnd = random.Random(seed)
+        cases.append(sorted({(min(a, b), max(a, b)) for a, b in
+                             ((rnd.randrange(40), rnd.randrange(40))
+                              for _ in range(120)) if a != b}))
+    for edges in cases:
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        while True:
+            drop = {n for n in alive if len(adj[n] & alive) < 2}
+            if not drop:
+                break
+            alive -= drop
+        want = {(n, len(adj[n] & alive)) for n in alive}
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r.node, r.core_degree)
+               for r in kcore_peel(df, k=2, rounds=None).collect()}
+        assert got == want
+
+
+def test_pagerank_converged_grid_stationary(spark):
+    """iterations=None stops at the grid-stationary fixed point and
+    lands within grid distance of the fully-converged NumPy solution
+    (mass still conserved)."""
+    import random
+
+    import numpy as np
+
+    from integrator_spark.operators.graph import pagerank
+
+    rnd = random.Random(11)
+    edges = list({(a, b) for a, b in
+                  ((rnd.randrange(20), rnd.randrange(20))
+                   for _ in range(50)) if a != b})
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for a, b in edges:
+        M[idx[b], idx[a]] = 1.0
+    deg = M.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        M = np.where(deg > 0, M / deg, 0.0)
+    d = 0.5   # fast contraction keeps the per-round collects cheap
+    r = np.full(n, 1.0 / n)
+    for _ in range(200):   # far past convergence at damping 0.5
+        dang = r[deg == 0].sum()
+        r = (1 - d) / n + d * (M @ r + dang / n)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {row.node: row.rank
+           for row in pagerank(df, damping=d, iterations=None,
+                               grid_dp=6).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-4, v
