@@ -1085,3 +1085,134 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.row_number().over(w) - 1).cast("long").alias("pos"),
                     "token_id", "symbol")
             .orderBy("doc_id", "pos"))
+
+
+_RRF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dlen AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS avgdl
+  FROM dl
+), df AS (
+  SELECT word, COUNT(*) AS df FROM tf
+  WHERE word IN ('spark', 'stream', 'window') GROUP BY word
+), lex AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(ln(1 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl))), 6)
+           AS bm25
+  FROM tf
+  JOIN df ON df.word = tf.word
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), lexrank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+  FROM lex
+), qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0
+), sem AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      qv.q), 6) AS cs
+  FROM embeddings e, qv
+), semrank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cs DESC, doc_id) AS rank_sem
+  FROM sem
+)
+SELECT s.doc_id,
+       CAST(l.rank_lex AS BIGINT) AS rank_lex,
+       CAST(s.rank_sem AS BIGINT) AS rank_sem,
+       ROUND(COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+             + 1.0 / (60 + s.rank_sem), 9) AS rrf
+FROM semrank s LEFT JOIN lexrank l ON l.doc_id = s.doc_id
+ORDER BY rrf DESC, s.doc_id
+LIMIT 20
+"""
+
+
+@register("retrieval_rrf", oracle=_RRF_ORACLE, tags=("text", "ranking",
+                                                     "vector", "hybrid"))
+def retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    2009, k=60) — the standard way production search combines a
+    lexical scorer with a semantic one without score calibration:
+    rank the corpus under BM25 (the text_bm25 scorer, same fixed
+    3-term query) and under embedding cosine to a fixed query vector
+    (vec_id 0 — documents and embeddings share the id space), then
+    fuse as sum of 1/(60 + rank) per list, missing-from-list
+    contributing 0. Ranks are integers and the fused score is the
+    same IEEE expression over them in both engines, so the whole
+    pipeline is oracle-exact; per-leg scores are 6-dp-rounded BEFORE
+    ranking (the text_keywords tie-parity discipline), ties break on
+    doc_id.
+
+    Scale: both legs are join+aggregate pipelines (no index); the
+    rank windows order query-RELEVANT lists, not the corpus — the
+    lexical list is term-posting-bounded, and a production semantic
+    leg is the ANN top-k, so the global windows here rank bounded
+    inputs. Fusion is one outer join on doc_id."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "stream", "window"]
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("dlen").cast(DEC)).cast("double")
+         / F.count(F.lit(1))).alias("avgdl"))
+    dfq = (tf.filter(F.col("word").isin(terms))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("df")))
+    k1, b = 1.2, 0.75
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    score_term = (idf * F.col("tf") * (k1 + 1)
+                  / (F.col("tf") + k1 * (1 - b + b * F.col("dlen")
+                                         / F.col("avgdl"))))
+    lex = (tf.join(F.broadcast(dfq), "word")
+           .join(dl, "doc_id")
+           .crossJoin(F.broadcast(stats))
+           .groupBy("doc_id")
+           .agg(F.round(F.sum(score_term), 6).alias("bm25")))
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lexrank = lex.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("rank_lex"))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = (e.filter(F.col("vec_id") == 0)
+          .select(F.col("embedding").alias("_q")))
+    cos = F.expr("""
+        aggregate(zip_with(embedding, _q,
+                           (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                  0D, (acc, v) -> acc + v)
+        / (sqrt(aggregate(embedding, 0D,
+                 (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           * sqrt(aggregate(_q, 0D,
+                 (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+    """)
+    sem = (e.crossJoin(F.broadcast(qv))
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.round(cos, 6).alias("cs")))
+    w_sem = Window.orderBy(F.col("cs").desc(), "doc_id")
+    semrank = sem.select(
+        "doc_id", F.row_number().over(w_sem).cast("long").alias("rank_sem"))
+
+    fused = (semrank.join(lexrank, "doc_id", "left")
+             .select("doc_id", "rank_lex", "rank_sem",
+                     F.round(F.coalesce(F.lit(1.0)
+                                        / (60 + F.col("rank_lex")),
+                                        F.lit(0.0))
+                             + F.lit(1.0) / (60 + F.col("rank_sem")), 9)
+                     .alias("rrf")))
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)

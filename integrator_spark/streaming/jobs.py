@@ -1167,7 +1167,8 @@ def _semdedup_process_batch(batch_df: DataFrame, batch_id: int,
                             seen_dir: str, bands_dir: str,
                             out_dir: str, threshold: float = 0.45,
                             dim: int = 64, bits: int = 3,
-                            n_bands: int = 12) -> None:
+                            n_bands: int = 12,
+                            compact_every: int | None = None) -> None:
     """One stream_semantic_dedup trigger, exactly-once under replay.
 
     Buckets are computed ONCE per batch and persisted — each trigger
@@ -1180,10 +1181,27 @@ def _semdedup_process_batch(batch_df: DataFrame, batch_id: int,
     the same prior state as the original attempt and rewrites
     byte-identical partitions (pinned by
     test_semdedup_batch_replay_is_idempotent). Module-level so the
-    replay contract is testable outside a running stream."""
+    replay contract is testable outside a running stream.
+
+    ``compact_every=N`` (opt-in, round-8 verdict item 7) folds store
+    maintenance into the stream itself: every N batches,
+    :func:`semdedup_compact_stores` collapses all PRIOR partitions of
+    both state stores before this batch probes them, bounding the
+    small-file count at O(N x trigger-tasks) instead of growing one
+    partition dir per batch forever. It runs at the START of the body
+    with ``upto_batch=batch_id`` — only batches strictly below the
+    current id are touched, so the strictly-below probe protocol and
+    crash-replay idempotence are preserved exactly: a replayed batch
+    re-compacts (a no-op on already-compacted stores) and probes the
+    identical prior row SET, which is all survivor semantics depend
+    on (byte-identical survivors asserted over a 52-batch drain in
+    scripts/stream_semdedup_growth.py)."""
     from ..operators.dedup import _cosine_residual, signlsh_buckets
 
     spark = batch_df.sparkSession
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        semdedup_compact_stores(spark, seen_dir, bands_dir,
+                                upto_batch=batch_id)
     batch = batch_df.localCheckpoint(eager=True)
     bands = signlsh_buckets(batch, dim, bits, n_bands).localCheckpoint(
         eager=True)
@@ -1365,8 +1383,12 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .parquet(src_dir))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # compact_every=3: the 5-batch fixture drain exercises one
+        # in-stream compaction (at batch 3) under the oracle gate —
+        # survivor semantics are probe-set-preserving by construction.
         _semdedup_process_batch(batch_df, batch_id,
-                                seen_dir, bands_dir, out_dir)
+                                seen_dir, bands_dir, out_dir,
+                                compact_every=3)
 
     q = (raw.writeStream
          .foreachBatch(process)

@@ -92,7 +92,73 @@ def count_files(d: str) -> int:
     return total
 
 
+def drain(spark, work: str, n_batches: int, bits: int,
+          compact_every: int | None) -> tuple[list, list, list]:
+    """One full drain of ``n_batches`` generated triggers through the
+    exact foreachBatch body. Returns (per-trigger walls, per-trigger
+    state-store file counts, sorted survivor ids over ALL batches)."""
+    seen, bands, out = (os.path.join(work, d)
+                        for d in ("seen", "bands", "out"))
+    walls, files_trail = [], []
+    for b in range(n_batches):
+        batch = gen_batch(spark, b)
+        t0 = time.perf_counter()
+        _semdedup_process_batch(batch, b, seen, bands, out,
+                                threshold=0.9, dim=DIM, bits=bits,
+                                n_bands=12, compact_every=compact_every)
+        walls.append(time.perf_counter() - t0)
+        files_trail.append(count_files(bands) + count_files(seen))
+    survivors = sorted(
+        r.vec_id for r in
+        spark.read.parquet(os.path.join(out, "batch=*"))
+        .select("vec_id").collect())
+    return walls, files_trail, survivors
+
+
 def main() -> None:
+    """Round-9 protocol (verdict item 7): a 52-batch drain with
+    IN-STREAM auto-compaction (compact_every=8) against a
+    no-compaction control — survivors must be byte-identical across
+    the whole run, the auto-compacted wall must stay flat, and the
+    state-store file count must stay bounded where the control's
+    grows linearly."""
+    spark = build_session("semdedup-growth")
+    n_batches = 52
+    bits = signlsh_adaptive_bits(n_batches * BATCH_ROWS)
+    print(f"adaptive bits for {n_batches * BATCH_ROWS} rows: {bits}")
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    w_ctl, f_ctl, s_ctl = drain(spark, os.path.join(WORK, "control"),
+                                n_batches, bits, compact_every=None)
+    print(f"control drain done: {sum(w_ctl):.1f}s total, "
+          f"final files={f_ctl[-1]}", flush=True)
+    w_ac, f_ac, s_ac = drain(spark, os.path.join(WORK, "autocompact"),
+                             n_batches, bits, compact_every=8)
+    print(f"auto-compact drain done: {sum(w_ac):.1f}s total, "
+          f"final files={f_ac[-1]}", flush=True)
+
+    assert s_ctl == s_ac, (
+        f"auto-compaction changed survivors! control={len(s_ctl)} "
+        f"auto={len(s_ac)}")
+    print(f"survivors identical across 52 batches: {len(s_ctl)} rows")
+
+    print("\n| batch | seen rows | control wall | auto wall | "
+          "control files | auto files |")
+    print("| ----- | --------- | -----------: | --------: | "
+          "------------: | ---------: |")
+    for b in (0, 7, 15, 23, 31, 39, 47, 51):
+        print(f"| {b} | {b * BATCH_ROWS:,} | {w_ctl[b]:.2f} s | "
+              f"{w_ac[b]:.2f} s | {f_ctl[b]} | {f_ac[b]} |")
+    print(f"\nmean wall batches 1-8: control "
+          f"{sum(w_ctl[1:9]) / 8:.2f}s auto {sum(w_ac[1:9]) / 8:.2f}s; "
+          f"batches 44-51: control {sum(w_ctl[44:52]) / 8:.2f}s "
+          f"auto {sum(w_ac[44:52]) / 8:.2f}s")
+    print(f"max files over drain: control {max(f_ctl)} "
+          f"auto {max(f_ac)}")
+    spark.stop()
+
+
+def main_r8() -> None:
     spark = build_session("semdedup-growth")
     shutil.rmtree(WORK, ignore_errors=True)
     seen, bands, out = (os.path.join(WORK, d)
@@ -163,4 +229,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main_r8() if "--r8" in sys.argv else main()
