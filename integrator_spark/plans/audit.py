@@ -62,6 +62,7 @@ CROSS_JOIN_ALLOWED = {
     "stats_power",         # 1-row rates frame x 4-row literal MDE grid
     "ml_naive_bayes",      # bounded n_classes-row grid broadcast to tf/docs
     "stats_theilsen",      # bounded |days|² day-pair grid + 1-row count frame
+    "retrieval_rrf",       # 1-row query-vector frame broadcast to corpus
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

@@ -1200,8 +1200,17 @@ def _semdedup_process_batch(batch_df: DataFrame, batch_id: int,
 
     spark = batch_df.sparkSession
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        # Tiered (LSM-style): merge only the newest tier's raw
+        # partitions — O(tier) per call, amortized O(1) per batch.
         semdedup_compact_stores(spark, seen_dir, bands_dir,
-                                upto_batch=batch_id)
+                                upto_batch=batch_id,
+                                since_batch=batch_id - compact_every)
+        # Backstop: when accumulated segments exceed 8, one full
+        # merge re-levels the store (amortized O(corpus / (8 *
+        # compact_every)) per batch).
+        if len(_semdedup_prior_batches(seen_dir, batch_id)) > 8:
+            semdedup_compact_stores(spark, seen_dir, bands_dir,
+                                    upto_batch=batch_id)
     batch = batch_df.localCheckpoint(eager=True)
     bands = signlsh_buckets(batch, dim, bits, n_bands).localCheckpoint(
         eager=True)
@@ -1246,33 +1255,52 @@ def _semdedup_process_batch(batch_df: DataFrame, batch_id: int,
 
 def semdedup_compact_stores(spark: SparkSession, seen_dir: str,
                             bands_dir: str, upto_batch: int,
-                            n_files: int = 4) -> int:
+                            n_files: int = 4,
+                            since_batch: int = 0) -> int:
     """Compact the semantic-dedup state stores: collapse every
-    ``batch=N`` partition with N < upto_batch of BOTH stores into ONE
-    coalesced partition each, named ``batch={upto_batch - 1}`` so the
-    strictly-below probe protocol (:func:`_semdedup_prior_batches`)
-    stays valid for every future batch id >= upto_batch. Survivor
-    semantics are untouched — probes depend only on the SET of prior
-    index rows, which compaction preserves (byte-identical next-batch
-    survivors asserted in tests and measured in SCALING.md round 8:
-    384 -> 8 files in 1.0 s, next-trigger wall 3.59 -> 2.13 s on the
-    24-batch drain). Run it between triggers (the stores are only
-    read/written inside foreachBatch). Returns the number of parquet
-    files after compaction."""
+    ``batch=N`` partition with since_batch <= N < upto_batch of BOTH
+    stores into ONE coalesced partition each, named
+    ``batch={upto_batch - 1}`` so the strictly-below probe protocol
+    (:func:`_semdedup_prior_batches`) stays valid for every future
+    batch id >= upto_batch. Survivor semantics are untouched — probes
+    depend only on the SET of prior index rows, which compaction
+    preserves (byte-identical next-batch survivors asserted in tests,
+    and across a whole 52-batch auto-compacted drain in
+    scripts/stream_semdedup_growth.py).
+
+    ``since_batch=0`` (default) is FULL compaction — O(corpus)
+    rewrite, the round-8 maintenance call. A nonzero ``since_batch``
+    is one TIER of LSM-style tiered compaction: only the raw
+    partitions of the newest tier merge into a segment, so the
+    per-call cost is O(tier rows) regardless of corpus size — the
+    shape a 100 TB always-on stream needs (the in-stream trigger in
+    :func:`_semdedup_process_batch` uses this, with an occasional
+    full merge bounding segment count). Any contiguous tail range is
+    protocol-safe: batch ids only grow, so no future probe
+    distinguishes the merged layout from the raw one.
+
+    Run it between triggers (the stores are only read/written inside
+    foreachBatch); the segment is staged under a ``_compacting``
+    prefix that the probe-listing ignores, so a crash mid-write
+    leaves the raw partitions authoritative. Returns the number of
+    parquet files after compaction."""
     import shutil
 
     total = 0
     for store in (seen_dir, bands_dir):
-        prior = _semdedup_prior_batches(store, upto_batch)
+        prior = [p for p in _semdedup_prior_batches(store, upto_batch)
+                 if int(os.path.basename(p).split("=", 1)[1])
+                 >= since_batch]
         if len(prior) <= 1:
             continue
         df = spark.read.parquet(*prior).coalesce(n_files)
-        tmp = store + "_compacting"
+        seg = os.path.join(store, f"batch={upto_batch - 1}")
+        tmp = os.path.join(store, f"_compacting_{upto_batch - 1}")
         shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(
-            os.path.join(tmp, f"batch={upto_batch - 1}"))
-        shutil.rmtree(store)
-        shutil.move(tmp, store)
+        df.write.mode("overwrite").parquet(tmp)
+        for p in prior:
+            shutil.rmtree(p)
+        os.rename(tmp, seg)
     for store in (seen_dir, bands_dir):
         for root, _dirs, files in os.walk(store):
             total += sum(1 for f in files if f.endswith(".parquet"))

@@ -31,6 +31,8 @@ FAMILY_REPS = [
     # round-8 additions
     "graph_kcore", "text_bpe_train", "sql_recursive_hierarchy",
     "ml_naive_bayes",
+    # round-9 additions/graduations
+    "text_bpe_tokenize", "vec_ann_lsh", "ml_logreg", "retrieval_rrf",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
