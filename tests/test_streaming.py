@@ -164,6 +164,48 @@ def test_semdedup_compaction_preserves_survivors(spark, tmp_path):
     assert outs["raw"] == outs["compacted"] and len(outs["raw"]) > 0
 
 
+def test_semdedup_tiered_autocompaction_preserves_survivors(spark, tmp_path):
+    # Round-9 in-stream tiered compaction (compact_every=N inside the
+    # foreachBatch body): at every Nth batch only the newest tier of
+    # raw partitions merges (since_batch=batch_id-N), older segments
+    # untouched; a replayed compacting batch is a no-op. Survivors of
+    # a 6-batch drain must be byte-identical to the no-compaction
+    # control, and replaying the compacting batch must reproduce its
+    # partition exactly.
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.streaming.jobs import _semdedup_process_batch
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 120)
+    batches = [e.filter((F.col("vec_id") >= 20 * i)
+                        & (F.col("vec_id") < 20 * (i + 1)))
+               for i in range(6)]
+    outs = {}
+    for variant, ce in (("control", None), ("tiered", 2)):
+        seen, bands, out = (str(tmp_path / variant / d)
+                            for d in ("seen", "bands", "out"))
+        for i, b in enumerate(batches):
+            _semdedup_process_batch(b, i, seen, bands, out,
+                                    compact_every=ce)
+        outs[variant] = sorted(
+            (r.vec_id, r.label)
+            for r in spark.read.parquet(out + "/batch=*").collect())
+    assert outs["control"] == outs["tiered"] and len(outs["control"]) > 0
+    # Replay batch 4 (a compacting batch: 4 % 2 == 0) on the tiered
+    # store — compaction must no-op and survivors stay identical.
+    seen, bands, out = (str(tmp_path / "tiered" / d)
+                        for d in ("seen", "bands", "out"))
+    before = sorted((r.vec_id, r.label) for r in
+                    spark.read.parquet(out + "/batch=4").collect())
+    _semdedup_process_batch(batches[4], 4, seen, bands, out,
+                            compact_every=2)
+    after = sorted((r.vec_id, r.label) for r in
+                   spark.read.parquet(out + "/batch=4").collect())
+    assert after == before
+
+
 def test_stream_custom_source_multi_batch(spark):
     """The rate-limited Python streaming source must drain over
     MULTIPLE micro-batches (shardsPerTrigger=2 over 6 shards → ≥3
