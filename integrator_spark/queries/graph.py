@@ -397,3 +397,23 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     core = kcore_peel(edges, k=3, rounds=10, src="s", dst="d",
                       assume_canonical=True)
     return core.orderBy("node")
+
+
+@register("graph_kcore_converged", oracle=_kcore_oracle_sql(rounds=12),
+          tags=("graph", "kcore", "iterative"))
+def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 3-core through the CONVERGENCE-DETECTED peel
+    (``rounds=None``, round-9): the loop stops the first time the
+    surviving edge set's (count, xxhash64-sum) signature repeats —
+    the exact fixed point, however deep the cascade. The oracle is the
+    fixed-round unrolling with margin (12 rounds vs the fixture's
+    measured 9-round cascade): peeling is monotone and idempotent once
+    stable, so ANY round count ≥ the cascade depth equals the
+    converged result — the oracle-parity dial, valid at every gate
+    fixture, while the engine needs no depth knowledge at all (the
+    property test pins rounds=None against a pure-python full peel on
+    graphs whose cascade exceeds any fixed budget)."""
+    edges = _copurchase_edges(spark, sf_dir, min_weight=2)
+    core = kcore_peel(edges, k=3, rounds=None, src="s", dst="d",
+                      assume_canonical=True)
+    return core.orderBy("node")
