@@ -30,7 +30,13 @@ def truncated_checkpoint(df: DataFrame) -> DataFrame:
     """Eager localCheckpoint + Catalyst-stats reset (see module doc)."""
     ck = df.localCheckpoint(eager=True)
     spark = df.sparkSession
-    jdf = ck._jdf
-    jnew = spark._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False)
-    return DataFrame(jnew, spark)
+    try:
+        jdf = ck._jdf
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(jnew, spark)
+    except AttributeError:
+        # No py4j internals (e.g. Spark Connect): fall back to the
+        # plain checkpoint — correct, just re-exposed to the stats
+        # compounding for convergence-length loops.
+        return ck
