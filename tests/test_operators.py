@@ -1732,3 +1732,31 @@ def test_pagerank_converged_grid_stationary(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-4, v
+
+
+def test_truncated_checkpoint_keeps_stats_flat(spark):
+    """Regression guard for the round-9 Catalyst-stats cliff: an
+    iterative self-join loop checkpointed with truncated_checkpoint
+    must keep the optimized plan's sizeInBytes at the default leaf
+    magnitude (~19 digits), where a plain localCheckpoint inherits
+    origin stats whose join products compound x3 digits per round
+    (57 -> 169 -> 505 -> ... -> BigInteger stalls past ~15 rounds)."""
+    from pyspark.sql import functions as F
+
+    from integrator_spark.operators.ckpt import truncated_checkpoint
+
+    edges = [(i, i + 1) for i in range(20)]
+    cur = truncated_checkpoint(
+        spark.createDataFrame(edges, "s long, d long"))
+    for _ in range(8):
+        deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = truncated_checkpoint(
+            deg.filter(F.col("deg") >= 1).select("s"))
+        cur = truncated_checkpoint(
+            cur.join(keep, "s")
+            .join(keep.select(F.col("s").alias("d")), "d")
+            .select("s", "d"))
+        sz = cur._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        assert len(str(sz)) < 30, (
+            f"stats digits {len(str(sz))} — the stats reset regressed")
+    assert cur.count() > 0
