@@ -167,6 +167,68 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+# The recall arithmetic itself is oracle-checked: DuckDB replays the
+# sign-LSH top-1 (the _ANN_SIGNLSH_ORACLE chain) AND the exact per-
+# query best cosine, and computes the same value-rule hit count. The
+# hit comparison runs on the 6-dp grid both engines share (rounding is
+# monotone, so max-of-rounded == rounded-max); a query with no bucket
+# collision counts as a miss via the left join.
+_ANN_LSH_RECALL_ORACLE = _ANN_SIGNLSH_ORACLE.replace(
+    """SELECT vec_id, neighbor_id, approx_cos
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id
+          ORDER BY approx_cos DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn = 1
+ORDER BY vec_id
+""",
+    """, top1 AS (SELECT vec_id, approx_cos
+         FROM (SELECT *, row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY approx_cos DESC, neighbor_id) AS rn
+               FROM scored)
+         WHERE rn = 1),
+exact AS (SELECT a.vec_id,
+                 MAX(ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6)) AS best
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          GROUP BY a.vec_id)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(CASE WHEN t.approx_cos >= e.best THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN t.approx_cos >= e.best THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 4) AS recall_at_1
+FROM exact e LEFT JOIN top1 t ON t.vec_id = e.vec_id
+""")
+assert "top1 AS" in _ANN_LSH_RECALL_ORACLE, \
+    "recall-oracle rewrite no longer matches _ANN_SIGNLSH_ORACLE"
+
+
+@register("vec_ann_lsh_recall", oracle=_ANN_LSH_RECALL_ORACLE,
+          tags=("vector", "knn", "approx", "quality"))
+def vec_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED recall@1 of the deterministic sign-LSH ANN route
+    against exact kNN — both pipelines are SQL-expressible, so even
+    the recall arithmetic is cross-engine verified (the
+    dedup_embedding_lsh_recall posture, now for the ANN query surface;
+    stronger than the rows-only recall rows the engine-private spark.ml
+    and k-means methods get in vec_ann_recall). Value-based hit rule on
+    the shared 6-dp grid: a query whose LSH top-1 is as similar as its
+    true nearest neighbor is a hit (exact ties — duplicate vectors —
+    count regardless of which twin was returned); a query with no
+    bucket collision is a miss."""
+    exact = (vec_knn(spark, sf_dir)
+             .select("vec_id", F.col("cos_sim").alias("_best")))
+    top1 = vec_ann_lsh(spark, sf_dir).select("vec_id", "approx_cos")
+    hit = F.when(F.col("approx_cos") >= F.col("_best"), 1).otherwise(0)
+    return (exact.join(top1, "vec_id", "left")
+            .agg(F.count(F.lit(1)).alias("n_queries"),
+                 F.sum(hit).cast("long").alias("n_hits"),
+                 F.round(F.sum(hit) / F.count(F.lit(1)), 4)
+                  .alias("recall_at_1")))
+
+
 @register("vec_ann_lsh_ml", oracle=None, tags=("vector", "knn", "approx"))
 def vec_ann_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spark.ml face of LSH ANN (BucketedRandomProjectionLSH on
