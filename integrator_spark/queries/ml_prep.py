@@ -605,3 +605,61 @@ def sample_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("cluster_size"))
             .filter(F.col("_rn") <= 10)
             .drop("_rn"))
+
+
+@register("ml_impute", oracle=f"""
+WITH base AS (
+  SELECT event_type, value, (event_id % 13 = 0) AS miss FROM events
+), med AS (
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM base WHERE NOT miss GROUP BY event_type
+)
+SELECT b.event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN b.miss THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       m.med AS imputed_with,
+       {sql_dsum('CASE WHEN b.miss THEN m.med ELSE b.value END')}
+         AS sum_imputed
+FROM base b JOIN med m ON m.event_type = b.event_type
+GROUP BY b.event_type, m.med
+ORDER BY b.event_type
+""", tags=("mlprep", "impute", "quality"))
+def ml_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation — the ML-prep operator every feature
+    pipeline runs before a fit: numeric holes fill with the per-group
+    EXACT median of the observed values. The fixture has no nulls, so
+    missingness is synthesized deterministically (event_id % 13 — the
+    malformed-CSV-quarantine convention of manufacturing the failure
+    mode from clean fixtures), which also makes the whole pipeline
+    oracle-checkable: the imputed VALUE is the 6-dp-snapped
+    interpolated median (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the (n-1)p positional definition; the snap
+    absorbs their last-ulp interpolation difference, the ml_naive_bayes
+    grid argument), and ``sum_imputed`` decimal-sums the post-fill
+    column row-by-row, so a single mis-filled row fails the hash.
+
+    Scale: one aggregation for the medians (exact percentile is a
+    sort-based agg — at 100 TB swap percentile_approx in the SAME
+    plan; the fill join is a broadcast of |group| rows either way) and
+    one broadcast join back to the facts — no shuffle of the fact
+    table."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_type", "value",
+                    (F.col("event_id") % 13 == 0).alias("miss"))
+    med = (base.filter(~F.col("miss"))
+           .groupBy("event_type")
+           .agg(F.round(F.expr("percentile(value, 0.5)"), 6)
+                .alias("med")))
+    filled = (base.join(F.broadcast(med), "event_type")
+              .select("event_type", "miss", "med",
+                      F.when(F.col("miss"), F.col("med"))
+                       .otherwise(F.col("value")).alias("v")))
+    return (filled.groupBy("event_type", "med")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col("miss"), 1).otherwise(0))
+                  .cast("long").alias("n_missing"),
+                 dsum("v").alias("sum_imputed"))
+            .select("event_type", "n_rows", "n_missing",
+                    F.col("med").alias("imputed_with"), "sum_imputed")
+            .orderBy("event_type"))
