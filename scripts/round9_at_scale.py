@@ -28,6 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from integrator_spark.registry import get_queries  # noqa: E402
 from integrator_spark.session import build_session  # noqa: E402
 
+#: Default pack; override with `python round9_at_scale.py name [...]`
+#: (e.g. the second-wave round-9 entries: graph_kcore_converged
+#: ml_impute — NOT vec_ann_lsh_recall, which composes the registered
+#: pinned-dial LSH and hits the 3-bit keyspace cliff past ~8k rows).
 QUERIES = [
     "text_bpe_tokenize",
     "ml_logreg",
@@ -94,8 +98,13 @@ def main() -> int:
     queries = get_queries()
 
     rows = []
-    entries = ([(n, queries[n]) for n in QUERIES]
-               + [("vec_ann_lsh(adaptive bits)", ann_signlsh_adaptive)])
+    names = sys.argv[1:] or None
+    if names:
+        entries = [(n, queries[n]) for n in names]
+    else:
+        entries = ([(n, queries[n]) for n in QUERIES]
+                   + [("vec_ann_lsh(adaptive bits)",
+                       ann_signlsh_adaptive)])
     for name, q in entries:
         t01 = median3(lambda: q(spark, SF01))
         t1 = median3(lambda: q(spark, sf1_dir))
