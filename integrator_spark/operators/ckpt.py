@@ -23,11 +23,17 @@ where plain ``localCheckpoint`` doubled the wall every round.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
+_warned_fallback = False
 
 
 def truncated_checkpoint(df: DataFrame) -> DataFrame:
     """Eager localCheckpoint + Catalyst-stats reset (see module doc)."""
+    global _warned_fallback
     ck = df.localCheckpoint(eager=True)
     spark = df.sparkSession
     try:
@@ -35,8 +41,20 @@ def truncated_checkpoint(df: DataFrame) -> DataFrame:
         jnew = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False)
         return DataFrame(jnew, spark)
-    except AttributeError:
-        # No py4j internals (e.g. Spark Connect): fall back to the
-        # plain checkpoint — correct, just re-exposed to the stats
-        # compounding for convergence-length loops.
+    except Exception as exc:
+        # Fall back to the plain checkpoint — correct, just re-exposed
+        # to the stats compounding for convergence-length loops. Two
+        # distinct triggers: AttributeError when there are no py4j
+        # internals at all (Spark Connect), and Py4JError when the
+        # private internalCreateDataFrame JVM API is renamed/removed in
+        # a future Spark (py4j only discovers missing methods at call
+        # time). Catch broadly so iterative operators degrade instead
+        # of crashing; warn once so the degradation is visible.
+        if not _warned_fallback:
+            _warned_fallback = True
+            _log.warning(
+                "truncated_checkpoint: Catalyst-stats reset unavailable "
+                "(%s: %s); falling back to plain localCheckpoint — "
+                "convergence-length iterative loops may slow down",
+                type(exc).__name__, exc)
         return ck

@@ -81,16 +81,39 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                   + F.col("dang") / n)).alias("rank")))
 
     if iterations is None:
-        prev_sig = None
+        # Convergence = the grid signature REPEATS within a short
+        # history window, not only on two consecutive rounds: a rank
+        # vector oscillating between two adjacent grid points
+        # (period-2 cycle — possible when updates straddle a rounding
+        # boundary) never produces equal consecutive signatures, and
+        # would otherwise burn the whole max_rounds backstop. A
+        # 4-signature window catches period ≤ 4 cycles; any repeat
+        # means the sequence is periodic on the grid, so the current
+        # vector IS a grid-stationary state. If the backstop is hit
+        # without a repeat (e.g. damping ≥ 0.9 needs ~197+ rounds at
+        # the 9-dp grid), warn loudly instead of silently returning
+        # unconverged ranks.
+        recent: list = []
+        converged = False
         for _ in range(max_rounds):
             ranks = power_round(ranks)
             sig = ranks.agg(
                 F.sum(F.xxhash64("node", F.round("rank", grid_dp))
                       .cast("decimal(38,0)")).alias("h")
             ).collect()[0].h
-            if sig == prev_sig:
+            if sig in recent:
+                converged = True
                 break
-            prev_sig = sig
+            recent.append(sig)
+            if len(recent) > 4:
+                recent.pop(0)
+        if not converged:
+            import logging
+            logging.getLogger(__name__).warning(
+                "pagerank: max_rounds=%d exhausted without a repeated "
+                "grid signature (damping=%s, grid_dp=%d) — returning "
+                "possibly-unconverged ranks; raise max_rounds or "
+                "lower grid_dp", max_rounds, damping, grid_dp)
     else:
         for _ in range(iterations):
             ranks = power_round(ranks)

@@ -4,6 +4,9 @@ bucketing windows, join-strategy hints, fuzzy code matching.
 
 from __future__ import annotations
 
+from decimal import Decimal as _Decimal
+from decimal import ROUND_HALF_UP as _ROUND_HALF_UP
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -420,6 +423,19 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("shuffle_pos")))
 
 
+def _snap_half_up(x: float, dp: int = 9) -> float:
+    """Snap a driver-side float to the ``dp``-decimal grid with the
+    SAME rounding rule as the SQL side: Spark and DuckDB ROUND are
+    half-AWAY-from-zero on the shortest decimal repr, while Python's
+    builtin round() is banker's (half-to-even) — an exact .5 tie one
+    digit past the grid would diverge engine vs oracle and then
+    compound through the remaining iterations of a driver-updated
+    loop. Decimal(repr(x)) mirrors BigDecimal.valueOf's shortest-repr
+    semantics (what Spark's round(double) quantizes)."""
+    return float(_Decimal(repr(x)).quantize(
+        _Decimal(f"1e-{dp}"), rounding=_ROUND_HALF_UP))
+
+
 def _logreg_gd_oracle_sql(iters: int = 8, lr: float = 0.5) -> str:
     """Unrolled fixed-iteration gradient-descent logistic-regression
     oracle (graduates ml_logreg from rows-only — the vec_pca_power /
@@ -528,7 +544,7 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("decimal(28,9)")).alias(f"g{j}")
                 for j in range(4)]
         g = feats.agg(*sums).first()   # k bounded scalars per step
-        beta = [round(beta[j] - lr * (float(g[f"g{j}"]) / n), 9)
+        beta = [_snap_half_up(beta[j] - lr * (float(g[f"g{j}"]) / n))
                 for j in range(4)]
     names = ["intercept", "price", "yr", "noise"]
     rows = [(name, float(b)) for name, b in zip(names, beta)]

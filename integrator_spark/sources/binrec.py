@@ -75,32 +75,48 @@ class BinRecStreamReader(DataSourceStreamReader):
         self.dir = options["path"]
         self.per_trigger = int(options.get("shardsPerTrigger", 0) or 0)
         # Rate-limit base. MUST be derived from engine-supplied offsets
-        # (partitions()/commit()), never trusted as a fresh in-memory
-        # counter: after a checkpoint restart this instance is new, and
-        # a base of 0 would let latestOffset return an offset BEHIND the
-        # committed start — offsets moving backwards breaks the
-        # microbatch planner's monotonicity contract.
+        # (initialOffset on a FRESH query, partitions()/commit() on a
+        # replay), never trusted as a fresh in-memory counter: after a
+        # checkpoint restart this instance is new, and a base of 0
+        # would let latestOffset return an offset BEHIND the committed
+        # start — offsets moving backwards breaks the microbatch
+        # planner's monotonicity contract.
         self._last = 0
+        # Whether the base is KNOWN. The engine only replays pending
+        # batches through partitions() when the last batch was
+        # UNcommitted; after a clean restart (last batch committed) the
+        # first call on the fresh reader is latestOffset() directly —
+        # rate-limiting from the untrusted _last=0 base there would
+        # return an offset behind the committed start, and the
+        # backwards end becomes the next batch's start (duplicate
+        # rows). Until the base is established by an engine-supplied
+        # offset, latestOffset returns the FULL shard count (a correct
+        # upper bound from any start); the per_trigger cap resumes once
+        # primed. initialOffset() primes too: the engine calls it only
+        # for a brand-new query, where base 0 is genuine.
+        self._primed = False
 
     def _shards(self) -> list[str]:
         return sorted(f for f in os.listdir(self.dir)
                       if f.endswith(".bin"))
 
     def initialOffset(self) -> dict:
+        self._primed = True
         return {"shard": 0}
 
     def latestOffset(self) -> dict:
         n = len(self._shards())
-        if self.per_trigger > 0:
+        if self.per_trigger > 0 and self._primed:
             n = min(n, self._last + self.per_trigger)
         self._last = max(self._last, n)
         return {"shard": n}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        # The engine replays the restart range through here before any
-        # latestOffset call is trusted — fold both ends into the
-        # rate-limit base so it can never lag the checkpoint.
+        # Engine-supplied offsets — fold both ends into the rate-limit
+        # base so it can never lag the checkpoint, and mark the base
+        # known so latestOffset may rate-limit from it.
         self._last = max(self._last, start["shard"], end["shard"])
+        self._primed = True
         shards = self._shards()
         return [BinRecPartition(os.path.join(self.dir, f))
                 for f in shards[start["shard"]:end["shard"]]]
@@ -118,6 +134,7 @@ class BinRecStreamReader(DataSourceStreamReader):
         # Shards are immutable so there is nothing to clean up, but the
         # committed end is another floor for the rate-limit base.
         self._last = max(self._last, end["shard"])
+        self._primed = True
 
 
 class BinRecDataSource(DataSource):

@@ -16,6 +16,7 @@ with a real trigger; only the source/sink lines change.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -1199,6 +1200,13 @@ def _semdedup_process_batch(batch_df: DataFrame, batch_id: int,
     from ..operators.dedup import _cosine_residual, signlsh_buckets
 
     spark = batch_df.sparkSession
+    # Crash recovery BEFORE any probe: a crash inside a previous
+    # compaction may have left a staged segment as the only complete
+    # copy of deleted raw partitions — promote/discard it per the
+    # manifest protocol so this batch's probes see the full prior set
+    # even when compaction isn't due this trigger.
+    _semdedup_recover_staged(seen_dir)
+    _semdedup_recover_staged(bands_dir)
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         # Tiered (LSM-style): merge only the newest tier's raw
         # partitions — O(tier) per call, amortized O(1) per batch.
@@ -1281,13 +1289,22 @@ def semdedup_compact_stores(spark: SparkSession, seen_dir: str,
 
     Run it between triggers (the stores are only read/written inside
     foreachBatch); the segment is staged under a ``_compacting``
-    prefix that the probe-listing ignores, so a crash mid-write
-    leaves the raw partitions authoritative. Returns the number of
-    parquet files after compaction."""
+    prefix that the probe-listing ignores. Crash-safety covers EVERY
+    window, not just the write itself: after the staged segment is
+    complete a ``_COVERED.json`` manifest (the list of source
+    partition names) is written into it, and only then are the raw
+    partitions deleted and the segment renamed into place. On entry,
+    :func:`_semdedup_recover_staged` adjudicates any leftover staged
+    dir — promoted when it is the only complete copy (some covered
+    raw already deleted), discarded only when every covered raw still
+    exists (raws authoritative). A crash mid-delete therefore never
+    loses state-store rows. Returns the number of parquet files after
+    compaction."""
     import shutil
 
     total = 0
     for store in (seen_dir, bands_dir):
+        _semdedup_recover_staged(store)
         prior = [p for p in _semdedup_prior_batches(store, upto_batch)
                  if int(os.path.basename(p).split("=", 1)[1])
                  >= since_batch]
@@ -1298,13 +1315,78 @@ def semdedup_compact_stores(spark: SparkSession, seen_dir: str,
         tmp = os.path.join(store, f"_compacting_{upto_batch - 1}")
         shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
+        # Manifest LAST: its presence certifies the staged segment is
+        # a complete copy of exactly these source partitions. Written
+        # atomically (tmp file + rename) so a torn manifest can never
+        # certify a torn segment.
+        man_tmp = os.path.join(tmp, "_COVERED.json.tmp")
+        with open(man_tmp, "w") as fh:
+            json.dump(sorted(os.path.basename(p) for p in prior), fh)
+        os.rename(man_tmp, os.path.join(tmp, "_COVERED.json"))
         for p in prior:
-            shutil.rmtree(p)
+            if os.path.abspath(p) != os.path.abspath(seg):
+                shutil.rmtree(p)
+        # The segment name batch={upto-1} may itself be a covered raw
+        # partition — remove it immediately before the rename so the
+        # only-copy window is a single syscall wide (and recovery
+        # covers even that).
+        if os.path.isdir(seg):
+            shutil.rmtree(seg)
         os.rename(tmp, seg)
     for store in (seen_dir, bands_dir):
         for root, _dirs, files in os.walk(store):
             total += sum(1 for f in files if f.endswith(".parquet"))
     return total
+
+
+def _semdedup_recover_staged(store: str) -> None:
+    """Adjudicate leftover ``_compacting_*`` staged segments from a
+    crashed :func:`semdedup_compact_stores` run (see its docstring).
+
+    - No ``_COVERED.json`` manifest → the stage itself crashed
+      mid-write; the raw partitions are authoritative → discard.
+    - Manifest present and EVERY covered raw partition still exists →
+      the crash hit before any delete; raws authoritative → discard
+      (compaction simply re-runs later).
+    - Manifest present and ANY covered raw partition is missing → the
+      staged segment is the only complete copy → PROMOTE: delete the
+      surviving covered raws (strict subsets of the segment) and
+      rename the stage to its ``batch=N`` segment name. Probes see
+      the identical row set before and after.
+    """
+    import shutil
+
+    if not os.path.isdir(store):
+        return
+    for f in sorted(os.listdir(store)):
+        if not f.startswith("_compacting_"):
+            continue
+        tmp = os.path.join(store, f)
+        if not os.path.isdir(tmp):
+            continue
+        man = os.path.join(tmp, "_COVERED.json")
+        covered: list[str] = []
+        if os.path.isfile(man):
+            try:
+                with open(man) as fh:
+                    covered = json.load(fh)
+            except (ValueError, OSError):
+                covered = []
+        if covered:
+            missing = [c for c in covered
+                       if not os.path.isdir(os.path.join(store, c))]
+            if missing:
+                seg = os.path.join(
+                    store, "batch=" + f.split("_compacting_", 1)[1])
+                for c in covered:
+                    p = os.path.join(store, c)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+                if os.path.isdir(seg):
+                    shutil.rmtree(seg)
+                os.rename(tmp, seg)
+                continue
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register("stream_semantic_dedup", oracle="""

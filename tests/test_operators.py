@@ -324,6 +324,37 @@ def test_ann_recall_at_least_090(spark):
         assert r.recall_at_1 >= 0.9, f"{method} recall {r.recall_at_1}"
 
 
+def test_ann_lsh_adaptive_dial_recall_and_determinism(spark):
+    # Round-10 verdict item 1: the PRODUCTION adaptive-bits dial of the
+    # sign-LSH ANN route is now a registered query — it must clear the
+    # same recall@1 >= 0.9 bar as the pinned bits=3 route, actually USE
+    # the adaptive keyspace (bits != 3 once n > 64 * 2^3), and rerun
+    # bit-identically (the rows-only determinism gate).
+    from integrator_spark.operators.dedup import signlsh_adaptive_bits
+    from integrator_spark.registry import get_queries
+
+    qs = get_queries()
+    # sf0.1: 2000 vectors -> adaptive bits = 5, a genuinely different
+    # keyspace from the pinned bits=3 oracle route (sf0.001/sf0.01
+    # fixtures have 500 vectors, where the clamp floor makes the dials
+    # coincide).
+    sf = "/root/testdata/sf0.1"
+    exact = {r.vec_id: r.cos_sim for r in qs["vec_knn"](spark, sf).collect()}
+    assert len(exact) == 2000
+    assert signlsh_adaptive_bits(len(exact)) != 3, \
+        "fixture too small to exercise the adaptive keyspace"
+    got = [(r.vec_id, r.neighbor_id, r.approx_cos)
+           for r in qs["vec_ann_lsh_adaptive"](spark, sf).collect()]
+    approx = {vid: cos for vid, _nb, cos in got}
+    hits = sum(1 for vid, best in exact.items()
+               if approx.get(vid, -2.0) >= best - 1e-6)
+    recall = hits / len(exact)
+    assert recall >= 0.9, f"adaptive-dial recall {recall}"
+    rerun = [(r.vec_id, r.neighbor_id, r.approx_cos)
+             for r in qs["vec_ann_lsh_adaptive"](spark, sf).collect()]
+    assert rerun == got, "adaptive dial is not deterministic"
+
+
 def test_ivf_matmul_recall_at_least_090(spark):
     # The matmul-kernel IVF (operators/ivf.py) must match the
     # pyspark.ml-based vec_ann_ivf's quality bar on the same fixture:
@@ -1559,6 +1590,29 @@ def test_signlsh_adaptive_bits_boundaries():
     assert all(ab(n) <= ab(n + 1) for n in range(1, 5000))    # monotone
 
 
+def test_signlsh_ann_bands_boundaries():
+    # The recall half of the adaptive dial (round-10): bands =
+    # clamp(ceil(ln(1-recall) / ln(1-p^bits)), 12, 64) with
+    # p = 1 - acos(target_cos)/pi. Growing bits shrinks the per-band
+    # collision probability geometrically, so bands MUST grow with
+    # bits to hold the recall target; pure-function determinism is the
+    # rows-only gate's bit-stability.
+    import math
+
+    from integrator_spark.operators.dedup import signlsh_ann_bands as bands
+
+    assert bands(3) >= 12                                     # fixture floor
+    assert bands(5) > bands(3)                                # grows w/ bits
+    assert bands(20) == 64                                    # hi clamp
+    assert all(bands(b) <= bands(b + 1) for b in range(3, 20))  # monotone
+    # The formula itself: at bits=5, cos 0.3, recall 0.95 the
+    # analytic L is 38 — a collision prob >= 0.95 for a true
+    # neighbor at the design cosine.
+    p = 1.0 - math.acos(0.3) / math.pi
+    assert bands(5) == math.ceil(math.log(0.05) / math.log(1 - p ** 5))
+    assert 1 - (1 - p ** 5) ** bands(5) >= 0.95
+
+
 def test_signlsh_auto_bits_matches_explicit_at_fixture_scale(spark):
     # At the sf0.01 fixture (500 vectors) the adaptive default resolves
     # to the SAME 3 bits the oracle-pinned registered queries dial in,
@@ -1760,3 +1814,79 @@ def test_truncated_checkpoint_keeps_stats_flat(spark):
         assert len(str(sz)) < 30, (
             f"stats digits {len(str(sz))} — the stats reset regressed")
     assert cur.count() > 0
+
+
+def test_truncated_checkpoint_falls_back_on_jvm_api_error(spark,
+                                                          monkeypatch):
+    """Round-10 ADVICE (low): internalCreateDataFrame is a
+    private[sql] JVM API reached via py4j — if a future Spark renames
+    it, the failure surfaces as a Py4JError at CALL time, not as
+    AttributeError. truncated_checkpoint must degrade to the plain
+    localCheckpoint (correct, just slower stats) instead of crashing
+    every iterative operator."""
+    from py4j.protocol import Py4JError
+
+    from integrator_spark.operators import ckpt
+
+    df = spark.range(10)
+    want = sorted(r.id for r in df.collect())
+
+    class _Boom:
+        def internalCreateDataFrame(self, *a, **k):
+            raise Py4JError(
+                "Method internalCreateDataFrame does not exist")
+
+        def __getattr__(self, name):   # anything else the path touches
+            raise Py4JError(f"Method {name} does not exist")
+
+    monkeypatch.setattr(spark, "_jsparkSession", _Boom())
+    monkeypatch.setattr(ckpt, "_warned_fallback", False)
+    out = ckpt.truncated_checkpoint(df)
+    monkeypatch.undo()   # restore the session before materializing
+    assert sorted(r.id for r in out.collect()) == want
+
+
+def test_pagerank_warns_when_max_rounds_exhausted(spark, caplog):
+    """Round-10 ADVICE (low): exhausting max_rounds without a repeated
+    grid signature must not be SILENT — the returned ranks may be
+    unconverged. (High damping needs ~197+ rounds at the 9-dp grid;
+    the old backstop of 200 barely cleared the default and said
+    nothing when it didn't.)"""
+    import logging
+
+    from integrator_spark.operators.graph import pagerank
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(0, 5), (3, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with caplog.at_level(logging.WARNING,
+                         logger="integrator_spark.operators.graph"):
+        out = pagerank(df, iterations=None, max_rounds=2).collect()
+    assert len(out) == 12   # still returns ranks, just flagged
+    assert any("max_rounds" in rec.message for rec in caplog.records)
+
+
+def test_snap_half_up_matches_sql_round():
+    """Round-10 ADVICE (low): the driver-side beta snap in ml_logreg
+    must round half-AWAY-from-zero like Spark/DuckDB ROUND, not
+    banker's like Python round(). Pin the helper on exact .5 ties one
+    digit past the grid, cross-checked against DuckDB's ROUND."""
+    import duckdb
+
+    from integrator_spark.queries.ml_prep import _snap_half_up
+
+    # (Values whose BINARY double sits below the printed .5 tie are
+    # excluded: DuckDB rounds the binary value, Spark rounds the
+    # shortest decimal repr — e.g. -2.0000000035 splits the engines.
+    # The helper follows Spark, whose F.round produces the grid the
+    # engine walks.)
+    ties = [0.0000000005, 0.0000000015, -0.0000000005, -0.0000000015,
+            1.0000000025]
+    for x in ties:
+        want = duckdb.sql(
+            f"SELECT round(CAST({x!r} AS DOUBLE), 9)").fetchone()[0]
+        assert _snap_half_up(x) == want, x
+    # The builtin gets the even-tie cases wrong (half-to-even).
+    assert _snap_half_up(0.0000000015) == 2e-9
+    assert round(0.0000000015, 9) == 1e-9   # the bug being guarded
+    assert _snap_half_up(-0.0000000015) == -2e-9
+    assert round(-0.0000000015, 9) == -1e-9

@@ -267,3 +267,132 @@ def test_binrec_stream_reader_offsets(tmp_path):
                                     "shardsPerTrigger": "1"})
     committed.commit({"shard": 4})
     assert committed.latestOffset() == {"shard": 5}
+
+
+def test_binrec_clean_restart_uncapped_until_primed(tmp_path):
+    """Round-10 ADVICE (medium): after a CLEAN restart (last batch
+    committed) MicroBatchExecution does NOT replay partitions()/
+    commit() — the first call on the fresh reader is latestOffset()
+    directly. Rate-limiting from the untrusted _last=0 base would
+    return an offset BEHIND the committed start (e.g. cap 2 < start 4),
+    the backwards end becomes the next batch's start, and
+    already-processed shards are re-read (duplicate rows). Until an
+    engine-supplied offset primes the base, latestOffset must return
+    the full shard count; the cap resumes once primed."""
+    from integrator_spark.sources.binrec import BinRecStreamReader
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    for i in range(9):
+        (d / f"s{i}.bin").write_bytes(b"")
+
+    # Clean restart: committed offset in the checkpoint is 4, engine
+    # never calls initialOffset/partitions/commit before latestOffset.
+    fresh = BinRecStreamReader({"path": str(d), "shardsPerTrigger": "2"})
+    got = fresh.latestOffset()
+    assert got["shard"] >= 4, \
+        f"latestOffset {got} behind the committed start 4 — duplicates"
+    assert got == {"shard": 9}   # full count: base unknown, no cap
+    # Once the engine supplies the batch range, the cap resumes.
+    fresh.partitions({"shard": 4}, {"shard": 9})
+    for i in range(3):
+        (d / f"t{i}.bin").write_bytes(b"")
+    assert fresh.latestOffset() == {"shard": 11}   # 9 + cap 2, not 12
+
+    # A brand-new query (initialOffset called first) is still
+    # rate-limited from shard 0 — the base 0 is genuine there.
+    new = BinRecStreamReader({"path": str(d), "shardsPerTrigger": "2"})
+    assert new.initialOffset() == {"shard": 0}
+    assert new.latestOffset() == {"shard": 2}
+
+
+def test_semdedup_compaction_crash_recovery(spark, tmp_path):
+    """Round-10 ADVICE (medium): a crash MID-DELETE inside
+    semdedup_compact_stores used to lose state-store rows — some raw
+    partitions already gone while the staged _compacting_* dir (the
+    only complete copy) was ignored by probes AND deleted on the next
+    attempt. Now a _COVERED.json manifest certifies the stage, and
+    recovery promotes it when any covered raw is missing / discards it
+    only when every covered raw still exists. Survivors after each
+    crash window must equal the no-compaction control."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.streaming.jobs import (
+        _semdedup_process_batch,
+        _semdedup_recover_staged,
+    )
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 90)
+    batches = [e.filter((F.col("vec_id") >= 30 * i)
+                        & (F.col("vec_id") < 30 * (i + 1)))
+               for i in range(3)]
+
+    def run(variant, crash=None):
+        seen, bands, out = (str(tmp_path / variant / d)
+                            for d in ("seen", "bands", "out"))
+        _semdedup_process_batch(batches[0], 0, seen, bands, out)
+        _semdedup_process_batch(batches[1], 1, seen, bands, out)
+        if crash:
+            for store in (seen, bands):
+                prior = sorted(
+                    os.path.join(store, f) for f in os.listdir(store)
+                    if f.startswith("batch="))
+                tmp = os.path.join(store, "_compacting_1")
+                if crash == "mid_stage":
+                    # Crash DURING the staged write: dir exists, no
+                    # manifest yet → raws stay authoritative.
+                    os.makedirs(tmp)
+                    with open(os.path.join(tmp, "part-torn.parquet"),
+                              "wb") as fh:
+                        fh.write(b"\x00torn")
+                else:
+                    spark.read.parquet(*prior).coalesce(1) \
+                        .write.parquet(tmp)
+                    with open(os.path.join(tmp, "_COVERED.json"),
+                              "w") as fh:
+                        json.dump([os.path.basename(p) for p in prior],
+                                  fh)
+                    if crash == "mid_delete":
+                        # Crash AFTER deleting one covered raw: the
+                        # stage is the only complete copy → promote.
+                        shutil.rmtree(prior[0])
+                    # crash == "pre_delete": all raws intact → discard.
+        _semdedup_process_batch(batches[2], 2, seen, bands, out)
+        return sorted(
+            (r.vec_id, r.label)
+            for r in spark.read.parquet(out + "/batch=*").collect())
+
+    control = run("control")
+    assert len(control) > 0
+    for crash in ("mid_stage", "pre_delete", "mid_delete"):
+        assert run(crash, crash=crash) == control, crash
+        for store in ("seen", "bands"):
+            d = str(tmp_path / crash / store)
+            leftover = [f for f in os.listdir(d)
+                        if f.startswith("_compacting_")]
+            assert leftover == [], (crash, store, leftover)
+
+    # Unit check on the adjudicator: promotion rebuilds the covered
+    # row set exactly (surviving covered raws are deleted as strict
+    # subsets of the promoted segment).
+    store = str(tmp_path / "unit")
+    spark.range(10).write.parquet(os.path.join(store, "batch=0"))
+    spark.range(10, 25).write.parquet(os.path.join(store, "batch=1"))
+    tmp = os.path.join(store, "_compacting_1")
+    spark.read.parquet(os.path.join(store, "batch=*")) \
+        .coalesce(1).write.parquet(tmp)
+    with open(os.path.join(tmp, "_COVERED.json"), "w") as fh:
+        json.dump(["batch=0", "batch=1"], fh)
+    shutil.rmtree(os.path.join(store, "batch=0"))
+    _semdedup_recover_staged(store)
+    assert sorted(os.listdir(store)) == ["batch=1"]
+    got = sorted(r.id for r in
+                 spark.read.parquet(os.path.join(store, "batch=1"))
+                 .collect())
+    assert got == list(range(25))
