@@ -578,6 +578,40 @@ def signlsh_adaptive_bits(n: int,
     return max(lo, min(hi, math.ceil(math.log2(n / target_bucket_rows))))
 
 
+def signlsh_ann_bands(bits: int, target_cos: float = 0.3,
+                      target_recall: float = 0.95,
+                      lo: int = 12, hi: int = 64) -> int:
+    """The OTHER half of the adaptive sign-LSH dial: bands needed so a
+    true neighbor at cosine >= ``target_cos`` still collides in at
+    least one band with probability >= ``target_recall`` once
+    :func:`signlsh_adaptive_bits` has grown the per-band keyspace.
+
+    Per-plane agreement probability at angle theta is 1 - theta/pi, so
+    a b-bit band collides with p^b and L bands give 1 - (1 - p^b)^L —
+    growing b with log2(n) (the occupancy/cost dial) SHRINKS p^b
+    geometrically, so holding recall requires
+    L = ceil(ln(1 - recall) / ln(1 - p^b)). With occupancy pinned at
+    ~64 rows/bucket, candidate volume is ~32·n per band — L·O(n)
+    total, linear where all-pairs is quadratic.
+
+    Clamped to [lo, hi]: past ``hi`` bands (very large corpora probed
+    for LOW-similarity neighbors) the band count explodes — sign-LSH
+    selectivity is a high-similarity instrument, and the honest scale
+    path for low thresholds is the IVF-bucketed route
+    (semantic_pairs_ivf / vec_ann_ivf), as this module's header
+    states. Pure/deterministic: a given (bits, target) always pins the
+    same band count, so reruns are bit-identical."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, target_cos))) / math.pi
+    p_band = p ** bits
+    if p_band >= 1.0:
+        return lo
+    need = math.ceil(math.log(1.0 - target_recall)
+                     / math.log(1.0 - p_band))
+    return max(lo, min(hi, need))
+
+
 def signlsh_planes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic +/-1 hyperplane matrix [n_planes, dim]: coefficient
     (p, j) is +1 iff the first byte of md5("p:j") is even. Engine-
