@@ -182,6 +182,203 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str,
                     F.round("_cos", 6).alias("approx_cos")))
 
 
+def _ivf_det_oracle_sql(k: int = 16, iters: int = 4, n_assign: int = 3,
+                        n_probe: int = 6) -> str:
+    """Unrolled-CTE DuckDB replay of the ENTIRE deterministic IVF
+    pipeline — the ml_logreg / vec_pca_power template applied to
+    Lloyd k-means: every iteration is one CTE trio (assign → per-
+    component integer means → COALESCE empty buckets), walking the
+    exact integer grid the engine walks (see vec_ann_ivf_det). The
+    tail (candidates → exact-cosine top-1) is the _ANN_SIGNLSH_ORACLE
+    tail verbatim."""
+    head = """
+WITH qv AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                             x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+       FROM embeddings),
+comp AS (SELECT vec_id, j, q[j + 1] AS val
+         FROM qv, unnest(range(0, 64)) t(j)),
+seedids AS (SELECT vec_id,
+                   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) - 1 AS bucket
+            FROM embeddings),
+cent0 AS (SELECT s.bucket, c.j, c.val
+          FROM seedids s JOIN comp c ON c.vec_id = s.vec_id
+          WHERE s.bucket < {k})""".format(k=k)
+    step = """,
+sim{i} AS (SELECT c.vec_id, t.bucket, SUM(c.val * t.val) AS dot
+           FROM comp c JOIN cent{p} t ON c.j = t.j
+           GROUP BY 1, 2),
+nrm{i} AS (SELECT bucket, sqrt(CAST(SUM(val * val) AS DOUBLE)) AS nrm
+           FROM cent{p} GROUP BY 1),
+asg{i} AS (SELECT vec_id, bucket FROM (
+             SELECT s.vec_id, s.bucket,
+                    row_number() OVER (PARTITION BY s.vec_id
+                      ORDER BY CASE WHEN n.nrm = 0
+                                    THEN CAST('-infinity' AS DOUBLE)
+                                    ELSE CAST(s.dot AS DOUBLE) / n.nrm
+                               END DESC, s.bucket) AS rn
+             FROM sim{i} s JOIN nrm{i} n ON s.bucket = n.bucket)
+           WHERE rn = 1),
+new{i} AS (SELECT a.bucket, c.j,
+                  CAST(floor(CAST(SUM(c.val) AS DOUBLE) / COUNT(*))
+                       AS BIGINT) AS val
+           FROM asg{i} a JOIN comp c ON a.vec_id = c.vec_id
+           GROUP BY 1, 2),
+cent{i} AS (SELECT p.bucket, p.j, COALESCE(n.val, p.val) AS val
+            FROM cent{p} p LEFT JOIN new{i} n
+              ON n.bucket = p.bucket AND n.j = p.j)"""
+    body = "".join(step.format(i=i, p=i - 1) for i in range(1, iters + 1))
+    tail = """,
+fsim AS (SELECT c.vec_id, t.bucket, SUM(c.val * t.val) AS dot
+         FROM comp c JOIN cent{it} t ON c.j = t.j
+         GROUP BY 1, 2),
+fnrm AS (SELECT bucket, sqrt(CAST(SUM(val * val) AS DOUBLE)) AS nrm
+         FROM cent{it} GROUP BY 1),
+ranked AS (SELECT s.vec_id, s.bucket,
+                  row_number() OVER (PARTITION BY s.vec_id
+                    ORDER BY CASE WHEN n.nrm = 0
+                                  THEN CAST('-infinity' AS DOUBLE)
+                                  ELSE CAST(s.dot AS DOUBLE) / n.nrm
+                             END DESC, s.bucket) AS rn
+           FROM fsim s JOIN fnrm n ON s.bucket = n.bucket),
+assigned AS (SELECT vec_id AS neighbor_id, bucket FROM ranked
+             WHERE rn <= {na}),
+probed AS (SELECT vec_id, bucket FROM ranked WHERE rn <= {np}),
+cand AS (SELECT DISTINCT p.vec_id, a.neighbor_id
+         FROM probed p JOIN assigned a ON p.bucket = a.bucket
+         WHERE p.vec_id <> a.neighbor_id),
+scored AS (SELECT c.vec_id, c.neighbor_id,
+                  ROUND(list_cosine_similarity(
+                          CAST(ea.embedding AS DOUBLE[]),
+                          CAST(eb.embedding AS DOUBLE[])), 6) AS approx_cos
+           FROM cand c
+           JOIN embeddings ea ON ea.vec_id = c.vec_id
+           JOIN embeddings eb ON eb.vec_id = c.neighbor_id)
+SELECT vec_id, neighbor_id, approx_cos
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id
+          ORDER BY approx_cos DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn = 1
+ORDER BY vec_id
+""".format(it=iters, na=n_assign, np=n_probe)
+    return head + body + tail
+
+
+def _ivf_det_rank(q: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
+    """Rank every (vector, centroid) pair of the deterministic IVF:
+    exact int64 dot against the broadcast integer centroids, divided
+    by the (driver-computed, IEEE-exact) centroid norm — |q| is
+    constant per vector so dot/|c| orders buckets identically to
+    cosine. Returns (vec_id, bucket, _rn)."""
+    import math
+
+    spark = q.sparkSession
+    rows = [(b, [int(v) for v in vals],
+             math.sqrt(sum(v * v for v in vals)))
+            for b, vals in sorted(cent.items())]
+    cdf = spark.createDataFrame(rows, "bucket int, c array<long>, nrm double")
+    dot = F.aggregate(F.zip_with("q", "c", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    sim = F.when(F.col("nrm") == 0.0, F.lit(float("-inf"))) \
+        .otherwise(dot.cast("double") / F.col("nrm"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), "bucket")
+    return (q.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "bucket", sim.alias("_sim"))
+            .withColumn("_rn", F.row_number().over(w))
+            .select("vec_id", "bucket", "_rn"))
+
+
+@register("vec_ann_ivf_det", oracle=_ivf_det_oracle_sql(),
+          tags=("vector", "knn", "approx", "ivf"))
+def vec_ann_ivf_det(spark: SparkSession, sf_dir: str, k: int = 16,
+                    iters: int = 4, n_assign: int = 3,
+                    n_probe: int = 6) -> DataFrame:
+    """IVF approximate NN with the k-means coarse quantizer itself
+    ORACLE-BACKED — the round-9 verdict's graduation target, built
+    from the two proven templates: deterministic md5 seeding
+    (vec_ann_lsh's plane trick, here picking the ``k`` seed vectors by
+    md5-of-id rank) + a fixed-iteration driver-updated loop on an
+    exact integer grid (ml_logreg's shape, here Lloyd steps whose
+    centroids are INTEGER vectors on the same floor(x·2²⁰) grid as the
+    quantized corpus). Every cross-engine operation is either exact
+    int64 arithmetic (dots, component sums) or a single IEEE
+    double op on exactly-representable ints (sqrt for norms, one
+    division for the mean and for dot/|c|) — both engines therefore
+    walk the identical sequence of assignments and centroids, and
+    DuckDB replays all ``iters`` Lloyd rounds as unrolled CTEs
+    (_ivf_det_oracle_sql) through to the exact-cosine top-1.
+
+    Scale shape (same as vec_ann_ivf): per iteration one broadcast
+    k-row crossJoin + top-1 window (n×k int dots, no corpus shuffle)
+    and one posexplode groupBy for the k×64 component sums — the ONLY
+    driver collects are k×64 integers per round, the documented-
+    bounded ml_logreg posture (k-means training at 100 TB samples
+    anyway — operators/ivf.py trains on a bounded sample for the
+    same reason). Search is probe-bounded: candidates =
+    probed-bucket members only, exact cosine on candidates, never n².
+    Recall at these dials is pinned >= 0.9 in tests alongside
+    vec_ann_ivf's."""
+    import math
+
+    from ..operators.dedup import _cosine_residual
+
+    e = load_table(spark, sf_dir, "embeddings")
+    if e.isEmpty():
+        return spark.createDataFrame(
+            [], "vec_id long, neighbor_id long, approx_cos double")
+    q = e.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(1048576.0)).cast("long"))
+        .alias("q")).localCheckpoint(eager=True)
+
+    # Seed selection = the k smallest (md5(id), id) keys — expressed
+    # as orderBy().limit(k) so the plan is a distributed
+    # TakeOrderedAndProject (per-partition top-k + k-row merge), not a
+    # single-partition global window; identical ranks to the oracle's
+    # row_number.
+    seed_rows = (q.select(F.md5(F.col("vec_id").cast("string"))
+                          .alias("_h"), "vec_id", "q")
+                 .orderBy("_h", "vec_id").limit(k).collect())
+    cent: dict[int, list[int]] = {i: list(r.q)
+                                  for i, r in enumerate(seed_rows)}
+
+    for _ in range(iters):
+        asg = (_ivf_det_rank(q, cent)
+               .filter(F.col("_rn") == 1).select("vec_id", "bucket"))
+        sums = (asg.join(q, "vec_id")
+                .select("bucket", F.posexplode("q").alias("j", "val"))
+                .groupBy("bucket", "j")
+                .agg(F.sum("val").alias("s"),
+                     F.count(F.lit(1)).alias("cnt"))
+                .collect())           # k x 64 ints — bounded, documented
+        new: dict[int, list[int]] = {}
+        for r in sums:
+            new.setdefault(r.bucket, [0] * 64)[r.j] = \
+                math.floor(r.s / r.cnt)
+        cent.update(new)              # empty buckets keep old centroid
+
+    ranked = _ivf_det_rank(q, cent)
+    assigned = (ranked.filter(F.col("_rn") <= n_assign)
+                .select(F.col("vec_id").alias("neighbor_id"), "bucket"))
+    probed = (ranked.filter(F.col("_rn") <= n_probe)
+              .select("vec_id", "bucket"))
+    cand = (probed.join(assigned, "bucket")
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id").distinct())
+    scored = _cosine_residual(cand, e, e, -1.0, "vec_id", "neighbor_id",
+                              "vec_id", "embedding")
+    w2 = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
+                                              "neighbor_id")
+    return (scored.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "neighbor_id",
+                    F.col("cos_sim").alias("approx_cos"))
+            .orderBy("vec_id"))
+
+
 @register("maint_compact", oracle=f"""
 SELECT COUNT(*) AS n_rows,
        {sql_dsum('l_extendedprice')} AS sum_price,

@@ -355,6 +355,26 @@ def test_ann_lsh_adaptive_dial_recall_and_determinism(spark):
     assert rerun == got, "adaptive dial is not deterministic"
 
 
+def test_ivf_det_recall_at_least_090(spark):
+    # Round-10 verdict item 2: the oracle-backed deterministic IVF
+    # (md5-seeded integer-grid Lloyd k-means, vec_ann_ivf_det) must
+    # clear the same recall@1 >= 0.9 bar as the pyspark.ml-based
+    # vec_ann_ivf at the same dials — cross-engine determinism must
+    # not have cost clustering quality.
+    from integrator_spark.registry import get_queries
+
+    qs = get_queries()
+    sf = "/root/testdata/sf0.001"
+    exact = {r.vec_id: r.cos_sim for r in qs["vec_knn"](spark, sf).collect()}
+    approx = {r.vec_id: r.approx_cos
+              for r in qs["vec_ann_ivf_det"](spark, sf).collect()}
+    assert len(exact) == 500
+    hits = sum(1 for vid, best in exact.items()
+               if approx.get(vid, -2.0) >= best - 1e-6)
+    recall = hits / len(exact)
+    assert recall >= 0.9, f"ivf_det recall {recall}"
+
+
 def test_ivf_matmul_recall_at_least_090(spark):
     # The matmul-kernel IVF (operators/ivf.py) must match the
     # pyspark.ml-based vec_ann_ivf's quality bar on the same fixture:
