@@ -281,7 +281,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("user_id").alias("n_distinct_users")))
 
 
-@register("stream_session", oracle="""
+_SESSION_ORACLE = """
 WITH gaps AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -305,7 +305,28 @@ FROM isl GROUP BY user_id, sid
 -- sessions still open at end-of-replay are withheld by the sink.
 HAVING MAX(ts) + INTERVAL '30 minutes'
          <= (SELECT MAX(ts) FROM events) - INTERVAL '1 hour'
-""", tags=("streaming", "session"))
+"""
+
+
+def _session_drain(spark: SparkSession, sf_dir: str,
+                   name: str) -> DataFrame:
+    """Shared session-window drain for stream_session and its
+    state-store-provider twin: watermark + merging session state,
+    availableNow replay into a memory sink."""
+    s = events_stream(spark, sf_dir)
+    agg = (s.withWatermark("ts", "1 hour")
+           .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .select("user_id",
+                   F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("session_start"),
+                   "n_events"))
+    drained = run_available_now(agg, sf_dir, name)
+    return drained.orderBy("user_id", "session_start")
+
+
+@register("stream_session", oracle=_SESSION_ORACLE,
+          tags=("streaming", "session"))
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows under streaming execution (merging session state
     + watermark). Oracle-backed as of round 7: on the bounded
@@ -315,16 +336,50 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB reproduces (user, session_start, n_events) exactly; the
     code path exercised is still the genuine streaming one
     (watermark + session-merging state store)."""
-    s = events_stream(spark, sf_dir)
-    agg = (s.withWatermark("ts", "1 hour")
-           .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
-           .agg(F.count(F.lit(1)).alias("n_events"))
-           .select("user_id",
-                   F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-                    .alias("session_start"),
-                   "n_events"))
-    drained = run_available_now(agg, sf_dir, "stream_session")
-    return drained.orderBy("user_id", "session_start")
+    return _session_drain(spark, sf_dir, "stream_session")
+
+
+#: Stock-Spark RocksDB state-store provider (no extra jars — bundled
+#: with spark-sql since 3.2); the production posture for large
+#: streaming state, where the default HDFS-backed provider keeps every
+#: key in executor heap.
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+@register("stream_session_rocksdb", oracle=_SESSION_ORACLE,
+          tags=("streaming", "session", "statestore"))
+def stream_session_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_session with the state store swapped to ROCKSDB — the
+    provider a 100-TB streaming deployment runs (state off-heap +
+    changelog checkpointing capable), proven conf-only under the
+    driver's strongest gate: SAME oracle as stream_session, so every
+    sweep asserts the provider swap changes no output row (round-9
+    verdict item 4). The session-window aggregation is the heaviest
+    state-store user in the registry (merging session state per key).
+
+    Note the scope: this covers queries whose state lives in SPARK's
+    state store (session/tumbling windows, dropDuplicates,
+    applyInPandasWithState). stream_semantic_dedup's seen/band stores
+    are its OWN batch-partitioned parquet LSM (foreachBatch), which no
+    providerClass touches — its growth/compaction posture is proven
+    separately (scripts/stream_semdedup_growth.py)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        # run_available_now drains eagerly (awaitTermination inside),
+        # so the whole stateful execution happens under this conf; the
+        # returned frame only reads the memory sink.
+        return _session_drain(spark, sf_dir, "stream_session_rocksdb")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 @register("stream_stateful", oracle="""

@@ -269,6 +269,39 @@ def test_binrec_stream_reader_offsets(tmp_path):
     assert committed.latestOffset() == {"shard": 5}
 
 
+def test_stateful_streams_identical_under_rocksdb(spark):
+    """Round-10 verdict item 4: the RocksDB state-store provider (the
+    production posture for large streaming state) must be a pure
+    conf swap — byte-identical output across the stateful operator
+    family: merging session windows, watermark dedup, and
+    applyInPandasWithState arbitrary state."""
+    from integrator_spark.registry import get_queries
+
+    qs = get_queries()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    old = spark.conf.get(key)
+    for name in ("stream_session", "stream_dedup", "stream_stateful"):
+        want = sorted(map(tuple, qs[name](spark, TEST_SF_DIR).collect()))
+        assert len(want) > 0, name
+        spark.conf.set(key, rocks)
+        try:
+            got = sorted(map(tuple, qs[name](spark, TEST_SF_DIR).collect()))
+        finally:
+            spark.conf.set(key, old)
+        assert got == want, f"{name}: RocksDB output diverged"
+    # The registered twin itself matches the default-provider original
+    # and leaves the session conf untouched.
+    twin = sorted(map(tuple,
+                      qs["stream_session_rocksdb"](spark, TEST_SF_DIR)
+                      .collect()))
+    base = sorted(map(tuple,
+                      qs["stream_session"](spark, TEST_SF_DIR).collect()))
+    assert twin == base
+    assert spark.conf.get(key) == old
+
+
 def test_binrec_clean_restart_uncapped_until_primed(tmp_path):
     """Round-10 ADVICE (medium): after a CLEAN restart (last batch
     committed) MicroBatchExecution does NOT replay partitions()/
