@@ -108,3 +108,80 @@ def violations(f: PlanFindings) -> list[str]:
     if f.has_row_python and f.name not in ROW_PYTHON_ALLOWED:
         out.append("row-at-a-time Python eval in the plan")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming plan audit (round-10): the batch gate above walks every
+# registered query's batch plan; stream_* jobs execute through
+# MicroBatchExecution, whose plan and state posture only exist after a
+# drain. streaming/jobs.py::run_available_now captures both per job
+# (LAST_STREAM_AUDITS: the last execution's physical plan text and the
+# progress list); stream_violations applies the same allowlist
+# discipline to those artifacts.
+
+#: Expected state-store operator(s) per stateful streaming job — the
+#: machine check that the STREAMING code path (state store + watermark
+#: semantics) is actually what executed, not a silent fallback to a
+#: stateless plan. Values are operatorName strings from
+#: StateOperatorProgress.
+STREAM_STATE_EXPECTED: dict[str, set[str]] = {
+    "stream_tumbling": {"stateStoreSave"},
+    "stream_dedup": {"dedupeWithinWatermark"},
+    "stream_session": {"sessionWindowStateStoreSaveExec"},
+    "stream_session_rocksdb": {"sessionWindowStateStoreSaveExec"},
+    "stream_stateful": {"applyInPandasWithState"},
+    "stream_update_counts": {"stateStoreSave"},
+    "stream_join": {"symmetricHashJoin"},
+    "stream_static_join": {"stateStoreSave"},
+    "stream_sliding": {"stateStoreSave"},
+    "stream_join_outer": {"symmetricHashJoin"},
+    "stream_late_data": {"stateStoreSave"},
+    "stream_tumbling_append": {"stateStoreSave"},
+    "stream_session_dynamic": {"sessionWindowStateStoreSaveExec"},
+    "stream_ohlc": {"stateStoreSave"},
+    "stream_drift": {"stateStoreSave"},
+    "stream_topk": {"stateStoreSave"},
+}
+
+#: Stateful jobs allowed to run WITHOUT an event-time watermark: their
+#: state is the product (update/complete output modes over bounded key
+#: domains), so nothing is ever evicted by design. Everything else
+#: stateful must carry a watermark or its state grows without bound at
+#: 100 TB.
+STREAM_NO_WATERMARK_ALLOWED = {
+    "stream_update_counts",  # update-mode running counts per bounded key set
+    "stream_static_join",    # complete-mode agg, bounded nation key domain
+    "stream_topk",           # complete-mode global top-k, bounded k state
+}
+
+
+def stream_violations(name: str, plan: str, progress: list) -> list[str]:
+    """Allowlist-disciplined audit of one drained streaming job (see
+    module comment). ``progress`` is the StreamingQueryProgress list
+    run_available_now captured."""
+    out = []
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan) \
+            and name not in CROSS_JOIN_ALLOWED:
+        out.append("unintended CartesianProduct/BroadcastNestedLoopJoin")
+    if "BatchEvalPython" in plan and name not in ROW_PYTHON_ALLOWED:
+        out.append("row-at-a-time Python eval in the streaming plan")
+    ops: set[str] = set()
+    parts_ok = True
+    has_wm = False
+    for p in progress:
+        for so in (p["stateOperators"] or []):
+            ops.add(so["operatorName"])
+            if so.get("numShufflePartitions", 1) < 1:
+                parts_ok = False
+        if (p["eventTime"] or {}).get("watermark"):
+            has_wm = True
+    want = STREAM_STATE_EXPECTED.get(name)
+    if want is not None:
+        if not want <= ops:
+            out.append(f"expected state operator(s) {sorted(want - ops)} "
+                       f"absent (saw {sorted(ops)})")
+        if not has_wm and name not in STREAM_NO_WATERMARK_ALLOWED:
+            out.append("stateful job ran without an event-time watermark")
+        if not parts_ok:
+            out.append("state operator reports no shuffle partitioning")
+    return out

@@ -226,6 +226,12 @@ def run_available_now(stream_df: DataFrame, sf_dir: str, name: str,
     q.awaitTermination()
     global LAST_RUN_PROGRESS
     LAST_RUN_PROGRESS = list(q.recentProgress)
+    try:
+        plan = q._jsq.explainInternal(True)
+    except Exception:
+        plan = ""          # e.g. Spark Connect: no py4j handle
+    LAST_STREAM_AUDITS[name] = {"plan": plan,
+                                "progress": LAST_RUN_PROGRESS}
     return stream_df.sparkSession.table(query_name)
 
 
@@ -233,6 +239,14 @@ def run_available_now(stream_df: DataFrame, sf_dir: str, name: str,
 #: lets tests assert micro-batch structure (batch count, watermark
 #: drops) without threading the query handle through the registry API.
 LAST_RUN_PROGRESS: list = []
+
+#: Per-job audit artifacts of the most recent run_available_now drain:
+#: the last execution's physical plan text (explainInternal) and the
+#: progress list — the streaming face of the batch plan audit
+#: (plans/audit.py stream_violations walks these; round-9 verdict
+#: item 5). Keyed by job name so one test run can drain many jobs and
+#: audit them all.
+LAST_STREAM_AUDITS: dict[str, dict] = {}
 
 
 @register("stream_tumbling", oracle=f"""

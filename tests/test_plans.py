@@ -23,6 +23,36 @@ def test_plan_has_no_scale_violations(name, spark):
     assert not bad, f"{name}: {bad}\n{findings.plan[:4000]}"
 
 
+STREAM_AUDITED = sorted(
+    __import__("integrator_spark.plans.audit",
+               fromlist=["STREAM_STATE_EXPECTED"]).STREAM_STATE_EXPECTED)
+
+
+@pytest.mark.parametrize("name", STREAM_AUDITED, ids=STREAM_AUDITED)
+def test_stream_plan_has_no_scale_violations(name, spark):
+    """Round-10 verdict item 5: the streaming face of the batch gate
+    above. Each stateful stream_* job is drained once (availableNow at
+    the test fixture), then its captured last-execution plan and
+    progress are audited with the same allowlist discipline: no
+    cartesian, no row-Python, the EXPECTED state-store operator
+    actually executed, a watermark present unless the job's state is
+    the product by design, and state operators report shuffle
+    partitioning. Jobs with custom sinks (foreachBatch /
+    crash-restart / custom source) are covered by their own dedicated
+    execution tests and are out of this parametrization by
+    construction (they do not route through run_available_now)."""
+    from integrator_spark.plans.audit import stream_violations
+    from integrator_spark.registry import all_specs
+    from integrator_spark.streaming.jobs import LAST_STREAM_AUDITS
+
+    all_specs()[name].fn(spark, TEST_SF_DIR).collect()
+    audit = LAST_STREAM_AUDITS.get(name)
+    assert audit is not None, f"{name}: no drain captured"
+    assert audit["plan"], f"{name}: empty plan capture"
+    bad = stream_violations(name, audit["plan"], audit["progress"])
+    assert not bad, f"{name}: {bad}\n{audit['plan'][:4000]}"
+
+
 def test_q1_scan_prunes_and_pushes(spark):
     """The flagship scan must push the shipdate filter into Parquet and
     read only the referenced columns."""
