@@ -886,6 +886,14 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook non-overlapping scan, property-tested against a pure
     python reference. Zero floats anywhere. Output:
     (step, sym_l, sym_r, merged, pair_count)."""
+    return _bpe_train(spark, sf_dir, merges=10)
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, merges: int) -> DataFrame:
+    """Shared BPE merge loop (see text_bpe_train): one corpus scan to
+    the (word, freq, seq) vocabulary, then ``merges`` greedy rounds
+    over that bounded frame, each ending in an eager checkpoint so the
+    per-round plan stays flat regardless of loop length."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (d.select(F.explode(tokens("text")).alias("word"))
              .filter(F.col("word") != "")
@@ -894,7 +902,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.trim(F.regexp_replace("word", "(.)", "$1 "))
                      .alias("seq"))
              # One eager checkpoint: the corpus scan happens ONCE; the
-             # ten merge rounds iterate this vocabulary-bounded frame.
+             # merge rounds iterate this vocabulary-bounded frame.
              .localCheckpoint(eager=True))
     pair_expr = F.expr("""
         IF(size(s) >= 2,
@@ -905,7 +913,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     out_rows = []
     cur = vocab
-    for step in range(1, 11):
+    for step in range(1, merges + 1):
         pairs = (cur.select("freq", F.split("seq", " ").alias("s"))
                  .select("freq", F.explode(pair_expr).alias("p"))
                  .groupBy(F.col("p.sym_l").alias("sym_l"),
@@ -928,6 +936,26 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "step int, sym_l string, sym_r string, merged string, "
         "pair_count long")
+
+
+@register("text_bpe_train_deep", oracle=None,
+          tags=("text", "tokenizer", "bpe", "iterative"))
+def text_bpe_train_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_bpe_train pushed to 60 merge rules (round-9 verdict item
+    6) — a realistic slice of a production merge table, exercising the
+    loop's stats/lineage posture at 6× the oracle query's depth (each
+    round re-checkpoints the vocabulary frame, so the per-merge cost
+    must stay flat — the SCALING.md row measures exactly that, and the
+    convergence-length-loop discipline operators/ckpt.py exists for).
+
+    Rows-only BY DESIGN: the 10-rule oracle already proves the merge
+    arithmetic cross-engine (each extra rule would multiply the
+    unrolled CTE's size for no additional semantic coverage);
+    determinism of the deeper run is pinned by the rerun test and by
+    the 10-rule PREFIX PROPERTY asserted in tests — greedy BPE's rule
+    sequence is prefix-stable in the merge count, so rows 1..10 of
+    this output must equal text_bpe_train's output exactly."""
+    return _bpe_train(spark, sf_dir, merges=60)
 
 
 def _bpe_encode_oracle_sql(merges: int = 10) -> str:

@@ -112,6 +112,28 @@ def test_bpe_train_learns_real_merges(spark):
     assert any(len(r.sym_l) > 1 or len(r.sym_r) > 1 for r in rows)
 
 
+def test_bpe_train_deep_prefix_stable_and_deterministic(spark):
+    """Round-10: the 60-rule deep run (text_bpe_train_deep, rows-only)
+    is pinned by greedy BPE's PREFIX PROPERTY — its first 10 rules
+    must equal the oracle-backed text_bpe_train's output exactly
+    (same corpus, same tie-break, longer loop), its full rule
+    sequence must rerun bit-identically, and every later rule keeps
+    the merge invariants."""
+    from integrator_spark.registry import get_queries
+
+    qs = get_queries()
+    sf = "/root/testdata/sf0.001"
+    ten = [tuple(r) for r in qs["text_bpe_train"](spark, sf).collect()]
+    deep = [tuple(r) for r in qs["text_bpe_train_deep"](spark, sf).collect()]
+    assert len(deep) == 60
+    assert deep[:10] == ten, "prefix property violated"
+    for step, sym_l, sym_r, merged, pair_count in deep:
+        assert merged == sym_l + sym_r and pair_count > 0
+    rerun = [tuple(r) for r in
+             qs["text_bpe_train_deep"](spark, sf).collect()]
+    assert rerun == deep, "deep BPE training is not deterministic"
+
+
 def test_etl_backfill_leaves_other_partitions_untouched(spark, tmp_path):
     """Dynamic partition overwrite must rewrite ONLY the partitions
     present in the incoming frame: every other partition's files are
