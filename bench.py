@@ -51,9 +51,19 @@ HEADLINE = [
     # per-session here.
     "dedup_minhash_det",
     "vec_ann_ivfpq",
+    # Round 10 (VERDICT r9 item 7): one CONVERGENCE-LENGTH iterative
+    # loop, so a reintroduction of the localCheckpoint Catalyst-stats
+    # cliff (operators/ckpt.py) shows up as headline WALL, not only as
+    # the unit test's digit pin — the cliff turns this ~8 s entry into
+    # minutes. Median-of-3 (REDUCED_RUNS): the signal is a 10×+ blowup,
+    # and 5 runs of an 8 s loop would dominate the bench wall.
+    "graph_kcore_converged",
 ]
 
 RUNS = 5
+#: Per-query run-count overrides for heavyweight entries whose
+#: regression signal is far larger than run-to-run noise.
+REDUCED_RUNS = {"graph_kcore_converged": 3}
 
 
 def main() -> None:
@@ -123,7 +133,9 @@ def main() -> None:
         return round(statistics.median(times), 4)
 
     for name in names:
-        per_query[name] = measure(lambda: queries[name](spark, sf_dir), runs)
+        n_runs = min(runs, REDUCED_RUNS.get(name, runs))
+        per_query[name] = measure(lambda: queries[name](spark, sf_dir),
+                                  n_runs)
         if name in naive:
             # Warmed single run for like-for-like ratios vs the warmed
             # engine median — except vec_knn, whose naive crossJoin
