@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.dedup import (
+    _cosine_residual,
     exact_dedup_keep_first,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1019,6 +1020,72 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not e.head(1):
         return _empty_pairs(spark)
     return (semantic_pairs_ivf(e, threshold=0.45)
+            .orderBy("id_a", "id_b"))
+
+
+def _semantic_ivf_det_oracle_sql() -> str:
+    """Det-k-means chain (queries/scale.py generator, same dials as
+    vec_ann_ivf_det's generator; k=8, 4 Lloyd rounds) + the near-dup pair
+    tail: multi-assign each vector to its 3 nearest cells, candidates =
+    same-cell pairs (a < b), exact cosine >= 0.45 on candidates."""
+    from .scale import _ivf_det_chain_sql
+
+    return _ivf_det_chain_sql(k=8, iters=4) + """,
+passign AS (SELECT vec_id, bucket FROM ranked WHERE rn <= 3),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM passign a JOIN passign b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 6)
+         AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_semantic_ivf_det", oracle=_semantic_ivf_det_oracle_sql(),
+          tags=("dedup", "embedding", "approx", "scale"))
+def dedup_semantic_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed semantic near-dup pairs with the coarse quantizer
+    ORACLE-BACKED — dedup_semantic_ivf's deterministic twin, the same
+    relationship dedup_minhash_det has to dedup_minhash: the float
+    spark.ml k-means stays registered as the production face
+    (adaptive cell count), while this twin runs the integer-grid
+    md5-seeded Lloyd fit (queries/scale.py::_ivf_det_fit, shared with
+    vec_ann_ivf_det) so DuckDB replays the ENTIRE pipeline — all 4
+    Lloyd rounds, the 3-nearest-cell multi-assignment, the same-cell
+    candidate join, and the exact-cosine >= 0.45 residual (dials
+    k=8/assign=3: the 0.45-threshold boundary pairs this isotropic
+    fixture plants are IVF's adversarial case — see vec_ann_ivf's
+    docstring — and deeper assignment is the recall lever; measured
+    pair recall 1.0 / 0.93 at sf0.001 / sf0.01, pinned >= 0.9 in
+    tests).
+
+    Scale shape matches the production twin: candidates are
+    cell-equality joins (cost tracks co-located pairs, never n²);
+    multi-assignment recovers boundary pairs. Static k=8 pinned for
+    the oracle — the adaptive-cell dial lives on the float twin, same
+    split as vec_ann_lsh (bits=3 oracle) vs vec_ann_lsh_adaptive."""
+    from .scale import _ivf_det_fit, _ivf_det_rank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    if not e.head(1):
+        return _empty_pairs(spark)
+    q, cent = _ivf_det_fit(e, k=8, iters=4)
+    asg = (_ivf_det_rank(q, cent).filter(F.col("_rn") <= 3)
+           .select("vec_id", "bucket"))
+    a = asg.select(F.col("vec_id").alias("id_a"), "bucket")
+    b = asg.select(F.col("vec_id").alias("id_b"), "bucket")
+    cand = (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    return (_cosine_residual(cand, e, e, 0.45, "id_a", "id_b",
+                             "vec_id", "embedding")
             .orderBy("id_a", "id_b"))
 
 

@@ -182,15 +182,12 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str,
                     F.round("_cos", 6).alias("approx_cos")))
 
 
-def _ivf_det_oracle_sql(k: int = 16, iters: int = 4, n_assign: int = 3,
-                        n_probe: int = 6) -> str:
-    """Unrolled-CTE DuckDB replay of the ENTIRE deterministic IVF
-    pipeline — the ml_logreg / vec_pca_power template applied to
-    Lloyd k-means: every iteration is one CTE trio (assign → per-
-    component integer means → COALESCE empty buckets), walking the
-    exact integer grid the engine walks (see vec_ann_ivf_det). The
-    tail (candidates → exact-cosine top-1) is the _ANN_SIGNLSH_ORACLE
-    tail verbatim."""
+def _ivf_det_chain_sql(k: int = 16, iters: int = 4) -> str:
+    """The deterministic-k-means CTE chain shared by every det-IVF
+    oracle (ANN top-1 in _ivf_det_oracle_sql, near-dup pairs in
+    queries/dedup.py): quantized corpus → md5-ranked seeds → ``iters``
+    unrolled Lloyd rounds → ``ranked`` = per-vector centroid ranks.
+    Callers append their own tail CTEs/SELECT."""
     head = """
 WITH qv AS (SELECT vec_id,
               list_transform(CAST(embedding AS DOUBLE[]),
@@ -229,7 +226,7 @@ cent{i} AS (SELECT p.bucket, p.j, COALESCE(n.val, p.val) AS val
             FROM cent{p} p LEFT JOIN new{i} n
               ON n.bucket = p.bucket AND n.j = p.j)"""
     body = "".join(step.format(i=i, p=i - 1) for i in range(1, iters + 1))
-    tail = """,
+    rank_tail = """,
 fsim AS (SELECT c.vec_id, t.bucket, SUM(c.val * t.val) AS dot
          FROM comp c JOIN cent{it} t ON c.j = t.j
          GROUP BY 1, 2),
@@ -241,7 +238,20 @@ ranked AS (SELECT s.vec_id, s.bucket,
                                   THEN CAST('-infinity' AS DOUBLE)
                                   ELSE CAST(s.dot AS DOUBLE) / n.nrm
                              END DESC, s.bucket) AS rn
-           FROM fsim s JOIN fnrm n ON s.bucket = n.bucket),
+           FROM fsim s JOIN fnrm n ON s.bucket = n.bucket)""".format(it=iters)
+    return head + body + rank_tail
+
+
+def _ivf_det_oracle_sql(k: int = 16, iters: int = 4, n_assign: int = 3,
+                        n_probe: int = 6) -> str:
+    """Unrolled-CTE DuckDB replay of the ENTIRE deterministic IVF
+    pipeline — the ml_logreg / vec_pca_power template applied to
+    Lloyd k-means: every iteration is one CTE trio (assign → per-
+    component integer means → COALESCE empty buckets), walking the
+    exact integer grid the engine walks (see vec_ann_ivf_det). The
+    tail (candidates → exact-cosine top-1) is the _ANN_SIGNLSH_ORACLE
+    tail verbatim."""
+    tail = """,
 assigned AS (SELECT vec_id AS neighbor_id, bucket FROM ranked
              WHERE rn <= {na}),
 probed AS (SELECT vec_id, bucket FROM ranked WHERE rn <= {np}),
@@ -262,8 +272,47 @@ FROM (SELECT *, row_number() OVER (
       FROM scored)
 WHERE rn = 1
 ORDER BY vec_id
-""".format(it=iters, na=n_assign, np=n_probe)
-    return head + body + tail
+""".format(na=n_assign, np=n_probe)
+    return _ivf_det_chain_sql(k, iters) + tail
+
+
+def _ivf_det_fit(e: DataFrame, k: int,
+                 iters: int) -> tuple[DataFrame, dict[int, list[int]]]:
+    """Deterministic integer-grid Lloyd k-means shared by
+    vec_ann_ivf_det and the dedup twin (queries/dedup.py): quantize
+    the corpus to the floor(x·2²⁰) grid (checkpointed once), seed from
+    the k smallest (md5(id), id) keys via a distributed
+    TakeOrderedAndProject, then ``iters`` rounds of assign →
+    per-component integer means. The ONLY driver collects are the k
+    seed rows and k×64 component sums per round (the documented
+    ml_logreg posture). Returns (quantized frame, centroid dict)."""
+    import math
+
+    q = e.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(1048576.0)).cast("long"))
+        .alias("q")).localCheckpoint(eager=True)
+    seed_rows = (q.select(F.md5(F.col("vec_id").cast("string"))
+                          .alias("_h"), "vec_id", "q")
+                 .orderBy("_h", "vec_id").limit(k).collect())
+    cent: dict[int, list[int]] = {i: list(r.q)
+                                  for i, r in enumerate(seed_rows)}
+    for _ in range(iters):
+        asg = (_ivf_det_rank(q, cent)
+               .filter(F.col("_rn") == 1).select("vec_id", "bucket"))
+        sums = (asg.join(q, "vec_id")
+                .select("bucket", F.posexplode("q").alias("j", "val"))
+                .groupBy("bucket", "j")
+                .agg(F.sum("val").alias("s"),
+                     F.count(F.lit(1)).alias("cnt"))
+                .collect())           # k x 64 ints — bounded, documented
+        new: dict[int, list[int]] = {}
+        for r in sums:
+            new.setdefault(r.bucket, [0] * 64)[r.j] = \
+                math.floor(r.s / r.cnt)
+        cent.update(new)              # empty buckets keep old centroid
+    return q, cent
 
 
 def _ivf_det_rank(q: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
@@ -328,38 +377,7 @@ def vec_ann_ivf_det(spark: SparkSession, sf_dir: str, k: int = 16,
     if e.isEmpty():
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, approx_cos double")
-    q = e.select(
-        "vec_id",
-        F.transform(F.col("embedding").cast("array<double>"),
-                    lambda x: F.floor(x * F.lit(1048576.0)).cast("long"))
-        .alias("q")).localCheckpoint(eager=True)
-
-    # Seed selection = the k smallest (md5(id), id) keys — expressed
-    # as orderBy().limit(k) so the plan is a distributed
-    # TakeOrderedAndProject (per-partition top-k + k-row merge), not a
-    # single-partition global window; identical ranks to the oracle's
-    # row_number.
-    seed_rows = (q.select(F.md5(F.col("vec_id").cast("string"))
-                          .alias("_h"), "vec_id", "q")
-                 .orderBy("_h", "vec_id").limit(k).collect())
-    cent: dict[int, list[int]] = {i: list(r.q)
-                                  for i, r in enumerate(seed_rows)}
-
-    for _ in range(iters):
-        asg = (_ivf_det_rank(q, cent)
-               .filter(F.col("_rn") == 1).select("vec_id", "bucket"))
-        sums = (asg.join(q, "vec_id")
-                .select("bucket", F.posexplode("q").alias("j", "val"))
-                .groupBy("bucket", "j")
-                .agg(F.sum("val").alias("s"),
-                     F.count(F.lit(1)).alias("cnt"))
-                .collect())           # k x 64 ints — bounded, documented
-        new: dict[int, list[int]] = {}
-        for r in sums:
-            new.setdefault(r.bucket, [0] * 64)[r.j] = \
-                math.floor(r.s / r.cnt)
-        cent.update(new)              # empty buckets keep old centroid
-
+    q, cent = _ivf_det_fit(e, k, iters)
     ranked = _ivf_det_rank(q, cent)
     assigned = (ranked.filter(F.col("_rn") <= n_assign)
                 .select(F.col("vec_id").alias("neighbor_id"), "bucket"))

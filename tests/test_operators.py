@@ -355,6 +355,28 @@ def test_ann_lsh_adaptive_dial_recall_and_determinism(spark):
     assert rerun == got, "adaptive dial is not deterministic"
 
 
+def test_semantic_ivf_det_pair_recall_at_least_090(spark):
+    # The oracle-backed det-k-means dedup twin must keep >= 0.9 of the
+    # exact cosine>=0.45 pair set at both fixture scales — matching
+    # the quality bar its float production twin (dedup_semantic_ivf,
+    # recall 1.0) is held to.
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.knn import cosine_pairs_exact
+    from integrator_spark.registry import get_queries
+
+    qs = get_queries()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load_table(spark, sf, "embeddings")
+        exact = {(r.id_a, r.id_b)
+                 for r in cosine_pairs_exact(e, threshold=0.45)
+                 .select("id_a", "id_b").collect()}
+        det = {(r.id_a, r.id_b)
+               for r in qs["dedup_semantic_ivf_det"](spark, sf).collect()}
+        assert len(exact) > 0
+        recall = len(exact & det) / len(exact)
+        assert recall >= 0.9, f"{sf}: det pair recall {recall}"
+
+
 def test_ivf_det_recall_at_least_090(spark):
     # Round-10 verdict item 2: the oracle-backed deterministic IVF
     # (md5-seeded integer-grid Lloyd k-means, vec_ann_ivf_det) must
