@@ -312,3 +312,53 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 6,
             nxt.select("node", F.lit(lvl).alias("level"))))
         frontier = nxt
     return visited
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", rounds: int = 8) -> DataFrame:
+    """Synchronous modal label propagation (LPA communities) over an
+    undirected edge list → (node, label).
+
+    Every node starts labeled with its own id; each round, every node
+    adopts the MOST FREQUENT label among its neighbors, ties broken by
+    the smallest label — the deterministic tie-break is what makes the
+    algorithm engine-replayable (classic async LPA visits nodes in
+    random order; synchronous + (count DESC, label ASC) makes every
+    round a pure function of the previous labeling, so a fixed-round
+    run unrolls into an exact integer SQL oracle). Fixed synchronous
+    rounds also sidestep LPA's known oscillation on bipartite-ish
+    regions: the round budget snapshots a well-defined state on both
+    engines instead of chasing a fixed point that may not exist.
+
+    Distinct from connected components (operators/dedup.py
+    star-contraction): CC merges everything reachable; modal LPA keeps
+    DENSELY-interlinked groups separate even when bridged by a few
+    edges — the community structure signal (product families in a
+    co-purchase graph, template clusters in a link graph).
+
+    Scale shape: per round one labels-join (shuffle on node key), one
+    (node, label) count aggregation, one per-node top-1 window — all
+    hash-partitioned on node; lineage/stats truncated per round
+    (operators/ckpt.py), so any round budget stays flat."""
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("d"))
+    e = (e.unionByName(e.select(F.col("d").alias("s"),
+                                F.col("s").alias("d")))
+         .distinct().localCheckpoint(eager=True))
+    labels = (e.select(F.col("s").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
+    from pyspark.sql import Window
+    for _ in range(rounds):
+        cnt = (e.join(labels.withColumnRenamed("node", "s"), "s")
+               .groupBy(F.col("d").alias("node"), "label")
+               .agg(F.count(F.lit(1)).alias("c")))
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+        win = (cnt.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1)
+               .select("node", F.col("label").alias("_new")))
+        labels = truncated_checkpoint(
+            labels.join(win, "node", "left")
+            .select("node",
+                    F.coalesce("_new", "label").alias("label")))
+    return labels

@@ -5,7 +5,7 @@ canonical" / "which doc is central" signal).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -417,3 +417,65 @@ def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     core = kcore_peel(edges, k=3, rounds=None, src="s", dst="d",
                       assume_canonical=True)
     return core.orderBy("node")
+
+
+def _label_prop_oracle_sql(rounds: int = 8) -> str:
+    """Unrolled synchronous-LPA oracle (the kcore/pagerank unrolling
+    idea): each round is one (neighbor-label counts, winner, labels)
+    CTE pair mirroring operators/graph.py::label_propagation verbatim.
+    Pure integer arithmetic and explicit (count DESC, label ASC)
+    tie-breaks — the engines must agree bit-for-bit."""
+    its = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        its.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT e.d AS node, l.label, COUNT(*) AS c
+  FROM e JOIN l{p} l ON l.node = e.s
+  GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+  SELECT l.node, COALESCE(w.label, l.label) AS label
+  FROM l{p} l LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT node, label,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY c DESC, label) AS rn
+      FROM c{i}) WHERE rn = 1) w ON w.node = l.node
+)""")
+    return f"""
+WITH u AS ({_COPURCHASE2_SQL}),
+e AS MATERIALIZED (SELECT s, d FROM u UNION ALL SELECT d, s FROM u),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM e),
+{",".join(its)}
+SELECT l.node, l.label,
+       CAST(COUNT(*) OVER (PARTITION BY l.label) AS BIGINT)
+         AS community_size
+FROM l{rounds} l
+ORDER BY node
+"""
+
+
+@register("graph_label_prop", oracle=_label_prop_oracle_sql(),
+          tags=("graph", "community", "iterative"))
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous modal label propagation over
+    the repeat-co-purchase graph (same ≥2-support edges as
+    graph_kcore/graph_bfs) — ORACLE-BACKED end to end: 8 fixed
+    synchronous rounds with the deterministic (count DESC, label ASC)
+    tie-break unroll into exact-integer CTE pairs, so DuckDB replays
+    every labeling round bit-for-bit (operators/graph.py
+    label_propagation has the algorithmic contract: why synchronous +
+    deterministic tie-break is the engine-replayable formulation, and
+    how LPA communities differ from connected components). Output is
+    (node, label, community_size), node-sorted."""
+    from ..operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir, min_weight=2)
+    labels = label_propagation(edges, src="s", dst="d", rounds=8)
+    w = Window.partitionBy("label")
+    return (labels.select(
+                "node", "label",
+                F.count(F.lit(1)).over(w).cast("long")
+                .alias("community_size"))
+            .orderBy("node"))
