@@ -353,6 +353,24 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     PACK_BUCKET rows, one narrow single-partition window) broadcast
     back onto the fact. Same decomposition MPI calls scan-then-add;
     both phases stay declarative so Catalyst fuses them with the scan."""
+    t = _pack_offsets(spark, sf_dir)
+    start = F.col("global_start")
+    end_tok = start + F.col("n_tokens") - 1
+    return t.select(
+        "doc_id", "n_tokens",
+        start.cast("long").alias("global_start"),
+        F.floor(start / PACK_SEQ_LEN).cast("long").alias("first_seq"),
+        F.floor(end_tok / PACK_SEQ_LEN).cast("long").alias("last_seq"),
+        (F.floor(end_tok / PACK_SEQ_LEN)
+         - F.floor(start / PACK_SEQ_LEN) + 1)
+        .cast("long").alias("n_seqs_spanned"))
+
+
+def _pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing layout's shared core: (doc_id, n_tokens,
+    global_start) via the two-phase prefix sum corpus_pack_sequences'
+    docstring describes (per-bucket window + tiny broadcast
+    bucket-offset table — never a single global window task)."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
@@ -367,18 +385,90 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
            .rowsBetween(Window.unboundedPreceding, -1))
     boff = btot.withColumn(
         "bucket_off", F.coalesce(F.sum("btot").over(w_b), F.lit(0)))
-    start = F.col("bucket_off") + F.col("cum_in_bucket")
-    end_tok = start + F.col("n_tokens") - 1
     return (t.join(F.broadcast(boff.select("bucket", "bucket_off")),
                    "bucket")
-            .select(
-                "doc_id", "n_tokens",
-                start.cast("long").alias("global_start"),
-                F.floor(start / PACK_SEQ_LEN).cast("long").alias("first_seq"),
-                F.floor(end_tok / PACK_SEQ_LEN).cast("long").alias("last_seq"),
-                (F.floor(end_tok / PACK_SEQ_LEN)
-                 - F.floor(start / PACK_SEQ_LEN) + 1)
-                .cast("long").alias("n_seqs_spanned")))
+            .select("doc_id", "n_tokens",
+                    (F.col("bucket_off") + F.col("cum_in_bucket"))
+                    .cast("long").alias("global_start")))
+
+
+PACK_MANIFEST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         doc_id // {PACK_BUCKET} AS bucket
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n_tokens, bucket,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in_bucket
+  FROM t
+),
+b AS (SELECT bucket, SUM(n_tokens) AS btot FROM t GROUP BY bucket),
+boff AS (
+  SELECT bucket,
+         COALESCE(SUM(btot) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bucket_off
+  FROM b
+),
+o AS (
+  SELECT w.doc_id, w.n_tokens,
+         boff.bucket_off + w.cum_in_bucket AS st
+  FROM w JOIN boff USING (bucket)
+  WHERE w.n_tokens > 0
+),
+spans AS (
+  SELECT CAST(u.sq AS BIGINT) AS seq_id, o.doc_id,
+         LEAST(o.st + o.n_tokens, (u.sq + 1) * {PACK_SEQ_LEN})
+           - GREATEST(o.st, u.sq * {PACK_SEQ_LEN}) AS n_tok_in_seq
+  FROM o, unnest(range(CAST(o.st // {PACK_SEQ_LEN} AS BIGINT),
+                       CAST((o.st + o.n_tokens - 1) // {PACK_SEQ_LEN} + 1
+                            AS BIGINT))) u(sq)
+)
+SELECT seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok_in_seq) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       SUM(n_tok_in_seq) = {PACK_SEQ_LEN} AS is_full
+FROM spans
+GROUP BY seq_id
+ORDER BY seq_id
+"""
+
+
+@register("corpus_pack_manifest", oracle=PACK_MANIFEST_ORACLE,
+          tags=("mlprep", "packing"))
+def corpus_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-SEQUENCE face of corpus_pack_sequences — the manifest a
+    training dataloader actually reads: for every packed
+    PACK_SEQ_LEN-token window, how many documents contribute, how many
+    tokens land in it (every window full except possibly the last),
+    and the contributing doc-id range. Built by exploding each doc's
+    spanned window range (bounded per doc: n_tokens/PACK_SEQ_LEN + 1
+    windows) from the same two-phase prefix-sum offsets, then one
+    hash aggregation on seq_id — all integers, so the oracle replay is
+    exact. The is_full flag is the packing invariant made visible:
+    concat-and-chunk leaves no internal fragmentation, which is the
+    reason GPT-style pipelines pack instead of padding."""
+    t = _pack_offsets(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    L = PACK_SEQ_LEN
+    st, fin = F.col("global_start"), F.col("global_start") + F.col("n_tokens")
+    spans = (t.select(
+        "doc_id", "n_tokens", "global_start",
+        F.explode(F.sequence(F.floor(st / L),
+                             F.floor((fin - 1) / L))).alias("seq_id"))
+        .select(
+            F.col("seq_id").cast("long").alias("seq_id"), "doc_id",
+            (F.least(fin, (F.col("seq_id") + 1) * L)
+             - F.greatest(st, F.col("seq_id") * L)).alias("n_tok_in_seq")))
+    return (spans.groupBy("seq_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tok_in_seq").cast("long").alias("n_tokens"),
+                 F.min("doc_id").cast("long").alias("first_doc"),
+                 F.max("doc_id").cast("long").alias("last_doc"),
+                 (F.sum("n_tok_in_seq") == L).alias("is_full"))
+            .orderBy("seq_id"))
 
 
 SHUFFLE_ORACLE = """
