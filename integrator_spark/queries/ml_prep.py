@@ -642,39 +642,196 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("feature"))
 
 
-@register("ml_logreg_irls", oracle=None, tags=("ml", "logreg", "iterative"))
+def _det3_expr(m: list[list[str]]) -> str:
+    """3×3 determinant as a FIXED expression tree over entry names —
+    the same string is Python-eval'd on the driver and pasted into the
+    DuckDB oracle, so both evaluate the identical IEEE operation
+    sequence (neither engine reassociates float arithmetic)."""
+    (a, b, c), (d, e, f_), (g, h, i) = m
+    return (f"({a} * ({e} * {i} - {f_} * {h}) "
+            f"- {b} * ({d} * {i} - {f_} * {g}) "
+            f"+ {c} * ({d} * {h} - {e} * {g}))")
+
+
+def _det4_expr(m: list[list[str]]) -> str:
+    """4×4 determinant by cofactor expansion along column 0, same
+    fixed-tree contract as _det3_expr."""
+    parts = []
+    for r in range(4):
+        minor = [[m[i][j] for j in range(1, 4)]
+                 for i in range(4) if i != r]
+        term = f"{m[r][0]} * {_det3_expr(minor)}"
+        if not parts:
+            parts.append(term)
+        else:
+            parts.append(("- " if r % 2 else "+ ") + term)
+    return "(" + " ".join(parts) + ")"
+
+
+def _irls_h_name(i: int, j: int) -> str:
+    return f"h{min(i, j)}{max(i, j)}"
+
+
+#: Cramer's-rule expression strings for the 4×4 Newton solve, shared
+#: verbatim between the Python driver update and the DuckDB oracle:
+#: _IRLS_DET = det(H); _IRLS_DETJ[j] = det(H with column j replaced by
+#: the gradient). Names g0..g3 / h00..h33 resolve against the
+#: per-iteration sums (diagonals pre-ridged).
+_IRLS_DET = _det4_expr([[_irls_h_name(i, j) for j in range(4)]
+                        for i in range(4)])
+_IRLS_DETJ = [
+    _det4_expr([[f"g{i}" if j == col else _irls_h_name(i, j)
+                 for j in range(4)] for i in range(4)])
+    for col in range(4)
+]
+
+_IRLS_Z = ("(((b.c0 * f.x0 + b.c1 * f.x1) + b.c2 * f.x2) "
+           "+ b.c3 * f.x3)")
+_IRLS_MU = f"ROUND(1.0 / (1.0 + exp(-{_IRLS_Z})), 9)"
+
+
+def _logreg_irls_oracle_sql(iters: int = 8) -> str:
+    """Unrolled Newton/IRLS oracle — the _logreg_gd_oracle_sql
+    discipline extended with the 4×4 solve: per iteration one CTE of
+    14 decimal-exact sums (4 gradient + 10 upper-triangle Hessian
+    entries, sigmoid snapped to the 9-dp grid), one CTE casting them
+    to doubles with the 1e-9 ridge folded into the diagonal, and one
+    beta CTE whose updates are Cramer's-rule EXPRESSION TREES — the
+    exact strings the engine's driver eval()s, so both engines run the
+    identical IEEE operation sequence and walk the same 9-dp beta
+    grid. Log loss snaps each per-row term to the grid (ulp-level
+    ln/exp noise sits far below) and sums exactly."""
+    feat = """
+f AS MATERIALIZED (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         o_totalprice / 100000.0 AS x1,
+         (year(o_orderdate) - 1995) / 4.0 AS x2,
+         (o_custkey % 97) / 97.0 AS x3
+  FROM orders),
+b0 AS (SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1,
+              CAST(0.0 AS DOUBLE) AS c2, CAST(0.0 AS DOUBLE) AS c3)"""
+    its = []
+    for it in range(1, iters + 1):
+        p = it - 1
+        w = f"({_IRLS_MU} * (1.0 - {_IRLS_MU}))"
+        sums = [f"SUM(CAST((f.y - {_IRLS_MU}) * f.x{j} "
+                f"AS DECIMAL(28,9))) AS g{j}" for j in range(4)]
+        sums += [f"SUM(CAST(({w} * f.x{i}) * f.x{j} "
+                 f"AS DECIMAL(28,9))) AS h{i}{j}"
+                 for i in range(4) for j in range(4) if j >= i]
+        casts = [f"CAST(g{j} AS DOUBLE) AS g{j}" for j in range(4)]
+        casts += [f"CAST(h{i}{j} AS DOUBLE)"
+                  + (" + 1e-09" if i == j else "") + f" AS h{i}{j}"
+                  for i in range(4) for j in range(4) if j >= i]
+        upd = ", ".join(
+            f"ROUND(b.c{j} + {_IRLS_DETJ[j]} / {_IRLS_DET}, 9) AS c{j}"
+            for j in range(4))
+        its.append(f"""
+s{it} AS MATERIALIZED (
+  SELECT {', '.join(sums)}
+  FROM f CROSS JOIN b{p} b),
+m{it} AS (
+  SELECT {', '.join(casts)}
+  FROM s{it}),
+b{it} AS MATERIALIZED (
+  SELECT {upd}
+  FROM b{p} b CROSS JOIN m{it})""")
+    nll_term = (f"ROUND(-(f.y * ln({_IRLS_MU} + 1e-12) "
+                f"+ (1.0 - f.y) * ln(1.0 - {_IRLS_MU} + 1e-12)), 9)")
+    names = ["intercept", "price", "yr", "noise"]
+    finals = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS feature, ROUND(c{j}, 6) AS coef FROM b{iters}"
+        for j, name in enumerate(names))
+    return (f"WITH {feat},{','.join(its)},\n"
+            f"ll AS (SELECT SUM(CAST({nll_term} AS DECIMAL(28,9))) AS nll,"
+            f" COUNT(*) AS n FROM f CROSS JOIN b{iters} b)\n"
+            f"SELECT feature, coef FROM ({finals}\n"
+            f"UNION ALL SELECT '_log_loss' AS feature,"
+            f" ROUND(CAST(nll AS DOUBLE) / n, 6) AS coef FROM ll\n"
+            f"UNION ALL SELECT '_n' AS feature,"
+            f" CAST(n AS DOUBLE) AS coef FROM ll)\n"
+            f"ORDER BY feature")
+
+
+@register("ml_logreg_irls", oracle=_logreg_irls_oracle_sql(),
+          tags=("ml", "logreg", "iterative"))
 def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed logistic regression (operators/ml.py logistic_irls):
-    P(order is finalized | price, order year, noise) fit by 8 Newton
-    steps, each one whole-stage-codegen aggregation pass producing
-    decimal-exact gradient/Hessian sums (k + k² scalars — the only
-    thing that crosses the executor boundary) with the k×k solve on
-    the driver. Rows-only: an 8-step IRLS has no tractable ANSI-SQL
-    oracle; tests/test_operators.py pins the coefficients against a
-    NumPy IRLS reference to 1e-3 and the decimal accumulation makes
-    reruns bit-identical (determinism gate). Output: one row per
-    coefficient plus _log_loss and _n summary rows, rounded to 6 dp.
+    """Distributed logistic regression by Newton/IRLS — ORACLE-BACKED
+    (graduated in round 10; round 9's "no tractable ANSI-SQL oracle"
+    claim fell to the fixed-expression-tree trick): 8 Newton steps,
+    each ONE whole-stage-codegen aggregation pass producing k + k(k+1)/2
+    decimal-exact gradient/Hessian sums (sigmoid snapped to the 9-dp
+    grid — the ml_logreg discipline), with the 4×4 solve done by
+    CRAMER'S RULE as generated expression strings (_IRLS_DET /
+    _IRLS_DETJ) that the driver Python-eval()s and the oracle pastes
+    verbatim — one shared parse tree, so both engines execute the
+    identical IEEE operation sequence on identical inputs and the
+    betas walk the same grid through all 8 iterations. Output: one row
+    per coefficient plus _log_loss and _n summary rows, rounded to
+    6 dp — same schema and same answers (to the grid) as the previous
+    np.linalg.solve formulation.
 
-    On the synthetic fixture every feature is near-uninformative
-    (status is ~flat across years), so the fit lands near the
-    base-rate intercept with small feature weights — which is itself
-    the correct answer here; recovery of PLANTED structure is pinned
-    by the NumPy-reference test on generated data."""
-    from ..operators.ml import logistic_irls
-
+    The general-k API (operators/ml.py logistic_irls, NumPy solve)
+    remains the library face and keeps its NumPy-reference property
+    test; this registered 4-feature instance trades the generic solve
+    for cross-engine replayability. Scale shape unchanged: per
+    iteration one map-side-combinable scan, 14 scalars across the
+    executor boundary, O(k³)=O(1) driver math."""
     o = load_table(spark, sf_dir, "orders")
     feats = o.select(
         F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
-        .alias("label"),
-        F.lit(1.0).alias("intercept"),
-        (F.col("o_totalprice") / 100000.0).alias("price"),
-        ((F.year("o_orderdate") - F.lit(1995)) / 4.0).alias("yr"),
-        ((F.col("o_custkey") % 97) / 97.0).alias("noise"))
+        .alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("o_totalprice") / 100000.0).alias("x1"),
+        ((F.year("o_orderdate") - F.lit(1995)) / 4.0).alias("x2"),
+        ((F.col("o_custkey") % 97) / 97.0).alias("x3"))
+    beta = [0.0, 0.0, 0.0, 0.0]
+    ns = {"__builtins__": {}}
+    for _ in range(8):
+        z = (((F.lit(beta[0]) * F.col("x0")
+               + F.lit(beta[1]) * F.col("x1"))
+              + F.lit(beta[2]) * F.col("x2"))
+             + F.lit(beta[3]) * F.col("x3"))
+        mu = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        w = mu * (F.lit(1.0) - mu)
+        aggs = [F.sum(((F.col("y") - mu) * F.col(f"x{j}"))
+                      .cast("decimal(28,9)")).alias(f"g{j}")
+                for j in range(4)]
+        aggs += [F.sum(((w * F.col(f"x{i}")) * F.col(f"x{j}"))
+                       .cast("decimal(28,9)")).alias(f"h{i}{j}")
+                 for i in range(4) for j in range(4) if j >= i]
+        row = feats.agg(*aggs).first()   # 14 bounded scalars per step
+        if row["g0"] is None:
+            raise ValueError("ml_logreg_irls: empty input — nothing to fit")
+        vals = {f"g{j}": float(row[f"g{j}"]) for j in range(4)}
+        for i in range(4):
+            for j in range(i, 4):
+                v = float(row[f"h{i}{j}"])
+                vals[f"h{i}{j}"] = v + 1e-09 if i == j else v
+        det = eval(_IRLS_DET, ns, dict(vals))          # noqa: S307
+        beta = [_snap_half_up(beta[j]
+                              + eval(_IRLS_DETJ[j], ns, dict(vals)) / det)  # noqa: S307
+                for j in range(4)]
+    zf = (((F.lit(beta[0]) * F.col("x0")
+            + F.lit(beta[1]) * F.col("x1"))
+           + F.lit(beta[2]) * F.col("x2"))
+          + F.lit(beta[3]) * F.col("x3"))
+    muf = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zf)), 9)
+    term = F.round(
+        -(F.col("y") * F.log(muf + F.lit(1e-12))
+          + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - muf
+                                              + F.lit(1e-12))), 9)
+    stats = feats.agg(
+        F.sum(term.cast("decimal(28,9)")).alias("nll"),
+        F.count(F.lit(1)).alias("n")).first()
     names = ["intercept", "price", "yr", "noise"]
-    beta, loss, n = logistic_irls(feats, names, "label", iterations=8)
-    rows = [(name, round(float(b), 6)) for name, b in zip(names, beta)]
-    rows += [("_log_loss", round(loss, 6)), ("_n", float(n))]
-    return spark.createDataFrame(rows, "feature string, coef double")
+    rows = [(name, _snap_half_up(b, 6)) for name, b in zip(names, beta)]
+    rows += [("_log_loss",
+              _snap_half_up(float(stats["nll"]) / stats["n"], 6)),
+             ("_n", float(stats["n"]))]
+    return (spark.createDataFrame(rows, "feature string, coef double")
+            .orderBy("feature"))
 
 
 @register("sample_cluster_cap", oracle="""

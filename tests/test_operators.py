@@ -1537,6 +1537,37 @@ def test_dbscan_composition_roles_hand_computed(spark):
     assert 6 not in deg
 
 
+def test_irls_det_query_matches_operator_solve(spark):
+    """Round-10 graduation guard: the registered ml_logreg_irls (9-dp
+    grid + Cramer fixed-expression-tree solve, oracle-backed) must
+    agree with the library operator's np.linalg.solve fit to the 6-dp
+    output grid — cross-engine determinism must not have moved the
+    optimum."""
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.ml import logistic_irls
+    from integrator_spark.registry import get_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.feature: r.coef
+           for r in get_queries()["ml_logreg_irls"](spark, sf).collect()}
+    o = load_table(spark, sf, "orders")
+    feats = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+        .alias("label"),
+        F.lit(1.0).alias("intercept"),
+        (F.col("o_totalprice") / 100000.0).alias("price"),
+        ((F.year("o_orderdate") - F.lit(1995)) / 4.0).alias("yr"),
+        ((F.col("o_custkey") % 97) / 97.0).alias("noise"))
+    names = ["intercept", "price", "yr", "noise"]
+    beta, loss, n = logistic_irls(feats, names, "label", iterations=8)
+    for name, b in zip(names, beta):
+        assert abs(got[name] - float(b)) < 1e-5, (name, got[name], b)
+    assert abs(got["_log_loss"] - loss) < 1e-5
+    assert got["_n"] == float(n)
+
+
 def test_logistic_irls_matches_numpy_reference(spark):
     # The distributed IRLS must agree with a dense NumPy Newton solver
     # on the same data (1e-3 — the decimal-truncated accumulators and
