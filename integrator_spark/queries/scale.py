@@ -276,8 +276,8 @@ ORDER BY vec_id
     return _ivf_det_chain_sql(k, iters) + tail
 
 
-def _ivf_det_fit(e: DataFrame, k: int,
-                 iters: int) -> tuple[DataFrame, dict[int, list[int]]]:
+def _ivf_det_fit(e: DataFrame, k: int, iters: int,
+                 dim: int = 64) -> tuple[DataFrame, dict[int, list[int]]]:
     """Deterministic integer-grid Lloyd k-means shared by
     vec_ann_ivf_det and the dedup twin (queries/dedup.py): quantize
     the corpus to the floor(x·2²⁰) grid (checkpointed once), seed from
@@ -309,7 +309,7 @@ def _ivf_det_fit(e: DataFrame, k: int,
                 .collect())           # k x 64 ints — bounded, documented
         new: dict[int, list[int]] = {}
         for r in sums:
-            new.setdefault(r.bucket, [0] * 64)[r.j] = \
+            new.setdefault(r.bucket, [0] * dim)[r.j] = \
                 math.floor(r.s / r.cnt)
         cent.update(new)              # empty buckets keep old centroid
     return q, cent
@@ -387,6 +387,209 @@ def vec_ann_ivf_det(spark: SparkSession, sf_dir: str, k: int = 16,
             .filter(F.col("vec_id") != F.col("neighbor_id"))
             .select("vec_id", "neighbor_id").distinct())
     scored = _cosine_residual(cand, e, e, -1.0, "vec_id", "neighbor_id",
+                              "vec_id", "embedding")
+    w2 = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
+                                              "neighbor_id")
+    return (scored.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "neighbor_id",
+                    F.col("cos_sim").alias("approx_cos"))
+            .orderBy("vec_id"))
+
+
+def _pq_det_oracle_sql(m: int = 8, sub_dim: int = 8, k: int = 64,
+                       iters: int = 3, shortlist: int = 64) -> str:
+    """Unrolled-CTE oracle for the deterministic flat PQ: the det-IVF
+    chain generalized with a ``sub`` (subspace) grouping key — one
+    integer-grid Lloyd fit PER SUBSPACE in the same CTEs — followed by
+    the ADC scan: integer LUT dots, per-vector reconstruction norms,
+    the exhaustive compressed-domain top-``shortlist`` window, and the
+    exact-cosine RERANK of the shortlist (the standard
+    shortlist-then-rerank recipe — quantization only affects which
+    candidates reach the rerank). Everything before the rerank is
+    EXACT int64 arithmetic (plus the norm sqrt/division on
+    exactly-representable ints)."""
+    dim = m * sub_dim
+    its = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        its.append(f"""
+sim{i} AS MATERIALIZED (
+  SELECT c.vec_id, t.sub, t.bucket, SUM(c.val * t.val) AS dot
+  FROM comp c JOIN cent{p} t ON c.j = t.j AND c.sub = t.sub
+  GROUP BY 1, 2, 3),
+nrm{i} AS (SELECT sub, bucket, sqrt(CAST(SUM(val * val) AS DOUBLE)) AS nrm
+           FROM cent{p} GROUP BY 1, 2),
+asg{i} AS MATERIALIZED (
+  SELECT vec_id, sub, bucket FROM (
+    SELECT s.vec_id, s.sub, s.bucket,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY CASE WHEN n.nrm = 0
+                           THEN CAST('-infinity' AS DOUBLE)
+                           ELSE CAST(s.dot AS DOUBLE) / n.nrm
+                      END DESC, s.bucket) AS rn
+    FROM sim{i} s JOIN nrm{i} n ON s.sub = n.sub AND s.bucket = n.bucket)
+  WHERE rn = 1),
+new{i} AS (
+  SELECT a.sub, a.bucket, c.j,
+         CAST(floor(CAST(SUM(c.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+  FROM asg{i} a JOIN comp c ON a.vec_id = c.vec_id AND a.sub = c.sub
+  GROUP BY 1, 2, 3),
+cent{i} AS MATERIALIZED (
+  SELECT p.sub, p.bucket, p.j, COALESCE(n.val, p.val) AS val
+  FROM cent{p} p LEFT JOIN new{i} n
+    ON n.sub = p.sub AND n.bucket = p.bucket AND n.j = p.j)""")
+    return f"""
+WITH qv AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                             x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+       FROM embeddings),
+comp AS MATERIALIZED (
+  SELECT vec_id, j, q[j + 1] AS val, CAST(j // {sub_dim} AS INT) AS sub
+  FROM qv, unnest(range(0, {dim})) t(j)),
+seedids AS (SELECT vec_id,
+                   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) - 1 AS bucket
+            FROM embeddings),
+cent0 AS MATERIALIZED (
+  SELECT c.sub, s.bucket, c.j, c.val
+  FROM seedids s JOIN comp c ON c.vec_id = s.vec_id
+  WHERE s.bucket < {k}),{",".join(its)},
+fsim AS MATERIALIZED (
+  SELECT c.vec_id, t.sub, t.bucket, SUM(c.val * t.val) AS dot
+  FROM comp c JOIN cent{iters} t ON c.j = t.j AND c.sub = t.sub
+  GROUP BY 1, 2, 3),
+fnrm AS (SELECT sub, bucket, sqrt(CAST(SUM(val * val) AS DOUBLE)) AS nrm
+         FROM cent{iters} GROUP BY 1, 2),
+codes AS MATERIALIZED (
+  SELECT vec_id, sub, bucket FROM (
+    SELECT s.vec_id, s.sub, s.bucket,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY CASE WHEN n.nrm = 0
+                           THEN CAST('-infinity' AS DOUBLE)
+                           ELSE CAST(s.dot AS DOUBLE) / n.nrm
+                      END DESC, s.bucket) AS rn
+    FROM fsim s JOIN fnrm n ON s.sub = n.sub AND s.bucket = n.bucket)
+  WHERE rn = 1),
+cn2 AS (SELECT sub, bucket, SUM(val * val) AS n2
+        FROM cent{iters} GROUP BY 1, 2),
+xnorm AS (SELECT cd.vec_id, SUM(n2.n2) AS nrm2
+          FROM codes cd JOIN cn2 n2
+            ON cd.sub = n2.sub AND cd.bucket = n2.bucket
+          GROUP BY 1),
+score AS MATERIALIZED (
+  SELECT l.vec_id AS q_id, cd.vec_id AS x_id, SUM(l.dot) AS dot
+  FROM codes cd JOIN fsim l
+    ON l.sub = cd.sub AND l.bucket = cd.bucket
+  WHERE l.vec_id <> cd.vec_id
+  GROUP BY 1, 2),
+short AS MATERIALIZED (
+  SELECT q_id, x_id FROM (
+    SELECT s.q_id, s.x_id,
+           row_number() OVER (PARTITION BY s.q_id
+             ORDER BY CASE WHEN x.nrm2 = 0
+                           THEN CAST('-infinity' AS DOUBLE)
+                           ELSE CAST(s.dot AS DOUBLE)
+                                / sqrt(CAST(x.nrm2 AS DOUBLE))
+                      END DESC, s.x_id) AS rn
+    FROM score s JOIN xnorm x ON x.vec_id = s.x_id)
+  WHERE rn <= {shortlist}),
+rer AS (
+  SELECT t.q_id AS vec_id, t.x_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 6)
+           AS approx_cos
+  FROM short t
+  JOIN embeddings ea ON ea.vec_id = t.q_id
+  JOIN embeddings eb ON eb.vec_id = t.x_id)
+SELECT vec_id, neighbor_id, approx_cos
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id
+          ORDER BY approx_cos DESC, neighbor_id) AS rn
+      FROM rer)
+WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+@register("vec_ann_pq_det", oracle=_pq_det_oracle_sql(),
+          tags=("vector", "knn", "approx", "pq"))
+def vec_ann_pq_det(spark: SparkSession, sf_dir: str, m: int = 8,
+                   sub_dim: int = 8, k: int = 64, iters: int = 3,
+                   shortlist: int = 64) -> DataFrame:
+    """Flat product quantization with the WHOLE index oracle-backed —
+    the det-k-means template per subspace: dim-64 vectors split into
+    m=8 sub_dim-8 subspaces (the float twin vec_ann_pq's dials), each
+    fitted by the integer-grid md5-seeded Lloyd k-means
+    (_ivf_det_fit, k=64 codewords), codes =
+    per-subspace nearest codeword, and the ADC search is PURE INTEGER
+    arithmetic end to end — per-query LUT dots against the codebooks,
+    score(q, x) = Σ_sub lut[q, sub, code(x, sub)], ranked by
+    score/|x̂| (reconstruction-norm-corrected, sqrt/division on exact
+    ints) into a top-``shortlist`` window, then the shortlist alone is
+    rescored by EXACT cosine (the standard shortlist-then-rerank
+    recipe — quantization only affects which candidates reach the
+    rerank, measured as recall). DuckDB replays subspace training,
+    code assignment, LUTs, the exhaustive compressed-domain scan, AND
+    the rerank — hash-matched.
+
+    Flat PQ is BY DESIGN an exhaustive compressed-domain scan (every
+    query meets every code — 16 bytes/vector instead of 256): the
+    honest fixture-scale face of the family whose probe-bounded scale
+    path is vec_ann_ivfpq. The float/production faces (vec_ann_pq,
+    spark.ml k-means, byte-packed codes) stay registered; this twin
+    completes the det story across the quantized family (LSH, IVF,
+    semantic dedup, PQ). Recall pinned >= 0.9 in tests at these
+    dials."""
+    from functools import reduce
+
+    from ..operators.dedup import _cosine_residual
+
+    e = load_table(spark, sf_dir, "embeddings")
+    if e.isEmpty():
+        return spark.createDataFrame(
+            [], "vec_id long, neighbor_id long, approx_cos double")
+    codes, luts, cn2s = [], [], []
+    for s in range(m):
+        e_s = e.select("vec_id",
+                       F.slice("embedding", s * sub_dim + 1, sub_dim)
+                       .alias("embedding"))
+        q_s, cent = _ivf_det_fit(e_s, k=k, iters=iters, dim=sub_dim)
+        codes.append(_ivf_det_rank(q_s, cent)
+                     .filter(F.col("_rn") == 1)
+                     .select("vec_id", F.lit(s).alias("sub"), "bucket"))
+        rows = [(b, [int(v) for v in vals])
+                for b, vals in sorted(cent.items())]
+        cdf = spark.createDataFrame(rows, "bucket int, c array<long>")
+        dot = F.aggregate(F.zip_with("q", "c", lambda a, b: a * b),
+                          F.lit(0).cast("long"), lambda acc, x: acc + x)
+        luts.append(q_s.crossJoin(F.broadcast(cdf))
+                    .select("vec_id", F.lit(s).alias("sub"), "bucket",
+                            dot.alias("d")))
+        n2 = F.aggregate(F.transform("c", lambda x: x * x),
+                         F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cn2s.append(cdf.select(F.lit(s).alias("sub"), "bucket",
+                               n2.alias("n2")))
+    codes_df = reduce(lambda a, b: a.unionByName(b), codes)
+    lut_df = reduce(lambda a, b: a.unionByName(b), luts)
+    cn2_df = reduce(lambda a, b: a.unionByName(b), cn2s)
+    xnorm = (codes_df.join(cn2_df, ["sub", "bucket"])
+             .groupBy("vec_id").agg(F.sum("n2").alias("nrm2")))
+    score = (codes_df.withColumnRenamed("vec_id", "x_id")
+             .join(lut_df.withColumnRenamed("vec_id", "q_id"),
+                   ["sub", "bucket"])
+             .filter(F.col("q_id") != F.col("x_id"))
+             .groupBy("q_id", "x_id").agg(F.sum("d").alias("dot")))
+    val = (F.when(F.col("nrm2") == 0, F.lit(float("-inf")))
+           .otherwise(F.col("dot").cast("double")
+                      / F.sqrt(F.col("nrm2").cast("double"))))
+    w = Window.partitionBy("q_id").orderBy(val.desc(), "x_id")
+    short = (score.join(xnorm, score.x_id == xnorm.vec_id)
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= shortlist)
+             .select(F.col("q_id").alias("vec_id"),
+                     F.col("x_id").alias("neighbor_id")))
+    scored = _cosine_residual(short, e, e, -1.0, "vec_id", "neighbor_id",
                               "vec_id", "embedding")
     w2 = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
                                               "neighbor_id")
