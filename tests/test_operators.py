@@ -355,6 +355,25 @@ def test_ann_lsh_adaptive_dial_recall_and_determinism(spark):
     assert rerun == got, "adaptive dial is not deterministic"
 
 
+def test_ivfpq_det_recall_at_least_090(spark):
+    # The capstone det twin: the oracle-backed IVF-PQ (coarse det
+    # k-means + integer residual codebooks + probe-bounded ADC +
+    # rerank) must clear the family's recall@1 >= 0.9 bar at the float
+    # vec_ann_ivfpq dials (measured 0.98 at both fixtures).
+    from integrator_spark.registry import get_queries
+
+    qs = get_queries()
+    sf = "/root/testdata/sf0.001"
+    exact = {r.vec_id: r.cos_sim for r in qs["vec_knn"](spark, sf).collect()}
+    approx = {r.vec_id: r.approx_cos
+              for r in qs["vec_ann_ivfpq_det"](spark, sf).collect()}
+    assert len(exact) == 500
+    hits = sum(1 for vid, best in exact.items()
+               if approx.get(vid, -2.0) >= best - 1e-6)
+    recall = hits / len(exact)
+    assert recall >= 0.9, f"ivfpq_det recall {recall}"
+
+
 def test_pq_det_recall_at_least_090(spark):
     # The oracle-backed deterministic flat PQ must clear the same
     # recall@1 >= 0.9 bar as the float vec_ann_pq at the same
