@@ -67,6 +67,7 @@ CROSS_JOIN_ALLOWED = {
     "ml_naive_bayes",      # bounded n_classes-row grid broadcast to tf/docs
     "stats_theilsen",      # bounded |days|² day-pair grid + 1-row count frame
     "retrieval_rrf",       # 1-row query-vector frame broadcast to corpus
+    "retrieval_ndcg",      # same 1-row query-vector + 1-row idcg frames
 }
 
 #: Queries allowed to contain row-at-a-time Python eval (the surface

@@ -1115,7 +1115,7 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "pos"))
 
 
-_RRF_ORACLE = """
+_RRF_CTES = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 ), tf AS (
@@ -1156,7 +1156,9 @@ WITH tok AS (
   SELECT doc_id,
          row_number() OVER (ORDER BY cs DESC, doc_id) AS rank_sem
   FROM sem
-)
+)"""
+
+_RRF_ORACLE = _RRF_CTES + """
 SELECT s.doc_id,
        CAST(l.rank_lex AS BIGINT) AS rank_lex,
        CAST(s.rank_sem AS BIGINT) AS rank_sem,
@@ -1165,6 +1167,46 @@ SELECT s.doc_id,
 FROM semrank s LEFT JOIN lexrank l ON l.doc_id = s.doc_id
 ORDER BY rrf DESC, s.doc_id
 LIMIT 20
+"""
+
+_NDCG_ORACLE = _RRF_CTES.replace("WITH tok AS (", """WITH tok AS (""") + """,
+rrfrank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank_rrf
+  FROM (SELECT s.doc_id,
+               ROUND(COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+                     + 1.0 / (60 + s.rank_sem), 9) AS rrf
+        FROM semrank s LEFT JOIN lexrank l ON l.doc_id = s.doc_id)),
+grades AS (
+  SELECT doc_id,
+         CASE WHEN cs >= 0.5 THEN 3 WHEN cs >= 0.3 THEN 2
+              WHEN cs >= 0.15 THEN 1 ELSE 0 END AS rel
+  FROM sem),
+pos AS (
+  SELECT 'lex' AS ranking, r.rank_lex AS pos, g.rel
+  FROM lexrank r JOIN grades g USING (doc_id) WHERE r.rank_lex <= 10
+  UNION ALL
+  SELECT 'sem', r.rank_sem, g.rel
+  FROM semrank r JOIN grades g USING (doc_id) WHERE r.rank_sem <= 10
+  UNION ALL
+  SELECT 'rrf', r.rank_rrf, g.rel
+  FROM rrfrank r JOIN grades g USING (doc_id) WHERE r.rank_rrf <= 10),
+dcg AS (
+  SELECT ranking,
+         CAST(SUM(CAST(ROUND((POWER(2, rel) - 1) / log2(pos + 1), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS dcg
+  FROM pos GROUP BY ranking),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+  FROM grades QUALIFY pos <= 10),
+idcg AS (
+  SELECT CAST(SUM(CAST(ROUND((POWER(2, rel) - 1) / log2(pos + 1), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS idcg
+  FROM ideal)
+SELECT d.ranking, ROUND(d.dcg, 6) AS dcg, ROUND(i.idcg, 6) AS idcg,
+       ROUND(d.dcg / i.idcg, 6) AS ndcg
+FROM dcg d CROSS JOIN idcg i
+ORDER BY ranking
 """
 
 
@@ -1189,6 +1231,22 @@ def retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical list is term-posting-bounded, and a production semantic
     leg is the ANN top-k, so the global windows here rank bounded
     inputs. Fusion is one outer join on doc_id."""
+    lexrank, semrank, _sem = _retrieval_leg_ranks(spark, sf_dir)
+    fused = (semrank.join(lexrank, "doc_id", "left")
+             .select("doc_id", "rank_lex", "rank_sem",
+                     F.round(F.coalesce(F.lit(1.0)
+                                        / (60 + F.col("rank_lex")),
+                                        F.lit(0.0))
+                             + F.lit(1.0) / (60 + F.col("rank_sem")), 9)
+                     .alias("rrf")))
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+def _retrieval_leg_ranks(spark: SparkSession, sf_dir: str):
+    """The two retrieval legs shared by retrieval_rrf and
+    retrieval_ndcg: (lexrank, semrank, sem) — BM25 ranking over the
+    fixed 3-term query, cosine ranking to the fixed query vector, and
+    the raw 6-dp cosine frame (the relevance source for nDCG)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1235,12 +1293,68 @@ def retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_sem = Window.orderBy(F.col("cs").desc(), "doc_id")
     semrank = sem.select(
         "doc_id", F.row_number().over(w_sem).cast("long").alias("rank_sem"))
+    return lexrank, semrank, sem
 
-    fused = (semrank.join(lexrank, "doc_id", "left")
-             .select("doc_id", "rank_lex", "rank_sem",
-                     F.round(F.coalesce(F.lit(1.0)
-                                        / (60 + F.col("rank_lex")),
-                                        F.lit(0.0))
-                             + F.lit(1.0) / (60 + F.col("rank_sem")), 9)
-                     .alias("rrf")))
-    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+@register("retrieval_ndcg", oracle=_NDCG_ORACLE,
+          tags=("text", "ranking", "vector", "quality"))
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of all three retrieval rankings (BM25 leg, semantic
+    leg, RRF fusion) under graded relevance — the evaluation number a
+    search/retrieval deployment reports before a ranking change ships,
+    completing the retrieval story retrieval_rrf started. Relevance
+    grades derive from the exact query-cosine (3/2/1/0 at >= 0.5 /
+    0.3 / 0.15 buckets), so the semantic leg scores ~1 by construction
+    and the interesting numbers are the LEXICAL leg's agreement with
+    the semantic signal and how much fusion recovers — on real data
+    the grades would come from human judgments through the same
+    pipeline shape.
+
+    Oracle-exact floats: each DCG term (2^rel − 1)/log2(pos + 1)
+    snaps to the 9-dp grid (ulp-level log2 noise sits far below) and
+    sums exactly as DECIMAL(28,9); nDCG = dcg/idcg rounded at 6 dp.
+    Ideal ordering ties break on doc_id. Output: (ranking, dcg, idcg,
+    ndcg), one row per ranking."""
+    from pyspark.sql import Window
+
+    lexrank, semrank, sem = _retrieval_leg_ranks(spark, sf_dir)
+    rrf = (semrank.join(lexrank, "doc_id", "left")
+           .select("doc_id",
+                   F.round(F.coalesce(F.lit(1.0) / (60 + F.col("rank_lex")),
+                                      F.lit(0.0))
+                           + F.lit(1.0) / (60 + F.col("rank_sem")), 9)
+                   .alias("rrf")))
+    w_rrf = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    rrfrank = rrf.select(
+        "doc_id", F.row_number().over(w_rrf).cast("long").alias("rank_rrf"))
+    grades = sem.select(
+        "doc_id",
+        F.when(F.col("cs") >= 0.5, 3).when(F.col("cs") >= 0.3, 2)
+        .when(F.col("cs") >= 0.15, 1).otherwise(0).alias("rel"))
+
+    def dcg_term(pos_col):
+        return F.round((F.pow(F.lit(2), F.col("rel")) - F.lit(1.0))
+                       / F.log2(pos_col + F.lit(1)), 9) \
+            .cast("decimal(28,9)")
+
+    legs = [("lex", lexrank, "rank_lex"), ("sem", semrank, "rank_sem"),
+            ("rrf", rrfrank, "rank_rrf")]
+    pos = None
+    for name, ranks, col in legs:
+        part = (ranks.filter(F.col(col) <= 10)
+                .join(grades, "doc_id")
+                .select(F.lit(name).alias("ranking"),
+                        F.col(col).alias("pos"), "rel"))
+        pos = part if pos is None else pos.unionByName(part)
+    dcg = (pos.groupBy("ranking")
+           .agg(F.sum(dcg_term(F.col("pos"))).cast("double").alias("dcg")))
+    w_ideal = Window.orderBy(F.col("rel").desc(), "doc_id")
+    ideal = (grades.withColumn("pos", F.row_number().over(w_ideal))
+             .filter(F.col("pos") <= 10))
+    idcg = (ideal.agg(F.sum(dcg_term(F.col("pos"))).cast("double")
+                      .alias("idcg")))
+    return (dcg.crossJoin(F.broadcast(idcg))
+            .select("ranking", F.round("dcg", 6).alias("dcg"),
+                    F.round("idcg", 6).alias("idcg"),
+                    F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"))
+            .orderBy("ranking"))

@@ -355,6 +355,22 @@ def test_ann_lsh_adaptive_dial_recall_and_determinism(spark):
     assert rerun == got, "adaptive dial is not deterministic"
 
 
+def test_retrieval_ndcg_structure(spark):
+    """nDCG@10 invariants: the semantic leg scores exactly 1.0 (its
+    ranking IS the grade source — by construction), fusion sits
+    between the legs, every dcg <= idcg, and all values in [0, 1]."""
+    from integrator_spark.registry import get_queries
+
+    rows = {r.ranking: r for r in
+            get_queries()["retrieval_ndcg"](
+                spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"lex", "sem", "rrf"}
+    assert rows["sem"].ndcg == 1.0
+    for r in rows.values():
+        assert 0.0 <= r.ndcg <= 1.0 and r.dcg <= r.idcg
+    assert rows["lex"].ndcg <= rows["rrf"].ndcg <= rows["sem"].ndcg
+
+
 def test_ivfpq_det_recall_at_least_090(spark):
     # The capstone det twin: the oracle-backed IVF-PQ (coarse det
     # k-means + integer residual codebooks + probe-bounded ADC +
