@@ -33,6 +33,11 @@ FAMILY_REPS = [
     "ml_naive_bayes",
     # round-9 additions/graduations
     "text_bpe_tokenize", "vec_ann_lsh", "ml_logreg", "retrieval_rrf",
+    # round-10 additions/graduations (the det-quantized family's plans
+    # are the evidence that the oracle twins keep the scale shapes:
+    # broadcast codebooks, probe-bounded scans, no corpus cartesian)
+    "vec_ann_ivf_det", "vec_ann_ivfpq_det", "dedup_semantic_ivf_det",
+    "graph_label_prop", "corpus_pack_manifest", "retrieval_ndcg",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
