@@ -856,10 +856,14 @@ def vec_ann_ivfpq_det(spark: SparkSession, sf_dir: str,
                       F.zip_with("q", "carr", lambda a, b: a - b)
                       .alias("rq"))
               .localCheckpoint(eager=True))
+    # Checkpoint: the 8 subspace fits each run iters x 2 jobs over
+    # this frame — without truncation every one would re-derive the
+    # coarse rank window from scratch.
     r1 = (crk.filter(F.col("_rn") == 1)
           .select("vec_id", F.col("bucket").alias("cell"))
           .join(rq_all, ["vec_id", "cell"])
-          .select("vec_id", F.col("rq").alias("q")))
+          .select("vec_id", F.col("rq").alias("q"))
+          .localCheckpoint(eager=True))
     rcents = [
         _ivf_det_fit_q(
             r1.select("vec_id",
