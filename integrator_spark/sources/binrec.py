@@ -62,61 +62,65 @@ class BinRecStreamReader(DataSourceStreamReader):
     re-reads exactly the same bytes — the idempotent-offset contract
     Kafka's (topic, partition, offset) triples implement, in one
     integer. ``shardsPerTrigger`` rate-limits how far ``latestOffset``
-    advances per call, which is the documented way a Python streaming
-    source bounds micro-batch size (the engine drains repeated
-    latestOffset calls until it stops moving under availableNow).
+    advances per call, which is how a Python streaming source bounds
+    micro-batch size under a processingTime trigger (availableNow
+    snapshots ONE latestOffset as the run's terminal offset — measured
+    2 of 6 shards — so rate-limited drains use a processingTime loop;
+    see streaming/jobs.py::stream_custom_source).
 
     New shards appended later (names sort AFTER consumed ones — the
     staging uses uuid names, so production would use monotonic names)
-    are picked up by subsequent triggers; `commit` is a no-op because
-    shards are immutable and progress lives in the checkpoint."""
+    are picked up by subsequent triggers; `commit` persists the
+    committed floor to the optional ``progressFile`` (shards
+    themselves are immutable; batch progress lives in the
+    checkpoint)."""
 
     def __init__(self, options):
         self.dir = options["path"]
         self.per_trigger = int(options.get("shardsPerTrigger", 0) or 0)
-        # Rate-limit base. MUST be derived from engine-supplied offsets
-        # (initialOffset on a FRESH query, partitions()/commit() on a
-        # replay), never trusted as a fresh in-memory counter: after a
-        # checkpoint restart this instance is new, and a base of 0
-        # would let latestOffset return an offset BEHIND the committed
-        # start — offsets moving backwards breaks the microbatch
-        # planner's monotonicity contract.
+        # Rate-limit base. The engine calls latestOffset() BEFORE
+        # initialOffset() on a fresh query and before any
+        # partitions()/commit() replay on a clean restart (measured,
+        # pyspark 4.1.2 — there is no admission-control signature that
+        # would hand the start offset in) — so the base cannot wait
+        # for an engine-supplied offset, and capping from a fresh
+        # in-memory 0 after a clean restart returns an offset BEHIND
+        # the committed start: the backwards end is logged, becomes
+        # the next batch's start, and already-processed shards are
+        # re-read (duplicate rows — round-10 advisor finding). The
+        # durable fix: the optional ``progressFile`` persists the
+        # committed floor across reader instances (commit() rewrites
+        # it atomically); colocate it with the stream's own lifecycle
+        # as the registered stream does. Without the option a FRESH
+        # query is still correctly capped from 0 — only
+        # checkpoint-restarts of rate-limited streams need the file.
+        self._progress = options.get("progressFile")
         self._last = 0
-        # Whether the base is KNOWN. The engine only replays pending
-        # batches through partitions() when the last batch was
-        # UNcommitted; after a clean restart (last batch committed) the
-        # first call on the fresh reader is latestOffset() directly —
-        # rate-limiting from the untrusted _last=0 base there would
-        # return an offset behind the committed start, and the
-        # backwards end becomes the next batch's start (duplicate
-        # rows). Until the base is established by an engine-supplied
-        # offset, latestOffset returns the FULL shard count (a correct
-        # upper bound from any start); the per_trigger cap resumes once
-        # primed. initialOffset() primes too: the engine calls it only
-        # for a brand-new query, where base 0 is genuine.
-        self._primed = False
+        if self._progress:
+            try:
+                with open(self._progress) as fh:
+                    self._last = max(0, int(fh.read().strip() or 0))
+            except (OSError, ValueError):
+                self._last = 0   # absent/corrupt file → fresh base
 
     def _shards(self) -> list[str]:
         return sorted(f for f in os.listdir(self.dir)
                       if f.endswith(".bin"))
 
     def initialOffset(self) -> dict:
-        self._primed = True
         return {"shard": 0}
 
     def latestOffset(self) -> dict:
         n = len(self._shards())
-        if self.per_trigger > 0 and self._primed:
+        if self.per_trigger > 0:
             n = min(n, self._last + self.per_trigger)
         self._last = max(self._last, n)
         return {"shard": n}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         # Engine-supplied offsets — fold both ends into the rate-limit
-        # base so it can never lag the checkpoint, and mark the base
-        # known so latestOffset may rate-limit from it.
+        # base so it can never lag the checkpoint on a replay.
         self._last = max(self._last, start["shard"], end["shard"])
-        self._primed = True
         shards = self._shards()
         return [BinRecPartition(os.path.join(self.dir, f))
                 for f in shards[start["shard"]:end["shard"]]]
@@ -131,10 +135,17 @@ class BinRecStreamReader(DataSourceStreamReader):
             yield struct.unpack_from(RECORD_FMT, data, off)
 
     def commit(self, end: dict) -> None:
-        # Shards are immutable so there is nothing to clean up, but the
-        # committed end is another floor for the rate-limit base.
+        # Shards are immutable so there is nothing to clean up; the
+        # committed end is the durable floor for the rate-limit base.
         self._last = max(self._last, end["shard"])
-        self._primed = True
+        if self._progress:
+            tmp = self._progress + ".tmp"
+            try:
+                with open(tmp, "w") as fh:
+                    fh.write(str(self._last))
+                os.replace(tmp, self._progress)
+            except OSError:
+                pass   # progress persistence is best-effort
 
 
 class BinRecDataSource(DataSource):

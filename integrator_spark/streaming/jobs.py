@@ -1627,9 +1627,18 @@ def stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = derived_dir(sf_dir, "binrec_events_stream", f"pid{os.getpid()}")
     binrec.stage_binrec(e.repartition(6), out)
     binrec.register(spark)
+    # Durable rate-limit base (sources/binrec.py): a RESTARTED reader
+    # caps from the committed floor instead of 0. Lifecycle matches
+    # the checkpoint exactly — this run wipes its checkpoint below, so
+    # the progress file resets with it (a leftover floor from a prior
+    # run would defeat rate-limiting for a fresh query).
+    progress = os.path.join(out, "_progress")
+    if os.path.exists(progress):
+        os.remove(progress)
     raw = (spark.readStream.format("binrec")
            .option("path", out)
            .option("shardsPerTrigger", "2")
+           .option("progressFile", progress)
            .load())
     agg = (raw.groupBy((F.col("user_id") % 8).cast("long").alias("bucket"))
            .agg(F.count(F.lit(1)).alias("n_events"),

@@ -302,41 +302,50 @@ def test_stateful_streams_identical_under_rocksdb(spark):
     assert spark.conf.get(key) == old
 
 
-def test_binrec_clean_restart_uncapped_until_primed(tmp_path):
-    """Round-10 ADVICE (medium): after a CLEAN restart (last batch
-    committed) MicroBatchExecution does NOT replay partitions()/
-    commit() — the first call on the fresh reader is latestOffset()
-    directly. Rate-limiting from the untrusted _last=0 base would
-    return an offset BEHIND the committed start (e.g. cap 2 < start 4),
-    the backwards end becomes the next batch's start, and
-    already-processed shards are re-read (duplicate rows). Until an
-    engine-supplied offset primes the base, latestOffset must return
-    the full shard count; the cap resumes once primed."""
+def test_binrec_clean_restart_progress_file(tmp_path):
+    """Round-10 ADVICE (medium): after a CLEAN restart the engine's
+    first call on the fresh reader is latestOffset() directly
+    (measured: it even precedes initialOffset on brand-new queries),
+    so an in-memory base of 0 would return an offset BEHIND the
+    committed start — the backwards end gets logged and
+    already-processed shards are re-read. The durable fix: commit()
+    persists the floor to the optional progressFile and a fresh
+    reader caps from it — never backwards, still rate-limited."""
+    import os
+
     from integrator_spark.sources.binrec import BinRecStreamReader
 
     d = tmp_path / "shards"
     d.mkdir()
     for i in range(9):
         (d / f"s{i}.bin").write_bytes(b"")
+    pf = str(tmp_path / "progress")
 
-    # Clean restart: committed offset in the checkpoint is 4, engine
-    # never calls initialOffset/partitions/commit before latestOffset.
-    fresh = BinRecStreamReader({"path": str(d), "shardsPerTrigger": "2"})
+    # First query run: drains rate-limited, commits up to 4.
+    r = BinRecStreamReader({"path": str(d), "shardsPerTrigger": "2",
+                            "progressFile": pf})
+    assert r.initialOffset() == {"shard": 0}
+    assert r.latestOffset() == {"shard": 2}
+    assert r.latestOffset() == {"shard": 4}
+    r.commit({"shard": 4})
+    assert os.path.exists(pf)
+
+    # Clean restart: FRESH instance, engine calls latestOffset first.
+    fresh = BinRecStreamReader({"path": str(d), "shardsPerTrigger": "2",
+                                "progressFile": pf})
     got = fresh.latestOffset()
     assert got["shard"] >= 4, \
         f"latestOffset {got} behind the committed start 4 — duplicates"
-    assert got == {"shard": 9}   # full count: base unknown, no cap
-    # Once the engine supplies the batch range, the cap resumes.
-    fresh.partitions({"shard": 4}, {"shard": 9})
-    for i in range(3):
-        (d / f"t{i}.bin").write_bytes(b"")
-    assert fresh.latestOffset() == {"shard": 11}   # 9 + cap 2, not 12
+    assert got == {"shard": 6}   # capped FROM the committed floor
 
-    # A brand-new query (initialOffset called first) is still
-    # rate-limited from shard 0 — the base 0 is genuine there.
-    new = BinRecStreamReader({"path": str(d), "shardsPerTrigger": "2"})
-    assert new.initialOffset() == {"shard": 0}
-    assert new.latestOffset() == {"shard": 2}
+    # Without the file a fresh query still caps correctly from 0.
+    bare = BinRecStreamReader({"path": str(d), "shardsPerTrigger": "2"})
+    assert bare.latestOffset() == {"shard": 2}
+    # A corrupt progress file degrades to base 0, never crashes.
+    (tmp_path / "bad").write_text("not-a-number")
+    corrupt = BinRecStreamReader({"path": str(d), "shardsPerTrigger": "2",
+                                  "progressFile": str(tmp_path / "bad")})
+    assert corrupt.latestOffset() == {"shard": 2}
 
 
 def test_semdedup_compaction_crash_recovery(spark, tmp_path):
