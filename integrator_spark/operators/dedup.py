@@ -625,6 +625,50 @@ def signlsh_planes(dim: int, n_planes: int) -> np.ndarray:
     return coef
 
 
+def hamming_signatures(emb: DataFrame, dim: int = 64, n_bits: int = 48,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """(id, sig) rows — ONE packed ``n_bits``-bit sign signature per
+    vector (bit p set iff the exact int-grid projection onto md5-parity
+    hyperplane p is >= 0). Same deterministic plane matrix and
+    floor(x*2^20) quantization as :func:`signlsh_buckets`, but packed
+    into a single BIGINT instead of banded buckets: the binary-sketch
+    memory form — 6 bytes/vector at 48 bits, so a 1B-vector corpus is
+    a ~6 GB signature table that broadcasts where the float vectors
+    (256 GB at dim-64 fp32) never could. Hamming distance between
+    signatures is then one XOR + popcount per pair, both engine-native
+    (Spark ``bit_count``/``^``, DuckDB ``bit_count(xor(..))``), which
+    is what makes the whole route oracle-replayable end to end.
+
+    ``n_bits`` is capped at 62 so ``1 << p`` stays positive in signed
+    int64 across both engines. One Arrow matmul pass, no shuffle."""
+    if not 1 <= n_bits <= 62:
+        raise ValueError(f"hamming_signatures: n_bits {n_bits} not in [1, 62]")
+    coef = signlsh_planes(dim, n_bits)
+    bc = emb.sparkSession.sparkContext.broadcast(coef)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = bc.value
+        weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if v.shape[1] != planes.shape[1]:
+                raise ValueError(
+                    f"hamming_signatures: dim mismatch {v.shape[1]} != "
+                    f"{planes.shape[1]}")
+            q = np.floor(v * float(1 << 20)).astype(np.int64)
+            bits = (q @ planes.T >= 0).astype(np.int64)  # [n, n_bits]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "sig": (bits * weights).sum(axis=1),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        pack, f"{id_col} long, sig long")
+
+
 def signlsh_buckets(emb: DataFrame, dim: int,
                     bits_per_band: int | None = None,
                     n_bands: int = 12, id_col: str = "vec_id",

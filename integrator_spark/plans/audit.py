@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 CROSS_JOIN_ALLOWED = {
     "join_cross",          # explicit Cartesian demo on bounded dims
     "vec_knn_bruteforce",  # O(n²) reference plan kept for comparison
+    "vec_hamming_topk",    # intended popcount scan over broadcast 8-byte sigs
     "dedup_embedding",     # broadcast-matmul pair scan
     "vec_ann_ivf",         # bounded k=16 centroid-probe broadcast
     "vec_ann_ivf_det",     # same bounded k=16 centroid broadcast (det twin)

@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     tpch2,
     udfs,
     vectors,
+    vectors2,
     windows,
 )
 from ..streaming import jobs  # noqa: F401

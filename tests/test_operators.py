@@ -2051,3 +2051,78 @@ def test_snap_half_up_matches_sql_round():
     assert round(0.0000000015, 9) == 1e-9   # the bug being guarded
     assert _snap_half_up(-0.0000000015) == -2e-9
     assert round(-0.0000000015, 9) == -1e-9
+
+
+def test_hamming_signatures_deterministic_bounded(spark):
+    """hamming_signatures packs exactly n_bits sign bits: every
+    signature sits in [0, 2^48), a rerun is bit-identical (md5 planes
+    + exact int-grid projections — no float in the sign decision),
+    and out-of-range n_bits (>= 63 would overflow signed int64 in
+    either engine) is rejected."""
+    import pytest as _pytest
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import hamming_signatures
+
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings").limit(64)
+    a = {r["vec_id"]: r["sig"]
+         for r in hamming_signatures(e).collect()}
+    b = {r["vec_id"]: r["sig"]
+         for r in hamming_signatures(e).collect()}
+    assert a == b and len(a) == 64
+    assert all(0 <= s < (1 << 48) for s in a.values())
+    with _pytest.raises(ValueError, match="n_bits"):
+        hamming_signatures(e, n_bits=63)
+
+
+def test_hamming_mih_pigeonhole_property():
+    """The MIH completeness guarantee is pure pigeonhole: flipping at
+    most r=11 bits of a 48-bit code cannot change all 12 of its 4-bit
+    chunks. Fuzz it directly on random codes and random <=r flips —
+    this is the invariant that makes vec_hamming_mih EXACT (candidate
+    superset of the radius ball), independent of any corpus."""
+    import random
+
+    rng = random.Random(48)
+    for _ in range(500):
+        sig = rng.getrandbits(48)
+        n_flips = rng.randint(0, 11)
+        flipped = sig
+        for p in rng.sample(range(48), n_flips):
+            flipped ^= 1 << p
+        shared = any(((sig >> (4 * c)) & 15) == ((flipped >> (4 * c)) & 15)
+                     for c in range(12))
+        assert shared, (hex(sig), hex(flipped), n_flips)
+
+
+def test_hamming_mih_equals_brute_radius(spark):
+    """vec_hamming_mih is exact: its pair set equals the brute-force
+    n^2 popcount filter at the same radius — set equality, not recall.
+    (The one place an ANN-family query gets an equality gate instead
+    of a recall pin; the index is complete by construction.)"""
+    import pyspark.sql.functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import hamming_signatures
+    from integrator_spark.queries.vectors2 import (_RADIUS,
+                                                   vec_hamming_mih)
+
+    from .conftest import TEST_SF_DIR
+
+    mih = {(r["vec_id"], r["neighbor_id"], r["hamming"])
+           for r in vec_hamming_mih(spark, TEST_SF_DIR).collect()}
+    sig = hamming_signatures(load_table(spark, TEST_SF_DIR, "embeddings"))
+    b = sig.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("sig").alias("_sb"))
+    brute = {(r["vec_id"], r["neighbor_id"], r["hamming"])
+             for r in (sig.join(b, F.col("vec_id") < F.col("neighbor_id"))
+                       .withColumn("hamming",
+                                   F.bit_count(F.col("sig")
+                                               .bitwiseXOR(F.col("_sb")))
+                                   .cast("int"))
+                       .filter(F.col("hamming") <= _RADIUS)
+                       .select("vec_id", "neighbor_id", "hamming")
+                       .collect())}
+    assert mih == brute and len(mih) > 0
