@@ -41,6 +41,7 @@ CROSS_JOIN_ALLOWED = {
     "events_interpolate",  # bounded grid × event-type expansion
     "etl_fuzzy_match",     # bounded |variants| × |code list| scoring
     "ml_quantile_bins",    # 1-row min/max bounds frame broadcast to fact
+    "ml_tree_stump",       # 1-row class-totals frame broadcast to bin hist
     "text_bm25",           # 1-row corpus-stats frame broadcast to tf matrix
     "vec_ann_graph_search",  # bounded 16-row entry-point set × queries
     "q22_global_sales_opportunity",  # 1-row global-avg frame broadcast

@@ -926,3 +926,209 @@ def ml_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n_rows", "n_missing",
                     F.col("med").alias("imputed_with"), "sum_imputed")
             .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Ridge regression, closed form (round 10, second wave): the normal
+# equations (X'X + lambda*I_noint) beta = X'y solved by the SAME
+# Cramer's-rule expression-tree discipline as ml_logreg_irls — but
+# with NO iterations at all: one whole-stage-codegen aggregation pass
+# produces the 9 decimal-exact sufficient statistics, and the 3x3
+# solve is O(1) on the driver. The cheapest possible distributed
+# linear model: at 100 TB the entire fit is one map-side-combinable
+# scan, shuffling exactly nine scalars.
+
+_RIDGE_LAMBDA = 100.0
+
+#: 3x3 Gram matrix entry names (intercept, qty, disc), ridge folded
+#: into the non-intercept diagonal only — the standard "don't
+#: penalize the intercept" form.
+_RIDGE_A = [["nn", "s1", "s2"],
+            ["s1", f"(s11 + {_RIDGE_LAMBDA!r})", "s12"],
+            ["s2", "s12", f"(s22 + {_RIDGE_LAMBDA!r})"]]
+_RIDGE_B = ["sy", "s1y", "s2y"]
+_RIDGE_DET = _det3_expr(_RIDGE_A)
+_RIDGE_DETJ = [
+    _det3_expr([[_RIDGE_B[i] if j == col else _RIDGE_A[i][j]
+                 for j in range(3)] for i in range(3)])
+    for col in range(3)
+]
+
+
+def _ridge_oracle_sql() -> str:
+    """One CTE of decimal-exact sufficient statistics (per-row double
+    products cast to DECIMAL(28,9) — the ml_logreg grid discipline,
+    bit-identical across engines regardless of partial-agg order),
+    one CTE casting to doubles, then the THREE Cramer expression
+    trees pasted verbatim — the same strings the engine's driver
+    Python-eval()s, so both engines run the identical IEEE sequence."""
+    dets = ",\n       ".join(
+        f"ROUND({_RIDGE_DETJ[j]} / {_RIDGE_DET}, 9) AS b{j}"
+        for j in range(3))
+    return f"""
+WITH f AS (SELECT l_extendedprice / 100000.0 AS y,
+                  l_quantity / 50.0 AS x1,
+                  l_discount * 10.0 AS x2
+           FROM lineitem),
+sums AS (SELECT CAST(COUNT(*) AS DECIMAL(28,9)) AS nn,
+                SUM(CAST(x1 AS DECIMAL(28,9))) AS s1,
+                SUM(CAST(x2 AS DECIMAL(28,9))) AS s2,
+                SUM(CAST(y  AS DECIMAL(28,9))) AS sy,
+                SUM(CAST(x1 * x1 AS DECIMAL(28,9))) AS s11,
+                SUM(CAST(x1 * x2 AS DECIMAL(28,9))) AS s12,
+                SUM(CAST(x2 * x2 AS DECIMAL(28,9))) AS s22,
+                SUM(CAST(x1 * y  AS DECIMAL(28,9))) AS s1y,
+                SUM(CAST(x2 * y  AS DECIMAL(28,9))) AS s2y
+         FROM f),
+d AS (SELECT CAST(nn AS DOUBLE) AS nn, CAST(s1 AS DOUBLE) AS s1,
+             CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+             CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+             CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y,
+             CAST(s2y AS DOUBLE) AS s2y
+      FROM sums),
+beta AS (SELECT {dets} FROM d)
+SELECT feature, coef
+FROM (SELECT 'intercept' AS feature, b0 AS coef FROM beta
+      UNION ALL SELECT 'qty', b1 FROM beta
+      UNION ALL SELECT 'disc', b2 FROM beta)
+ORDER BY feature
+"""
+
+
+@register("ml_ridge", oracle=_ridge_oracle_sql(), tags=("ml", "regression"))
+def ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (price ~ quantity + discount,
+    lambda=100 on the non-intercept diagonal) — ORACLE-BACKED: one
+    aggregation pass computes the nine sufficient statistics as
+    decimal-exact sums of per-row IEEE double products (the ml_logreg
+    grid discipline), and the 3x3 normal-equation solve runs Cramer
+    expression trees shared VERBATIM with the oracle SQL (_RIDGE_DET /
+    _RIDGE_DETJ — eval'd here, pasted there), so the division sequence
+    is bit-identical across engines before the final 9-dp snap.
+
+    Scale shape: the fit IS the aggregate — no iteration, no shuffle
+    beyond nine scalars, map-side combinable, whole-stage codegen end
+    to end. tests/test_analytics.py pins the solve against a NumPy
+    float64 normal-equation solve to 1e-6 and asserts the ridge
+    shrinks the penalized coefficients vs the lambda=0 OLS solution
+    (the fixture's price is independent of quantity by construction,
+    so the slopes are near-zero noise — the algebra, not the
+    economics, is what's pinned)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select((F.col("l_extendedprice") / 100000.0).alias("y"),
+                  (F.col("l_quantity") / 50.0).alias("x1"),
+                  (F.col("l_discount") * 10.0).alias("x2"))
+    s = f.agg(
+        F.count(F.lit(1)).cast("decimal(28,9)").alias("nn"),
+        F.sum(F.col("x1").cast("decimal(28,9)")).alias("s1"),
+        F.sum(F.col("x2").cast("decimal(28,9)")).alias("s2"),
+        F.sum(F.col("y").cast("decimal(28,9)")).alias("sy"),
+        F.sum((F.col("x1") * F.col("x1")).cast("decimal(28,9)")).alias("s11"),
+        F.sum((F.col("x1") * F.col("x2")).cast("decimal(28,9)")).alias("s12"),
+        F.sum((F.col("x2") * F.col("x2")).cast("decimal(28,9)")).alias("s22"),
+        F.sum((F.col("x1") * F.col("y")).cast("decimal(28,9)")).alias("s1y"),
+        F.sum((F.col("x2") * F.col("y")).cast("decimal(28,9)")).alias("s2y"),
+    ).first()
+    if s["nn"] is None or int(s["nn"]) == 0:
+        raise ValueError("ml_ridge: empty input — nothing to fit")
+    env = {k: float(s[k]) for k in
+           ("nn", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")}
+    det = eval(_RIDGE_DET, {"__builtins__": {}}, env)  # noqa: S307
+    beta = [_snap_half_up(eval(dj, {"__builtins__": {}}, env) / det)  # noqa: S307
+            for dj in _RIDGE_DETJ]
+    rows = list(zip(["intercept", "qty", "disc"], beta))
+    return (spark.createDataFrame(rows, "feature string, coef double")
+            .orderBy("feature"))
+
+
+_STUMP_BIN = 2000.0  # fixed-width price bins — candidate thresholds
+
+#: Weighted-Gini expression over exact integer counts (shared Spark /
+#: DuckDB shape): every name is an exact int64 (< 2^53, so its double
+#: image is exact), each division is ONE IEEE op on identical
+#: operands, and the association is pinned by parentheses — both
+#: engines walk the same float sequence into the 9-dp round.
+_STUMP_GINI = ("ROUND(((CAST(nl AS DOUBLE) "
+               "- CAST(posl * posl + negl * negl AS DOUBLE) / nl) "
+               "+ (CAST(nr AS DOUBLE) "
+               "- CAST(posr * posr + negr * negr AS DOUBLE) / nr)) "
+               "/ nn, 9)")
+
+
+def _tree_stump_oracle_sql() -> str:
+    return f"""
+WITH b AS (SELECT CAST(floor(o_totalprice / {_STUMP_BIN!r}) AS BIGINT) AS bin,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           FROM orders),
+h AS (SELECT bin, COUNT(*) AS cnt, SUM(y) AS pos FROM b GROUP BY bin),
+tot AS (SELECT SUM(cnt) AS nn, SUM(pos) AS pos_t FROM h),
+cum AS (SELECT bin,
+               SUM(cnt) OVER (ORDER BY bin) AS nl,
+               SUM(pos) OVER (ORDER BY bin) AS posl
+        FROM h),
+split AS (SELECT bin, nl, posl,
+                 nl - posl AS negl,
+                 nn - nl AS nr,
+                 pos_t - posl AS posr,
+                 (nn - nl) - (pos_t - posl) AS negr,
+                 nn
+          FROM cum, tot
+          WHERE nl < nn)
+SELECT (bin + 1) * {_STUMP_BIN!r} AS split_threshold,
+       {_STUMP_GINI} AS gini,
+       CAST(nl AS BIGINT) AS n_left, CAST(posl AS BIGINT) AS pos_left,
+       CAST(nr AS BIGINT) AS n_right, CAST(posr AS BIGINT) AS pos_right
+FROM split
+ORDER BY {_STUMP_GINI}, bin
+LIMIT 1
+"""
+
+
+@register("ml_tree_stump", oracle=_tree_stump_oracle_sql(),
+          tags=("ml", "tree"))
+def ml_tree_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split finding (best weighted-Gini threshold for
+    o_orderstatus='F' on o_totalprice) — ORACLE-BACKED, and built the
+    way distributed GBDT actually does it: HISTOGRAM split finding
+    (LightGBM/XGBoost-hist), not per-row candidate enumeration. One
+    map-side-combinable groupBy builds fixed-width bin histograms of
+    (count, positives); the cumulative scan over the ~hundreds of
+    bins — not the millions of rows — enumerates every candidate
+    threshold; the argmin is a bounded TakeOrdered. At 100 TB the only
+    full-data pass is the histogram aggregate (k scalars per bin
+    cross the wire); the split scan is driver-trivial by construction,
+    which is precisely why the histogram trick owns this space.
+
+    Determinism: Gini comes from exact int64 prefix counts through a
+    pinned-association double expression (``_STUMP_GINI``, shared
+    textually with the oracle), rounded to the 9-dp grid; ties break
+    on the smaller bin. tests/test_analytics.py re-derives the best
+    split with pandas/NumPy and pins equality."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.floor(F.col("o_totalprice") / _STUMP_BIN).cast("long").alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"))
+    h = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"),
+                             F.sum("y").alias("pos"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select("bin", F.sum("cnt").over(w).alias("nl"),
+                   F.sum("pos").over(w).alias("posl"))
+    tot = h.agg(F.sum("cnt").alias("nn"), F.sum("pos").alias("pos_t"))
+    split = (cum.join(F.broadcast(tot))
+             .filter(F.col("nl") < F.col("nn"))
+             .select("bin", "nl", "posl", "nn",
+                     (F.col("nl") - F.col("posl")).alias("negl"),
+                     (F.col("nn") - F.col("nl")).alias("nr"),
+                     (F.col("pos_t") - F.col("posl")).alias("posr"),
+                     ((F.col("nn") - F.col("nl"))
+                      - (F.col("pos_t") - F.col("posl"))).alias("negr")))
+    scored = split.withColumn("gini", F.expr(_STUMP_GINI))
+    return (scored
+            .orderBy("gini", "bin").limit(1)
+            .select(((F.col("bin") + 1) * _STUMP_BIN)
+                    .alias("split_threshold"),
+                    "gini",
+                    F.col("nl").alias("n_left"),
+                    F.col("posl").alias("pos_left"),
+                    F.col("nr").alias("n_right"),
+                    F.col("posr").alias("pos_right")))

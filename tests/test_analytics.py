@@ -268,7 +268,7 @@ def test_mmr_matches_independent_reference_and_is_deterministic(spark):
 _PACK = sorted(n for n in SPECS if not n.startswith("stream_"))
 
 #: Operators whose contract is a clean needs-data error, not empty-out.
-_EMPTY_RAISES = {"ml_logreg", "ml_logreg_irls"}
+_EMPTY_RAISES = {"ml_logreg", "ml_logreg_irls", "ml_ridge"}
 
 
 @pytest.fixture(scope="module")
@@ -298,3 +298,76 @@ def test_pack_query_survives_empty_input(name, spark, empty_fixture_dir):
         return
     pdf = SPECS[name].fn(spark, empty_fixture_dir).limit(5).toPandas()
     assert pdf.shape[1] > 0
+
+
+def test_ml_ridge_matches_numpy_and_shrinks(spark):
+    """ml_ridge's Cramer-tree solve must agree with a NumPy float64
+    normal-equation solve on the same fixture to 1e-6 (the expression
+    tree is algebra, not an approximation), and the lambda=100 ridge
+    must shrink the feature coefficients toward zero relative to the
+    NumPy lambda=0 OLS solve (intercept unpenalized by design)."""
+    import duckdb as ddb
+    import numpy as np
+
+    from integrator_spark.registry import all_specs
+
+    got = {r["feature"]: r["coef"]
+           for r in all_specs()["ml_ridge"].fn(spark, TEST_SF_DIR).collect()}
+
+    pdf = ddb.sql(
+        f"SELECT l_extendedprice / 100000.0 AS y, l_quantity / 50.0 AS x1, "
+        f"l_discount * 10.0 AS x2 "
+        f"FROM read_parquet('{TEST_SF_DIR}/lineitem.parquet')").fetchdf()
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    A = X.T @ X
+    b = X.T @ pdf.y.to_numpy()
+    ridge = np.diag([0.0, 100.0, 100.0])
+    beta_r = np.linalg.solve(A + ridge, b)
+    beta_0 = np.linalg.solve(A, b)
+    assert abs(got["intercept"] - beta_r[0]) < 1e-6
+    assert abs(got["qty"] - beta_r[1]) < 1e-6
+    assert abs(got["disc"] - beta_r[2]) < 1e-6
+    # shrinkage: penalized coefs move toward zero vs OLS
+    assert abs(beta_r[1]) <= abs(beta_0[1]) + 1e-12
+    assert abs(beta_r[2]) <= abs(beta_0[2]) + 1e-12
+
+
+def test_ml_tree_stump_matches_pandas_rederivation(spark):
+    """ml_tree_stump's histogram split must equal a from-scratch
+    pandas re-derivation (bin, cumulate, weighted Gini, argmin with
+    the same tie-break) — pinning the algebra AND the bin/threshold
+    bookkeeping (threshold is the bin's UPPER edge; last bin excluded
+    because its right side is empty)."""
+    import duckdb as ddb
+
+    from integrator_spark.registry import all_specs
+
+    got = all_specs()["ml_tree_stump"].fn(spark, TEST_SF_DIR).collect()[0]
+
+    pdf = ddb.sql(
+        f"SELECT o_totalprice, o_orderstatus "
+        f"FROM read_parquet('{TEST_SF_DIR}/orders.parquet')").fetchdf()
+    pdf["bin"] = (pdf.o_totalprice // 2000.0).astype("int64")
+    pdf["y"] = (pdf.o_orderstatus == "F").astype("int64")
+    h = (pdf.groupby("bin").agg(cnt=("y", "size"), pos=("y", "sum"))
+         .sort_index())
+    n, pos_t = int(h.cnt.sum()), int(h.pos.sum())
+    best = None
+    nl = posl = 0
+    for b, row in h.iterrows():
+        nl += int(row.cnt)
+        posl += int(row.pos)
+        if nl >= n:
+            continue
+        negl, nr = nl - posl, n - nl
+        posr = pos_t - posl
+        negr = nr - posr
+        gini = round(((nl - (posl * posl + negl * negl) / nl)
+                      + (nr - (posr * posr + negr * negr) / nr)) / n, 9)
+        if best is None or (gini, b) < best[:2]:
+            best = (gini, b, nl, posl, nr, posr)
+    gini, b, nl, posl, nr, posr = best
+    assert got["split_threshold"] == (b + 1) * 2000.0
+    assert abs(got["gini"] - gini) < 2e-9
+    assert (got["n_left"], got["pos_left"]) == (nl, posl)
+    assert (got["n_right"], got["pos_right"]) == (nr, posr)
