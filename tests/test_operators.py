@@ -2126,3 +2126,30 @@ def test_hamming_mih_equals_brute_radius(spark):
                        .select("vec_id", "neighbor_id", "hamming")
                        .collect())}
     assert mih == brute and len(mih) > 0
+
+
+def test_ann_graph_det_recall_at_registered_dials(spark):
+    """vec_ann_graph_det (deterministic NN-Descent) must hold
+    recall@1 >= 0.9 vs exact kNN at the registered dials — the same
+    quality bar every other ANN face pins. Measured 0.94 at the
+    sf0.001 fixture when the dials were chosen (k=12, k0=12,
+    rounds=3); a drop means someone weakened a dial or broke a
+    round's candidate expansion."""
+    from integrator_spark.queries.vectors2 import vec_ann_graph_det
+    from integrator_spark.registry import all_specs
+
+    from .conftest import TEST_SF_DIR
+
+    exact = {r["vec_id"]: r["neighbor_id"]
+             for r in all_specs()["vec_knn"].fn(spark, TEST_SF_DIR).collect()}
+    g = vec_ann_graph_det(spark, TEST_SF_DIR).collect()
+    top1 = {r["vec_id"]: r["neighbor_id"] for r in g if r["rank"] == 1}
+    hits = sum(1 for k, v in exact.items() if top1.get(k) == v)
+    assert hits / len(exact) >= 0.9, hits / len(exact)
+    # every node carries a full top-k list with contiguous ranks
+    import collections
+    ranks = collections.defaultdict(list)
+    for r in g:
+        ranks[r["vec_id"]].append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in ranks.values())
