@@ -479,3 +479,98 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).over(w).cast("long")
                 .alias("community_size"))
             .orderBy("node"))
+
+
+@register("graph_harmonic", oracle=f"""
+WITH RECURSIVE w AS (
+  SELECT s, d FROM (
+    SELECT a.l_partkey AS s, b.l_partkey AS d, COUNT(*) AS w
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2) WHERE w >= 2
+),
+u AS (SELECT s, d FROM w UNION SELECT d, s FROM w),
+nodes AS (SELECT DISTINCT s AS node FROM u),
+seeds AS (SELECT node FROM (
+    SELECT node, row_number() OVER (
+        ORDER BY md5(CAST(node AS VARCHAR)), node) AS rn
+    FROM nodes) WHERE rn <= 16),
+r(src, node, lvl) AS (
+  SELECT node, node, 0 FROM seeds
+  UNION
+  SELECT r.src, u.d, r.lvl + 1 FROM r JOIN u ON u.s = r.node
+  WHERE r.lvl < 4
+),
+dist AS (SELECT src, node, MIN(lvl) AS dd FROM r GROUP BY 1, 2),
+h AS (SELECT node,
+             CAST(SUM(CASE dd WHEN 1 THEN 12 WHEN 2 THEN 6
+                              WHEN 3 THEN 4 WHEN 4 THEN 3 END)
+                  AS BIGINT) AS h12,
+             COUNT(*) AS n_reached
+      FROM dist WHERE dd >= 1 GROUP BY node)
+SELECT node, h12 / 12.0 AS harmonic, n_reached
+FROM h
+ORDER BY h12 DESC, node
+LIMIT 20
+""", tags=("graph", "centrality"))
+def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source harmonic centrality (Boldi & Vigna's harmonic
+    axiomatization; Eppstein–Wang style source sampling) over the
+    ≥2-support co-purchase graph — ORACLE-BACKED: 16 md5-ranked
+    sample sources, multi-source frontier BFS to depth 4, and each
+    node's score is Σ 1/d(s, ·) over the sampled sources. The exact
+    all-pairs version is O(n·m) and inherently out of reach at scale;
+    source sampling is THE production estimator (error ~ 1/sqrt(S),
+    sources chosen by the same content-independent md5 rank every
+    det-family query uses).
+
+    Cross-engine float discipline: 1/3 is not exact in binary, and 16
+    float adds in engine-dependent order could differ in the last bit
+    — so both engines sum 12/d (exact small INTEGERS: 12, 6, 4, 3)
+    and divide once at the end. Ordering and ties are decided on the
+    integer sum; the oracle's recursive CTE takes MIN(lvl) per
+    (source, node) exactly like the BFS operator's anti-join.
+
+    Scale shape: state per round is one slim (src, node) frontier —
+    16·|reached| rows, shuffled on node; the adjacency re-shuffles per
+    round and AQE coalesces. Rounds are lineage-truncated
+    (operators/ckpt.py). Depth and source count are the accuracy
+    dials; neither changes the per-round plan."""
+    from ..operators.ckpt import truncated_checkpoint
+
+    edges = _copurchase_edges(spark, sf_dir, min_weight=2)
+    adj = edges.unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    adj = adj.select(F.col("s").alias("e_s"), F.col("d").alias("e_d"))
+    adj = adj.localCheckpoint(eager=True)
+    nodes = adj.select(F.col("e_s").alias("node")).distinct()
+    # TakeOrderedAndProject, not a global row_number window: the seed
+    # rank must not single-partition-sort |V| rows at scale (same
+    # idiom as the IVF det fit's seed selection).
+    seed_rows = (nodes.select(F.md5(F.col("node").cast("string"))
+                              .alias("_h"), "node")
+                 .orderBy("_h", "node").limit(16).collect())
+    seeds = spark.createDataFrame(
+        [(int(r["node"]),) for r in seed_rows], "src long")
+    visited = seeds.select("src", F.col("src").alias("node"),
+                           F.lit(0).alias("lvl"))
+    frontier = visited.select("src", "node")
+    for lvl in range(1, 5):
+        nxt = truncated_checkpoint(
+            frontier.join(adj, frontier["node"] == adj["e_s"])
+            .select("src", F.col("e_d").alias("node")).distinct()
+            .join(visited, ["src", "node"], "left_anti"))
+        if nxt.isEmpty():
+            break
+        visited = truncated_checkpoint(visited.unionByName(
+            nxt.select("src", "node", F.lit(lvl).alias("lvl"))))
+        frontier = nxt
+    h12 = F.sum(F.when(F.col("lvl") == 1, 12)
+                .when(F.col("lvl") == 2, 6)
+                .when(F.col("lvl") == 3, 4)
+                .when(F.col("lvl") == 4, 3)).cast("long")
+    return (visited.filter(F.col("lvl") >= 1)
+            .groupBy("node")
+            .agg(h12.alias("h12"), F.count(F.lit(1)).alias("n_reached"))
+            .orderBy(F.col("h12").desc(), "node").limit(20)
+            .select("node", (F.col("h12") / 12.0).alias("harmonic"),
+                    "n_reached"))

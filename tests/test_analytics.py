@@ -371,3 +371,54 @@ def test_ml_tree_stump_matches_pandas_rederivation(spark):
     assert abs(got["gini"] - gini) < 2e-9
     assert (got["n_left"], got["pos_left"]) == (nl, posl)
     assert (got["n_right"], got["pos_right"]) == (nr, posr)
+
+
+def test_graph_harmonic_matches_python_bfs_rederivation(spark):
+    """graph_harmonic must equal a from-scratch Python BFS over the
+    same ≥2-support co-purchase edges: same md5-ranked 16 sources,
+    depth-4 levels, exact 12/d integer scoring, same (score desc,
+    node) top-20 — pinning seed selection, frontier semantics, and
+    the integer-sum float discipline in one go."""
+    import collections
+    import hashlib
+
+    import duckdb as ddb
+
+    from integrator_spark.registry import all_specs
+
+    got = [(r["node"], r["harmonic"], r["n_reached"])
+           for r in all_specs()["graph_harmonic"].fn(spark, TEST_SF_DIR)
+           .collect()]
+
+    edges = ddb.sql(f"""
+        SELECT s, d FROM (
+          SELECT a.l_partkey AS s, b.l_partkey AS d, COUNT(*) AS w
+          FROM read_parquet('{TEST_SF_DIR}/lineitem.parquet') a
+          JOIN read_parquet('{TEST_SF_DIR}/lineitem.parquet') b
+            ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2) WHERE w >= 2
+    """).fetchall()
+    adj = collections.defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    nodes = sorted(adj)
+    seeds = sorted(nodes, key=lambda n: (
+        hashlib.md5(str(n).encode()).hexdigest(), n))[:16]
+    h12 = collections.Counter()
+    reached = collections.Counter()
+    for s in seeds:
+        dist = {s: 0}
+        frontier = [s]
+        for lvl in range(1, 5):
+            nxt = [v for u in frontier for v in adj[u] if v not in dist]
+            for v in nxt:
+                dist.setdefault(v, lvl)
+            frontier = sorted(set(nxt))
+        for v, dd in dist.items():
+            if dd >= 1:
+                h12[v] += {1: 12, 2: 6, 3: 4, 4: 3}[dd]
+                reached[v] += 1
+    want = sorted(((n, h12[n] / 12.0, reached[n]) for n in h12),
+                  key=lambda t: (-t[1] * 12, t[0]))[:20]
+    assert got == want
