@@ -58,6 +58,13 @@ HEADLINE = [
     # minutes. Median-of-3 (REDUCED_RUNS): the signal is a 10×+ blowup,
     # and 5 runs of an 8 s loop would dominate the bench wall.
     "graph_kcore_converged",
+    # Round 10 third wave: the binary-sketch ANN route. The popcount
+    # scan is the memory-bound regime's answer to vec_knn — same
+    # top-1 contract, 8-byte signatures instead of 256-byte float
+    # vectors — so benching both makes the constant-factor trade
+    # visible round-over-round (and a regression in the Arrow packing
+    # kernel or the JVM bit_count path shows up as wall).
+    "vec_hamming_topk",
 ]
 
 RUNS = 5

@@ -38,6 +38,12 @@ FAMILY_REPS = [
     # broadcast codebooks, probe-bounded scans, no corpus cartesian)
     "vec_ann_ivf_det", "vec_ann_ivfpq_det", "dedup_semantic_ivf_det",
     "graph_label_prop", "corpus_pack_manifest", "retrieval_ndcg",
+    # round-10 third wave: the Hamming family (popcount scan +
+    # provably-complete chunk-index radius search), the one-pass
+    # closed-form ML pair, the deterministic NN-Descent twin, and the
+    # sampled-source harmonic centrality
+    "vec_hamming_topk", "vec_hamming_mih", "ml_ridge", "ml_tree_stump",
+    "vec_ann_graph_det", "graph_harmonic",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -45,6 +51,16 @@ SF_DIR = "/root/testdata/sf0.001"
 #: Per-query annotations rendered under the summary line — context a
 #: reviewer needs to read a flag correctly.
 NOTES = {
+    "vec_hamming_topk": (
+        "cartesian=yes is the INTENDED popcount scan: a broadcast "
+        "nested-loop over 8-byte packed signatures (6 GB per 1B "
+        "vectors), allowlisted like vec_knn_bruteforce; float vectors "
+        "are only fetched for the top-8 rerank shortlist."),
+    "ml_tree_stump": (
+        "cartesian=yes is the allowlisted 1-row class-totals frame "
+        "broadcast onto the bin histogram (the ml_quantile_bins "
+        "pattern); the only full-data pass is the map-side-combinable "
+        "histogram aggregate."),
     "graph_triangles": (
         "cartesian=yes is the audit-ALLOWLISTED assembly of the single "
         "output row from three bounded 1-row aggregate frames "
