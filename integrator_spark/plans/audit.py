@@ -54,6 +54,7 @@ CROSS_JOIN_ALLOWED = {
     "stats_histogram",     # 1-row min/max bounds frame broadcast to fact
     "join_size_estimate",  # 1-row actual-size frame joined to summary
     "corpus_quality_filter",   # 1-row p75-threshold frame broadcast to scan
+    "agg_hll_det",         # exact-count and register-sum 1-row frames joined
     "dedup_candidate_recall",  # two 1-row count frames crossJoined per method
     "dedup_embedding_lsh_recall",  # three 1-row count frames crossJoined
     "dedup_semantic_recall",   # three 1-row count frames crossJoined

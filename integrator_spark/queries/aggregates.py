@@ -528,3 +528,115 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         ORDER BY event_type
     """)
+
+
+# --------------------------------------------------------------------------
+# Deterministic HyperLogLog (round 10, third wave): the sketch itself
+# cross-engine replayed. agg_hll_sketch (Datasketches) stays the
+# production face — this twin swaps the engine hash for md5 and every
+# float accumulation for exact integers, so the DuckDB oracle rebuilds
+# the registers AND the estimate bit-for-bit. The one float step left
+# is the final alpha*m^2/Z division — identical IEEE ops on identical
+# operands. Flajolet et al.'s raw estimator only (n >> 2.5m on the
+# fixture, so no small-range branch — branches over ln() would be the
+# first engine-dependent float path).
+
+_HLL_P = 6                       # 2^6 = 64 registers
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 48 - _HLL_P         # 42-bit register-selector remainder
+
+
+def _hll_rho_case(col: str) -> str:
+    """rho(w) = leading zeros of the 42-bit remainder + 1, as a pure
+    integer CASE chain (descending power-of-two thresholds). The SAME
+    string runs as a Spark expression and inside the DuckDB oracle —
+    no log2() anywhere, because floor(log2(x)) at a power-of-two
+    boundary is exactly where libm implementations may disagree."""
+    branches = " ".join(
+        f"WHEN {col} >= {1 << (_HLL_WBITS - 1 - i)} THEN {i + 1}"
+        for i in range(_HLL_WBITS))
+    return f"(CASE WHEN {col} = 0 THEN {_HLL_WBITS + 1} {branches} END)"
+
+
+#: Final-estimate expression, shared textually: alpha_m * m^2 * 2^43
+#: / S where S = SUM over all m registers of 2^(43 - M_j) — an exact
+#: BIGINT (M_j <= 43, 64 terms < 2^49). Snapped to a 1e-4 grid with
+#: FLOOR, not ROUND: ROUND is the one grid op the engines implement
+#: differently (Spark re-rounds the shortest decimal repr, DuckDB the
+#: binary value — they split on 1533.20875 at sf0.01), while FLOOR of
+#: an identical double is pure IEEE and cannot diverge.
+#: (Literals ride CAST(.. AS DOUBLE): Spark parses bare decimal
+#: literals as DECIMAL and would carry decimal scale into the output
+#: type — the values match but the driver's string compare sees
+#: '1533.208700' vs '1533.2087'.)
+_HLL_RAW = ("CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) "
+            "/ 64.0) * 4096.0 * 8796093022208.0 / s_total")
+_HLL_EST = (f"CAST(FLOOR(({_HLL_RAW}) * 10000.0) AS DOUBLE) / 10000.0")
+_HLL_ERR = (f"CAST(FLOOR((({_HLL_EST}) - CAST(n_exact AS DOUBLE)) "
+            f"/ n_exact * 1000000.0) AS DOUBLE) / 1000000.0")
+
+
+@register("agg_hll_det", oracle=f"""
+WITH h AS (SELECT CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                             1, 12) AS UBIGINT) AS BIGINT) AS h
+           FROM orders),
+parts AS (SELECT h >> {_HLL_WBITS} AS bucket,
+                 h & {(1 << _HLL_WBITS) - 1} AS w
+          FROM h),
+regs AS (SELECT bucket, MAX({_hll_rho_case('w')}) AS m_reg
+         FROM parts GROUP BY bucket),
+s AS (SELECT COUNT(*) AS n_buckets,
+             SUM(CAST(1 AS BIGINT) << ({_HLL_WBITS + 1} - m_reg))
+                 AS s_obs
+      FROM regs),
+tot AS (SELECT CAST(s_obs + ({_HLL_M} - n_buckets)
+                    * (CAST(1 AS BIGINT) << {_HLL_WBITS + 1})
+                AS BIGINT) AS s_total
+        FROM s),
+ex AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       {_HLL_EST} AS n_est,
+       {_HLL_ERR} AS err
+FROM ex, tot
+""", tags=("agg", "approx", "sketch"))
+def agg_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count of order customers —
+    ORACLE-BACKED, registers and all: md5-hashed 48-bit values split
+    into 6 bucket bits + 42 remainder bits, rho via a shared integer
+    CASE chain (no log2 — libm-boundary-proof), per-bucket MAX(rho)
+    registers, and the harmonic sum accumulated as EXACT BIGINTs
+    (Σ 2^(43-M_j), 64 terms < 2^49) so engine summation order cannot
+    matter; the single float step is the final alpha·m²/Z division,
+    identical IEEE ops in both engines. Raw Flajolet estimator only:
+    the fixture cardinality (1500 >> 2.5·64) sits squarely in its
+    regime, and the small-range ln() branch would reintroduce the
+    engine-dependent float path this twin exists to eliminate.
+
+    Scale shape: ONE map-side-combinable groupBy over 64 bucket keys
+    — the sketch property (registers merge by MAX) is what makes HLL
+    the 100 TB distinct-count answer, and mergeability of THIS
+    implementation is pinned in tests/test_sketches.py (per-priority
+    registers MAX-merged == global registers). The estimate lands
+    within the published ~1.04/sqrt(64) = 13% band (asserted)."""
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(F.expr(
+        "CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 12), 16, 10) "
+        "AS BIGINT)").alias("h"))
+    parts = h.select(
+        F.expr(f"shiftright(h, {_HLL_WBITS})").alias("bucket"),
+        F.expr(f"h & {(1 << _HLL_WBITS) - 1}").alias("w"))
+    regs = (parts.select("bucket",
+                         F.expr(_hll_rho_case("w")).alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("m_reg")))
+    s = regs.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"{_HLL_WBITS + 1} - m_reg)")).alias("s_obs"))
+    tot = s.select(
+        (F.col("s_obs") + (F.lit(_HLL_M) - F.col("n_buckets"))
+         * F.lit(1 << (_HLL_WBITS + 1))).cast("long").alias("s_total"))
+    ex = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return (ex.crossJoin(F.broadcast(tot))   # two 1-row frames
+            .select(F.col("n_exact").cast("long").alias("n_exact"),
+                    F.expr(_HLL_EST).alias("n_est"),
+                    F.expr(_HLL_ERR).alias("err")))

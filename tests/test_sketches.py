@@ -140,3 +140,42 @@ def test_hll_sketch_union_bound(spark):
             rel = abs(r.approx_users - r.exact_users_merged) \
                 / max(r.exact_users_merged, 1)
             assert rel <= 0.05, (et, r.approx_users, r.exact_users_merged)
+
+
+def test_hll_det_error_band_and_mergeability(spark):
+    """agg_hll_det: (a) the raw Flajolet estimate lands within ~3
+    standard errors of the published 1.04/sqrt(64) RSD (the oracle
+    proves Spark==DuckDB; this pins that both compute the RIGHT
+    estimator); (b) registers are MERGEABLE — per-priority register
+    sets MAX-merged equal the global registers, the property that
+    makes HLL the distributed distinct-count answer (partial aggs on
+    executors merge exactly this way)."""
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.queries.aggregates import (_HLL_WBITS,
+                                                     _hll_rho_case)
+
+    row = get_queries()["agg_hll_det"](spark, TEST_SF_DIR).collect()[0]
+    rsd = 1.04 / math.sqrt(64)
+    assert abs(row["err"]) <= 3 * rsd, row
+    assert row["n_exact"] > 0
+
+    o = load_table(spark, TEST_SF_DIR, "orders")
+    parts = o.select(
+        "o_orderpriority",
+        F.expr("CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 12), "
+               "16, 10) AS BIGINT)").alias("h")).select(
+        "o_orderpriority",
+        F.expr(f"shiftright(h, {_HLL_WBITS})").alias("bucket"),
+        F.expr(f"h & {(1 << _HLL_WBITS) - 1}").alias("w"))
+    rho = F.expr(_hll_rho_case("w"))
+    per_group = (parts.groupBy("o_orderpriority", "bucket")
+                 .agg(F.max(rho).alias("m_reg")))
+    merged = {(r["bucket"]): r["m"] for r in
+              per_group.groupBy("bucket")
+              .agg(F.max("m_reg").alias("m")).collect()}
+    global_regs = {(r["bucket"]): r["m"] for r in
+                   parts.groupBy("bucket")
+                   .agg(F.max(rho).alias("m")).collect()}
+    assert merged == global_regs and len(global_regs) > 0
