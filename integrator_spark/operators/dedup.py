@@ -669,6 +669,102 @@ def hamming_signatures(emb: DataFrame, dim: int = 64, n_bits: int = 48,
         pack, f"{id_col} long, sig long")
 
 
+#: Size cutover for the Hamming shortlist kernel: if the whole packed
+#: signature table fits this many bytes (n x 8), the per-query top-m
+#: scan runs C-level against one broadcast int64 array — the shuffle
+#: carries only n x m shortlist rows, never the n x n pair matrix.
+#: 1 GiB = ~134M vectors; above it the caller's join plan (bucket or
+#: pair shuffle) is the route, same discipline as knn.py.
+HAMMING_BROADCAST_BYTES = 1 << 30
+
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of an int64 array via the byte LUT (numpy
+    1.x has no bitwise_count)."""
+    return _POPCNT8[a.view(np.uint8).reshape(*a.shape, 8)].sum(axis=-1)
+
+
+def hamming_topk_shortlist(sig: DataFrame, m: int = 8,
+                           id_col: str = "vec_id",
+                           broadcast_budget: int = HAMMING_BROADCAST_BYTES
+                           ) -> DataFrame:
+    """Per-query Hamming top-``m`` shortlist over a packed signature
+    frame (id, sig): for every id, the m nearest OTHER signatures by
+    (popcount(xor), neighbor_id) — byte-identical to the relational
+    row_number plan (lexicographic selection == the window's
+    (hamming ASC, neighbor ASC) order), but executed as one broadcast
+    int64 array + a C-level XOR/LUT-popcount kernel per Arrow batch.
+    The only shuffled output is n x m skinny rows; the n x n distance
+    matrix never materializes anywhere.
+
+    Falls back to the relational broadcast-join plan above
+    ``broadcast_budget`` (the kernel needs all n signatures on every
+    executor; 1 GiB ~ 134M vectors — past that, bucket/chunk indexes
+    like the MIH route are the answer anyway)."""
+    spark = sig.sparkSession
+    # One eager checkpoint: count + driver collect + the kernel's
+    # executor scan would otherwise each re-run the Arrow packing of
+    # the raw embeddings (3x the dominant cost at scale).
+    sig = sig.localCheckpoint(eager=True)
+    n = sig.count()
+    if n * 8 > broadcast_budget:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("hamming").asc(), F.col("neighbor_id").asc())
+        nb = sig.select(F.col(id_col).alias("neighbor_id"),
+                        F.col("sig").alias("_sb"))
+        return (sig.join(nb, F.col(id_col) != F.col("neighbor_id"))
+                .withColumn("hamming",
+                            F.bit_count(F.col("sig")
+                                        .bitwiseXOR(F.col("_sb")))
+                            .cast("int"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= m)
+                .select(id_col, "neighbor_id", "hamming"))
+
+    pdf = sig.toPandas()
+    order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+    ids_sorted = pdf[id_col].to_numpy()[order]
+    sigs_sorted = pdf["sig"].to_numpy()[order]
+    bc = spark.sparkContext.broadcast((ids_sorted, sigs_sorted))
+
+    def shortlist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, sigs_c = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            out_q, out_n, out_h = [], [], []
+            for qid, qs in zip(b[id_col].to_numpy(),
+                               b["sig"].to_numpy()):
+                ham = _popcount64(sigs_c ^ qs)
+                mask = ids_c != qid
+                h, ii = ham[mask], ids_c[mask]
+                # Exact threshold prefilter before the lexsort: keep
+                # EVERY candidate at or under the m-th smallest
+                # distance (dropping boundary TIES by argpartition
+                # would break the (hamming, neighbor_id) tie-break),
+                # then order the survivors lexicographically — the
+                # same total order as the window plan's row_number.
+                if len(h) > m:
+                    thr = np.partition(h, m - 1)[m - 1]
+                    keep = h <= thr
+                    h, ii = h[keep], ii[keep]
+                sel = np.lexsort((ii, h))[:m]
+                out_q.extend([qid] * len(sel))
+                out_n.extend(ii[sel])
+                out_h.extend(h[sel])
+            yield pd.DataFrame({id_col: np.array(out_q, dtype=np.int64),
+                                "neighbor_id": np.array(out_n,
+                                                        dtype=np.int64),
+                                "hamming": np.array(out_h,
+                                                    dtype=np.int32)})
+
+    return sig.select(id_col, "sig").mapInPandas(
+        shortlist, f"{id_col} long, neighbor_id long, hamming int")
+
+
 def signlsh_buckets(emb: DataFrame, dim: int,
                     bits_per_band: int | None = None,
                     n_bands: int = 12, id_col: str = "vec_id",

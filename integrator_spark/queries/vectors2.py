@@ -144,16 +144,11 @@ ORDER BY w.vec_id, w.neighbor_id
 """
 
 
-def _hamming_rerank(ham: DataFrame, e: DataFrame) -> DataFrame:
-    """Shared tail: per-query Hamming top-m shortlist, exact-cosine
-    rerank on just those m, top-1 by (rounded cosine desc, id). The
-    shortlist window is the only per-query state; the rerank fetch-join
+def _hamming_rerank_scored(shortlist: DataFrame, e: DataFrame) -> DataFrame:
+    """Shared tail over an already-built per-query Hamming shortlist
+    (vec_id, neighbor_id, hamming): exact-cosine rerank on just those
+    m rows, top-1 by (rounded cosine desc, id). The rerank fetch-join
     touches |queries| x m vectors, never the corpus."""
-    w_ham = Window.partitionBy("vec_id").orderBy(
-        F.col("hamming").asc(), F.col("neighbor_id").asc())
-    shortlist = (ham.withColumn("_rn", F.row_number().over(w_ham))
-                 .filter(F.col("_rn") <= _TOP_M)
-                 .select("vec_id", "neighbor_id", "hamming"))
     scored = _cosine_residual(
         shortlist.select("vec_id", "neighbor_id"), e, e, -2.0,
         "vec_id", "neighbor_id", "vec_id", "embedding")
@@ -174,27 +169,27 @@ def _hamming_rerank(ham: DataFrame, e: DataFrame) -> DataFrame:
 def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-signature ANN, exhaustive face — ORACLE-BACKED end to
     end: 48-bit packed sign signatures (``hamming_signatures``, exact
-    int-grid md5-parity projections), every pair scored with one
-    XOR + popcount (``bit_count`` — JVM-native, whole-stage codegen;
-    no Python in the scan), per-query Hamming top-8 shortlist, exact
-    cosine rerank, top-1. DuckDB replays planes, packing, popcounts,
-    both windows, and the rerank.
+    int-grid md5-parity projections), every pair scored by
+    XOR + popcount, per-query Hamming top-8 shortlist, exact cosine
+    rerank, top-1. DuckDB replays planes, packing, popcounts, both
+    selection orders, and the rerank.
 
-    Scale shape: the pair scan is |corpus| x |queries| popcounts over
-    broadcast 8-byte ints — at 1B vectors the signature table is
-    ~6 GB (broadcastable); the float vectors are only fetched for the
-    m-row shortlist. The n^2 popcount itself is the honest baseline;
-    the indexed face is ``vec_hamming_mih`` below."""
+    Scale shape (``hamming_topk_shortlist``, size-routed): under the
+    1 GiB signature budget (~134M vectors) the scan is one broadcast
+    int64 array + a C-level XOR/LUT-popcount Arrow kernel — the n x n
+    distance matrix never materializes, the shuffle carries only
+    n x m shortlist rows, and the kernel's threshold-masked lexsort
+    reproduces the window plan's (hamming, neighbor) order exactly
+    (the oracle proves it every sweep). Above budget it degrades to
+    the relational broadcast-join + window plan; float vectors are
+    only ever fetched for the m-row shortlist. The indexed face is
+    ``vec_hamming_mih`` below."""
+    from ..operators.dedup import hamming_topk_shortlist
+
     e = load_table(spark, sf_dir, "embeddings")
     sig = hamming_signatures(e, dim=64, n_bits=_N_BITS)
-    nb = sig.select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("sig").alias("_sig_b"))
-    ham = (sig.join(F.broadcast(nb),
-                    F.col("vec_id") != F.col("neighbor_id"))
-           .select("vec_id", "neighbor_id",
-                   F.bit_count(F.col("sig").bitwiseXOR(F.col("_sig_b")))
-                   .cast("int").alias("hamming")))
-    return _hamming_rerank(ham, e)
+    shortlist = hamming_topk_shortlist(sig, m=_TOP_M)
+    return _hamming_rerank_scored(shortlist, e)
 
 
 @register("vec_hamming_mih", oracle=_MIH_ORACLE,
