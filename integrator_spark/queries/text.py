@@ -1358,3 +1358,67 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("idcg", 6).alias("idcg"),
                     F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"))
             .orderBy("ranking"))
+
+
+@register("text_topk_cm_det", oracle="""
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+exact AS (SELECT word, COUNT(*) AS exact_n FROM words GROUP BY word),
+top AS (SELECT word, exact_n FROM exact
+        ORDER BY exact_n DESC, word LIMIT 20),
+hashes AS (SELECT word, r,
+                  CAST(CAST('0x' || substr(md5(word || ':'
+                             || CAST(r AS VARCHAR)), 1, 8)
+                            AS UBIGINT) % 256 AS BIGINT) AS bucket
+           FROM words, range(0, 4) t(r)),
+counters AS (SELECT r, bucket, COUNT(*) AS c FROM hashes GROUP BY 1, 2),
+est AS (SELECT h.word, MIN(c.c) AS est_n
+        FROM (SELECT DISTINCT word, r, bucket FROM hashes) h
+        JOIN counters c ON c.r = h.r AND c.bucket = h.bucket
+        WHERE h.word IN (SELECT word FROM top)
+        GROUP BY h.word)
+SELECT t.word, CAST(t.exact_n AS BIGINT) AS exact_n,
+       CAST(e.est_n AS BIGINT) AS est_n,
+       CAST(e.est_n - t.exact_n AS BIGINT) AS overcount
+FROM top t JOIN est e ON e.word = t.word
+ORDER BY t.word
+""", tags=("text", "sketch"))
+def text_topk_cm_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Count-Min heavy hitters — ORACLE-BACKED, the
+    second 'sketch itself replayed' twin (with agg_hll_det): md5 row
+    hashes into a 4 x 256 counter grid, every counter an EXACT
+    integer COUNT, per-word point estimate = MIN over the 4 rows —
+    pure integer arithmetic end to end, so DuckDB rebuilds the whole
+    sketch and the estimates hash-match. The xxhash/driver-merged
+    production face stays ``text_topk_sketch`` (rows-only); the CM
+    overestimate guarantee (est >= exact, slack <= eN/w per row) is
+    asserted on BOTH faces in tests/test_sketches.py.
+
+    Scale shape: two map-side-combinable groupBys (counters over
+    4 x 256 keys; exact top-20 via TakeOrdered) and a
+    distinct-triple join bounded by |top| x 4 — the sketch state is
+    1 KB of counters for any corpus size, which is the entire point
+    of CM at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("word"))
+    hashes = tok.select(
+        "word", F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("r")
+    ).select(
+        "word", "r",
+        (F.conv(F.substring(F.md5(F.concat_ws(
+            ":", "word", F.col("r").cast("string"))), 1, 8), 16, 10)
+         .cast("long") % 256).alias("bucket"))
+    counters = hashes.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+    top = (tok.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+           .orderBy(F.col("exact_n").desc(), "word").limit(20))
+    lookup = (hashes.join(F.broadcast(top.select("word")), "word")
+              .select("word", "r", "bucket").distinct())
+    est = (lookup.join(counters, ["r", "bucket"])
+           .groupBy("word").agg(F.min("c").alias("est_n")))
+    return (top.join(est, "word")
+            .select("word", F.col("exact_n").cast("long").alias("exact_n"),
+                    F.col("est_n").cast("long").alias("est_n"),
+                    (F.col("est_n") - F.col("exact_n")).cast("long")
+                    .alias("overcount"))
+            .orderBy("word"))

@@ -179,3 +179,42 @@ def test_hll_det_error_band_and_mergeability(spark):
                    parts.groupBy("bucket")
                    .agg(F.max(rho).alias("m")).collect()}
     assert merged == global_regs and len(global_regs) > 0
+
+
+def test_cm_det_guarantee_and_mergeability(spark):
+    """text_topk_cm_det: the Count-Min invariants on the DETERMINISTIC
+    twin — (a) never underestimates (est >= exact for every reported
+    word); (b) the overestimate respects the e*N/w row bound (min over
+    d rows is only tighter); (c) counters are MERGEABLE: per-source
+    counter grids summed element-wise equal the global grid — the
+    property that makes CM a distributed partial aggregate."""
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+
+    rows = get_queries()["text_topk_cm_det"](spark, TEST_SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["est_n"] >= r["exact_n"] for r in rows)
+    d = load_table(spark, TEST_SF_DIR, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("word"))
+    n_tokens = tok.count()
+    bound = math.e * n_tokens / 256
+    assert all(r["overcount"] <= bound for r in rows), (bound, rows)
+
+    hashes = tok.select(
+        "source", "word",
+        F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("r")
+    ).select(
+        "source", "r",
+        (F.conv(F.substring(F.md5(F.concat_ws(
+            ":", "word", F.col("r").cast("string"))), 1, 8), 16, 10)
+         .cast("long") % 256).alias("bucket"))
+    per_source = (hashes.groupBy("source", "r", "bucket")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    merged = {(r["r"], r["bucket"]): r["c"] for r in
+              per_source.groupBy("r", "bucket")
+              .agg(F.sum("c").alias("c")).collect()}
+    global_grid = {(r["r"], r["bucket"]): r["c"] for r in
+                   hashes.groupBy("r", "bucket")
+                   .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert merged == global_grid and len(global_grid) > 0
