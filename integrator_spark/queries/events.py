@@ -948,3 +948,61 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_rn") == 1))
     return (best.select("user_id", "streak_days", "streak_start")
             .orderBy(F.col("streak_days").desc(), "user_id").limit(20))
+
+
+@register("events_pattern_match", oracle="""
+WITH ev AS (SELECT user_id, ts, event_id,
+                   substr(event_type, 1, 1) AS ch FROM events),
+seqs AS (SELECT user_id,
+                string_agg(ch, '' ORDER BY ts, event_id) AS seq,
+                COUNT(*) AS n_events
+         FROM ev GROUP BY user_id),
+m AS (SELECT user_id, n_events,
+             CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3
+                  AS BIGINT) AS n_vcp,
+             CAST(list_max(list_transform(
+                      regexp_split_to_array(seq, '[^e]'),
+                      x -> length(x))) AS BIGINT) AS max_err_run,
+             regexp_matches(seq, 'v.*c.*p') AS converted
+      FROM seqs)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events, n_vcp,
+       max_err_run, converted
+FROM m ORDER BY user_id
+""", tags=("events", "pattern"))
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE use case,
+    emulated relationally) — ORACLE-BACKED: each user's events
+    collapse to a character sequence ordered by (ts, event_id), and
+    the patterns run as string algebra so both engines compute
+    EXACT integers: strictly-consecutive view→click→purchase count
+    via the replace-length identity ((len - len(replace(seq,'vcp',
+    '')))/3 — no regex counting, whose engines disagree on overlap
+    semantics), longest consecutive-error run via split-on-[^e] +
+    max length, and the loose v.*c.*p subsequence flag (the funnel
+    events_funnel counts with range joins, here as one regex).
+
+    Scale shape: one groupBy collect per user (the sequence), then
+    pure per-row string expressions — no self-joins, no windows. The
+    per-key sequence length is the skew dial: at 100 TB you bound it
+    by sessionizing first (events_sessionize) and matching within
+    sessions; the operator is unchanged, only the grouping key
+    widens. A power-key guard is the same cap discipline as
+    dedup's hot-shingle cutoffs."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select("user_id",
+                  F.struct(F.col("ts"), F.col("event_id"),
+                           F.substring("event_type", 1, 1).alias("ch"))
+                  .alias("s"))
+    seqs = (ev.groupBy("user_id")
+            .agg(F.concat_ws(
+                     "", F.transform(F.array_sort(F.collect_list("s")),
+                                     lambda x: x["ch"])).alias("seq"),
+                 F.count(F.lit(1)).alias("n_events")))
+    m = seqs.select(
+        "user_id", F.col("n_events").cast("long").alias("n_events"),
+        F.expr("CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3 "
+               "AS BIGINT)").alias("n_vcp"),
+        F.expr("CAST(array_max(transform(split(seq, '[^e]'), "
+               "x -> length(x))) AS BIGINT)").alias("max_err_run"),
+        F.col("seq").rlike("v.*c.*p").alias("converted"))
+    return m.orderBy("user_id")

@@ -422,3 +422,22 @@ def test_graph_harmonic_matches_python_bfs_rederivation(spark):
     want = sorted(((n, h12[n] / 12.0, reached[n]) for n in h12),
                   key=lambda t: (-t[1] * 12, t[0]))[:20]
     assert got == want
+
+
+def test_events_pattern_match_invariants(spark):
+    """Pattern-stat consistency on events_pattern_match: a strictly
+    consecutive 'vcp' occurrence implies the loose v.*c.*p
+    subsequence (n_vcp >= 1 -> converted), counts are bounded by the
+    sequence length, and the replace-length identity counts
+    NON-OVERLAPPING occurrences (n_vcp <= n_events // 3). Also
+    non-vacuous: the fixture must produce both converted and
+    unconverted users and at least one consecutive hit."""
+    pdf = run("events_pattern_match", spark)
+    assert ((pdf.n_vcp >= 1) <= pdf.converted).all()
+    assert (pdf.n_vcp <= pdf.n_events // 3).all()
+    assert (pdf.max_err_run <= pdf.n_events).all()
+    # Non-vacuity: both consecutive hits AND zero-hit users exist
+    # (with 50+ events per fixture user the loose subsequence flag is
+    # always True here — the strict/loose split is what varies).
+    assert (pdf.n_vcp >= 1).any() and (pdf.n_vcp == 0).any()
+    assert pdf.converted.all()
