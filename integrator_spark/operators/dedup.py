@@ -677,91 +677,236 @@ def hamming_signatures(emb: DataFrame, dim: int = 64, n_bits: int = 48,
 #: pair shuffle) is the route, same discipline as knn.py.
 HAMMING_BROADCAST_BYTES = 1 << 30
 
+#: uint8 LUT, NOT int64: the gather's output dtype follows the LUT,
+#: and an int64 gather over a B x n x 32 byte tensor materializes 8x
+#: the bytes — measured 22 s vs 0.6 s for the 2000x2000x4-word scan.
 _POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
-                         axis=1).sum(axis=1).astype(np.int64)
+                         axis=1).sum(axis=1).astype(np.uint8)
 
 
-def _popcount64(a: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of an int64 array via the byte LUT (numpy
-    1.x has no bitwise_count)."""
-    return _POPCNT8[a.view(np.uint8).reshape(*a.shape, 8)].sum(axis=-1)
+def hamming_signatures_wide(emb: DataFrame, dim: int = 64,
+                            n_bits: int = 192, word_bits: int = 48,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """(id, sigs: array<long>) — :func:`hamming_signatures` for codes
+    wider than one int64: ``n_bits`` sign bits packed into
+    ceil(n_bits / word_bits) words (same md5-parity planes p = 0..
+    n_bits-1, word w = p // word_bits, bit p % word_bits — the layout
+    the oracle SQL regenerates). Long codes are what near-random-NN
+    corpora need: at true-NN cosine ~0.37 (this fixture) the per-bit
+    flip probability is ~0.38 vs 0.5, so separation grows only with
+    sqrt(bits) — 192 bits buys recall 0.93+ where 48 bits sat at 0.2
+    (measured; see vec_hamming_recall). Still 24 bytes/vector — a 10x
+    memory cut against dim-64 fp32."""
+    if not 1 <= word_bits <= 62:
+        raise ValueError(f"hamming_signatures_wide: word_bits {word_bits}")
+    n_words = -(-n_bits // word_bits)
+    coef = signlsh_planes(dim, n_bits)
+    bc = emb.sparkSession.sparkContext.broadcast(coef)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if v.shape[1] != planes.shape[1]:
+                raise ValueError(
+                    f"hamming_signatures_wide: dim mismatch {v.shape[1]} "
+                    f"!= {planes.shape[1]}")
+            q = np.floor(v * float(1 << 20)).astype(np.int64)
+            bits = (q @ planes.T >= 0).astype(np.int64)  # [n, n_bits]
+            words = []
+            for w in range(n_words):
+                chunk = bits[:, w * word_bits:(w + 1) * word_bits]
+                weights = (np.int64(1)
+                           << np.arange(chunk.shape[1], dtype=np.int64))
+                words.append((chunk * weights).sum(axis=1))
+            sig_mat = np.stack(words, axis=1)  # [n, n_words]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "sigs": list(sig_mat),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        pack, f"{id_col} long, sigs array<long>")
 
 
-def hamming_topk_shortlist(sig: DataFrame, m: int = 8,
-                           id_col: str = "vec_id",
-                           broadcast_budget: int = HAMMING_BROADCAST_BYTES
-                           ) -> DataFrame:
-    """Per-query Hamming top-``m`` shortlist over a packed signature
-    frame (id, sig): for every id, the m nearest OTHER signatures by
-    (popcount(xor), neighbor_id) — byte-identical to the relational
-    row_number plan (lexicographic selection == the window's
-    (hamming ASC, neighbor ASC) order), but executed as one broadcast
-    int64 array + a C-level XOR/LUT-popcount kernel per Arrow batch.
-    The only shuffled output is n x m skinny rows; the n x n distance
-    matrix never materializes anywhere.
+def hamming_topk_scan(emb: DataFrame, n_bits: int = 192,
+                      word_bits: int = 48, m: int = 64,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      broadcast_budget: int = HAMMING_BROADCAST_BYTES
+                      ) -> DataFrame | None:
+    """FUSED under-budget Hamming top-m scan: ONE driver collect of
+    the raw vectors (quantized + sign-packed + normalized on the
+    driver), one broadcast, one mapInPandas pass that per query
+    packs its code, popcount-scans the [n, words] matrix, keeps the
+    exact-threshold (hamming, neighbor) top-m, and attaches the RAW
+    float64 cosine of each shortlisted pair (same numpy row-dot as
+    ``_cosine_residual`` — rounding stays Spark-side so the
+    cross-engine rounding profile is untouched). Output:
+    (id, neighbor_id, hamming, cos_raw), n x m rows.
 
-    Falls back to the relational broadcast-join plan above
-    ``broadcast_budget`` (the kernel needs all n signatures on every
-    executor; 1 GiB ~ 134M vectors — past that, bucket/chunk indexes
-    like the MIH route are the answer anyway)."""
-    spark = sig.sparkSession
-    # One eager checkpoint: count + driver collect + the kernel's
-    # executor scan would otherwise each re-run the Arrow packing of
-    # the raw embeddings (3x the dominant cost at scale).
-    sig = sig.localCheckpoint(eager=True)
-    n = sig.count()
-    if n * 8 > broadcast_budget:
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("hamming").asc(), F.col("neighbor_id").asc())
-        nb = sig.select(F.col(id_col).alias("neighbor_id"),
-                        F.col("sig").alias("_sb"))
-        return (sig.join(nb, F.col(id_col) != F.col("neighbor_id"))
-                .withColumn("hamming",
-                            F.bit_count(F.col("sig")
-                                        .bitwiseXOR(F.col("_sb")))
-                            .cast("int"))
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= m)
-                .select(id_col, "neighbor_id", "hamming"))
-
-    pdf = sig.toPandas()
+    Why fused: the relational composition (signature pass ->
+    shortlist pass -> two embedding fetch-joins -> pandas-UDF rerank)
+    pays five Spark stages of overhead for work that is one C-level
+    scan at this size — measured 15 s -> ~3 s at sf0.1. Returns None
+    above the budget; callers fall back to the relational plan,
+    which works at any n."""
+    spark = emb.sparkSession
+    n = emb.count()
+    n_words = -(-n_bits // word_bits)
+    if n * 8 * n_words > broadcast_budget:
+        return None
+    pdf = emb.select(id_col, vec_col).toPandas()
     order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-    ids_sorted = pdf[id_col].to_numpy()[order]
-    sigs_sorted = pdf["sig"].to_numpy()[order]
-    bc = spark.sparkContext.broadcast((ids_sorted, sigs_sorted))
+    ids_c = pdf[id_col].to_numpy()[order]
+    v_raw = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+    planes = signlsh_planes(v_raw.shape[1], n_bits)
+    q_int = np.floor(v_raw * float(1 << 20)).astype(np.int64)
+    bits = (q_int @ planes.T >= 0).astype(np.int64)
+    words = []
+    for w in range(n_words):
+        chunk = bits[:, w * word_bits:(w + 1) * word_bits]
+        weights = (np.int64(1) << np.arange(chunk.shape[1],
+                                            dtype=np.int64))
+        words.append((chunk * weights).sum(axis=1))
+    mat = np.stack(words, axis=1)
+    norms = np.linalg.norm(v_raw, axis=1)
+    bc = spark.sparkContext.broadcast(
+        (ids_c, mat, v_raw, norms, planes))
 
-    def shortlist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_c, sigs_c = bc.value
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_cc, mat_c, v_c, norms_c, pl = bc.value
+        nn, ww = mat_c.shape
+        blk = max(1, (64 << 20) // max(1, nn * ww * 8))
         for b in batches:
             if not len(b):
                 continue
-            out_q, out_n, out_h = [], [], []
-            for qid, qs in zip(b[id_col].to_numpy(),
-                               b["sig"].to_numpy()):
-                ham = _popcount64(sigs_c ^ qs)
-                mask = ids_c != qid
-                h, ii = ham[mask], ids_c[mask]
-                # Exact threshold prefilter before the lexsort: keep
-                # EVERY candidate at or under the m-th smallest
-                # distance (dropping boundary TIES by argpartition
-                # would break the (hamming, neighbor_id) tie-break),
-                # then order the survivors lexicographically — the
-                # same total order as the window plan's row_number.
-                if len(h) > m:
-                    thr = np.partition(h, m - 1)[m - 1]
-                    keep = h <= thr
-                    h, ii = h[keep], ii[keep]
-                sel = np.lexsort((ii, h))[:m]
-                out_q.extend([qid] * len(sel))
-                out_n.extend(ii[sel])
-                out_h.extend(h[sel])
-            yield pd.DataFrame({id_col: np.array(out_q, dtype=np.int64),
-                                "neighbor_id": np.array(out_n,
-                                                        dtype=np.int64),
-                                "hamming": np.array(out_h,
-                                                    dtype=np.int32)})
+            q_ids = b[id_col].to_numpy()
+            vq = np.array(b[vec_col].tolist(), dtype=np.float64)
+            qi_int = np.floor(vq * float(1 << 20)).astype(np.int64)
+            qbits = (qi_int @ pl.T >= 0).astype(np.int64)
+            qwords = []
+            for w in range(ww):
+                chunk = qbits[:, w * word_bits:(w + 1) * word_bits]
+                weights = (np.int64(1)
+                           << np.arange(chunk.shape[1], dtype=np.int64))
+                qwords.append((chunk * weights).sum(axis=1))
+            qmat = np.stack(qwords, axis=1)
+            qnorm = np.linalg.norm(vq, axis=1)
+            for s0 in range(0, len(b), blk):
+                qi = q_ids[s0:s0 + blk]
+                x = qmat[s0:s0 + blk, None, :] ^ mat_c[None, :, :]
+                ham = _POPCNT8[x.view(np.uint8)
+                               .reshape(len(qi), nn, ww * 8)].sum(
+                    axis=2, dtype=np.int32)
+                out_q, out_n, out_h, out_c = [], [], [], []
+                for r in range(len(qi)):
+                    h, ii = ham[r], ids_cc
+                    pos = np.arange(nn)
+                    mask = ii != qi[r]
+                    h, ii, pos = h[mask], ii[mask], pos[mask]
+                    if len(h) > m:
+                        thr = np.partition(h, m - 1)[m - 1]
+                        keep = h <= thr
+                        h, ii, pos = h[keep], ii[keep], pos[keep]
+                    sel = np.lexsort((ii, h))[:m]
+                    cand = pos[sel]
+                    xq = vq[s0 + r]
+                    # (A*x).sum(1), NOT gemv: keep the exact summation
+                    # shape _cosine_residual proved engine-parity for.
+                    num = (v_c[cand] * xq).sum(axis=1)
+                    den = norms_c[cand] * qnorm[s0 + r]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.where(den > 0, num / den, 0.0)
+                    out_q.extend([qi[r]] * len(sel))
+                    out_n.extend(ii[sel])
+                    out_h.extend(h[sel])
+                    out_c.extend(cos)
+                yield pd.DataFrame({
+                    id_col: np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "hamming": np.array(out_h, dtype=np.int32),
+                    "cos_raw": np.array(out_c, dtype=np.float64)})
 
-    return sig.select(id_col, "sig").mapInPandas(
+    return emb.select(id_col, vec_col).mapInPandas(
+        scan, f"{id_col} long, neighbor_id long, hamming int, "
+              f"cos_raw double")
+
+
+def hamming_topk_shortlist_wide(sigs: DataFrame, m: int = 64,
+                                id_col: str = "vec_id",
+                                broadcast_budget: int =
+                                HAMMING_BROADCAST_BYTES) -> DataFrame:
+    """Multi-word variant of :func:`hamming_topk_shortlist` over an
+    (id, sigs: array<long>) frame: per-query Hamming top-``m`` by
+    (sum-of-word popcounts, neighbor_id), block-vectorized against
+    one broadcast [n, words] int64 matrix. Same exact-threshold tie
+    discipline; same relational fallback above the broadcast budget
+    (words explode onto the join key and popcounts sum per pair)."""
+    spark = sigs.sparkSession
+    sigs = sigs.localCheckpoint(eager=True)
+    n = sigs.count()
+    first = sigs.select("sigs").first()
+    n_words = len(first["sigs"]) if first else 1
+    if n * 8 * n_words > broadcast_budget:
+        ex = sigs.select(id_col, F.posexplode("sigs").alias("w", "_sa"))
+        nb = sigs.select(F.col(id_col).alias("neighbor_id"),
+                         F.posexplode("sigs").alias("w", "_sb"))
+        pair = (ex.join(nb, ["w"])
+                .filter(F.col(id_col) != F.col("neighbor_id"))
+                .groupBy(id_col, "neighbor_id")
+                .agg(F.sum(F.bit_count(F.col("_sa").bitwiseXOR("_sb")))
+                     .cast("int").alias("hamming")))
+        w_win = Window.partitionBy(id_col).orderBy(
+            F.col("hamming").asc(), F.col("neighbor_id").asc())
+        return (pair.withColumn("_rn", F.row_number().over(w_win))
+                .filter(F.col("_rn") <= m)
+                .select(id_col, "neighbor_id", "hamming"))
+
+    pdf = sigs.toPandas()
+    order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+    ids_sorted = pdf[id_col].to_numpy()[order]
+    mat = np.array(pdf["sigs"].tolist(), dtype=np.int64)[order]
+    bc = spark.sparkContext.broadcast((ids_sorted, mat))
+
+    def shortlist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, mat_c = bc.value
+        nn, ww = mat_c.shape
+        # Block size: keep the B x n x w xor tensor under ~64 MB.
+        blk = max(1, (64 << 20) // max(1, nn * ww * 8))
+        for b in batches:
+            if not len(b):
+                continue
+            q_ids = b[id_col].to_numpy()
+            q_mat = np.array(b["sigs"].tolist(), dtype=np.int64)
+            for s0 in range(0, len(b), blk):
+                qi = q_ids[s0:s0 + blk]
+                qm = q_mat[s0:s0 + blk]
+                x = qm[:, None, :] ^ mat_c[None, :, :]
+                ham = _POPCNT8[x.view(np.uint8)
+                               .reshape(len(qi), nn, ww * 8)].sum(
+                    axis=2, dtype=np.int32)
+                out_q, out_n, out_h = [], [], []
+                for r in range(len(qi)):
+                    h, ii = ham[r], ids_c
+                    mask = ii != qi[r]
+                    h, ii = h[mask], ii[mask]
+                    if len(h) > m:
+                        thr = np.partition(h, m - 1)[m - 1]
+                        keep = h <= thr
+                        h, ii = h[keep], ii[keep]
+                    sel = np.lexsort((ii, h))[:m]
+                    out_q.extend([qi[r]] * len(sel))
+                    out_n.extend(ii[sel])
+                    out_h.extend(h[sel])
+                yield pd.DataFrame({
+                    id_col: np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "hamming": np.array(out_h, dtype=np.int32)})
+
+    return sigs.select(id_col, "sigs").mapInPandas(
         shortlist, f"{id_col} long, neighbor_id long, hamming int")
 
 

@@ -16,7 +16,11 @@ Two faces, same discipline as the LSH/IVF/PQ families:
 - ``vec_hamming_topk``: the exhaustive popcount scan (every pair),
   the correctness face and the honest baseline; at 100 TB this is the
   thing you run when the corpus signature table broadcasts and the
-  query side streams (linear per query batch, SIMD popcount).
+  query side streams (linear per query batch, SIMD popcount). Code
+  width is a measured dial: this corpus' true-NN cosines are
+  near-random (~0.37), so the registered face runs 192-bit codes
+  (4 x 48-bit words) with a top-64 rerank — recall@1 0.93+, pinned
+  via the fully oracle-checked ``vec_hamming_recall``.
 - ``vec_hamming_mih``: multi-index Hamming (Norouzi et al., "Fast
   Search in Hamming Space with Multi-Index Hashing", CVPR 2012) — the
   48 bits split into m = r+1 exact-match chunks; by pigeonhole any
@@ -43,11 +47,21 @@ from ..io import load_table
 from ..operators.dedup import _cosine_residual, hamming_signatures
 from ..registry import register
 
-_N_BITS = 48
+_N_BITS = 48          # MIH radius-search code width (single int64)
 _RADIUS = 11          # exact-search radius for the MIH face
 _N_CHUNKS = _RADIUS + 1   # pigeonhole: r errors can't touch all r+1 chunks
 _CHUNK_BITS = _N_BITS // _N_CHUNKS  # 4
-_TOP_M = 8  # Hamming shortlist width fed to the exact-cosine rerank
+
+#: Top-k face dials, set by measurement (see vec_hamming_recall): the
+#: fixture's true-NN cosines sit at ~0.32-0.43 — near-random, the
+#: hardest regime for sign sketches (per-bit flip ~0.38 vs 0.5), so
+#: separation only grows with sqrt(bits). 48 bits x top-8 measured
+#: recall@1 0.19; 192 bits x top-64 measures 0.930/0.944 at the two
+#: fixtures (pinned >= 0.9). Codes pack into 4 x 48-bit words — still
+#: 24 bytes/vector, a 10x cut vs dim-64 fp32.
+_TOPK_BITS = 192
+_WORD_BITS = 48
+_TOP_M = 64  # Hamming shortlist width fed to the exact-cosine rerank
 
 
 def _hamming_sig_ctes() -> str:
@@ -79,13 +93,45 @@ sig AS (SELECT vec_id,
         FROM proj GROUP BY 1)"""
 
 
-def _hamming_oracle_sql(cand_sql: str) -> str:
+def _hamming_wide_sig_ctes(n_bits: int = _TOPK_BITS,
+                           word_bits: int = _WORD_BITS) -> str:
+    """Multi-word oracle prefix: same planes/grid as
+    :func:`_hamming_sig_ctes`, packed as (vec_id, w, sig) word rows —
+    word w = p // word_bits, bit p % word_bits, mirroring
+    ``hamming_signatures_wide``'s layout exactly."""
+    return f"""
+qv AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                             x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+       FROM embeddings),
+comp AS (SELECT vec_id, j, q[j + 1] AS val
+         FROM qv, unnest(range(0, 64)) t(j)),
+planes AS (SELECT p, j,
+                  CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR)
+                                 || ':' || CAST(j AS VARCHAR)), 1, 2)
+                            AS UBIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END AS c
+           FROM range(0, {n_bits}) tp(p) CROSS JOIN range(0, 64) tj(j)),
+proj AS (SELECT comp.vec_id, planes.p,
+                SUM(comp.val * planes.c) AS s
+         FROM comp JOIN planes ON comp.j = planes.j
+         GROUP BY 1, 2),
+sigw AS (SELECT vec_id, CAST(p // {word_bits} AS INT) AS w,
+                SUM(CASE WHEN s >= 0
+                         THEN CAST(1 AS BIGINT) << CAST(p % {word_bits}
+                                                        AS INT)
+                         ELSE 0 END) AS sig
+         FROM proj GROUP BY 1, 2)"""
+
+
+def _hamming_oracle_sql(cand_sql: str,
+                        sig_ctes: str | None = None) -> str:
     """Full oracle: signatures -> candidate pairs (``cand_sql`` must
     yield (vec_id, neighbor_id, hamming)) -> per-query Hamming top-m
     shortlist -> exact-cosine rerank -> top-1."""
     return f"""
 WITH
-{_hamming_sig_ctes()},
+{sig_ctes if sig_ctes is not None else _hamming_sig_ctes()},
 ham AS ({cand_sql}),
 shortlist AS (SELECT vec_id, neighbor_id, hamming
               FROM (SELECT *, row_number() OVER (
@@ -112,8 +158,9 @@ ORDER BY vec_id
 
 _HAMMING_BRUTE_CAND = """
 SELECT a.vec_id, b.vec_id AS neighbor_id,
-       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-FROM sig a JOIN sig b ON a.vec_id <> b.vec_id"""
+       CAST(SUM(bit_count(xor(a.sig, b.sig))) AS INT) AS hamming
+FROM sigw a JOIN sigw b ON a.w = b.w AND a.vec_id <> b.vec_id
+GROUP BY 1, 2"""
 
 _MIH_ORACLE = f"""
 WITH
@@ -164,31 +211,52 @@ def _hamming_rerank_scored(shortlist: DataFrame, e: DataFrame) -> DataFrame:
 
 
 @register("vec_hamming_topk",
-          oracle=_hamming_oracle_sql(_HAMMING_BRUTE_CAND),
+          oracle=_hamming_oracle_sql(_HAMMING_BRUTE_CAND,
+                                     sig_ctes=_hamming_wide_sig_ctes()),
           tags=("vector", "knn", "approx", "hamming"))
 def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-signature ANN, exhaustive face — ORACLE-BACKED end to
-    end: 48-bit packed sign signatures (``hamming_signatures``, exact
-    int-grid md5-parity projections), every pair scored by
-    XOR + popcount, per-query Hamming top-8 shortlist, exact cosine
-    rerank, top-1. DuckDB replays planes, packing, popcounts, both
-    selection orders, and the rerank.
+    end: 192-bit sign codes packed as 4 x 48-bit words
+    (``hamming_signatures_wide``, exact int-grid md5-parity
+    projections), every pair scored by summed per-word XOR+popcount,
+    per-query Hamming top-64 shortlist, exact cosine rerank, top-1.
+    DuckDB replays planes, packing, popcounts, both selection orders,
+    and the rerank. The dials are measurement-driven (see _TOPK_BITS
+    note): this corpus' near-random NN cosines need long codes —
+    48 x top-8 measured recall 0.19, 192 x top-64 measures 0.93+
+    (oracle-checked in ``vec_hamming_recall``, pinned >= 0.9).
 
-    Scale shape (``hamming_topk_shortlist``, size-routed): under the
-    1 GiB signature budget (~134M vectors) the scan is one broadcast
-    int64 array + a C-level XOR/LUT-popcount Arrow kernel — the n x n
-    distance matrix never materializes, the shuffle carries only
-    n x m shortlist rows, and the kernel's threshold-masked lexsort
-    reproduces the window plan's (hamming, neighbor) order exactly
-    (the oracle proves it every sweep). Above budget it degrades to
-    the relational broadcast-join + window plan; float vectors are
-    only ever fetched for the m-row shortlist. The indexed face is
-    ``vec_hamming_mih`` below."""
-    from ..operators.dedup import hamming_topk_shortlist
+    Scale shape (``hamming_topk_shortlist_wide``, size-routed): under
+    the 1 GiB signature budget the scan is one broadcast [n, 4] int64
+    matrix + a block-vectorized XOR/LUT-popcount Arrow kernel — the
+    n x n distance matrix never materializes, the shuffle carries
+    only n x m shortlist rows, and the kernel's threshold-masked
+    lexsort reproduces the window plan's (hamming, neighbor) order
+    exactly (the oracle proves it every sweep). Above budget it
+    degrades to the relational word-join + window plan; float vectors
+    are only ever fetched for the m-row shortlist. The indexed face
+    is ``vec_hamming_mih`` below."""
+    from ..operators.dedup import (hamming_signatures_wide,
+                                   hamming_topk_scan,
+                                   hamming_topk_shortlist_wide)
 
     e = load_table(spark, sf_dir, "embeddings")
-    sig = hamming_signatures(e, dim=64, n_bits=_N_BITS)
-    shortlist = hamming_topk_shortlist(sig, m=_TOP_M)
+    scanned = hamming_topk_scan(e, n_bits=_TOPK_BITS,
+                                word_bits=_WORD_BITS, m=_TOP_M)
+    if scanned is not None:
+        w_cos = Window.partitionBy("vec_id").orderBy(
+            F.col("approx_cos").desc(), F.col("neighbor_id").asc())
+        return (scanned
+                .withColumn("approx_cos", F.round("cos_raw", 6))
+                .withColumn("_rn", F.row_number().over(w_cos))
+                .filter(F.col("_rn") == 1)
+                .select("vec_id", "neighbor_id",
+                        F.col("hamming").cast("int").alias("hamming"),
+                        "approx_cos")
+                .orderBy("vec_id"))
+    sigs = hamming_signatures_wide(e, dim=64, n_bits=_TOPK_BITS,
+                                   word_bits=_WORD_BITS)
+    shortlist = hamming_topk_shortlist_wide(sigs, m=_TOP_M)
     return _hamming_rerank_scored(shortlist, e)
 
 
@@ -414,3 +482,65 @@ def vec_ann_graph_det(spark: SparkSession, sf_dir: str,
                      F.col("rn").cast("int").alias("rank"),
                      F.round("cos", 6).alias("cos_sim"))
             .orderBy("vec_id", "rank"))
+
+
+_HAMMING_RECALL_ORACLE = _hamming_oracle_sql(
+    _HAMMING_BRUTE_CAND, sig_ctes=_hamming_wide_sig_ctes()).replace(
+    """SELECT vec_id, neighbor_id, hamming, approx_cos
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id
+          ORDER BY approx_cos DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn = 1
+ORDER BY vec_id
+""",
+    """, top1 AS (SELECT vec_id, approx_cos
+         FROM (SELECT *, row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY approx_cos DESC, neighbor_id) AS rn
+               FROM scored)
+         WHERE rn = 1),
+exact AS (SELECT a.vec_id,
+                 MAX(ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6)) AS best
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          GROUP BY a.vec_id)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(CASE WHEN t.approx_cos >= e.best THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN t.approx_cos >= e.best THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 4) AS recall_at_1
+FROM exact e LEFT JOIN top1 t ON t.vec_id = e.vec_id
+""")
+assert "top1 AS" in _HAMMING_RECALL_ORACLE, \
+    "recall-oracle rewrite no longer matches _hamming_oracle_sql"
+
+
+@register("vec_hamming_recall", oracle=_HAMMING_RECALL_ORACLE,
+          tags=("vector", "knn", "approx", "quality", "hamming"))
+def vec_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED recall@1 of the binary-signature Hamming route
+    against exact kNN — the vec_ann_lsh_recall posture for the sixth
+    ANN family: the whole measurement (48-bit sketch, popcount
+    shortlist, rerank, exact-kNN truth, hit rule, the division) is
+    SQL-expressible, so DuckDB verifies the recall NUMBER itself.
+    Value-based hit rule on the shared 6-dp grid: a query whose
+    Hamming-route top-1 is as similar as its true nearest neighbor
+    counts (exact ties count regardless of which twin came back).
+    The measured value (0.930 / 0.944 at the two fixtures) is
+    additionally pinned >= 0.9 in tests. Dial history: 48 bits x
+    top-8 measured 0.19 on this corpus — near-random NN cosines give
+    ~0.38 per-bit flip probability, so code width is THE recall dial;
+    192 bits x top-64 clears the family bar at 24 bytes/vector."""
+    from ..registry import all_specs as _specs
+
+    exact = (_specs()["vec_knn"].fn(spark, sf_dir)
+             .select("vec_id", F.col("cos_sim").alias("_best")))
+    top1 = vec_hamming_topk(spark, sf_dir).select("vec_id", "approx_cos")
+    hit = F.when(F.col("approx_cos") >= F.col("_best"), 1).otherwise(0)
+    return (exact.join(top1, "vec_id", "left")
+            .agg(F.count(F.lit(1)).alias("n_queries"),
+                 F.sum(hit).cast("long").alias("n_hits"),
+                 F.round(F.sum(hit) / F.count(F.lit(1)), 4)
+                  .alias("recall_at_1")))

@@ -52,10 +52,10 @@ SF_DIR = "/root/testdata/sf0.001"
 #: reviewer needs to read a flag correctly.
 NOTES = {
     "vec_hamming_topk": (
-        "cartesian=yes is the INTENDED popcount scan: a broadcast "
-        "nested-loop over 8-byte packed signatures (6 GB per 1B "
-        "vectors), allowlisted like vec_knn_bruteforce; float vectors "
-        "are only fetched for the top-8 rerank shortlist."),
+        "under the broadcast budget the scan is the fused "
+        "hamming_topk_scan kernel (no cartesian in this plan); the "
+        "CROSS_JOIN_ALLOWED entry covers the above-budget relational "
+        "fallback, allowlisted like vec_knn_bruteforce."),
     "ml_tree_stump": (
         "cartesian=yes is the allowlisted 1-row class-totals frame "
         "broadcast onto the bin histogram (the ml_quantile_bins "

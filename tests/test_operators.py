@@ -2153,3 +2153,19 @@ def test_ann_graph_det_recall_at_registered_dials(spark):
         ranks[r["vec_id"]].append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in ranks.values())
+
+
+def test_hamming_recall_pinned_at_registered_dials(spark):
+    """vec_hamming_recall >= 0.9 at the registered 192-bit x top-64
+    dials (measured 0.930 at this fixture when chosen; 48 x 8
+    measured 0.19 — the near-random-NN-cosine corpus makes code width
+    THE recall dial). A drop means someone narrowed the code, the
+    shortlist, or broke the wide packing/kernel order."""
+    from integrator_spark.registry import all_specs
+
+    from .conftest import TEST_SF_DIR
+
+    row = all_specs()["vec_hamming_recall"].fn(
+        spark, TEST_SF_DIR).collect()[0]
+    assert row["n_queries"] == 500
+    assert row["recall_at_1"] >= 0.9, row
