@@ -137,6 +137,7 @@ STREAM_STATE_EXPECTED: dict[str, set[str]] = {
     "stream_session": {"sessionWindowStateStoreSaveExec"},
     "stream_session_rocksdb": {"sessionWindowStateStoreSaveExec"},
     "stream_stateful": {"applyInPandasWithState"},
+    "stream_pattern_match": {"applyInPandasWithState"},
     "stream_update_counts": {"stateStoreSave"},
     "stream_join": {"symmetricHashJoin"},
     "stream_static_join": {"stateStoreSave"},

@@ -950,7 +950,10 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("streak_days").desc(), "user_id").limit(20))
 
 
-@register("events_pattern_match", oracle="""
+#: Shared by the batch face below and streaming/jobs.py's
+#: stream_pattern_match (the same semantics through the state-machine
+#: path — one oracle, two execution models).
+PATTERN_MATCH_ORACLE = """
 WITH ev AS (SELECT user_id, ts, event_id,
                    substr(event_type, 1, 1) AS ch FROM events),
 seqs AS (SELECT user_id,
@@ -968,7 +971,11 @@ m AS (SELECT user_id, n_events,
 SELECT user_id, CAST(n_events AS BIGINT) AS n_events, n_vcp,
        max_err_run, converted
 FROM m ORDER BY user_id
-""", tags=("events", "pattern"))
+"""
+
+
+@register("events_pattern_match", oracle=PATTERN_MATCH_ORACLE,
+          tags=("events", "pattern"))
 def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-sequence pattern matching (the MATCH_RECOGNIZE use case,
     emulated relationally) — ORACLE-BACKED: each user's events

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.num import dsum, sql_dsum
+from ..queries.events import PATTERN_MATCH_ORACLE as _PATTERN_MATCH_ORACLE
 from ..io import derived_dir, load_table, normalize_events_ts
 from ..registry import register
 from ..session import ensure_runtime_confs
@@ -456,6 +457,94 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                    outputMode="append",
                    timeoutConf=GroupStateTimeout.NoTimeout))
     return run_available_now(tracked, sf_dir, "stream_stateful")
+
+
+def pattern_fold(st: tuple, chars) -> tuple:
+    """Pure per-key transition fold of the pattern state machine —
+    module-level so tests can drive it directly and prove BATCH-SPLIT
+    INVARIANCE: folding a character sequence in any number of ordered
+    splits yields the same state as one pass (the property that makes
+    the streaming face equal the batch face across micro-batches).
+    State: (n_events, n_vcp, err_run, max_err, tail<=2 chars, stage)."""
+    n_events, n_vcp, err_run, max_err, tail, stage = st
+    for c in chars:
+        n_events += 1
+        if tail == "vc" and c == "p":
+            n_vcp += 1
+            tail = ""              # greedy non-overlap == replace()
+        else:
+            tail = (tail + c)[-2:]
+        if c == "e":
+            err_run += 1
+            max_err = max(max_err, err_run)
+        else:
+            err_run = 0
+        if stage == 0 and c == "v":
+            stage = 1
+        elif stage == 1 and c == "c":
+            stage = 2
+        elif stage == 2 and c == "p":
+            stage = 3
+    return (n_events, n_vcp, err_run, max_err, tail, stage)
+
+
+@register("stream_pattern_match", oracle=_PATTERN_MATCH_ORACLE,
+          tags=("streaming", "stateful", "pattern"))
+def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_pattern_match through the streaming state-machine path —
+    and the reason the pattern stats were DESIGNED incremental: per
+    user the state is O(1) (an at-most-2-char match tail, an error-run
+    counter, a 3-value funnel stage), so the MATCH_RECOGNIZE-style
+    matcher runs as applyInPandasWithState with constant memory per
+    key, unlike the batch face's collected sequence. Non-overlapping
+    'vcp' counting via the greedy tail reset is exactly the batch
+    replace-length identity; the oracle is shared
+    (queries/events.py::PATTERN_MATCH_ORACLE): on the bounded
+    availableNow replay every key's history lands before the final
+    emit and each batch folds in (ts, event_id) order, so the emitted
+    state equals the batch computation exactly — the stream_stateful
+    posture. tests/test_streaming.py additionally pins stream == batch
+    row-for-row and the state machine's batch-split invariance.
+
+    Scale: state per key is ~5 scalars + 2 chars; no sequence is ever
+    materialized. The same skew note as stream_stateful applies."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        import numpy as np
+        st = state.get if state.exists else (0, 0, 0, 0, "", 0)
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            order = np.lexsort((pdf["event_id"].to_numpy(),
+                                pdf["ts"].astype("int64").to_numpy()))
+            st = pattern_fold(st, pdf["ch"].to_numpy()[order])
+        n_events, n_vcp, err_run, max_err, tail, stage = st
+        state.update((n_events, n_vcp, err_run, max_err, tail, stage))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_events": [n_events],
+                            "n_vcp": [n_vcp],
+                            "max_err_run": [max_err],
+                            "converted": [stage == 3]})
+
+    s = events_stream(spark, sf_dir)
+    ev = s.select("user_id", "ts", "event_id",
+                  F.substring("event_type", 1, 1).alias("ch"))
+    tracked = (ev.withWatermark("ts", "1 hour")
+               .groupBy("user_id")
+               .applyInPandasWithState(
+                   track,
+                   outputStructType=("user_id long, n_events long, "
+                                     "n_vcp long, max_err_run long, "
+                                     "converted boolean"),
+                   stateStructType=("n_events long, n_vcp long, "
+                                    "err_run long, max_err long, "
+                                    "tail string, stage long"),
+                   outputMode="append",
+                   timeoutConf=GroupStateTimeout.NoTimeout))
+    return (run_available_now(tracked, sf_dir, "stream_pattern_match")
+            .orderBy("user_id"))
 
 
 def tws_available() -> bool:

@@ -438,3 +438,45 @@ def test_semdedup_compaction_crash_recovery(spark, tmp_path):
                  spark.read.parquet(os.path.join(store, "batch=1"))
                  .collect())
     assert got == list(range(25))
+
+
+def test_stream_pattern_match_equals_batch_face(spark):
+    """The streaming state-machine face must equal the batch
+    (collected-sequence) face row-for-row — same users, same strict
+    counts, same error runs, same funnel flag. This is the cross-face
+    gate on top of the shared oracle."""
+    from integrator_spark.registry import all_specs
+
+    specs = all_specs()
+    stream = sorted(tuple(r) for r in
+                    specs["stream_pattern_match"].fn(
+                        spark, TEST_SF_DIR).collect())
+    batch = sorted(tuple(r) for r in
+                   specs["events_pattern_match"].fn(
+                       spark, TEST_SF_DIR).collect())
+    assert stream == batch and len(stream) > 0
+
+
+def test_pattern_fold_batch_split_invariance():
+    """pattern_fold folded over ANY ordered split sequence equals the
+    single-pass fold — the property that makes stream_pattern_match's
+    emitted state independent of micro-batch boundaries. Fuzzed over
+    random sequences and random split points, including splits inside
+    a 'vcp' match and inside an error run (the two carried contexts)."""
+    import random
+
+    from integrator_spark.streaming.jobs import pattern_fold
+
+    rng = random.Random(7)
+    init = (0, 0, 0, 0, "", 0)
+    for _ in range(300):
+        seq = [rng.choice("vcpse") for _ in range(rng.randint(0, 60))]
+        whole = pattern_fold(init, seq)
+        cuts = sorted(rng.sample(range(len(seq) + 1),
+                                 rng.randint(0, min(5, len(seq)))))
+        st = init
+        prev = 0
+        for cut in cuts + [len(seq)]:
+            st = pattern_fold(st, seq[prev:cut])
+            prev = cut
+        assert st == whole, (seq, cuts, st, whole)
