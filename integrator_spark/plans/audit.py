@@ -69,6 +69,7 @@ CROSS_JOIN_ALLOWED = {
     "stats_power",         # 1-row rates frame x 4-row literal MDE grid
     "ml_naive_bayes",      # bounded n_classes-row grid broadcast to tf/docs
     "stats_theilsen",      # bounded |days|² day-pair grid + 1-row count frame
+    "stats_rank_corr",     # bounded |days|² concordance pairs + two 1-row frames
     "retrieval_rrf",       # 1-row query-vector frame broadcast to corpus
     "retrieval_ndcg",      # same 1-row query-vector + 1-row idcg frames
 }

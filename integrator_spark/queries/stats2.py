@@ -2254,3 +2254,124 @@ def stats_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n_days").cast("long").alias("n_days"),
                     F.col("np").cast("long").alias("n_pairs"),
                     F.round("slope", 6).alias("theilsen_slope")))
+
+
+@register("stats_rank_corr", oracle="""
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS x,
+                      SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS y
+               FROM orders GROUP BY 1),
+rx AS (SELECT x AS v, COUNT(*) AS cnt FROM daily GROUP BY x),
+rx2 AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS r2 FROM rx),
+ry AS (SELECT y AS v, COUNT(*) AS cnt FROM daily GROUP BY y),
+ry2 AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS r2 FROM ry),
+ranked AS (SELECT daily.d, rx2.r2 AS r2x, ry2.r2 AS r2y
+           FROM daily JOIN rx2 ON daily.x = rx2.v
+                      JOIN ry2 ON daily.y = ry2.v),
+s AS (SELECT COUNT(*) AS n,
+             CAST(SUM(r2x) AS BIGINT) AS sx,
+             CAST(SUM(r2y) AS BIGINT) AS sy,
+             CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+             CAST(SUM(r2y * r2y) AS BIGINT) AS syy,
+             CAST(SUM(r2x * r2y) AS BIGINT) AS sxy
+      FROM ranked),
+pairs AS (SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+                        OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS c,
+                 CASE WHEN (a.x < b.x AND a.y > b.y)
+                        OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS dc,
+                 CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+                 CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty
+          FROM daily a JOIN daily b ON a.d < b.d),
+k AS (SELECT CAST(SUM(c) AS BIGINT) AS nc, CAST(SUM(dc) AS BIGINT) AS nd,
+             CAST(SUM(tx) AS BIGINT) AS ntx, CAST(SUM(ty) AS BIGINT) AS nty
+      FROM pairs)
+SELECT CAST(s.n AS BIGINT) AS n_days,
+       ROUND(CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+             / SQRT(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+                    * CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE)), 6)
+           AS spearman,
+       k.nc AS n_concordant, k.nd AS n_discordant,
+       ROUND(CAST(k.nc - k.nd AS DOUBLE)
+             / SQRT(CAST(k.nc + k.nd + k.ntx AS DOUBLE)
+                    * CAST(k.nc + k.nd + k.nty AS DOUBLE)), 6)
+           AS kendall_tau_b
+FROM s, k
+""", tags=("stats", "correlation"))
+def stats_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank correlations (Spearman rho with tie-averaged ranks,
+    Kendall tau-b) between daily order count and daily revenue —
+    ORACLE-BACKED through the stats family's exact-arithmetic
+    discipline: ranks are carried DOUBLED (2*avg_rank = 2*cum-cnt+1,
+    an exact integer even for tied groups), every sufficient
+    statistic is an exact int64 sum, and pair concordance/tie counts
+    are exact integers — each correlation is then two IEEE ops (one
+    multiply under a sqrt, one division) on identical operands.
+
+    Scale shape: the rank windows and the concordance pair join run
+    on the DAY-GRAIN aggregate (calendar-bounded, ~2.4k rows — the
+    stats_theilsen posture), never on the fact table; the only
+    full-data pass is the daily groupBy. For rank correlation over
+    unbounded keys the O(n log n) merge-inversion count replaces the
+    pair join — at day grain the quadratic-in-days form is smaller
+    than its bookkeeping."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(F.count(F.lit(1)).alias("x"),
+                  F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                  .alias("y")))
+
+    def r2_for(col: str) -> DataFrame:
+        grp = daily.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return grp.select("v", (2 * F.sum("cnt").over(w)
+                                - F.col("cnt") + 1).alias("r2"))
+
+    rx2 = r2_for("x").select(F.col("v").alias("x"),
+                             F.col("r2").alias("r2x"))
+    ry2 = r2_for("y").select(F.col("v").alias("y"),
+                             F.col("r2").alias("r2y"))
+    ranked = daily.join(rx2, "x").join(ry2, "y")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2x").cast("long").alias("sx"),
+        F.sum("r2y").cast("long").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("long").alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("long").alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("long").alias("sxy"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"),
+                     F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"))
+    conc = F.when(((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+                  | ((F.col("xa") > F.col("xb"))
+                     & (F.col("ya") > F.col("yb"))), 1).otherwise(0)
+    disc = F.when(((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+                  | ((F.col("xa") > F.col("xb"))
+                     & (F.col("ya") < F.col("yb"))), 1).otherwise(0)
+    tiex = F.when((F.col("xa") == F.col("xb"))
+                  & (F.col("ya") != F.col("yb")), 1).otherwise(0)
+    tiey = F.when((F.col("ya") == F.col("yb"))
+                  & (F.col("xa") != F.col("xb")), 1).otherwise(0)
+    k = (a.join(b, F.col("da") < F.col("db"))
+         .agg(F.sum(conc).cast("long").alias("nc"),
+              F.sum(disc).cast("long").alias("nd"),
+              F.sum(tiex).cast("long").alias("ntx"),
+              F.sum(tiey).cast("long").alias("nty")))
+    n = F.col("n")
+    spearman = F.round(
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 .cast("double")
+                 * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+                 .cast("double")), 6)
+    tau = F.round(
+        (F.col("nc") - F.col("nd")).cast("double")
+        / F.sqrt((F.col("nc") + F.col("nd") + F.col("ntx")).cast("double")
+                 * (F.col("nc") + F.col("nd") + F.col("nty"))
+                 .cast("double")), 6)
+    return (s.crossJoin(F.broadcast(k))   # two 1-row frames
+            .select(n.cast("long").alias("n_days"),
+                    spearman.alias("spearman"),
+                    F.col("nc").alias("n_concordant"),
+                    F.col("nd").alias("n_discordant"),
+                    tau.alias("kendall_tau_b")))

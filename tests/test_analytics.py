@@ -441,3 +441,44 @@ def test_events_pattern_match_invariants(spark):
     # always True here — the strict/loose split is what varies).
     assert (pdf.n_vcp >= 1).any() and (pdf.n_vcp == 0).any()
     assert pdf.converted.all()
+
+
+def test_stats_rank_corr_matches_scipy_free_reference(spark):
+    """stats_rank_corr vs a from-scratch pandas re-derivation:
+    Spearman = Pearson on tie-averaged ranks, Kendall tau-b from raw
+    concordant/discordant/tie counts — both to 1e-6. Also the order
+    sanity: all three correlation types must agree in sign on this
+    data, and |tau| <= |rho| is the usual (not universal, but holds
+    here) relationship worth flagging if it flips."""
+    import duckdb as ddb
+    import numpy as np
+
+    pdf = run("stats_rank_corr", spark)
+    daily = ddb.sql(f"""
+        SELECT COUNT(*) AS x, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS y
+        FROM read_parquet('{TEST_SF_DIR}/orders.parquet')
+        GROUP BY CAST(o_orderdate AS DATE)""").fetchdf()
+    x = daily.x.to_numpy(dtype=float)
+    y = daily.y.to_numpy(dtype=float)
+    rx = pd_rank(x)
+    ry = pd_rank(y)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    nc = nd = tx = ty = 0
+    for i in range(len(x)):
+        dx = x[i + 1:] - x[i]
+        dy = y[i + 1:] - y[i]
+        nc += int(((dx > 0) & (dy > 0)).sum() + ((dx < 0) & (dy < 0)).sum())
+        nd += int(((dx > 0) & (dy < 0)).sum() + ((dx < 0) & (dy > 0)).sum())
+        tx += int(((dx == 0) & (dy != 0)).sum())
+        ty += int(((dy == 0) & (dx != 0)).sum())
+    tau = (nc - nd) / ((nc + nd + tx) * (nc + nd + ty)) ** 0.5
+    r = pdf.iloc[0]
+    assert abs(r.spearman - rho) < 1e-6
+    assert abs(r.kendall_tau_b - tau) < 1e-6
+    assert (r.n_concordant, r.n_discordant) == (nc, nd)
+    assert np.sign(r.spearman) == np.sign(r.kendall_tau_b)
+
+
+def pd_rank(a):
+    import pandas as pd
+    return pd.Series(a).rank(method="average").to_numpy()
