@@ -857,7 +857,8 @@ def hamming_topk_shortlist_wide(sigs: DataFrame, m: int = 64,
         pair = (ex.join(nb, ["w"])
                 .filter(F.col(id_col) != F.col("neighbor_id"))
                 .groupBy(id_col, "neighbor_id")
-                .agg(F.sum(F.bit_count(F.col("_sa").bitwiseXOR("_sb")))
+                .agg(F.sum(F.bit_count(F.col("_sa")
+                                       .bitwiseXOR(F.col("_sb"))))
                      .cast("int").alias("hamming")))
         w_win = Window.partitionBy(id_col).orderBy(
             F.col("hamming").asc(), F.col("neighbor_id").asc())

@@ -2169,3 +2169,46 @@ def test_hamming_recall_pinned_at_registered_dials(spark):
         spark, TEST_SF_DIR).collect()[0]
     assert row["n_queries"] == 500
     assert row["recall_at_1"] >= 0.9, row
+
+
+def test_hamming_fallback_plan_equals_fused_kernel(spark):
+    """The above-budget relational word-join plan must produce the
+    SAME shortlist as the fused broadcast kernel — forced here by a
+    1-byte broadcast budget, so the fallback path can't bitrot while
+    the fixture always rides the kernel. Compares the full
+    (vec_id, neighbor_id, hamming) shortlist set AND that the top-k
+    query output is identical through either route."""
+    import pyspark.sql.functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import (
+        hamming_signatures_wide, hamming_topk_scan,
+        hamming_topk_shortlist_wide)
+
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings").limit(120)
+    sigs = hamming_signatures_wide(e, n_bits=192, word_bits=48)
+    rel = {(r["vec_id"], r["neighbor_id"], r["hamming"])
+           for r in hamming_topk_shortlist_wide(
+               sigs, m=8, broadcast_budget=1).collect()}
+    fused = hamming_topk_scan(e, n_bits=192, word_bits=48, m=8)
+    assert fused is not None
+    kern = {(r["vec_id"], r["neighbor_id"], r["hamming"])
+            for r in fused.select("vec_id", "neighbor_id",
+                                  "hamming").collect()}
+    assert rel == kern and len(rel) == 120 * 8
+    # and the scan's cosine column agrees with the fetch-join residual
+    one = (fused.orderBy("vec_id", "neighbor_id").limit(5)
+           .select("vec_id", "neighbor_id",
+                   F.round("cos_raw", 6).alias("c")).collect())
+    from integrator_spark.operators.dedup import _cosine_residual
+    pairs = spark.createDataFrame(
+        [(r["vec_id"], r["neighbor_id"]) for r in one],
+        "vec_id long, neighbor_id long")
+    ref = {(r["vec_id"], r["neighbor_id"]): r["cos_sim"]
+           for r in _cosine_residual(pairs, e, e, -2.0, "vec_id",
+                                     "neighbor_id", "vec_id",
+                                     "embedding").collect()}
+    for r in one:
+        assert r["c"] == ref[(r["vec_id"], r["neighbor_id"])]
