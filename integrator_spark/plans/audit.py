@@ -34,6 +34,7 @@ CROSS_JOIN_ALLOWED = {
     "vec_ann_ivf_det",     # same bounded k=16 centroid broadcast (det twin)
     "vec_ann_pq_det",      # bounded per-subspace codebook broadcast
     "dedup_semantic_ivf_det",  # same bounded k=8 centroid broadcast
+    "ml_silhouette",       # same bounded k=8 centroid broadcast (evaluation)
     "vec_ann_ivfpq_det",   # bounded coarse-cell + codebook broadcasts
     "vec_ann_recall",      # composes vec_ann_ivf (same bounded probe)
     "vec_knn_twosided",    # bounded n_blocks² block-id pairing (not rows)

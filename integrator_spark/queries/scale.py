@@ -1511,3 +1511,109 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("l_extendedprice")
                                .cast("decimal(38,6)")).cast("double"), 6)
                   .alias("revenue")))
+
+
+def _silhouette_oracle_sql(k: int = 8, iters: int = 4) -> str:
+    """Centroid-based silhouette over the shared deterministic-k-means
+    chain: appended CTEs reuse the chain's ``fsim``/``fnrm`` (final
+    centroids) but normalize by BOTH norms — the chain's ranking score
+    (dot/|c|) orders buckets correctly yet exceeds 1, while silhouette
+    needs the true cosine. a(i)=1-cos(best), b(i)=1-cos(second);
+    s=(b-a)/max(a,b)=(cos1-cos2)/max(1-cos1,1-cos2). Per-cluster means
+    accumulate as DECIMAL(28,9) (the ml_logreg cast discipline) so
+    float summation order cannot split the engines."""
+    return _ivf_det_chain_sql(k=k, iters=iters) + """,
+qn AS (SELECT vec_id, sqrt(CAST(SUM(val * val) AS DOUBLE)) AS qnrm
+       FROM comp GROUP BY vec_id),
+scored AS (SELECT s.vec_id, s.bucket,
+                  CASE WHEN n.nrm = 0 OR q.qnrm = 0 THEN -2.0
+                       ELSE CAST(s.dot AS DOUBLE) / (q.qnrm * n.nrm)
+                  END AS cos,
+                  row_number() OVER (PARTITION BY s.vec_id
+                    ORDER BY CASE WHEN n.nrm = 0 OR q.qnrm = 0 THEN -2.0
+                                  ELSE CAST(s.dot AS DOUBLE)
+                                       / (q.qnrm * n.nrm) END DESC,
+                             s.bucket) AS rn
+           FROM fsim s JOIN fnrm n ON s.bucket = n.bucket
+                        JOIN qn q ON q.vec_id = s.vec_id),
+top2 AS (SELECT vec_id,
+                MAX(CASE WHEN rn = 1 THEN bucket END) AS bucket,
+                MAX(CASE WHEN rn = 1 THEN cos END) AS cos1,
+                MAX(CASE WHEN rn = 2 THEN cos END) AS cos2
+         FROM scored WHERE rn <= 2 GROUP BY vec_id),
+sil AS (SELECT bucket,
+               CASE WHEN GREATEST(1.0 - cos1, 1.0 - cos2) = 0 THEN 0.0
+                    ELSE (cos1 - cos2) / GREATEST(1.0 - cos1, 1.0 - cos2)
+               END AS s
+        FROM top2)
+SELECT bucket, COUNT(*) AS n_members,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_silhouette
+FROM sil GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("ml_silhouette", oracle=_silhouette_oracle_sql(),
+          tags=("ml", "cluster", "quality"))
+def ml_silhouette(spark: SparkSession, sf_dir: str, k: int = 8,
+                  iters: int = 4) -> DataFrame:
+    """Per-cluster silhouette score of the deterministic k-means
+    partition — ORACLE-BACKED cluster-quality evaluation: the
+    centroid-based silhouette (Rousseeuw's a/b distances taken to the
+    own vs second-best centroid rather than all points — the O(nk)
+    form every large-scale evaluator uses; exact all-pairs silhouette
+    is O(n²) by definition). Reuses the _ivf_det_fit machinery
+    end-to-end, so DuckDB replays the k-means AND the evaluation:
+    a(i) = 1 - cos(own centroid), b(i) = 1 - cos(runner-up),
+    s = (cos1-cos2)/max(1-cos1, 1-cos2), per-cluster means summed as
+    DECIMAL(28,9).
+
+    Scale shape: one broadcast of k integer centroids, one scan for
+    the n x k score matrix, a width-2 window, one groupBy over k
+    keys. tests/test_analytics.py pins the [-1, 1] range, agreement
+    with a NumPy re-derivation, and that planting tighter clusters
+    raises the score."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q, cent = _ivf_det_fit(e, k=k, iters=iters)
+    rows = [(b, [int(v) for v in vals],
+             math.sqrt(sum(v * v for v in vals)))
+            for b, vals in sorted(cent.items())]
+    cdf = spark.createDataFrame(rows,
+                                "bucket int, c array<long>, nrm double")
+    dot = F.aggregate(F.zip_with("q", "c", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    qnrm = F.sqrt(F.aggregate(
+        F.zip_with("q", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x).cast("double"))
+    qn = q.select("vec_id", "q", qnrm.alias("qnrm"))
+    cos = (F.when((F.col("nrm") == 0.0) | (F.col("qnrm") == 0.0),
+                  F.lit(-2.0))
+           .otherwise(dot.cast("double")
+                      / (F.col("qnrm") * F.col("nrm"))))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
+                                             "bucket")
+    scored = (qn.crossJoin(F.broadcast(cdf))
+              .select("vec_id", "bucket", cos.alias("cos"))
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 2))
+    top2 = (scored.groupBy("vec_id")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("bucket")))
+                 .alias("bucket"),
+                 F.max(F.when(F.col("rn") == 1, F.col("cos")))
+                 .alias("cos1"),
+                 F.max(F.when(F.col("rn") == 2, F.col("cos")))
+                 .alias("cos2")))
+    a_d = F.lit(1.0) - F.col("cos1")
+    b_d = F.lit(1.0) - F.col("cos2")
+    s = (F.when(F.greatest(a_d, b_d) == 0.0, F.lit(0.0))
+         .otherwise((F.col("cos1") - F.col("cos2"))
+                    / F.greatest(a_d, b_d)))
+    return (top2.select("bucket", s.alias("s"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.round(F.sum(F.col("s").cast("decimal(28,9)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_silhouette"))
+            .orderBy("bucket"))

@@ -482,3 +482,70 @@ def test_stats_rank_corr_matches_scipy_free_reference(spark):
 def pd_rank(a):
     import pandas as pd
     return pd.Series(a).rank(method="average").to_numpy()
+
+
+def test_ml_silhouette_range_reference_and_separation_response(spark):
+    """ml_silhouette semantics: (a) every per-cluster mean lies in
+    [-1, 1]; (b) the registered computation equals a NumPy
+    re-derivation of the centroid-based silhouette on the SAME
+    centroids (fit reused, so this isolates the evaluation algebra);
+    (c) planting two perfectly tight, well-separated synthetic
+    clusters yields silhouette ~1 — the metric responds to real
+    structure, not just to the formula."""
+    import numpy as np
+
+    from integrator_spark.io import load_table
+    from integrator_spark.queries.scale import _ivf_det_fit
+
+    got = {r["bucket"]: (r["n_members"], r["avg_silhouette"])
+           for r in SPECS["ml_silhouette"].fn(spark, TEST_SF_DIR).collect()}
+    assert all(-1.0 <= v[1] <= 1.0 for v in got.values())
+    assert sum(v[0] for v in got.values()) == 500
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings")
+    q, cent = _ivf_det_fit(e, k=8, iters=4)
+    qpd = q.toPandas()
+    Q = np.array(qpd.q.tolist(), dtype=np.float64)
+    C = np.array([cent[b] for b in sorted(cent)], dtype=np.float64)
+    cos = (Q @ C.T) / (np.linalg.norm(Q, axis=1, keepdims=True)
+                       * np.linalg.norm(C, axis=1))
+    # rank with the bucket tie-break, like the query
+    order = np.lexsort((np.arange(cos.shape[1])[None, :]
+                        .repeat(len(Q), 0).ravel(),
+                        -cos.ravel()))
+    import collections
+    sums = collections.defaultdict(list)
+    for i in range(len(Q)):
+        row = sorted(range(cos.shape[1]), key=lambda b: (-cos[i, b], b))
+        b1, b2 = row[0], row[1]
+        a_d, b_d = 1 - cos[i, b1], 1 - cos[i, b2]
+        s = 0.0 if max(a_d, b_d) == 0 else (cos[i, b1] - cos[i, b2]) / max(a_d, b_d)
+        sums[b1].append(s)
+    for b, (n, avg) in got.items():
+        assert n == len(sums[b])
+        assert abs(avg - np.mean(sums[b])) < 1e-5, (b, avg)
+
+    # planted structure: two tight antipodal clusters -> s ~ 1
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64)
+    rows = []
+    for i in range(40):
+        v = base + rng.normal(scale=0.01, size=64)
+        rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
+    for i in range(40, 80):
+        v = -base + rng.normal(scale=0.01, size=64)
+        rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qq, cc = _ivf_det_fit(df.select("vec_id",
+                                    F.col("embedding").cast("array<float>")
+                                    .alias("embedding")), k=2, iters=4)
+    QQ = np.array(qq.toPandas().q.tolist(), dtype=np.float64)
+    CC = np.array([cc[b] for b in sorted(cc)], dtype=np.float64)
+    cos2 = (QQ @ CC.T) / (np.linalg.norm(QQ, axis=1, keepdims=True)
+                          * np.linalg.norm(CC, axis=1))
+    s_vals = []
+    for i in range(len(QQ)):
+        srt = np.sort(cos2[i])[::-1]
+        a_d, b_d = 1 - srt[0], 1 - srt[1]
+        s_vals.append((srt[0] - srt[1]) / max(a_d, b_d))
+    assert np.mean(s_vals) > 0.9
