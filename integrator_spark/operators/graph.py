@@ -13,7 +13,7 @@ citation radius).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ckpt import truncated_checkpoint
@@ -362,3 +362,72 @@ def label_propagation(edges: DataFrame, src: str = "src",
             .select("node",
                     F.coalesce("_new", "label").alias("label")))
     return labels
+
+
+def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
+                w_col: str = "w", maximum: bool = False,
+                max_rounds: int = 20) -> DataFrame:
+    """Minimum (or maximum) spanning forest by distributed Borůvka —
+    THE parallel MST algorithm (each round every component picks its
+    best incident edge simultaneously, components then contract), in
+    plain relational rounds: one labels join + one per-component
+    window min + one star-contraction CC per round, O(log n) rounds
+    regardless of diameter.
+
+    Determinism / uniqueness: edges are ordered by the STRICT total
+    order (±w, s, d), which makes the spanning forest UNIQUE (the
+    classic distinct-weights argument applied to the lexicographic
+    perturbation) — so Borůvka here and Kruskal anywhere else produce
+    the SAME edge set, which is exactly what the test pins. Cycle
+    safety under a strict total order is the textbook Borůvka
+    invariant.
+
+    Scale shape: per round, the edge relabel is two hash joins on the
+    node key; the best-edge pick is one window over edge endpoints
+    keyed by component; the contraction runs star CC on the CHOSEN
+    edges only (<= one per component — a graph that halves each
+    round). Labels are lineage-truncated per round (operators/ckpt).
+    ``maximum=True`` negates the comparison (maximum spanning forest
+    — e.g. the strongest-affinity backbone of a similarity graph)."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                     F.col(w_col).alias("w")).localCheckpoint(eager=True)
+    labels = (e.select(F.col("s").alias("node"))
+              .unionByName(e.select(F.col("d").alias("node")))
+              .distinct()
+              .select("node", F.col("node").alias("comp")))
+    labels = truncated_checkpoint(labels)
+    order_w = F.col("w").desc() if maximum else F.col("w").asc()
+    msf = spark.createDataFrame([], e.schema)
+    for _ in range(max_rounds):
+        ls = labels.select(F.col("node").alias("s"),
+                           F.col("comp").alias("cs"))
+        ld = labels.select(F.col("node").alias("d"),
+                           F.col("comp").alias("cd"))
+        el = (e.join(ls, "s").join(ld, "d")
+              .filter(F.col("cs") != F.col("cd")))
+        if el.isEmpty():
+            break
+        el = truncated_checkpoint(el)
+        cand = (el.select(F.col("cs").alias("comp"), "s", "d", "w",
+                          "cs", "cd")
+                .unionByName(el.select(F.col("cd").alias("comp"),
+                                       "s", "d", "w", "cs", "cd")))
+        win = Window.partitionBy("comp").orderBy(order_w, "s", "d")
+        chosen = (cand.withColumn("_rn", F.row_number().over(win))
+                  .filter(F.col("_rn") == 1)
+                  .select("s", "d", "w", "cs", "cd").distinct())
+        chosen = truncated_checkpoint(chosen)
+        msf = msf.unionByName(chosen.select("s", "d", "w"))
+        from .dedup import connected_components_star
+        cc = connected_components_star(
+            chosen.select(F.col("cs").alias("d1"),
+                          F.col("cd").alias("d2")), "d1", "d2")
+        cc = cc.select(F.col("doc_id").alias("comp"),
+                       F.col("cluster_id").alias("newc"))
+        # No broadcast hint: the round-1 component map is ~n/2 rows
+        # (AQE broadcasts it only once contraction shrinks it).
+        labels = truncated_checkpoint(
+            labels.join(cc, "comp", "left")
+            .select("node", F.coalesce("newc", "comp").alias("comp")))
+    return msf

@@ -574,3 +574,37 @@ def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("h12").desc(), "node").limit(20)
             .select("node", (F.col("h12") / 12.0).alias("harmonic"),
                     "n_reached"))
+
+
+@register("graph_mst", oracle=None, tags=("graph", "mst"))
+def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM spanning forest of the weighted co-purchase graph — the
+    strongest-affinity backbone (for every pair of co-purchasable
+    parts, the single highest-co-purchase path connecting them) — by
+    distributed Borůvka (operators/graph.py::boruvka_msf): every
+    component picks its best incident edge per round under the strict
+    total order (w DESC, s, d), components star-contract, O(log n)
+    rounds. The strict order makes the forest UNIQUE, so the test pins
+    EXACT edge-set equality against a from-scratch Python Kruskal —
+    rows-only only because Borůvka's per-round contraction doesn't fit
+    a static SQL oracle (same posture as the converged iterative
+    loops), with the external reference giving equality, not a bound.
+
+    Scale: each round is two node-key joins + one component-window
+    min + star CC over <= one-edge-per-component; rounds halve the
+    component count, so 30 rounds cover 1B nodes. Weights (co-purchase
+    counts) are exact ints."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("d"))
+    edges = (a.join(b, "k").filter(F.col("s") < F.col("d"))
+             .groupBy("s", "d").agg(F.count(F.lit(1)).alias("w"))
+             .filter(F.col("w") >= 2))
+    from ..operators.graph import boruvka_msf
+
+    msf = boruvka_msf(edges, maximum=True)
+    return msf.select("s", "d", F.col("w").cast("long").alias("w")) \
+        .orderBy("s", "d")

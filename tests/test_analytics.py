@@ -549,3 +549,43 @@ def test_ml_silhouette_range_reference_and_separation_response(spark):
         a_d, b_d = 1 - srt[0], 1 - srt[1]
         s_vals.append((srt[0] - srt[1]) / max(a_d, b_d))
     assert np.mean(s_vals) > 0.9
+
+
+def test_graph_mst_equals_kruskal_exactly(spark):
+    """graph_mst (distributed Borůvka, maximum spanning forest under
+    the strict total order (w DESC, s, d)) must equal a from-scratch
+    Python Kruskal under the SAME order — exact edge-set equality,
+    the uniqueness argument made executable. Also the structural
+    invariants: |MSF| = n - #components, and the forest is acyclic
+    (union-find never sees a redundant edge)."""
+    import duckdb as ddb
+
+    got = {(r["s"], r["d"], r["w"])
+           for r in SPECS["graph_mst"].fn(spark, TEST_SF_DIR).collect()}
+
+    edges = ddb.sql(f"""
+        SELECT s, d, w FROM (
+          SELECT a.l_partkey AS s, b.l_partkey AS d, COUNT(*) AS w
+          FROM read_parquet('{TEST_SF_DIR}/lineitem.parquet') a
+          JOIN read_parquet('{TEST_SF_DIR}/lineitem.parquet') b
+            ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2) WHERE w >= 2
+    """).fetchall()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for s, d, w in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+            want.add((s, d, w))
+    assert got == want and len(got) > 0
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    n_comp = len({find(n) for n in nodes})
+    assert len(got) == len(nodes) - n_comp
