@@ -758,6 +758,10 @@ def hamming_topk_scan(emb: DataFrame, n_bits: int = 192,
     n_words = -(-n_bits // word_bits)
     if n * 8 * n_words > broadcast_budget:
         return None
+    if n == 0:   # empty corpus: empty shortlist, stable schema
+        return spark.createDataFrame(
+            [], f"{id_col} long, neighbor_id long, hamming int, "
+                f"cos_raw double")
     pdf = emb.select(id_col, vec_col).toPandas()
     order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
     ids_c = pdf[id_col].to_numpy()[order]

@@ -1074,7 +1074,7 @@ split AS (SELECT bin, nl, posl,
                  nn
           FROM cum, tot
           WHERE nl < nn)
-SELECT (bin + 1) * {_STUMP_BIN!r} AS split_threshold,
+SELECT CAST((bin + 1) * {_STUMP_BIN!r} AS DOUBLE) AS split_threshold,
        {_STUMP_GINI} AS gini,
        CAST(nl AS BIGINT) AS n_left, CAST(posl AS BIGINT) AS pos_left,
        CAST(nr AS BIGINT) AS n_right, CAST(posr AS BIGINT) AS pos_right

@@ -1610,7 +1610,8 @@ def ml_silhouette(spark: SparkSession, sf_dir: str, k: int = 8,
     s = (F.when(F.greatest(a_d, b_d) == 0.0, F.lit(0.0))
          .otherwise((F.col("cos1") - F.col("cos2"))
                     / F.greatest(a_d, b_d)))
-    return (top2.select("bucket", s.alias("s"))
+    return (top2.select(F.col("bucket").cast("long").alias("bucket"),
+                        s.alias("s"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.round(F.sum(F.col("s").cast("decimal(28,9)"))
