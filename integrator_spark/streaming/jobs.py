@@ -48,10 +48,27 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = derived_dir(sf_dir, "events_stream_src")
     src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(dst) or not _fingerprint_ok(src_dir, src):
-        import shutil
+    import glob as _glob
+    import shutil
+    staged = (os.path.isfile(dst)   # a DIRECTORY at dst is a bad stage
+              or _glob.glob(os.path.join(src_dir, "events_part*.parquet")))
+    if not staged or not _fingerprint_ok(src_dir, src):
+        if os.path.isdir(src_dir):
+            shutil.rmtree(src_dir)   # drop any stale stage wholesale
         os.makedirs(src_dir, exist_ok=True)
-        shutil.copyfile(src, dst)
+        if os.path.isdir(src):
+            # Multi-file tables (e.g. the derived sf1 replicas write a
+            # parquet DIRECTORY): stage the part files FLAT — the file
+            # source doesn't recurse into nested directories, and the
+            # replay model is unchanged, there are just more files.
+            parts = sorted(f for f in os.listdir(src)
+                           if f.endswith(".parquet"))
+            for i, f in enumerate(parts):
+                shutil.copyfile(os.path.join(src, f),
+                                os.path.join(src_dir,
+                                             f"events_part{i:04d}.parquet"))
+        else:
+            shutil.copyfile(src, dst)
         _write_fingerprint(src_dir, src)
     raw_schema = spark.read.parquet(src_dir).schema   # footer-only, no job
     raw = (spark.readStream
