@@ -669,12 +669,16 @@ def hamming_signatures(emb: DataFrame, dim: int = 64, n_bits: int = 48,
         pack, f"{id_col} long, sig long")
 
 
-#: Size cutover for the Hamming shortlist kernel: if the whole packed
-#: signature table fits this many bytes (n x 8), the per-query top-m
-#: scan runs C-level against one broadcast int64 array — the shuffle
-#: carries only n x m shortlist rows, never the n x n pair matrix.
-#: 1 GiB = ~134M vectors; above it the caller's join plan (bucket or
-#: pair shuffle) is the route, same discipline as knn.py.
+#: Size cutover for the Hamming shortlist kernels: if everything the
+#: driver collects fits this many bytes, the per-query top-m scan
+#: runs C-level against one broadcast array — the shuffle carries
+#: only n x m shortlist rows, never the n x n pair matrix. What
+#: counts against the budget differs per kernel: the sigs-only
+#: shortlist broadcasts n x 8 x words (1 GiB = ~33M vectors at 4
+#: words); the FUSED scan also carries the raw float64 vectors +
+#: norms + ids (560 B/vec at dim 64 → ~1.9M vectors/GiB). Above it
+#: the caller's join plan (bucket or pair shuffle) is the route,
+#: same discipline as knn.py.
 HAMMING_BROADCAST_BYTES = 1 << 30
 
 #: uint8 LUT, NOT int64: the gather's output dtype follows the LUT,
@@ -755,13 +759,20 @@ def hamming_topk_scan(emb: DataFrame, n_bits: int = 192,
     which works at any n."""
     spark = emb.sparkSession
     n = emb.count()
-    n_words = -(-n_bits // word_bits)
-    if n * 8 * n_words > broadcast_budget:
-        return None
     if n == 0:   # empty corpus: empty shortlist, stable schema
         return spark.createDataFrame(
             [], f"{id_col} long, neighbor_id long, hamming int, "
                 f"cos_raw double")
+    n_words = -(-n_bits // word_bits)
+    # Budget what the driver ACTUALLY collects and broadcasts: the
+    # packed signatures (8*n_words B/vec) PLUS the raw float64
+    # vectors (8*dim), norms (8) and ids (8) — at dim=64 that is
+    # 560 B/vec, not 32, so ~1.9M vectors/GiB. Counting signatures
+    # alone would let the fused path OOM the driver ~16x before the
+    # relational fallback engaged.
+    dim = int(emb.select(F.size(vec_col).alias("_d")).first()["_d"])
+    if n * (8 * n_words + 8 * dim + 16) > broadcast_budget:
+        return None
     pdf = emb.select(id_col, vec_col).toPandas()
     order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
     ids_c = pdf[id_col].to_numpy()[order]
@@ -822,8 +833,12 @@ def hamming_topk_scan(emb: DataFrame, n_bits: int = 192,
                     # shape _cosine_residual proved engine-parity for.
                     num = (v_c[cand] * xq).sum(axis=1)
                     den = norms_c[cand] * qnorm[s0 + r]
+                    # -2.0 sentinel for zero-norm pairs, same as
+                    # _cosine_residual: both size-routed faces must
+                    # rank degenerate (all-zero) vectors LAST, below
+                    # any real cosine.
                     with np.errstate(divide="ignore", invalid="ignore"):
-                        cos = np.where(den > 0, num / den, 0.0)
+                        cos = np.where(den > 0, num / den, -2.0)
                     out_q.extend([qi[r]] * len(sel))
                     out_n.extend(ii[sel])
                     out_h.extend(h[sel])
@@ -852,6 +867,10 @@ def hamming_topk_shortlist_wide(sigs: DataFrame, m: int = 64,
     spark = sigs.sparkSession
     sigs = sigs.localCheckpoint(eager=True)
     n = sigs.count()
+    if n == 0:   # empty corpus: stable empty schema (the kernel's
+        # np.array([]) would be 1-D and crash on .shape unpacking)
+        return spark.createDataFrame(
+            [], f"{id_col} long, neighbor_id long, hamming int")
     first = sigs.select("sigs").first()
     n_words = len(first["sigs"]) if first else 1
     if n * 8 * n_words > broadcast_budget:
@@ -1016,8 +1035,12 @@ def _cosine_residual(cand: DataFrame, emb_a: DataFrame, emb_b: DataFrame,
         y = np.array(vb.tolist(), dtype=np.float64)
         num = (x * y).sum(axis=1)
         den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        # Zero-norm pairs score the -2.0 sentinel (below any real
+        # cosine): they fail every real threshold exactly as 0.0 did,
+        # and under keep-all (-2.0) rerank thresholds they sort LAST
+        # deterministically — matching the fused Hamming kernel.
         with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(den > 0, num / den, 0.0)
+            out = np.where(den > 0, num / den, -2.0)
         return pd.Series(out)
 
     ea = emb_a.select(F.col(id_col).alias(a_out),

@@ -366,7 +366,7 @@ def label_propagation(edges: DataFrame, src: str = "src",
 
 def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
                 w_col: str = "w", maximum: bool = False,
-                max_rounds: int = 20) -> DataFrame:
+                max_rounds: int = 40) -> DataFrame:
     """Minimum (or maximum) spanning forest by distributed Borůvka —
     THE parallel MST algorithm (each round every component picks its
     best incident edge simultaneously, components then contract), in
@@ -430,4 +430,21 @@ def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
         labels = truncated_checkpoint(
             labels.join(cc, "comp", "left")
             .select("node", F.coalesce("newc", "comp").alias("comp")))
+    else:
+        # Rounds exhausted without the empty-frontier break: verify
+        # convergence rather than silently returning a PARTIAL forest.
+        # Components at least halve per round, so the default 40
+        # rounds cover ~2^40 (1e12) nodes; hitting this means the
+        # caller asked for too few rounds for the graph.
+        ls = labels.select(F.col("node").alias("s"),
+                           F.col("comp").alias("cs"))
+        ld = labels.select(F.col("node").alias("d"),
+                           F.col("comp").alias("cd"))
+        if not (e.join(ls, "s").join(ld, "d")
+                .filter(F.col("cs") != F.col("cd")).isEmpty()):
+            raise RuntimeError(
+                f"boruvka_msf: max_rounds={max_rounds} exhausted with "
+                f"cross-component edges remaining — the forest is "
+                f"incomplete; raise max_rounds (each round at least "
+                f"halves the component count)")
     return msf

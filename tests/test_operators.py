@@ -2212,3 +2212,85 @@ def test_hamming_fallback_plan_equals_fused_kernel(spark):
                                      "embedding").collect()}
     for r in one:
         assert r["c"] == ref[(r["vec_id"], r["neighbor_id"])]
+
+
+def test_hamming_scan_budget_counts_float_payload(spark):
+    """The fused scan toPandas-collects the RAW float64 vectors (plus
+    norms and ids), not just the packed signatures — the budget gate
+    must count that payload (~560 B/vec at dim 64, not 32), or the
+    driver collect OOMs ~16x before the relational fallback engages.
+    120 vecs x 4 words: sigs alone = 3,840 B; full payload = 67,200 B.
+    A 10 KiB budget must therefore route to the fallback (None)."""
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import hamming_topk_scan
+
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings").limit(120)
+    assert hamming_topk_scan(e, n_bits=192, word_bits=48, m=8,
+                             broadcast_budget=10 * 1024) is None
+    # and the honest per-vector cost fits: 120 * 560 = 67,200
+    assert hamming_topk_scan(e, n_bits=192, word_bits=48, m=8,
+                             broadcast_budget=68 * 1024) is not None
+
+
+def test_hamming_shortlist_wide_empty_corpus(spark):
+    """Empty input under the broadcast budget must short-circuit to a
+    stable empty frame — np.array([]) is 1-D and the kernel's
+    'nn, ww = mat.shape' would raise."""
+    from integrator_spark.operators.dedup import (
+        hamming_signatures_wide, hamming_topk_shortlist_wide)
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    sigs = hamming_signatures_wide(e, n_bits=192, word_bits=48)
+    out = hamming_topk_shortlist_wide(sigs, m=8)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "neighbor_id", "hamming"]
+
+
+def test_zero_norm_cosine_sentinel_agrees_across_routes(spark):
+    """Degenerate (all-zero) vectors must score the SAME sentinel
+    (-2.0, below any real cosine) in the fused Hamming kernel and in
+    the relational _cosine_residual, so the two size-routed faces of
+    vec_hamming_topk rank them identically — and LAST."""
+    import pyspark.sql.functions as F
+
+    from integrator_spark.operators.dedup import (_cosine_residual,
+                                                  hamming_topk_scan)
+
+    rows = [(0, [0.0] * 64), (1, [1.0] + [0.0] * 63),
+            (2, [0.5] + [0.1] * 63)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fused = hamming_topk_scan(e, n_bits=192, word_bits=48, m=2)
+    assert fused is not None
+    kern = {(r["vec_id"], r["neighbor_id"]): r["cos_raw"]
+            for r in fused.collect()}
+    pairs = spark.createDataFrame(
+        sorted(kern), "vec_id long, neighbor_id long")
+    rel = {(r["vec_id"], r["neighbor_id"]): r["cos_sim"]
+           for r in _cosine_residual(pairs, e, e, -2.0, "vec_id",
+                                     "neighbor_id", "vec_id",
+                                     "embedding").collect()}
+    assert set(kern) == set(rel)
+    for k, v in kern.items():
+        assert round(v, 6) == rel[k], (k, v, rel[k])
+        if 0 in k:  # every pair touching the zero vector: sentinel
+            assert rel[k] == -2.0
+
+
+def test_boruvka_raises_when_rounds_exhausted_unconverged(spark):
+    """max_rounds too small for the graph must raise, not silently
+    return a partial spanning forest (weights chosen so round 1 pairs
+    {0,1} and {2,3}, leaving the bridge 1-2 cross-component)."""
+    import pytest
+
+    from integrator_spark.operators.graph import boruvka_msf
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (2, 3, 2.0), (1, 2, 10.0)],
+        "s long, d long, w double")
+    with pytest.raises(RuntimeError, match="max_rounds=1 exhausted"):
+        boruvka_msf(edges, max_rounds=1).collect()
+    # and enough rounds converges to the full 3-edge path MST
+    assert boruvka_msf(edges, max_rounds=4).count() == 3
