@@ -388,22 +388,22 @@ def _adc_scan_blocked(codes: DataFrame, queries: DataFrame,
         cb_n = -(-par // qb_n)
 
     def mk_lut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cb = bc.value
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(v, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             v = v / norms
-            # float64 LUT rows — NOT float32 like ivfpq's probe rows —
-            # so this route is byte-identical to the broadcast route's
-            # float64 einsum (the route-equivalence test relies on it).
-            lut = np.einsum("qjd,jcd->qjc", v.reshape(len(v), m, dsub), cb)
-            yield pd.DataFrame({"query_id": ids,
-                                "_lut": list(lut.reshape(len(v), m * ksub))})
+            # Ship the normalized query vector, not the m x ksub LUT:
+            # the LUT is 8x wider at the default dials AND replicates
+            # x n_code_blocks onto the grid — block_adc recomputes it
+            # per block in float64 (NOT float32 like ivfpq's probe
+            # rows), byte-identical to the broadcast route's einsum
+            # (the route-equivalence test relies on it).
+            yield pd.DataFrame({"query_id": ids, "_qv": list(v)})
 
     lut_rows = queries.select(id_col, vec_col).mapInPandas(
-        mk_lut, "query_id long, _lut array<double>")
+        mk_lut, "query_id long, _qv array<double>")
     q_side = (lut_rows
               .withColumn("_qb", F.pmod(F.xxhash64("query_id"),
                                         F.lit(qb_n)).cast("int"))
@@ -422,7 +422,9 @@ def _adc_scan_blocked(codes: DataFrame, queries: DataFrame,
                 "neighbor_id": pd.Series(dtype=np.int64),
                 "_adc": pd.Series(dtype=np.float64)})
         q_ids = q_pdf["query_id"].to_numpy()
-        lutr = np.array(q_pdf["_lut"].tolist(), dtype=np.float64)
+        qv = np.array(q_pdf["_qv"].tolist(), dtype=np.float64)
+        lutr = np.einsum("qjd,jcd->qjc", qv.reshape(len(qv), m, dsub),
+                         bc.value).reshape(len(qv), m * ksub)
         c_ids = c_pdf[id_col].to_numpy()
         cd = _unpack_codes(c_pdf["codes"], m) + offsets
         # Ascending-id candidate axis for tie-exact selection (see
@@ -467,17 +469,35 @@ def _exact_rerank(short: DataFrame, base: DataFrame, queries: DataFrame,
     true vectors (the ONLY touch of raw embeddings in a quantized
     search — Q × shortlist rows), exact float64 cosine, top-k window
     with (cos DESC, id ASC) ties."""
-    nrm = F.sqrt(F.aggregate(
-        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda a, x: a + x))
-    bnorm = (base.select(F.col(id_col).alias("neighbor_id"),
-                         F.transform(F.col(vec_col),
-                                     lambda x: x.cast("double") / nrm)
-                         .alias("_bv")))
-    qdf = (queries.select(F.col(id_col).alias("query_id"),
-                          F.transform(F.col(vec_col),
-                                      lambda x: x.cast("double") / nrm)
-                          .alias("_qv")))
+    # Normalize with an Arrow-batched kernel, NOT the HOF expression
+    # F.transform(x -> x / sqrt(F.aggregate(...))): Catalyst evaluates
+    # the embedded aggregate lambda PER ELEMENT, so a dim-64 row paid
+    # 64 redundant norm computations — measured 1.3 s of single-task
+    # JVM CPU per serve at sf0.1 (round-11 serve root-cause). The
+    # pandas path is one vectorized pass over each side's rows; the
+    # sides are |Q| and |base| rows (never |Q| x shortlist), so the
+    # Arrow payload stays a corpus scan, not a pair blow-up.
+    def _normalize(col_alias: str):
+        def norm_rows(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                n = np.linalg.norm(v, axis=1, keepdims=True)
+                n[n == 0] = 1.0
+                yield pd.DataFrame({"_id": pdf[id_col].to_numpy(),
+                                    col_alias: list(v / n)})
+        return norm_rows
+
+    bnorm = (base.select(id_col, vec_col)
+             .mapInPandas(_normalize("_bv"),
+                          "_id long, _bv array<double>")
+             .withColumnRenamed("_id", "neighbor_id"))
+    qdf = (queries.select(id_col, vec_col)
+           .mapInPandas(_normalize("_qv"),
+                        "_id long, _qv array<double>")
+           .withColumnRenamed("_id", "query_id"))
     w_k = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id"))
     return (short.join(qdf, "query_id").join(bnorm, "neighbor_id")
@@ -610,21 +630,25 @@ def ivfpq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
             sims = v @ cent.T
             probes = np.argsort(-sims, axis=1)[:, :n_probe]
             reps = probes.shape[1]
-            # LUT[j, c] = q_sub_j · codebook[j, c]; flattened per row.
-            lut = np.einsum("qjd,jcd->qjc",
-                            v.reshape(len(v), m, dsub), cb)
+            # Ship the NORMALIZED query vector (dim doubles), not the
+            # m x ksub LUT: the LUT is 8x wider (512 float32 vs 64
+            # float64 at the default dials) and building the
+            # object-array LUT column dominated the probe task's wall
+            # (measured 3.7 s of a 8 s sf0.1 serve, 27 MB shuffle —
+            # round-11 serve root-cause). bucket_adc recomputes the
+            # LUT per probed row from _qv with the IDENTICAL float32
+            # rounding (einsum -> float32 -> float64), so scores are
+            # bit-for-bit what the shipped-LUT plan produced.
             yield pd.DataFrame({
                 "query_id": np.repeat(ids, reps),
                 "bucket": probes.reshape(-1).astype(np.int32),
                 "_off": np.take_along_axis(sims, probes, axis=1)
                           .reshape(-1),
-                "_lut": list(np.repeat(lut.reshape(len(v), m * ksub),
-                                       reps, axis=0)
-                             .astype(np.float32)),
+                "_qv": list(np.repeat(v, reps, axis=0)),
             })
 
     probed = queries.select(id_col, vec_col).mapInPandas(
-        probe, "query_id long, bucket int, _off double, _lut array<float>")
+        probe, "query_id long, bucket int, _off double, _qv array<double>")
     offsets = (np.arange(m) * ksub).astype(np.int64)
 
     if prune_buckets:
@@ -685,7 +709,16 @@ def ivfpq_search(codes: DataFrame, base: DataFrame, queries: DataFrame,
         c_ids, cd = c_ids[o], cd[o]
         q_ids = q_pdf["query_id"].to_numpy()
         off = q_pdf["_off"].to_numpy()
-        lut = np.array(q_pdf["_lut"].tolist(), dtype=np.float64)
+        # LUT[j, c] = q_sub_j · codebook[j, c], recomputed here from
+        # the normalized query vector. The float32 round-trip
+        # reproduces the shipped-LUT encoding exactly (the wire
+        # format was array<float>), so ADC scores are unchanged.
+        _, cbk = bc.value
+        qv = np.array(q_pdf["_qv"].tolist(), dtype=np.float64)
+        lut = (np.einsum("qjd,jcd->qjc", qv.reshape(len(qv), m, dsub),
+                         cbk)
+               .reshape(len(qv), m * ksub)
+               .astype(np.float32).astype(np.float64))
         # Same gather-buffer cap as the flat-ADC kernel: a skewed cell
         # (or a hot serving bucket) must not materialize Q × |cell| × m
         # at once; chunk the cell and keep a running per-query top.
