@@ -109,6 +109,11 @@ def build_session(app_name: str = "integrator-spark",
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     shuffle_partitions = shuffle_partitions or cpus
+    # Before the JVM (and its Python-worker daemons) launch: see
+    # integrator_spark.__init__._disable_numpy_thp_madvise — workers
+    # inherit this env, so numpy in every worker skips the THP
+    # madvise that is ~450x slower to fault on this kernel.
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -116,6 +121,10 @@ def build_session(app_name: str = "integrator-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Cluster posture for the same THP guard (inert in local mode,
+        # where workers inherit the driver env set above).
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE",
+                os.environ.get("NUMPY_MADVISE_HUGEPAGE", "0"))
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
