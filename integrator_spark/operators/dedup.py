@@ -612,6 +612,35 @@ def signlsh_ann_bands(bits: int, target_cos: float = 0.3,
     return max(lo, min(hi, need))
 
 
+def mih_adaptive_dial(n: int, radius: int = 7,
+                      max_code_bits: int = 62,
+                      target_bucket_rows: int = 32) -> tuple[int, int]:
+    """Production dial for multi-index Hamming search → (n_chunks,
+    chunk_bits). The MIH split (Norouzi et al., CVPR 2012) has two
+    independent knobs, sized the same way the sign-LSH pair
+    (signlsh_adaptive_bits / signlsh_ann_bands) is:
+
+    - **chunk COUNT follows the radius guarantee**: pigeonhole needs
+      r+1 exact-match chunks to cover radius r, so n_chunks = radius+1.
+    - **chunk WIDTH follows corpus size**: a w-bit chunk has 2^w
+      buckets; expected per-chunk bucket occupancy is n/2^w, so the
+      candidate join volume is ~n_chunks · n²/2^w. Holding occupancy
+      at ``target_bucket_rows`` gives w = ceil(log2(n / target)) —
+      the identical rule to signlsh_adaptive_bits, and the split
+      SCALING.md measured: the fixture-pinned 4-bit chunks saturate
+      their 16-key space (exponent 1.26, heading quadratic) while the
+      width-scaled dial held 0.75 at sf1.
+
+    Width is floored at 4 and capped so the code stays in one int64
+    signature (max_code_bits // n_chunks). Pure/deterministic."""
+    import math
+
+    n_chunks = radius + 1
+    cap = max(1, max_code_bits // n_chunks)
+    width = math.ceil(math.log2(max(2.0, n / target_bucket_rows)))
+    return n_chunks, max(4, min(cap, width))
+
+
 def signlsh_planes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic +/-1 hyperplane matrix [n_planes, dim]: coefficient
     (p, j) is +1 iff the first byte of md5("p:j") is even. Engine-

@@ -2294,3 +2294,68 @@ def test_boruvka_raises_when_rounds_exhausted_unconverged(spark):
         boruvka_msf(edges, max_rounds=1).collect()
     # and enough rounds converges to the full 3-edge path MST
     assert boruvka_msf(edges, max_rounds=4).count() == 3
+
+
+def test_mih_adaptive_dial_boundaries():
+    """mih_adaptive_dial: chunk count = radius+1 always; width =
+    ceil(log2(n/32)) floored at 4 and capped by the single-int64 code
+    (62 // chunks). Pure/deterministic at the boundaries."""
+    from integrator_spark.operators.dedup import mih_adaptive_dial
+
+    assert mih_adaptive_dial(10) == (8, 4)       # floor
+    assert mih_adaptive_dial(500) == (8, 4)      # sf0.01 fixture
+    assert mih_adaptive_dial(2000) == (8, 6)     # sf0.1: the SCALING dial
+    assert mih_adaptive_dial(20000) == (8, 7)    # capped at 62 // 8
+    assert mih_adaptive_dial(1 << 40) == (8, 7)  # cap holds at any n
+    assert mih_adaptive_dial(2000, radius=3) == (4, 6)
+    # a given n always pins the same dial (determinism)
+    assert mih_adaptive_dial(12345) == mih_adaptive_dial(12345)
+
+
+def test_hamming_mih_adaptive_exact_and_selective(spark):
+    """vec_hamming_mih_adaptive is EXACT at its dial, like the pinned
+    face: its pair set equals the brute n^2 popcount filter over the
+    SAME (n_chunks*chunk_bits)-bit signatures at radius 7 — set
+    equality, not recall. Also pins the non-saturation property the
+    dial exists for: per-chunk keyspace 2^w >= n/32."""
+    import pyspark.sql.functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import (hamming_signatures,
+                                                  mih_adaptive_dial)
+    from integrator_spark.registry import all_specs
+
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings")
+    n = e.count()
+    n_chunks, w = mih_adaptive_dial(n, radius=7)
+    assert n_chunks == 8 and (1 << w) >= n / 32
+    got = {(r["vec_id"], r["neighbor_id"], r["hamming"])
+           for r in all_specs()["vec_hamming_mih_adaptive"]
+           .fn(spark, TEST_SF_DIR).collect()}
+    sig = hamming_signatures(e, dim=64, n_bits=n_chunks * w)
+    sa = sig.select("vec_id", F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("sig").alias("_sb"))
+    brute = {(r["vec_id"], r["neighbor_id"], r["hamming"])
+             for r in sa.join(sb, sa["vec_id"] < sb["neighbor_id"])
+             .withColumn("hamming",
+                         F.bit_count(F.col("_sa")
+                                     .bitwiseXOR(F.col("_sb")))
+                         .cast("int"))
+             .filter(F.col("hamming") <= 7)
+             .select("vec_id", "neighbor_id", "hamming").collect()}
+    assert got == brute and len(got) > 0
+
+
+def test_mih_radius_pairs_rejects_uncovered_radius():
+    """The shared MIH plan refuses a radius the chunk count cannot
+    cover (pigeonhole needs radius+1 chunks) instead of silently
+    returning an incomplete pair set."""
+    import pytest
+
+    from integrator_spark.queries.vectors2 import _mih_radius_pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        _mih_radius_pairs(None, n_chunks=4, chunk_bits=8, radius=7)
