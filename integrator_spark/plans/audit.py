@@ -79,6 +79,113 @@ CROSS_JOIN_ALLOWED = {
 #: exists; everything else must be JVM or Arrow).
 ROW_PYTHON_ALLOWED = {"udf_python_scalar"}
 
+#: Queries allowed to contain a GLOBAL window (Window.orderBy with no
+#: partitionBy → one Exchange SinglePartition, one task does the whole
+#: frame). The 100-TB rule is that a global window may only ever see a
+#: BOUNDED row set (k rows, a day/bucket grain, a det-twin replay) —
+#: each entry documents that bound. Populated by the round-11 audit of
+#: every existing use; additions need the same one-line justification.
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
+    "corpus_pack_manifest": "phase-2 prefix sum over bucket-grain rows "
+        "(n/PACK_BUCKET), the design that avoids the doc-grain funnel",
+    "corpus_pack_sequences": "same two-phase prefix sum: global window "
+        "sees one row per PACK_BUCKET, never the corpus",
+    "corpus_shuffle": "bucket-grain phase-2 offsets (n/SHUFFLE_BUCKET "
+        "rows); doc-grain rank is bucket-partitioned",
+    "events_cusum": "cumulative window over the |days| aggregate "
+        "(calendar-bounded), never the events fact",
+    "events_decompose": "trend/seasonal windows over the |days| frame; "
+        "7-row bounded frames",
+    "events_rfm": "quantile ranks over the |users| aggregate; 100 TB "
+        "substitution is corpus_shuffle's range-partitioned rank "
+        "(documented in the docstring)",
+    "ml_auc": "ROC cumulative over |distinct scores| rows (aggregated "
+        "first), not raw predictions",
+    "ml_average_precision": "same |distinct scores| frame as ml_auc",
+    "ml_lift": "decile rank over |distinct scores|; the sf1 red-flag "
+        "case that motivated aggregating before ranking",
+    "ml_tree_stump": "threshold argmin over the bounded bin histogram "
+        "(~300 rows), not the fact",
+    "retrieval_ndcg": "ranks query-RELEVANT lists (term-posting / "
+        "top-k bounded), never the corpus",
+    "retrieval_rrf": "same bounded per-query candidate lists",
+    "scan_range": "row_number demo over a literal range source "
+        "(size fixed by the query text)",
+    "sort_nulls": "THE global-sort contract row — a demo of total "
+        "ordering semantics; output is the sort",
+    "stats_gini": "rank over the |users| aggregate (docstring "
+        "documents the range-partitioned 100 TB substitution)",
+    "stats_ks": "ECDF cumulative over |distinct x| aggregate rows",
+    "stats_mannwhitney": "global rank over the per-user aggregate; "
+        "the events fact never enters the sort",
+    "stats_rank_corr": "rank windows on the day-grain aggregate "
+        "(calendar-bounded ~2.4k rows)",
+    "stats_survival": "cumulative at-risk/survival over |distinct "
+        "lifetimes| rows regardless of fact size",
+    "stats_theilsen": "median-of-slopes over the bounded |days|^2 "
+        "pair grid",
+    "text_bpe_tokenize": "final positions window over vocabulary-"
+        "bounded merge output (train/encode measured flat)",
+    "window_regression": "regression frames over the |days| aggregate "
+        "(map-side-combined first)",
+}
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split an explain-formatted Arguments payload into its top-level
+    ``[...]`` groups (bracket-depth parse; nested brackets stay inside
+    their group)."""
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def count_global_windows(plan: str) -> int:
+    """Count Window nodes executing WITHOUT a partition spec in a
+    formatted physical plan. A partitioned Window prints
+    ``Arguments: [funcs], [partSpec], [orderSpec]`` (3 top-level
+    groups); a global one prints ``[funcs], [orderSpec]`` (2 groups,
+    the second an ordering). Partition-only windows (2 groups, second
+    group carries no ASC/DESC) are NOT global."""
+    n = 0
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        stripped = line.strip()
+        if re.match(r"^\(\d+\) Window\s*$", stripped):
+            # formatted mode: node header, Arguments on a later line
+            for j in range(i + 1, min(i + 10, len(lines))):
+                if lines[j].startswith("Arguments:"):
+                    groups = _top_level_groups(
+                        lines[j][len("Arguments:"):])
+                    if len(groups) == 2 and re.search(
+                            r"\b(ASC|DESC)\b", groups[1]):
+                        n += 1
+                    break
+        else:
+            # tree mode (simple/extended/explainInternal): specs
+            # inline, e.g. "+- Window [funcs], [part], [order]"
+            m = re.match(r"^[\s+:*\-()0-9]*Window (\[.*)$", stripped)
+            if m:
+                groups = _top_level_groups(m.group(1))
+                if len(groups) == 2 and re.search(
+                        r"\b(ASC|DESC)\b", groups[1]):
+                    n += 1
+    return n
+
 
 def plan_string(df: DataFrame, mode: str = "formatted") -> str:
     buf = io.StringIO()
@@ -92,6 +199,7 @@ class PlanFindings:
     name: str
     has_cartesian: bool
     has_row_python: bool
+    n_global_windows: int
     n_exchanges: int
     pushed_filters: list[str]
     plan: str
@@ -104,6 +212,7 @@ def audit_plan(name: str, df: DataFrame) -> PlanFindings:
         has_cartesian=bool(re.search(
             r"CartesianProduct|BroadcastNestedLoopJoin", plan)),
         has_row_python=("BatchEvalPython" in plan),
+        n_global_windows=count_global_windows(plan),
         n_exchanges=len(re.findall(r"\bExchange\b", plan)),
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
         plan=plan,
@@ -116,6 +225,11 @@ def violations(f: PlanFindings) -> list[str]:
         out.append("unintended CartesianProduct/BroadcastNestedLoopJoin")
     if f.has_row_python and f.name not in ROW_PYTHON_ALLOWED:
         out.append("row-at-a-time Python eval in the plan")
+    if f.n_global_windows and f.name not in GLOBAL_WINDOW_ALLOWED:
+        out.append(f"{f.n_global_windows} global (partition-less) "
+                   f"Window node(s) — single-task at scale; add to "
+                   f"GLOBAL_WINDOW_ALLOWED with the bound that makes "
+                   f"it safe, or partition the frame")
     return out
 
 
@@ -175,6 +289,9 @@ def stream_violations(name: str, plan: str, progress: list) -> list[str]:
         out.append("unintended CartesianProduct/BroadcastNestedLoopJoin")
     if "BatchEvalPython" in plan and name not in ROW_PYTHON_ALLOWED:
         out.append("row-at-a-time Python eval in the streaming plan")
+    if count_global_windows(plan) and name not in GLOBAL_WINDOW_ALLOWED:
+        out.append("global (partition-less) Window in the streaming "
+                   "plan — single-task state at scale")
     ops: set[str] = set()
     parts_ok = True
     has_wm = False

@@ -161,3 +161,38 @@ def test_udf_arrow_scalar_uses_arrow_eval(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_global_window_detector(spark):
+    """count_global_windows: a Window.orderBy with no partitionBy is
+    flagged in BOTH plan text flavors (formatted mode and the tree
+    mode explainInternal emits for streaming); partitioned and
+    partition-only windows are not."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from integrator_spark.plans.audit import (count_global_windows,
+                                              plan_string)
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    gw = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    pw = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+    po = df.withColumn(
+        "s", F.sum("id").over(Window.partitionBy("g")))
+    assert count_global_windows(plan_string(gw)) == 1
+    assert count_global_windows(plan_string(pw)) == 0
+    assert count_global_windows(plan_string(po)) == 0
+    # tree mode (what the streaming audit captures)
+    assert count_global_windows(plan_string(gw, mode="extended")) >= 1
+    assert count_global_windows(plan_string(pw, mode="extended")) == 0
+
+
+def test_global_window_allowlist_is_exact(spark):
+    """Every GLOBAL_WINDOW_ALLOWED entry must name a registered query
+    (no dead allowlist rows shielding future regressions)."""
+    from integrator_spark.plans.audit import GLOBAL_WINDOW_ALLOWED
+    from integrator_spark.registry import all_specs
+
+    unknown = set(GLOBAL_WINDOW_ALLOWED) - set(all_specs())
+    assert not unknown, f"allowlist names unregistered queries: {unknown}"
