@@ -152,6 +152,70 @@ def main() -> None:
             per_naive[name] = measure(lambda: naive[name](sf_dir),
                                       1, warm=(name != "vec_knn"))
 
+    # Round-10 verdict item 7: streaming state-store telemetry, so
+    # state size / compaction behavior is tracked round-over-round,
+    # not just output parity. Two probes: the RocksDB session store
+    # (per-batch rows/memory/SST bytes/cache hits from
+    # StateOperatorProgress) and the custom tiered semantic-dedup
+    # store (on-disk footprint of its seen/bands/out parquet tiers
+    # after the 5-batch drain, incl. one in-stream compaction).
+    stream_state: dict = {}
+    try:
+        import time as _time
+
+        from integrator_spark.streaming.jobs import LAST_STREAM_AUDITS
+
+        for sname in ("stream_session", "stream_session_rocksdb"):
+            t0 = _time.perf_counter()
+            queries[sname](spark, sf_dir).collect()
+            wall = round(_time.perf_counter() - t0, 4)
+            ops = []
+            aud = LAST_STREAM_AUDITS.get(sname) or {}
+            for p in aud.get("progress", []):
+                for so in (p["stateOperators"] or []):
+                    cm = so.get("customMetrics") or {}
+                    ops.append({
+                        "batch": p.get("batchId"),
+                        "operator": so.get("operatorName"),
+                        "rows_total": so.get("numRowsTotal"),
+                        "mem_bytes": so.get("memoryUsedBytes"),
+                        "rocksdb_sst_bytes": cm.get("rocksdbSstFileSize"),
+                        "rocksdb_cache_hits":
+                            cm.get("rocksdbReadBlockCacheHitCount"),
+                        "map_cache_hits": cm.get("loadedMapCacheHitCount"),
+                    })
+            stream_state[sname] = {"wall_sec": wall, "batches": ops}
+
+        t0 = _time.perf_counter()
+        queries["stream_semantic_dedup"](spark, sf_dir).collect()
+        wall = round(_time.perf_counter() - t0, 4)
+        from integrator_spark.streaming.jobs import derived_dir
+
+        def _tier_bytes(root: str) -> dict:
+            sizes: dict = {}
+            for run in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+                if not run.startswith("run_pid"):
+                    continue
+                for tier in ("seen", "bands", "out"):
+                    tdir = os.path.join(root, run, tier)
+                    if not os.path.isdir(tdir):
+                        continue
+                    total = files = 0
+                    for dp, _dn, fns in os.walk(tdir):
+                        for fn in fns:
+                            total += os.path.getsize(os.path.join(dp, fn))
+                            files += 1
+                    sizes[tier] = {"bytes": total, "files": files}
+            return sizes
+
+        stream_state["stream_semantic_dedup"] = {
+            "wall_sec": wall,
+            "store": _tier_bytes(derived_dir(sf_dir,
+                                             "semdedup_stream_state")),
+        }
+    except Exception as exc:  # telemetry must not sink the bench
+        stream_state = {"error": str(exc)}
+
     spark.stop()
     out = {
         "metric": "headline_total_sec",
@@ -160,6 +224,8 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
     }
+    if stream_state:
+        out["stream_state"] = stream_state
     if stage_breakdown:
         out["stage_breakdown"] = stage_breakdown
     if per_naive:
