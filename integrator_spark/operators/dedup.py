@@ -613,7 +613,7 @@ def signlsh_ann_bands(bits: int, target_cos: float = 0.3,
 
 
 def mih_adaptive_dial(n: int, radius: int = 7,
-                      max_code_bits: int = 62,
+                      max_chunk_bits: int = 20,
                       target_bucket_rows: int = 32) -> tuple[int, int]:
     """Production dial for multi-index Hamming search → (n_chunks,
     chunk_bits). The MIH split (Norouzi et al., CVPR 2012) has two
@@ -631,14 +631,20 @@ def mih_adaptive_dial(n: int, radius: int = 7,
       their 16-key space (exponent 1.26, heading quadratic) while the
       width-scaled dial held 0.75 at sf1.
 
-    Width is floored at 4 and capped so the code stays in one int64
-    signature (max_code_bits // n_chunks). Pure/deterministic."""
+    Width is floored at 4 and capped at ``max_chunk_bits`` (default
+    20, the signlsh hi clamp — 2^20 buckets cover n = 32M per the
+    occupancy rule; growth past that wants more chunks+radius, not
+    wider chunks). Codes wider than one int64 are fine: the MIH plan
+    packs each chunk as its own signature word (word_bits =
+    chunk_bits), so the dial is corpus-bounded, not type-bounded —
+    the 7-bit int64 cap would saturate at n ~ 200k (bucket occupancy
+    1.5k rows -> 2.5e9 candidate pairs, measured in
+    scripts/hamming_at_scale.py). Pure/deterministic."""
     import math
 
     n_chunks = radius + 1
-    cap = max(1, max_code_bits // n_chunks)
     width = math.ceil(math.log2(max(2.0, n / target_bucket_rows)))
-    return n_chunks, max(4, min(cap, width))
+    return n_chunks, max(4, min(max_chunk_bits, width))
 
 
 def signlsh_planes(dim: int, n_planes: int) -> np.ndarray:

@@ -296,36 +296,57 @@ def _mih_radius_pairs(e: DataFrame, n_chunks: int, chunk_bits: int,
     filter -> exact-cosine attach. EXACT at any dial with
     radius <= n_chunks - 1 (pigeonhole); the dial only moves the
     candidate volume. Output: undirected (vec_id < neighbor_id) pairs
-    with exact Hamming distance and raw-vector cosine."""
+    with exact Hamming distance and raw-vector cosine.
+
+    Codes wider than one int64 (the production dials past n ~ 200k:
+    8 chunks x ceil(log2(n/32)) bits) pack EACH CHUNK AS ITS OWN
+    SIGNATURE WORD (hamming_signatures_wide with word_bits =
+    chunk_bits), so the inverted index is a posexplode and the exact
+    distance a zip_with popcount sum — same join shape, no type
+    ceiling."""
     if radius > n_chunks - 1:
         raise ValueError(
             f"_mih_radius_pairs: radius {radius} needs >= {radius + 1} "
             f"chunks for the pigeonhole completeness guarantee "
             f"(got {n_chunks})")
-    sig = hamming_signatures(e, dim=64, n_bits=n_chunks * chunk_bits)
-    idx = sig.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("c"),
-                     (F.shiftright("sig", chunk_bits * c)
-                      .bitwiseAND(F.lit(2 ** chunk_bits - 1)))
-                     .alias("chunk_val"))
-            for c in range(n_chunks)])).alias("ch"))
-    idx = idx.select("vec_id", F.col("ch.c").alias("c"),
-                     F.col("ch.chunk_val").alias("chunk_val"))
+    total_bits = n_chunks * chunk_bits
+    if total_bits <= 62:
+        sig = hamming_signatures(e, dim=64, n_bits=total_bits)
+        idx = sig.select(
+            "vec_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(c).alias("c"),
+                         (F.shiftright("sig", chunk_bits * c)
+                          .bitwiseAND(F.lit(2 ** chunk_bits - 1)))
+                         .alias("chunk_val"))
+                for c in range(n_chunks)])).alias("ch"))
+        idx = idx.select("vec_id", F.col("ch.c").alias("c"),
+                         F.col("ch.chunk_val").alias("chunk_val"))
+        sa = sig.select("vec_id", F.col("sig").alias("_sa"))
+        sb = sig.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("sig").alias("_sb"))
+        ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    else:
+        from ..operators.dedup import hamming_signatures_wide
+        sig = hamming_signatures_wide(e, dim=64, n_bits=total_bits,
+                                      word_bits=chunk_bits)
+        idx = sig.select("vec_id",
+                         F.posexplode("sigs").alias("c", "chunk_val"))
+        sa = sig.select("vec_id", F.col("sigs").alias("_sa"))
+        sb = sig.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("sigs").alias("_sb"))
+        ham = F.aggregate(
+            F.zip_with("_sa", "_sb",
+                       lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+            F.lit(0), lambda acc, x: acc + x)
     probe = idx.select(F.col("vec_id").alias("neighbor_id"), "c",
                        "chunk_val")
     cand = (idx.join(probe, ["c", "chunk_val"])
             .filter(F.col("vec_id") < F.col("neighbor_id"))
             .select("vec_id", "neighbor_id").distinct())
-    sa = sig.select("vec_id", F.col("sig").alias("_sa"))
-    sb = sig.select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("sig").alias("_sb"))
     within = (cand.join(F.broadcast(sa), "vec_id")
               .join(F.broadcast(sb), "neighbor_id")
-              .withColumn("hamming",
-                          F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-                          .cast("int"))
+              .withColumn("hamming", ham.cast("int"))
               .filter(F.col("hamming") <= radius)
               .select("vec_id", "neighbor_id", "hamming"))
     scored = _cosine_residual(

@@ -2298,18 +2298,52 @@ def test_boruvka_raises_when_rounds_exhausted_unconverged(spark):
 
 def test_mih_adaptive_dial_boundaries():
     """mih_adaptive_dial: chunk count = radius+1 always; width =
-    ceil(log2(n/32)) floored at 4 and capped by the single-int64 code
-    (62 // chunks). Pure/deterministic at the boundaries."""
+    ceil(log2(n/32)) floored at 4 and capped at 20 bits (codes wider
+    than one int64 are fine — each chunk packs as its own word).
+    Pure/deterministic at the boundaries."""
     from integrator_spark.operators.dedup import mih_adaptive_dial
 
-    assert mih_adaptive_dial(10) == (8, 4)       # floor
-    assert mih_adaptive_dial(500) == (8, 4)      # sf0.01 fixture
-    assert mih_adaptive_dial(2000) == (8, 6)     # sf0.1: the SCALING dial
-    assert mih_adaptive_dial(20000) == (8, 7)    # capped at 62 // 8
-    assert mih_adaptive_dial(1 << 40) == (8, 7)  # cap holds at any n
+    assert mih_adaptive_dial(10) == (8, 4)        # floor
+    assert mih_adaptive_dial(500) == (8, 4)       # sf0.01 fixture
+    assert mih_adaptive_dial(2000) == (8, 6)      # sf0.1: the SCALING dial
+    assert mih_adaptive_dial(20000) == (8, 10)    # sf1: 80-bit wide code
+    assert mih_adaptive_dial(200000) == (8, 13)   # sf10: selective at n/32
+    assert mih_adaptive_dial(1 << 40) == (8, 20)  # hi clamp
     assert mih_adaptive_dial(2000, radius=3) == (4, 6)
     # a given n always pins the same dial (determinism)
     assert mih_adaptive_dial(12345) == mih_adaptive_dial(12345)
+
+
+def test_hamming_mih_wide_code_exact(spark):
+    """The wide-code MIH path (chunks packed as signature words, used
+    past the int64 ceiling) is EXACT like the int64 path: radius-7
+    pair set over 8 x 9-bit (72-bit) codes equals the brute zip_with
+    popcount filter over the same wide signatures."""
+    import pyspark.sql.functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import hamming_signatures_wide
+    from integrator_spark.queries.vectors2 import _mih_radius_pairs
+
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings")
+    got = {(r["vec_id"], r["neighbor_id"], r["hamming"])
+           for r in _mih_radius_pairs(e, n_chunks=8, chunk_bits=9,
+                                      radius=7).collect()}
+    sig = hamming_signatures_wide(e, dim=64, n_bits=72, word_bits=9)
+    sa = sig.select("vec_id", F.col("sigs").alias("_sa"))
+    sb = sig.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("sigs").alias("_sb"))
+    brute = {(r["vec_id"], r["neighbor_id"], r["hamming"])
+             for r in sa.join(sb, sa["vec_id"] < sb["neighbor_id"])
+             .withColumn("hamming", F.aggregate(
+                 F.zip_with("_sa", "_sb",
+                            lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+                 F.lit(0), lambda acc, x: acc + x).cast("int"))
+             .filter(F.col("hamming") <= 7)
+             .select("vec_id", "neighbor_id", "hamming").collect()}
+    assert got == brute
 
 
 def test_hamming_mih_adaptive_exact_and_selective(spark):
