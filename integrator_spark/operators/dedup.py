@@ -774,7 +774,8 @@ def hamming_signatures_wide(emb: DataFrame, dim: int = 64,
 def hamming_topk_scan(emb: DataFrame, n_bits: int = 192,
                       word_bits: int = 48, m: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      broadcast_budget: int = HAMMING_BROADCAST_BYTES
+                      broadcast_budget: int = HAMMING_BROADCAST_BYTES,
+                      queries: DataFrame | None = None
                       ) -> DataFrame | None:
     """FUSED under-budget Hamming top-m scan: ONE driver collect of
     the raw vectors (quantized + sign-packed + normalized on the
@@ -791,7 +792,12 @@ def hamming_topk_scan(emb: DataFrame, n_bits: int = 192,
     pays five Spark stages of overhead for work that is one C-level
     scan at this size — measured 15 s -> ~3 s at sf0.1. Returns None
     above the budget; callers fall back to the relational plan,
-    which works at any n."""
+    which works at any n.
+
+    ``queries`` (default: the corpus itself — the registered all-pairs
+    face) restricts the SCAN side to a query batch: the serving shape,
+    where per-query cost is linear in the corpus and the broadcast is
+    paid once per corpus, not per batch."""
     spark = emb.sparkSession
     n = emb.count()
     if n == 0:   # empty corpus: empty shortlist, stable schema
@@ -884,7 +890,8 @@ def hamming_topk_scan(emb: DataFrame, n_bits: int = 192,
                     "hamming": np.array(out_h, dtype=np.int32),
                     "cos_raw": np.array(out_c, dtype=np.float64)})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    q_side = emb if queries is None else queries
+    return q_side.select(id_col, vec_col).mapInPandas(
         scan, f"{id_col} long, neighbor_id long, hamming int, "
               f"cos_raw double")
 

@@ -2393,3 +2393,23 @@ def test_mih_radius_pairs_rejects_uncovered_radius():
 
     with pytest.raises(ValueError, match="pigeonhole"):
         _mih_radius_pairs(None, n_chunks=4, chunk_bits=8, radius=7)
+
+
+def test_hamming_scan_query_batch_matches_allpairs_face(spark):
+    """hamming_topk_scan(queries=batch) — the serving shape — returns
+    exactly the all-pairs face's rows restricted to the batch ids."""
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import hamming_topk_scan
+
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings").limit(150)
+    batch = e.filter((e["vec_id"] % 10) == 0)
+    full = {(r["vec_id"], r["neighbor_id"], r["hamming"])
+            for r in hamming_topk_scan(e, n_bits=192, word_bits=48,
+                                       m=8).collect()
+            if r["vec_id"] % 10 == 0}
+    sub = {(r["vec_id"], r["neighbor_id"], r["hamming"])
+           for r in hamming_topk_scan(e, n_bits=192, word_bits=48, m=8,
+                                      queries=batch).collect()}
+    assert sub == full and len(sub) > 0
