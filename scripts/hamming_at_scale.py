@@ -17,9 +17,10 @@ The ladder (operators/dedup.py, queries/vectors2.py):
      all-pairs cost stays ~linear.
 
 Corpora: the REAL sf0.1 embeddings (2k), _derived/sf1 (20k, the
-FK-offset x10), and _derived/sf10_embeddings (200k, x100 by the same
-vec_id-offset scheme — embeddings only; the full sf10 fixture is not
-needed for this family).
+FK-offset x10 — comparable to the existing SCALING sf1 rows), and a
+200k DISTINCT clustered corpus from the ann_at_scale splitmix recipe
+(the r7 1.1M-vector protocol; offset replication would hand every
+vector 99 exact clones and turn the radius search degenerate).
 
 Measured per corpus:
   - fused kernel, all-pairs face (192-bit x top-64): FULL wall at 2k
@@ -84,6 +85,46 @@ def gen_embeddings(spark, copies: int, out_name: str) -> str:
     return out_root
 
 
+def gen_clustered(spark, n: int, out_name: str) -> str:
+    """DISTINCT clustered synthetic corpus, the ann_at_scale recipe
+    (splitmix latent clusters + per-id noise, unit-normalized)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_at_scale",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "ann_at_scale.py"))
+    ann = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ann)
+    import numpy as np
+    import pandas as pd
+
+    out_root = derived_dir(SF01, "..", out_name)
+    path = os.path.join(out_root, "embeddings.parquet")
+    marker = os.path.join(out_root, "_GENERATED_EMB")
+    if os.path.exists(marker):
+        return out_root
+    os.makedirs(out_root, exist_ok=True)
+    lat = ann.splitmix_vectors(np.arange(ann.LATENT) + 7_000_000,
+                               ann.DIM).astype(np.float64)
+    lat /= np.linalg.norm(lat, axis=1, keepdims=True)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            noise = ann.splitmix_vectors(ids, ann.DIM).astype(np.float64)
+            mat = ann.ALPHA * lat[ids % ann.LATENT] + noise
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame({"vec_id": ids,
+                                "embedding": list(mat)})
+
+    (spark.range(n).repartition(32)
+     .mapInPandas(gen, "vec_id long, embedding array<double>")
+     .write.mode("overwrite").parquet(path))
+    open(marker, "w").write(f"n={n} clustered\n")
+    return out_root
+
+
 def median3(fn) -> float:
     fn()
     walls = []
@@ -103,8 +144,8 @@ def main() -> int:
     corpora = [("2k", SF01)]
     corpora.append(("20k", gen_embeddings(spark, 10, "sf1")))
     if not skip_200k:
-        corpora.append(("200k", gen_embeddings(spark, 100,
-                                               "sf10_embeddings")))
+        corpora.append(("200k", gen_clustered(spark, 200_000,
+                                              "sf10_embeddings")))
 
     for label, sf_dir in corpora:
         e = spark.read.parquet(
