@@ -244,19 +244,78 @@ def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned = hamming_topk_scan(e, n_bits=_TOPK_BITS,
                                 word_bits=_WORD_BITS, m=_TOP_M)
     if scanned is not None:
-        w_cos = Window.partitionBy("vec_id").orderBy(
-            F.col("approx_cos").desc(), F.col("neighbor_id").asc())
-        return (scanned
-                .withColumn("approx_cos", F.round("cos_raw", 6))
-                .withColumn("_rn", F.row_number().over(w_cos))
-                .filter(F.col("_rn") == 1)
-                .select("vec_id", "neighbor_id",
-                        F.col("hamming").cast("int").alias("hamming"),
-                        "approx_cos")
-                .orderBy("vec_id"))
+        return _hamming_scan_top1(scanned)
     sigs = hamming_signatures_wide(e, dim=64, n_bits=_TOPK_BITS,
                                    word_bits=_WORD_BITS)
     shortlist = hamming_topk_shortlist_wide(sigs, m=_TOP_M)
+    return _hamming_rerank_scored(shortlist, e)
+
+
+def _hamming_scan_top1(scanned: DataFrame) -> DataFrame:
+    """Top-1 tail over the fused kernel's (id, neighbor, hamming,
+    cos_raw) shortlist: Spark-side 6-dp rounding + (cos DESC, id)
+    window — rounding and selection stay Spark-side so the
+    cross-engine rounding profile is untouched."""
+    w_cos = Window.partitionBy("vec_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc())
+    return (scanned
+            .withColumn("approx_cos", F.round("cos_raw", 6))
+            .withColumn("_rn", F.row_number().over(w_cos))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "neighbor_id",
+                    F.col("hamming").cast("int").alias("hamming"),
+                    "approx_cos")
+            .orderBy("vec_id"))
+
+
+#: Serving-face query batch rule: every 4th vector. Static, so the
+#: oracle can replay the batch side with a WHERE clause.
+_SERVE_EVERY = 4
+
+_HAMMING_SERVE_CAND = f"""
+SELECT a.vec_id, b.vec_id AS neighbor_id,
+       CAST(SUM(bit_count(xor(a.sig, b.sig))) AS INT) AS hamming
+FROM sigw a JOIN sigw b ON a.w = b.w AND a.vec_id <> b.vec_id
+WHERE a.vec_id % {_SERVE_EVERY} = 0
+GROUP BY 1, 2"""
+
+
+@register("vec_hamming_topk_serve",
+          oracle=_hamming_oracle_sql(_HAMMING_SERVE_CAND,
+                                     sig_ctes=_hamming_wide_sig_ctes()),
+          tags=("vector", "knn", "approx", "hamming", "serve"))
+def vec_hamming_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING shape of the binary-signature scan, ORACLE-BACKED:
+    a query batch (every 4th vector — static, so DuckDB replays the
+    batch rule) scans the full broadcast corpus through the same
+    fused popcount kernel as ``vec_hamming_topk``, top-64 shortlist,
+    exact-cosine rerank, top-1 per query. This is the face a
+    deployment pays per request: per-query cost LINEAR in the corpus,
+    the signature broadcast paid once per corpus (not per batch) —
+    measured ~11 ms/query against 200k vectors
+    (scripts/hamming_at_scale.py), where the all-pairs face is
+    quadratic and the indexed ``vec_hamming_mih_adaptive`` takes over
+    for corpus-wide radius jobs.
+
+    Above the broadcast budget the relational word-join plan serves
+    the batch by filtering its probe side — candidates shrink to
+    |batch| x n, though the signature self-join input stays
+    corpus-sized (the regime where the MIH index is the answer)."""
+    from ..operators.dedup import (hamming_signatures_wide,
+                                   hamming_topk_scan,
+                                   hamming_topk_shortlist_wide)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    batch = e.filter(F.col("vec_id") % _SERVE_EVERY == 0)
+    scanned = hamming_topk_scan(e, n_bits=_TOPK_BITS,
+                                word_bits=_WORD_BITS, m=_TOP_M,
+                                queries=batch)
+    if scanned is not None:
+        return _hamming_scan_top1(scanned)
+    sigs = hamming_signatures_wide(e, dim=64, n_bits=_TOPK_BITS,
+                                   word_bits=_WORD_BITS)
+    shortlist = (hamming_topk_shortlist_wide(sigs, m=_TOP_M)
+                 .filter(F.col("vec_id") % _SERVE_EVERY == 0))
     return _hamming_rerank_scored(shortlist, e)
 
 
