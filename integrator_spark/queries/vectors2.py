@@ -449,6 +449,95 @@ def vec_hamming_mih_adaptive(spark: SparkSession,
                              chunk_bits=chunk_bits, radius=7)
 
 
+#: Incremental-ingest split rule: every 5th vector is the NEW batch,
+#: the rest is the accumulated corpus. Static, so the oracle replays
+#: both sides with WHERE clauses.
+_INGEST_EVERY = 5
+
+_HAMMING_INCR_ORACLE = f"""
+WITH
+{_hamming_sig_ctes()},
+chunks AS (SELECT vec_id,
+                  c,
+                  (sig >> ({_CHUNK_BITS} * c)) & {2 ** _CHUNK_BITS - 1}
+                      AS chunk_val
+           FROM sig, range(0, {_N_CHUNKS}) tc(c)),
+cand AS (SELECT DISTINCT a.vec_id AS new_id, b.vec_id AS corpus_id
+         FROM chunks a JOIN chunks b
+           ON a.c = b.c AND a.chunk_val = b.chunk_val
+         WHERE a.vec_id % {_INGEST_EVERY} = {_INGEST_EVERY - 1}
+           AND b.vec_id % {_INGEST_EVERY} <> {_INGEST_EVERY - 1}),
+within AS (SELECT c.new_id, c.corpus_id,
+                  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+           FROM cand c
+           JOIN sig sa ON sa.vec_id = c.new_id
+           JOIN sig sb ON sb.vec_id = c.corpus_id
+           WHERE bit_count(xor(sa.sig, sb.sig)) <= {_RADIUS})
+SELECT w.new_id, w.corpus_id, w.hamming,
+       ROUND(list_cosine_similarity(
+               CAST(ea.embedding AS DOUBLE[]),
+               CAST(eb.embedding AS DOUBLE[])), 6) AS pair_cos
+FROM within w
+JOIN embeddings ea ON ea.vec_id = w.new_id
+JOIN embeddings eb ON eb.vec_id = w.corpus_id
+ORDER BY w.new_id, w.corpus_id
+"""
+
+
+@register("vec_hamming_incremental", oracle=_HAMMING_INCR_ORACLE,
+          tags=("vector", "knn", "hamming", "incremental"))
+def vec_hamming_incremental(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Incremental-ingest MIH radius probe, ORACLE-BACKED — the
+    Hamming-family analog of ``dedup_embedding_lsh_incremental``: a
+    NEW batch (every 5th vector; static rule so DuckDB replays the
+    split) probes ONLY the accumulated corpus' (chunk, value)
+    inverted index — new x corpus bucket collisions; new-new and
+    corpus-corpus pairs never form — then the exact popcount radius
+    filter and cosine attach run on the collisions. Same pinned dials
+    as ``vec_hamming_mih`` (12 x 4-bit chunks, radius 11: pigeonhole-
+    complete, so every in-radius new-corpus pair is found).
+
+    Scale shape — the steady-state ingest path at 100 TB: per batch,
+    cost tracks the BATCH's bucket collisions (the corpus index is
+    write-once/append-per-batch, never re-hashed or self-joined);
+    the corpus-side index rows the join touches are the probed
+    buckets only. Output: (new_id, corpus_id, hamming, pair_cos)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % _INGEST_EVERY == _INGEST_EVERY - 1
+    sig = hamming_signatures(e, dim=64, n_bits=_N_BITS)
+    idx = sig.select(
+        "vec_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     (F.shiftright("sig", _CHUNK_BITS * c)
+                      .bitwiseAND(F.lit(2 ** _CHUNK_BITS - 1)))
+                     .alias("chunk_val"))
+            for c in range(_N_CHUNKS)])).alias("ch"))
+    idx = idx.select("vec_id", "sig", F.col("ch.c").alias("c"),
+                     F.col("ch.chunk_val").alias("chunk_val"))
+    new_side = (idx.filter(is_new)
+                .select(F.col("vec_id").alias("new_id"),
+                        F.col("sig").alias("_sa"), "c", "chunk_val"))
+    corpus_side = (idx.filter(~is_new)
+                   .select(F.col("vec_id").alias("corpus_id"),
+                           F.col("sig").alias("_sb"), "c", "chunk_val"))
+    cand = (new_side.join(corpus_side, ["c", "chunk_val"])
+            .select("new_id", "corpus_id", "_sa", "_sb").distinct())
+    within = (cand.withColumn(
+        "hamming",
+        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"))
+        .filter(F.col("hamming") <= _RADIUS)
+        .select("new_id", "corpus_id", "hamming"))
+    scored = _cosine_residual(
+        within.select("new_id", "corpus_id"), e, e, -2.0,
+        "new_id", "corpus_id", "vec_id", "embedding")
+    return (within.join(scored, ["new_id", "corpus_id"])
+            .select("new_id", "corpus_id", "hamming",
+                    F.col("cos_sim").alias("pair_cos"))
+            .orderBy("new_id", "corpus_id"))
+
+
 # --------------------------------------------------------------------------
 # Deterministic NN-Descent twin (round 10, third wave): the last ANN
 # family without an oracle-backed deterministic face. Same split as

@@ -2413,3 +2413,64 @@ def test_hamming_scan_query_batch_matches_allpairs_face(spark):
            for r in hamming_topk_scan(e, n_bits=192, word_bits=48, m=8,
                                       queries=batch).collect()}
     assert sub == full and len(sub) > 0
+
+
+def test_hamming_mih_wide_pigeonhole_fuzz():
+    """Pigeonhole completeness holds for WIDE chunk layouts too:
+    flipping <= r bits of an (r+1)-chunk code cannot change every
+    chunk, for chunk widths past the int64 packing (here 8 x 13-bit
+    = 104-bit codes, the measured 200k dial). Pure-python fuzz over
+    the word-per-chunk layout _mih_radius_pairs uses."""
+    import random
+
+    rng = random.Random(104)
+    n_chunks, w, r = 8, 13, 7
+    for _ in range(500):
+        chunks = [rng.getrandbits(w) for _ in range(n_chunks)]
+        flipped = list(chunks)
+        n_flips = rng.randint(0, r)
+        for p in rng.sample(range(n_chunks * w), n_flips):
+            flipped[p // w] ^= 1 << (p % w)
+        assert any(a == b for a, b in zip(chunks, flipped)), (
+            chunks, flipped, n_flips)
+
+
+def test_hamming_incremental_complete_and_probe_only(spark):
+    """vec_hamming_incremental finds EXACTLY the in-radius new-corpus
+    pairs (pigeonhole completeness on the probe join — set equality
+    vs the brute new x corpus popcount filter), and emits no new-new
+    or corpus-corpus pair (the incremental contract: the corpus index
+    is probed, never self-joined)."""
+    import pyspark.sql.functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.dedup import hamming_signatures
+    from integrator_spark.queries.vectors2 import (_INGEST_EVERY,
+                                                   _N_BITS, _RADIUS)
+    from integrator_spark.registry import all_specs
+
+    from .conftest import TEST_SF_DIR
+
+    got_rows = (all_specs()["vec_hamming_incremental"]
+                .fn(spark, TEST_SF_DIR).collect())
+    got = {(r["new_id"], r["corpus_id"], r["hamming"]) for r in got_rows}
+    for r in got_rows:
+        assert r["new_id"] % _INGEST_EVERY == _INGEST_EVERY - 1
+        assert r["corpus_id"] % _INGEST_EVERY != _INGEST_EVERY - 1
+    e = load_table(spark, TEST_SF_DIR, "embeddings")
+    sig = hamming_signatures(e, dim=64, n_bits=_N_BITS)
+    new = sig.filter(F.col("vec_id") % _INGEST_EVERY
+                     == _INGEST_EVERY - 1) \
+        .select(F.col("vec_id").alias("new_id"), F.col("sig").alias("_a"))
+    corp = sig.filter(F.col("vec_id") % _INGEST_EVERY
+                      != _INGEST_EVERY - 1) \
+        .select(F.col("vec_id").alias("corpus_id"),
+                F.col("sig").alias("_b"))
+    brute = {(r["new_id"], r["corpus_id"], r["hamming"])
+             for r in new.crossJoin(corp)
+             .withColumn("hamming",
+                         F.bit_count(F.col("_a").bitwiseXOR(F.col("_b")))
+                         .cast("int"))
+             .filter(F.col("hamming") <= _RADIUS)
+             .select("new_id", "corpus_id", "hamming").collect()}
+    assert got == brute and len(got) > 0
