@@ -48,6 +48,7 @@ CROSS_JOIN_ALLOWED = {
     "q22_global_sales_opportunity",  # 1-row global-avg frame broadcast
     "q11_important_parts",  # 1-row global-cutoff frame broadcast to agg
     "mix_weighted",        # 1-row corpus-total frame joined to source counts
+    "ml_average_precision",  # 1-row n_pos-total frame broadcast to tie groups
     "stats_mannwhitney",   # 1-row tie-correction frame joined to rank sums
     "stats_ks",            # 1-row arm-totals frame broadcast to ECDF rows
     "skew_profile",        # two 1-row summary frames joined
@@ -99,9 +100,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "events_rfm": "quantile ranks over the |users| aggregate; 100 TB "
         "substitution is corpus_shuffle's range-partitioned rank "
         "(documented in the docstring)",
-    "ml_auc": "ROC cumulative over |distinct scores| rows (aggregated "
-        "first), not raw predictions",
-    "ml_average_precision": "same |distinct scores| frame as ml_auc",
+    "ml_auc": "round 11: range-partitioned two-phase prefix sum "
+        "(operators/prefix.py); the one remaining global window is "
+        "the CONSTANT 32-row bucket-offset frame",
+    "ml_average_precision": "same two-phase shape as ml_auc "
+        "(constant bucket-offset frame only)",
     "ml_lift": "decile rank over |distinct scores|; the sf1 red-flag "
         "case that motivated aggregating before ranking",
     "ml_tree_stump": "threshold argmin over the bounded bin histogram "
@@ -113,8 +116,9 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
         "(size fixed by the query text)",
     "sort_nulls": "THE global-sort contract row — a demo of total "
         "ordering semantics; output is the sort",
-    "stats_gini": "rank over the |users| aggregate (docstring "
-        "documents the range-partitioned 100 TB substitution)",
+    "stats_gini": "round 11: rank via the range-partitioned "
+        "two-phase prefix count; only the constant 32-row "
+        "bucket-offset window remains",
     "stats_ks": "ECDF cumulative over |distinct x| aggregate rows",
     "stats_mannwhitney": "global rank over the per-user aggregate; "
         "the events fact never enters the sort",

@@ -444,15 +444,19 @@ def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (equal x values swap equal ranks — G is invariant —
     but the determinism contract wants identical intermediates).
     x and r*x stay DECIMAL until the final two divisions of identical
-    operands. One shuffle to per-user sums; the rank window runs over
-    the |users| frame (documented single-partition at fixture scale —
-    a 100 TB run would range-partition the rank as in corpus_shuffle)."""
+    operands. One shuffle to per-user sums; the rank is the
+    RANGE-PARTITIONED two-phase prefix count over (x_dec, user_id)
+    (operators/prefix.py, round 11) — value-identical to ROW_NUMBER
+    under the same total order, with no |users|-sized single-task
+    window."""
+    from ..operators.prefix import ordered_prefix_sums
+
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(38,6)")).alias("x_dec"))
-    ranked = per_user.select(
-        "x_dec",
-        F.row_number().over(Window.orderBy("x_dec", "user_id")).alias("r"))
+    ranked = ordered_prefix_sums(
+        per_user, ["x_dec", "user_id"],
+        {"r": F.lit(1)}).select("x_dec", "r")
     n = F.count(F.lit(1))
     sum_x = F.sum("x_dec").cast("double")
     sum_rx = F.sum(F.col("r") * F.col("x_dec")).cast("double")
@@ -619,11 +623,15 @@ def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking grid doubles sidesteps libm entirely, so the whole statistic
     is exact integer arithmetic until one final division.
 
-    Tie groups are aggregated first (one shuffle on the score), so the
-    ordered window runs over |distinct scores| rows, and the doubled
-    midrank 2R = 2*cum - c_tot + 1 keeps everything integral.
-    Same frame-cardinality argument as stats_ks; a 100 TB run would
-    range-partition the cumulative like corpus_shuffle."""
+    Tie groups are aggregated first (one shuffle on the score), and
+    the cumulative runs through the RANGE-PARTITIONED two-phase
+    prefix sum (operators/prefix.py, round 11): within-bucket
+    partitioned windows + a constant-n_buckets offset frame — the
+    shape that holds at |distinct scores| = billions, value-identical
+    because the summands are exact integers. The doubled midrank
+    2R = 2*cum - c_tot + 1 keeps everything integral."""
+    from ..operators.prefix import ordered_prefix_sums
+
     o = load_table(spark, sf_dir, "orders")
     by_s = (o.select(F.col("o_totalprice").alias("s"),
                      F.when(F.col("o_orderstatus") == "F", 1)
@@ -631,10 +639,9 @@ def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s")
             .agg(F.sum("label").alias("c_pos"),
                  F.count(F.lit(1)).alias("c_tot")))
-    w_cum = (Window.orderBy("s")
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranked = by_s.select(
-        "c_pos", "c_tot", F.sum("c_tot").over(w_cum).alias("cum"))
+    ranked = ordered_prefix_sums(
+        by_s, ["s"], {"cum": F.col("c_tot")}).select(
+        "c_pos", "c_tot", "cum")
     n_pos = F.sum("c_pos")
     n_neg = F.sum("c_tot") - n_pos
     two_r = F.sum(F.col("c_pos") * (2 * F.col("cum") - F.col("c_tot") + 1))
@@ -1946,8 +1953,13 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free, final at 6 dp.
 
     Same plan skeleton as ml_auc: tie-group aggregation (one shuffle
-    on the score), one ordered window over |distinct scores| rows, a
-    one-row result."""
+    on the score), then the DESCENDING range-partitioned two-phase
+    prefix sum (operators/prefix.py) for both cumulatives — no
+    data-dependent single-task window; the total-positives scalar
+    rides the allowlisted 1-row broadcast frame, not a
+    whole-frame-in-one-task empty window."""
+    from ..operators.prefix import ordered_prefix_sums
+
     o = load_table(spark, sf_dir, "orders")
     by_s = (o.select(F.col("o_totalprice").alias("s"),
                      F.when(F.col("o_orderstatus") == "F", 1)
@@ -1955,13 +1967,11 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s")
             .agg(F.sum("label").alias("c_pos"),
                  F.count(F.lit(1)).alias("c_tot")))
-    w = (Window.orderBy(F.desc("s"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranked = by_s.select(
-        "c_pos", "c_tot",
-        F.sum("c_pos").over(w).alias("cum_pos"),
-        F.sum("c_tot").over(w).alias("cum_tot"),
-        F.sum("c_pos").over(Window.partitionBy()).alias("n_pos"))
+    totals = by_s.agg(F.sum("c_pos").alias("n_pos"))
+    ranked = (ordered_prefix_sums(
+        by_s, ["s"], {"cum_pos": F.col("c_pos"),
+                      "cum_tot": F.col("c_tot")}, ascending=False)
+        .crossJoin(F.broadcast(totals)))
     term = F.round((F.col("c_pos").cast("double") / F.col("n_pos"))
                    * (F.col("cum_pos").cast("double") / F.col("cum_tot")), 9)
     return (ranked.groupBy("n_pos")

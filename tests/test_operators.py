@@ -2474,3 +2474,45 @@ def test_hamming_incremental_complete_and_probe_only(spark):
              .filter(F.col("hamming") <= _RADIUS)
              .select("new_id", "corpus_id", "hamming").collect()}
     assert got == brute and len(got) > 0
+
+
+def test_ordered_prefix_sums_equals_global_window(spark):
+    """ordered_prefix_sums (range-partitioned two-phase cumsum) is
+    value-identical to the single-partition ordered window for exact
+    types, under ascending/descending order, compound tie-break keys,
+    inclusive/exclusive frames, and multiple simultaneous sums."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from integrator_spark.operators.prefix import ordered_prefix_sums
+
+    rows = [(i * 7919 % 997, i % 13, i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, tie long, v long")
+
+    for asc in (True, False):
+        order = [F.col("k"), F.col("tie"), F.col("v")]
+        sort = [c.asc() if asc else c.desc() for c in order]
+        w_inc = (Window.orderBy(*sort)
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        w_exc = (Window.orderBy(*sort)
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        want = {(r["k"], r["tie"], r["v"]): (r["ci"], r["ce"], r["cn"])
+                for r in df.select(
+                    "k", "tie", "v",
+                    F.sum("v").over(w_inc).alias("ci"),
+                    F.coalesce(F.sum("v").over(w_exc), F.lit(0))
+                    .alias("ce"),
+                    F.sum(F.lit(1)).over(w_inc).alias("cn")).collect()}
+        got_inc = ordered_prefix_sums(
+            df, ["k", "tie", "v"],
+            {"ci": F.col("v"), "cn": F.lit(1)}, ascending=asc)
+        got_exc = ordered_prefix_sums(
+            df, ["k", "tie", "v"], {"ce": F.col("v")},
+            ascending=asc, include_current=False)
+        gi = {(r["k"], r["tie"], r["v"]): (r["ci"], r["cn"])
+              for r in got_inc.collect()}
+        ge = {(r["k"], r["tie"], r["v"]): r["ce"]
+              for r in got_exc.collect()}
+        for key, (ci, ce, cn) in want.items():
+            assert gi[key] == (ci, cn), (asc, key)
+            assert ge[key] == ce, (asc, key)
