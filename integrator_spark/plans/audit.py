@@ -49,6 +49,7 @@ CROSS_JOIN_ALLOWED = {
     "q11_important_parts",  # 1-row global-cutoff frame broadcast to agg
     "mix_weighted",        # 1-row corpus-total frame joined to source counts
     "ml_average_precision",  # 1-row n_pos-total frame broadcast to tie groups
+    "ml_lift",             # 1-row grand-total frame broadcast to tie groups
     "stats_mannwhitney",   # 1-row tie-correction frame joined to rank sums
     "stats_ks",            # 1-row arm-totals frame broadcast to ECDF rows
     "skew_profile",        # two 1-row summary frames joined
@@ -63,6 +64,7 @@ CROSS_JOIN_ALLOWED = {
     "graph_triangles",     # three 1-row census frames crossJoined
     "basket_rules",        # 1-row basket-total frame broadcast to rules
     "stats_bootstrap",     # bounded B-replicate explode + 1-row estimate
+    "stats_survival",      # 1-row observation-horizon frame broadcast
     "text_pmi",            # 1-row corpus-size frame broadcast to PMI pairs
     "text_collocation_llr",  # same 1-row corpus frame as text_pmi
     "events_rfm",          # 1-row horizon frame broadcast to per-user RFM
@@ -97,16 +99,17 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
         "(calendar-bounded), never the events fact",
     "events_decompose": "trend/seasonal windows over the |days| frame; "
         "7-row bounded frames",
-    "events_rfm": "quantile ranks over the |users| aggregate; 100 TB "
-        "substitution is corpus_shuffle's range-partitioned rank "
-        "(documented in the docstring)",
+    "events_rfm": "round 11: three range-partitioned two-phase "
+        "prefix counts + SQL-standard NTILE arithmetic; only the "
+        "constant bucket-offset windows remain",
     "ml_auc": "round 11: range-partitioned two-phase prefix sum "
         "(operators/prefix.py); the one remaining global window is "
         "the CONSTANT 32-row bucket-offset frame",
     "ml_average_precision": "same two-phase shape as ml_auc "
         "(constant bucket-offset frame only)",
-    "ml_lift": "decile rank over |distinct scores|; the sf1 red-flag "
-        "case that motivated aggregating before ranking",
+    "ml_lift": "round 11: |distinct scores| cumulative via the "
+        "two-phase prefix sum; remaining windows are the constant "
+        "bucket-offset frame and the 10-row decile rollup",
     "ml_tree_stump": "threshold argmin over the bounded bin histogram "
         "(~300 rows), not the fact",
     "retrieval_ndcg": "ranks query-RELEVANT lists (term-posting / "
@@ -119,9 +122,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "stats_gini": "round 11: rank via the range-partitioned "
         "two-phase prefix count; only the constant 32-row "
         "bucket-offset window remains",
-    "stats_ks": "ECDF cumulative over |distinct x| aggregate rows",
-    "stats_mannwhitney": "global rank over the per-user aggregate; "
-        "the events fact never enters the sort",
+    "stats_ks": "round 11: ECDF cumulatives via the two-phase "
+        "prefix sum; only the constant bucket-offset window remains",
+    "stats_mannwhitney": "round 11: rank via the two-phase prefix "
+        "count (per-x AVG rank invariant to intra-tie order); only "
+        "the constant bucket-offset window remains",
     "stats_rank_corr": "rank windows on the day-grain aggregate "
         "(calendar-bounded ~2.4k rows)",
     "stats_survival": "cumulative at-risk/survival over |distinct "

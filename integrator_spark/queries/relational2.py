@@ -447,13 +447,16 @@ def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (rank-sum) test between the same experiment arms
     as stats_ab_test — the non-parametric companion for metrics too
     skewed for a t-test (per-user revenue usually is). Average ranks
-    with the tie-corrected normal approximation. The global rank
-    window runs over the PER-USER aggregate (cardinality |users|, the
-    events fact never enters a single-partition sort); tie groups and
-    rank sums reduce to one row. Rank-of-x ties broken by arm only to
-    make row_number deterministic; tied x values then share their
-    AVG rank, so the statistic is the textbook tie-averaged one."""
+    with the tie-corrected normal approximation. The rank runs through
+    the RANGE-PARTITIONED two-phase prefix count (operators/prefix.py,
+    round 11) over the per-user aggregate — no |users|-sized
+    single-task sort; equal x values co-locate by range partitioning,
+    so each tie group still occupies one contiguous rank block and the
+    per-x AVG rank (the value the statistic uses — invariant to
+    intra-tie order) is identical to the old global ROW_NUMBER's."""
     from pyspark.sql import Window
+
+    from ..operators.prefix import ordered_prefix_sums
 
     e = load_table(spark, sf_dir, "events")
     per_user = (e.groupBy("user_id")
@@ -461,8 +464,8 @@ def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("double").alias("x"))
                 .select((F.col("user_id") % 2).cast("long").alias("arm"),
                         "x"))
-    rn = F.row_number().over(Window.orderBy("x", "arm"))
-    ranked = per_user.withColumn("rn", rn)
+    ranked = ordered_prefix_sums(per_user, ["x", "arm"],
+                                 {"rn": F.lit(1)})
     r = F.avg("rn").over(Window.partitionBy("x"))
     avg_ranks = ranked.withColumn("r", r)
     ties = (per_user.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
@@ -651,13 +654,14 @@ def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     p-value. Completes the A/B family: t-test (means), rank-sum
     (location), KS (whole distribution).
 
-    Per-x counts first (one shuffle on x), then one cumulative window
-    over the |distinct per-user x| grouped rows — cardinality |users|,
-    never the events fact, same justification as stats_mannwhitney's
-    rank window. Totals ride a 1-row broadcast frame (allowlisted).
-    ECDF differences are exact-integer ratios evaluated identically on
-    both engines, rounded to 6 dp."""
-    from pyspark.sql import Window
+    Per-x counts first (one shuffle on x), then both ECDF cumulatives
+    run through the RANGE-PARTITIONED two-phase prefix sum
+    (operators/prefix.py, round 11) — no |users|-sized single-task
+    window; value-identical (exact integer counts). Totals ride a
+    1-row broadcast frame (allowlisted). ECDF differences are
+    exact-integer ratios evaluated identically on both engines,
+    rounded to 6 dp."""
+    from ..operators.prefix import ordered_prefix_sums
 
     e = load_table(spark, sf_dir, "events")
     per_user = (e.groupBy("user_id")
@@ -668,10 +672,9 @@ def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_x = per_user.groupBy("x").agg(
         F.count(F.when(F.col("arm") == 0, 1)).alias("c0"),
         F.count(F.when(F.col("arm") == 1, 1)).alias("c1"))
-    w = (Window.orderBy("x")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = by_x.select(F.sum("c0").over(w).alias("cum0"),
-                      F.sum("c1").over(w).alias("cum1"))
+    cum = ordered_prefix_sums(
+        by_x, ["x"], {"cum0": F.col("c0"), "cum1": F.col("c1")}
+    ).select("cum0", "cum1")
     tot = per_user.agg(
         F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
         F.count(F.when(F.col("arm") == 1, 1)).alias("n1"))

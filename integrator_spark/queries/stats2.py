@@ -115,11 +115,17 @@ def stats_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.min("ts")).alias("first_day"),
         F.date_trunc("day", F.max("ts")).alias("last_day"))
     w_all = Window.partitionBy()
-    pu = per_user.select(
-        F.datediff("last_day", "first_day").cast("long").alias("t"),
-        F.when(F.datediff(F.max("last_day").over(w_all),
-                          F.col("last_day")) >= 3, 1)
-         .otherwise(0).alias("died"))
+    # Horizon via the allowlisted 1-row broadcast frame, not an
+    # empty-partition window over the |users| frame (round 11 — an
+    # unordered global window still funnels every row through one
+    # task).
+    horizon = per_user.agg(F.max("last_day").alias("_horizon"))
+    pu = (per_user.crossJoin(F.broadcast(horizon))
+          .select(
+              F.datediff("last_day", "first_day").cast("long").alias("t"),
+              F.when(F.datediff(F.col("_horizon"),
+                                F.col("last_day")) >= 3, 1)
+              .otherwise(0).alias("died")))
     by_t = pu.groupBy("t").agg(
         F.sum("died").alias("d"),
         (F.count(F.lit(1)) - F.sum("died")).alias("c"))
@@ -1041,7 +1047,12 @@ def ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping on both engines with no per-row tiebreak needed (a tie
     group is never split, so bucket sizes flex by at most a tie
     group; on a near-unique score column they are within one row of
-    NTILE's). Rewritten form measures exponent ~0.1 at sf1."""
+    NTILE's). Round 11: the |distinct scores| cumulative runs through
+    the range-partitioned two-phase prefix sum (operators/prefix.py)
+    and the grand total rides the allowlisted 1-row broadcast frame —
+    only the bounded 10-row decile windows remain single-task."""
+    from ..operators.prefix import ordered_prefix_sums
+
     o = load_table(spark, sf_dir, "orders")
     by_s = (o.select(F.col("o_totalprice").alias("s"),
                      F.when(F.col("o_orderstatus") == "F", 1)
@@ -1049,12 +1060,12 @@ def ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s")
             .agg(F.sum("label").alias("c_pos"),
                  F.count(F.lit(1)).alias("c_tot")))
-    w_desc = (Window.orderBy(F.desc("s"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranked = by_s.select(
-        "c_pos", "c_tot",
-        F.sum("c_tot").over(w_desc).alias("cum"),
-        F.sum("c_tot").over(Window.partitionBy()).alias("n_all"))
+    tot = by_s.agg(F.sum("c_tot").alias("n_all"))
+    ranked = (ordered_prefix_sums(by_s, ["s"],
+                                  {"cum": F.col("c_tot")},
+                                  ascending=False)
+              .crossJoin(F.broadcast(tot))
+              .select("c_pos", "c_tot", "cum", "n_all"))
     decile = F.ceil((F.col("cum") * 10).cast("double")
                     / F.col("n_all")).cast("long")
     by_d = (ranked.groupBy(decile.alias("decile"))
@@ -1306,12 +1317,17 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership is identical on both engines (best quintile = 1
     throughout: most recent, most frequent, highest value).
 
-    Shape: one shuffle to per-user RFM triples; the three NTILE ranks
-    run over the |users| frame (fixture single-partition; the 100 TB
-    substitution is corpus_shuffle's range-partitioned rank, same as
-    ml_lift); the final cell rollup is map-side-combinable. Monetary
-    sums are decimal-exact; the observation horizon is the corpus max
-    day on a scalar subquery / 1-row broadcast."""
+    Shape: one shuffle to per-user RFM triples; the three quintile
+    ranks run through the RANGE-PARTITIONED two-phase prefix count
+    (operators/prefix.py, round 11) — no |users|-sized single-task
+    NTILE; the bucket is then computed from (row_number, n) with the
+    standard SQL remainder distribution (first n%k buckets take one
+    extra row), which is EXACTLY what NTILE computes on both engines
+    under the same total order. The final cell rollup is
+    map-side-combinable. Monetary sums are decimal-exact; the
+    observation horizon is the corpus max day on a 1-row broadcast."""
+    from ..operators.prefix import ordered_prefix_sums
+
     e = load_table(spark, sf_dir, "events")
     horizon = e.agg(F.date_trunc("day", F.max("ts")).alias("h"))
     per_user = (e.groupBy("user_id")
@@ -1323,15 +1339,33 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("user_id",
                         F.datediff("h", "last_day").cast("long")
                          .alias("recency_days"),
-                        "frequency", "monetary"))
-    scored = per_user.select(
-        "monetary",
-        F.ntile(5).over(Window.orderBy("recency_days", "user_id"))
-         .cast("long").alias("r"),
-        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "user_id"))
-         .cast("long").alias("f"),
-        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "user_id"))
-         .cast("long").alias("m"))
+                        "frequency", "monetary",
+                        (-F.col("frequency")).alias("_negf"),
+                        (-F.col("monetary")).alias("_negm")))
+
+    def _ntile5(rn, n):
+        # NTILE(5) from (row_number, n): q = n div 5 rows per bucket,
+        # the first r = n mod 5 buckets take q+1 — the SQL-standard
+        # distribution both engines implement. q = 0 (n < 5) keeps
+        # every row in the first branch, so the q division is safe.
+        q, r = F.floor(n / 5), n % 5
+        big = (q + 1) * r
+        return (F.when(rn <= big, F.floor((rn - 1) / (q + 1)) + 1)
+                .otherwise(r + F.floor((rn - big - 1) / q) + 1)
+                .cast("long"))
+
+    ranked = ordered_prefix_sums(
+        per_user, ["recency_days", "user_id"], {"rn_r": F.lit(1)})
+    ranked = ordered_prefix_sums(
+        ranked, ["_negf", "user_id"], {"rn_f": F.lit(1)})
+    ranked = ordered_prefix_sums(
+        ranked, ["_negm", "user_id"], {"rn_m": F.lit(1)})
+    n_users = per_user.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (ranked.crossJoin(F.broadcast(n_users))
+              .select("monetary",
+                      _ntile5(F.col("rn_r"), F.col("_n")).alias("r"),
+                      _ntile5(F.col("rn_f"), F.col("_n")).alias("f"),
+                      _ntile5(F.col("rn_m"), F.col("_n")).alias("m")))
     return (scored.groupBy("r", "f", "m")
             .agg(F.count(F.lit(1)).alias("n_users"),
                  F.round(F.sum(F.round(F.col("monetary"), 6)
