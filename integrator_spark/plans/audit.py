@@ -112,9 +112,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
         "bucket-offset frame and the 10-row decile rollup",
     "ml_tree_stump": "threshold argmin over the bounded bin histogram "
         "(~300 rows), not the fact",
-    "retrieval_ndcg": "ranks query-RELEVANT lists (term-posting / "
-        "top-k bounded), never the corpus",
-    "retrieval_rrf": "same bounded per-query candidate lists",
+    "retrieval_ndcg": "round 11: all four rank windows via the "
+        "two-phase prefix count; only constant bucket-offset frames "
+        "remain (production semantic leg is the ANN top-k)",
+    "retrieval_rrf": "round 11: same two-phase ranks as "
+        "retrieval_ndcg",
     "scan_range": "row_number demo over a literal range source "
         "(size fixed by the query text)",
     "sort_nulls": "THE global-sort contract row — a demo of total "

@@ -1271,9 +1271,14 @@ def _retrieval_leg_ranks(spark: SparkSession, sf_dir: str):
            .crossJoin(F.broadcast(stats))
            .groupBy("doc_id")
            .agg(F.round(F.sum(score_term), 6).alias("bm25")))
-    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    lexrank = lex.select(
-        "doc_id", F.row_number().over(w_lex).cast("long").alias("rank_lex"))
+    # Round 11: ranks via the range-partitioned two-phase prefix
+    # count (operators/prefix.py) — no corpus-sized single-task sort;
+    # descending score order via the exact numeric negation.
+    from ..operators.prefix import ordered_prefix_sums
+    lexrank = (ordered_prefix_sums(
+        lex.withColumn("_neg", -F.col("bm25")), ["_neg", "doc_id"],
+        {"rank_lex": F.lit(1)})
+        .select("doc_id", F.col("rank_lex").cast("long").alias("rank_lex")))
 
     e = load_table(spark, sf_dir, "embeddings")
     qv = (e.filter(F.col("vec_id") == 0)
@@ -1290,9 +1295,10 @@ def _retrieval_leg_ranks(spark: SparkSession, sf_dir: str):
     sem = (e.crossJoin(F.broadcast(qv))
            .select(F.col("vec_id").alias("doc_id"),
                    F.round(cos, 6).alias("cs")))
-    w_sem = Window.orderBy(F.col("cs").desc(), "doc_id")
-    semrank = sem.select(
-        "doc_id", F.row_number().over(w_sem).cast("long").alias("rank_sem"))
+    semrank = (ordered_prefix_sums(
+        sem.withColumn("_neg", -F.col("cs")), ["_neg", "doc_id"],
+        {"rank_sem": F.lit(1)})
+        .select("doc_id", F.col("rank_sem").cast("long").alias("rank_sem")))
     return lexrank, semrank, sem
 
 
@@ -1324,9 +1330,11 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.lit(0.0))
                            + F.lit(1.0) / (60 + F.col("rank_sem")), 9)
                    .alias("rrf")))
-    w_rrf = Window.orderBy(F.col("rrf").desc(), "doc_id")
-    rrfrank = rrf.select(
-        "doc_id", F.row_number().over(w_rrf).cast("long").alias("rank_rrf"))
+    from ..operators.prefix import ordered_prefix_sums
+    rrfrank = (ordered_prefix_sums(
+        rrf.withColumn("_neg", -F.col("rrf")), ["_neg", "doc_id"],
+        {"rank_rrf": F.lit(1)})
+        .select("doc_id", F.col("rank_rrf").cast("long").alias("rank_rrf")))
     grades = sem.select(
         "doc_id",
         F.when(F.col("cs") >= 0.5, 3).when(F.col("cs") >= 0.3, 2)
@@ -1348,9 +1356,11 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos = part if pos is None else pos.unionByName(part)
     dcg = (pos.groupBy("ranking")
            .agg(F.sum(dcg_term(F.col("pos"))).cast("double").alias("dcg")))
-    w_ideal = Window.orderBy(F.col("rel").desc(), "doc_id")
-    ideal = (grades.withColumn("pos", F.row_number().over(w_ideal))
-             .filter(F.col("pos") <= 10))
+    ideal = (ordered_prefix_sums(
+        grades.withColumn("_neg", -F.col("rel")), ["_neg", "doc_id"],
+        {"pos": F.lit(1)})
+        .select("doc_id", "rel", F.col("pos").cast("int").alias("pos"))
+        .filter(F.col("pos") <= 10))
     idcg = (ideal.agg(F.sum(dcg_term(F.col("pos"))).cast("double")
                       .alias("idcg")))
     return (dcg.crossJoin(F.broadcast(idcg))
