@@ -11,10 +11,15 @@ repo's A/B discipline applied to the serve stage), and logs per-run:
     spin-up — if reuse works the PID set is stable across runs).
 """
 import json
+import os
 import statistics
 import subprocess
 import sys
 import time
+
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS",
+    "--conf spark.ui.showConsoleProgress=false pyspark-shell")
 
 sys.path.insert(0, "/root/repo")
 from integrator_spark.session import build_session  # noqa: E402
@@ -25,10 +30,6 @@ from integrator_spark.operators.pq import (ivfpq_encode,  # noqa: E402
                                            ivfpq_search, ivfpq_train)
 
 SF_DIR = "/root/testdata/sf0.1"
-import os
-os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS",
-    "--conf spark.ui.showConsoleProgress=false pyspark-shell")
 spark = build_session("ivfpq-serve-diag")
 sc = spark.sparkContext
 tracker = sc.statusTracker()
