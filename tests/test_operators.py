@@ -2516,3 +2516,24 @@ def test_ordered_prefix_sums_equals_global_window(spark):
         for key, (ci, ce, cn) in want.items():
             assert gi[key] == (ci, cn), (asc, key)
             assert ge[key] == ce, (asc, key)
+
+
+def test_hamming_serve_fallback_equals_fused_route(spark, monkeypatch):
+    """vec_hamming_topk_serve's over-budget path (relational word-join
+    shortlist filtered to the batch ids) must produce the SAME result
+    as the fused kernel route — forced by monkeypatching the scan to
+    report over-budget (None), since the fused kernel otherwise always
+    serves the fixture."""
+    import integrator_spark.operators.dedup as od
+    from integrator_spark.registry import all_specs
+
+    from .conftest import TEST_SF_DIR
+
+    fn = all_specs()["vec_hamming_topk_serve"].fn
+    fused = {(r["vec_id"], r["neighbor_id"], r["hamming"],
+              r["approx_cos"]) for r in fn(spark, TEST_SF_DIR).collect()}
+    monkeypatch.setattr(od, "hamming_topk_scan",
+                        lambda *a, **k: None)
+    rel = {(r["vec_id"], r["neighbor_id"], r["hamming"],
+            r["approx_cos"]) for r in fn(spark, TEST_SF_DIR).collect()}
+    assert rel == fused and len(fused) > 0

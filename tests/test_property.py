@@ -460,3 +460,34 @@ def test_merge_fold_expr_escapes_backslash_and_quote(spark):
         F.expr(_merge_fold_expr(l, r, l + r)).alias("m"))
         .collect()]
     assert out == ["a\\'b x a\\'b", "a\\ a\\'b", "'b a\\"]
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(st.integers(-1000, 1000),
+                               st.integers(0, 5),
+                               st.integers(-50, 50)),
+                     min_size=1, max_size=400))
+def test_ordered_prefix_sums_property(rows, spark):
+    """Property fuzz (round 11): the range-partitioned two-phase
+    prefix sum equals the single-partition ordered window on random
+    frames with duplicate keys, for the inclusive count-and-sum pair —
+    the invariant every converted rank/ECDF/NTILE query rests on.
+    Rows get a unique rowid tie-break so the order is total."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from integrator_spark.operators.prefix import ordered_prefix_sums
+
+    df = spark.createDataFrame(
+        [(k, t, v, i) for i, (k, t, v) in enumerate(rows)],
+        "k long, t long, v long, rid long")
+    w = (Window.orderBy("k", "t", "rid")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r["rid"]: (r["cv"], r["cn"]) for r in df.select(
+        "rid", F.sum("v").over(w).alias("cv"),
+        F.sum(F.lit(1)).over(w).alias("cn")).collect()}
+    got = {r["rid"]: (r["cv"], r["cn"]) for r in ordered_prefix_sums(
+        df, ["k", "t", "rid"],
+        {"cv": F.col("v"), "cn": F.lit(1)}, n_buckets=7).collect()}
+    assert got == want
