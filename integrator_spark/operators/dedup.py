@@ -775,7 +775,8 @@ def hamming_topk_scan(emb: DataFrame, n_bits: int = 192,
                       word_bits: int = 48, m: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       broadcast_budget: int = HAMMING_BROADCAST_BYTES,
-                      queries: DataFrame | None = None
+                      queries: DataFrame | None = None,
+                      exclude_self: bool = True
                       ) -> DataFrame | None:
     """FUSED under-budget Hamming top-m scan: ONE driver collect of
     the raw vectors (quantized + sign-packed + normalized on the
@@ -797,7 +798,15 @@ def hamming_topk_scan(emb: DataFrame, n_bits: int = 192,
     ``queries`` (default: the corpus itself — the registered all-pairs
     face) restricts the SCAN side to a query batch: the serving shape,
     where per-query cost is linear in the corpus and the broadcast is
-    paid once per corpus, not per batch."""
+    paid once per corpus, not per batch.
+
+    ``exclude_self`` (default True) drops any corpus row whose id
+    EQUALS the query's id — correct when query ids live in the corpus
+    id namespace and denote the same vector (the registered serve face
+    draws its batch from the corpus). External callers whose query ids
+    merely COLLIDE with corpus ids must pass ``exclude_self=False`` or
+    a matching corpus vector is silently dropped from that query's
+    candidates."""
     spark = emb.sparkSession
     n = emb.count()
     if n == 0:   # empty corpus: empty shortlist, stable schema
@@ -861,8 +870,9 @@ def hamming_topk_scan(emb: DataFrame, n_bits: int = 192,
                 for r in range(len(qi)):
                     h, ii = ham[r], ids_cc
                     pos = np.arange(nn)
-                    mask = ii != qi[r]
-                    h, ii, pos = h[mask], ii[mask], pos[mask]
+                    if exclude_self:
+                        mask = ii != qi[r]
+                        h, ii, pos = h[mask], ii[mask], pos[mask]
                     if len(h) > m:
                         thr = np.partition(h, m - 1)[m - 1]
                         keep = h <= thr
@@ -899,13 +909,23 @@ def hamming_topk_scan(emb: DataFrame, n_bits: int = 192,
 def hamming_topk_shortlist_wide(sigs: DataFrame, m: int = 64,
                                 id_col: str = "vec_id",
                                 broadcast_budget: int =
-                                HAMMING_BROADCAST_BYTES) -> DataFrame:
+                                HAMMING_BROADCAST_BYTES,
+                                queries: DataFrame | None = None,
+                                exclude_self: bool = True) -> DataFrame:
     """Multi-word variant of :func:`hamming_topk_shortlist` over an
     (id, sigs: array<long>) frame: per-query Hamming top-``m`` by
     (sum-of-word popcounts, neighbor_id), block-vectorized against
     one broadcast [n, words] int64 matrix. Same exact-threshold tie
     discipline; same relational fallback above the broadcast budget
-    (words explode onto the join key and popcounts sum per pair)."""
+    (words explode onto the join key and popcounts sum per pair).
+
+    ``queries`` (default: ``sigs`` itself — the all-pairs face)
+    restricts the PROBE side to a (id, sigs) batch in BOTH routes:
+    fused kernel work shrinks to |batch| x n scans and the relational
+    pair join's probe input shrinks to |batch| signatures (the corpus
+    side of the join stays corpus-sized by definition). Same
+    ``exclude_self`` contract as :func:`hamming_topk_scan`: query ids
+    must be corpus ids denoting the same vectors, else pass False."""
     spark = sigs.sparkSession
     sigs = sigs.localCheckpoint(eager=True)
     n = sigs.count()
@@ -915,13 +935,16 @@ def hamming_topk_shortlist_wide(sigs: DataFrame, m: int = 64,
             [], f"{id_col} long, neighbor_id long, hamming int")
     first = sigs.select("sigs").first()
     n_words = len(first["sigs"]) if first else 1
+    q_side = sigs if queries is None else queries
     if n * 8 * n_words > broadcast_budget:
-        ex = sigs.select(id_col, F.posexplode("sigs").alias("w", "_sa"))
+        ex = q_side.select(id_col,
+                           F.posexplode("sigs").alias("w", "_sa"))
         nb = sigs.select(F.col(id_col).alias("neighbor_id"),
                          F.posexplode("sigs").alias("w", "_sb"))
-        pair = (ex.join(nb, ["w"])
-                .filter(F.col(id_col) != F.col("neighbor_id"))
-                .groupBy(id_col, "neighbor_id")
+        pair = ex.join(nb, ["w"])
+        if exclude_self:
+            pair = pair.filter(F.col(id_col) != F.col("neighbor_id"))
+        pair = (pair.groupBy(id_col, "neighbor_id")
                 .agg(F.sum(F.bit_count(F.col("_sa")
                                        .bitwiseXOR(F.col("_sb"))))
                      .cast("int").alias("hamming")))
@@ -957,8 +980,9 @@ def hamming_topk_shortlist_wide(sigs: DataFrame, m: int = 64,
                 out_q, out_n, out_h = [], [], []
                 for r in range(len(qi)):
                     h, ii = ham[r], ids_c
-                    mask = ii != qi[r]
-                    h, ii = h[mask], ii[mask]
+                    if exclude_self:
+                        mask = ii != qi[r]
+                        h, ii = h[mask], ii[mask]
                     if len(h) > m:
                         thr = np.partition(h, m - 1)[m - 1]
                         keep = h <= thr
@@ -972,7 +996,7 @@ def hamming_topk_shortlist_wide(sigs: DataFrame, m: int = 64,
                     "neighbor_id": np.array(out_n, dtype=np.int64),
                     "hamming": np.array(out_h, dtype=np.int32)})
 
-    return sigs.select(id_col, "sigs").mapInPandas(
+    return q_side.select(id_col, "sigs").mapInPandas(
         shortlist, f"{id_col} long, neighbor_id long, hamming int")
 
 
@@ -1078,9 +1102,11 @@ def _cosine_residual(cand: DataFrame, emb_a: DataFrame, emb_b: DataFrame,
         num = (x * y).sum(axis=1)
         den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
         # Zero-norm pairs score the -2.0 sentinel (below any real
-        # cosine): they fail every real threshold exactly as 0.0 did,
-        # and under keep-all (-2.0) rerank thresholds they sort LAST
-        # deterministically — matching the fused Hamming kernel.
+        # cosine): under a keep-all threshold (<= -1.0, which disables
+        # the filter below) they are RETAINED but sort LAST
+        # deterministically — matching the fused Hamming kernel; under
+        # any real threshold in (-1.0, 1.0] they are dropped just as
+        # an undefined cosine should be.
         with np.errstate(divide="ignore", invalid="ignore"):
             out = np.where(den > 0, num / den, -2.0)
         return pd.Series(out)
@@ -1089,10 +1115,15 @@ def _cosine_residual(cand: DataFrame, emb_a: DataFrame, emb_b: DataFrame,
                       F.col(vec_col).alias("_va"))
     eb = emb_b.select(F.col(id_col).alias(b_out),
                       F.col(vec_col).alias("_vb"))
-    return (cand.join(ea, a_out).join(eb, b_out)
-            .withColumn("_c", _cos_batch("_va", "_vb"))
-            .filter(F.col("_c") >= threshold)
-            .select(a_out, b_out, F.round("_c", 6).alias("cos_sim")))
+    scored = (cand.join(ea, a_out).join(eb, b_out)
+              .withColumn("_c", _cos_batch("_va", "_vb")))
+    # threshold <= -1.0 means "keep all" (every caller that reranks a
+    # fixed candidate set passes -1.0): skip the filter so zero-norm
+    # sentinel rows (-2.0) survive and rank last instead of vanishing
+    # from the candidate's top-k entirely.
+    if threshold > -1.0:
+        scored = scored.filter(F.col("_c") >= threshold)
+    return scored.select(a_out, b_out, F.round("_c", 6).alias("cos_sim"))
 
 
 def signlsh_pairs_between(new: DataFrame, corpus: DataFrame,

@@ -18,9 +18,15 @@ orderable keys via ``repartitionByRange``:
            back.
 
 The result is VALUE-IDENTICAL to the single-partition window for any
-associative exact-typed sum (integers / decimals): bucket boundaries
-only re-bracket the same ordered summation. Callers keep float work
-out of the summed columns (the repo's decimal-exact discipline).
+associative exact-typed sum (integers / decimals) over NON-NULL
+summands with the default inclusive frame: bucket boundaries only
+re-bracket the same ordered summation. Two edge cases differ from the
+raw window and are out of contract: with ``include_current=False``
+the first row's empty frame is COALESCE'd to 0 where ``SUM() OVER``
+returns NULL, and an all-NULL prefix likewise surfaces as 0 rather
+than NULL. Every repo caller uses inclusive frames over non-null
+summands. Callers keep float work out of the summed columns (the
+repo's decimal-exact discipline).
 """
 
 from __future__ import annotations

@@ -298,9 +298,10 @@ def vec_hamming_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for corpus-wide radius jobs.
 
     Above the broadcast budget the relational word-join plan serves
-    the batch by filtering its probe side — candidates shrink to
-    |batch| x n, though the signature self-join input stays
-    corpus-sized (the regime where the MIH index is the answer)."""
+    the batch by filtering its probe side BEFORE the pair join —
+    candidates shrink to |batch| x n and only the corpus side of the
+    join stays corpus-sized (the regime where the MIH index is the
+    answer)."""
     from ..operators.dedup import (hamming_signatures_wide,
                                    hamming_topk_scan,
                                    hamming_topk_shortlist_wide)
@@ -314,8 +315,9 @@ def vec_hamming_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _hamming_scan_top1(scanned)
     sigs = hamming_signatures_wide(e, dim=64, n_bits=_TOPK_BITS,
                                    word_bits=_WORD_BITS)
-    shortlist = (hamming_topk_shortlist_wide(sigs, m=_TOP_M)
-                 .filter(F.col("vec_id") % _SERVE_EVERY == 0))
+    qsigs = sigs.filter(F.col("vec_id") % _SERVE_EVERY == 0)
+    shortlist = hamming_topk_shortlist_wide(sigs, m=_TOP_M,
+                                            queries=qsigs)
     return _hamming_rerank_scored(shortlist, e)
 
 

@@ -2279,6 +2279,28 @@ def test_zero_norm_cosine_sentinel_agrees_across_routes(spark):
             assert rel[k] == -2.0
 
 
+def test_cosine_residual_keep_all_retains_zero_norm(spark):
+    """threshold <= -1.0 means keep-all: zero-norm sentinel pairs
+    (-2.0) must SURVIVE and rank last — the ANN rerank callers that
+    pass -1.0 rely on this; any real threshold still drops them."""
+    from integrator_spark.operators.dedup import _cosine_residual
+
+    rows = [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 1.0, 0.0, 0.0])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)],
+                                  "vec_id long, neighbor_id long")
+    keep_all = {r["vec_id"]: r["cos_sim"]
+                for r in _cosine_residual(pairs, e, e, -1.0, "vec_id",
+                                          "neighbor_id", "vec_id",
+                                          "embedding").collect()}
+    assert keep_all[0] == -2.0         # retained, below any real cos
+    assert keep_all[1] > keep_all[0]   # ranks above the sentinel
+    real = _cosine_residual(pairs, e, e, 0.0, "vec_id", "neighbor_id",
+                            "vec_id", "embedding").collect()
+    assert {r["vec_id"] for r in real} == {1}  # sentinel pair dropped
+
+
 def test_boruvka_raises_when_rounds_exhausted_unconverged(spark):
     """max_rounds too small for the graph must raise, not silently
     return a partial spanning forest (weights chosen so round 1 pairs
