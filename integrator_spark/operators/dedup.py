@@ -1000,6 +1000,76 @@ def hamming_topk_shortlist_wide(sigs: DataFrame, m: int = 64,
         shortlist, f"{id_col} long, neighbor_id long, hamming int")
 
 
+def mih_radius_pairs_codes(codes: DataFrame, n_chunks: int,
+                           chunk_bits: int, radius: int,
+                           id_col: str = "doc_id",
+                           code_col: str = "code",
+                           probe_ids: DataFrame | None = None
+                           ) -> DataFrame:
+    """Multi-index Hamming radius search over PRE-COMPUTED integer
+    codes (an (id, code int64) frame — perceptual image hashes,
+    simhashes, any <= 62-bit binary sketch), the code-level core of
+    the embedding-facing ``_mih_radius_pairs`` plan: the code splits
+    into ``n_chunks`` exact-match ``chunk_bits``-bit chunks; by
+    pigeonhole a pair within Hamming ``radius <= n_chunks - 1`` cannot
+    differ in every chunk, so the (chunk_idx, chunk_value)
+    inverted-index join is a PROVABLY COMPLETE candidate generator —
+    the popcount filter then returns exactly the radius pair set.
+    Output: (id_a, id_b, hamming) with id_a < id_b, EXACT (what makes
+    the callers oracle-expressible by a brute self-join).
+
+    ``probe_ids`` (one column ``id_col``) restricts the PROBE side to
+    a batch — the incremental-ingest shape: batch chunks probe only
+    the corpus index, corpus-corpus pairs never form, output becomes
+    (id_a=batch id, id_b=corpus id) with no ordering constraint
+    between them.
+
+    Scale shape: the only wide shuffle is the chunk-equality join
+    (cost tracks bucket collisions, never corpus^2); the code fetch
+    for the exact filter is two key joins. Chunk width should track
+    ~log2(n / target_bucket) exactly like ``mih_adaptive_dial``."""
+    if radius > n_chunks - 1:
+        raise ValueError(
+            f"mih_radius_pairs_codes: radius {radius} needs >= "
+            f"{radius + 1} chunks for pigeonhole completeness "
+            f"(got {n_chunks})")
+    if n_chunks * chunk_bits > 62:
+        raise ValueError("codes wider than 62 bits need the "
+                         "array-of-words plan (hamming_signatures_wide)")
+    mask = (1 << chunk_bits) - 1
+    idx = codes.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     (F.shiftright(code_col, chunk_bits * c)
+                      .bitwiseAND(F.lit(mask))).alias("chunk_val"))
+            for c in range(n_chunks)])).alias("ch"))
+    idx = idx.select(id_col, F.col("ch.c").alias("c"),
+                     F.col("ch.chunk_val").alias("chunk_val"))
+    ca = codes.select(F.col(id_col).alias("id_a"),
+                      F.col(code_col).alias("_ca"))
+    cb = codes.select(F.col(id_col).alias("id_b"),
+                      F.col(code_col).alias("_cb"))
+    if probe_ids is None:
+        probe = idx.select(F.col(id_col).alias("id_b"), "c", "chunk_val")
+        cand = (idx.join(probe, ["c", "chunk_val"])
+                .filter(F.col(id_col) < F.col("id_b"))
+                .select(F.col(id_col).alias("id_a"), "id_b").distinct())
+    else:
+        batch = idx.join(F.broadcast(probe_ids.select(id_col)), id_col)
+        corpus = (idx.join(F.broadcast(probe_ids.select(id_col)),
+                           id_col, "left_anti")
+                  .select(F.col(id_col).alias("id_b"), "c", "chunk_val"))
+        cand = (batch.join(corpus, ["c", "chunk_val"])
+                .select(F.col(id_col).alias("id_a"), "id_b").distinct())
+    return (cand.join(ca, "id_a").join(cb, "id_b")
+            .withColumn("hamming",
+                        F.bit_count(F.col("_ca").bitwiseXOR(F.col("_cb")))
+                        .cast("int"))
+            .filter(F.col("hamming") <= radius)
+            .select("id_a", "id_b", "hamming"))
+
+
 def signlsh_buckets(emb: DataFrame, dim: int,
                     bits_per_band: int | None = None,
                     n_bands: int = 12, id_col: str = "vec_id",

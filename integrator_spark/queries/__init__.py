@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     mining,
     ml_prep,
     multimodal,
+    multimodal2,
     relational,
     relational2,
     scalars,

@@ -235,8 +235,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — exact BIGINT on both engines. A hash, min, banding, or counting bug
 # on either side breaks the value-hash match. {GUARD} is the optional
 # hot-bucket cutoff.
-_MINHASH_DET_ORACLE_TMPL = """
-WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+#: The signature/band/candidate CTE chain of the deterministic MinHash
+#: oracle, shared with the cross-modal curation oracle
+#: (queries/multimodal2.py) — ends at ``cand (d1, d2)`` with the
+#: per-doc component table ``mh (doc_id, i, mh)`` still in scope.
+_MINHASH_DET_CTE_TMPL = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id,
               w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
        FROM words, unnest(range(1, len(w) - 1)) t(i)),
@@ -262,6 +266,9 @@ kept AS (
 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          FROM kept a JOIN kept b
            ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+"""
+
+_MINHASH_DET_ORACLE_TMPL = "WITH " + _MINHASH_DET_CTE_TMPL + """
 SELECT c.d1, c.d2,
        CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
          AS n_equal,

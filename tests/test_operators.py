@@ -2559,3 +2559,89 @@ def test_hamming_serve_fallback_equals_fused_route(spark, monkeypatch):
     rel = {(r["vec_id"], r["neighbor_id"], r["hamming"],
             r["approx_cos"]) for r in fn(spark, TEST_SF_DIR).collect()}
     assert rel == fused and len(fused) > 0
+
+
+def test_mih_radius_pairs_codes_matches_bruteforce(spark):
+    """mih_radius_pairs_codes must return EXACTLY the brute-force
+    radius pair set (pigeonhole completeness) on fuzzed codes, in both
+    the all-pairs and the probe-batch (incremental) modes."""
+    import random
+
+    from integrator_spark.operators.dedup import mih_radius_pairs_codes
+
+    rng = random.Random(12)
+    # clustered codes: bases + small perturbations, so radius hits exist
+    bases = [rng.getrandbits(56) for _ in range(6)]
+    rows = []
+    for i in range(120):
+        c = bases[i % 6]
+        for _ in range(rng.randrange(0, 4)):
+            c ^= 1 << rng.randrange(56)
+        rows.append((i, c))
+    codes = spark.createDataFrame(rows, "doc_id long, code long")
+    for radius, n_chunks in ((6, 7), (3, 4), (0, 1)):
+        got = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in mih_radius_pairs_codes(
+                   codes, n_chunks=n_chunks, chunk_bits=8,
+                   radius=radius).collect()}
+        want = {(a, b, bin(ca ^ cb).count("1"))
+                for a, ca in rows for b, cb in rows
+                if a < b and bin(ca ^ cb).count("1") <= radius}
+        assert got == want, radius
+    # probe mode: batch ids probe the corpus index only
+    batch = spark.createDataFrame([(i,) for i in range(0, 120, 5)],
+                                  "doc_id long")
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in mih_radius_pairs_codes(
+               codes, n_chunks=7, chunk_bits=8, radius=6,
+               probe_ids=batch).collect()}
+    bset = set(range(0, 120, 5))
+    want = {(a, b, bin(ca ^ cb).count("1"))
+            for a, ca in rows for b, cb in rows
+            if a in bset and b not in bset
+            and bin(ca ^ cb).count("1") <= 6}
+    assert got == want and len(got) > 0
+
+
+def test_mih_radius_pairs_codes_rejects_bad_dials(spark):
+    import pytest
+
+    from integrator_spark.operators.dedup import mih_radius_pairs_codes
+
+    codes = spark.createDataFrame([(0, 1)], "doc_id long, code long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mih_radius_pairs_codes(codes, n_chunks=6, chunk_bits=8, radius=6)
+    with pytest.raises(ValueError, match="62 bits"):
+        mih_radius_pairs_codes(codes, n_chunks=8, chunk_bits=8, radius=7)
+
+
+def test_image_dhash_fixture_geometry():
+    """The image-dedup fixture's correctness rests on two numeric
+    facts pinned here: (1) the dHash kernel is a faithful inverse of
+    the pattern painter (decode(paint(p)) == p for fuzzed patterns),
+    (2) group base patterns are >= 19 bits apart while per-doc flips
+    move a code <= 2 bits, so radius 6 separates intra from inter
+    group at ANY sf."""
+    import itertools
+    import random
+
+    from integrator_spark.queries.multimodal2 import (
+        _GROUPS, _bmp_from_pattern, _dhash56, _pattern_bits)
+
+    rng = random.Random(7)
+    for p in [0, (1 << 56) - 1] + [rng.getrandbits(56) for _ in range(40)]:
+        assert _dhash56(_bmp_from_pattern(p)) == p
+    # base pattern of group g = code of a FLIP-FREE doc in g (CRT:
+    # some doc_id < 3*37 has doc_id % 37 == g and doc_id % 3 == 0)
+    bases = {}
+    for doc_id in range(3 * _GROUPS):
+        if doc_id % 3 == 0:
+            bases.setdefault(doc_id % _GROUPS, _pattern_bits(doc_id))
+    assert len(bases) == _GROUPS
+    dmin = min(bin(a ^ b).count("1")
+               for a, b in itertools.combinations(bases.values(), 2))
+    assert dmin >= 19, dmin
+    # any doc's code is its group base moved by at most 2 flip bits
+    for doc_id in range(500):
+        delta = _pattern_bits(doc_id) ^ bases[doc_id % _GROUPS]
+        assert bin(delta).count("1") <= 2, doc_id
