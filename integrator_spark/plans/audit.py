@@ -205,6 +205,72 @@ def plan_string(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def global_window_input_rows(df: DataFrame) -> list[int]:
+    """Runtime counterpart of :func:`count_global_windows` — the
+    anti-rot measurement behind GLOBAL_WINDOW_ALLOWED (round-12
+    verdict item 6): after an action has run, walk the EXECUTED plan
+    and, for every WindowExec with an empty partitionSpec, read
+    ``shuffleRecordsWritten`` off the nearest Exchange
+    SinglePartition below it — the actual number of rows that funneled
+    through the one task. Each allowlist entry documents a bound;
+    tests/test_plan_audit.py pins the measurement under it, so a bound
+    claim that rots (a 'bucket-grain' window silently fed the fact
+    table) fails CI instead of surviving as documentation.
+
+    Call AFTER ``df.collect()``/action — metrics are zero until the
+    stages ran. Consecutive global windows share one exchange; each
+    reports that exchange's count. A global window whose input needed
+    no shuffle (already single-partition) reports -1 (unmeasurable,
+    caller decides)."""
+    def _unwrap(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            return _unwrap(node.executedPlan())
+        if cls.endswith("QueryStageExec"):
+            return _unwrap(node.plan())
+        if cls == "ReusedExchangeExec":
+            return _unwrap(node.child())
+        return node
+
+    def _children(node):
+        it = node.children().iterator()
+        while it.hasNext():
+            yield _unwrap(it.next())
+
+    def _metric(node, key):
+        m = node.metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == key:
+                return int(kv._2().value())
+        return None
+
+    def _nearest_single_partition_exchange(node):
+        cls = node.getClass().getSimpleName()
+        if "ShuffleExchange" in cls and _metric(node,
+                                                "numPartitions") == 1:
+            return _metric(node, "shuffleRecordsWritten")
+        for ch in _children(node):
+            got = _nearest_single_partition_exchange(ch)
+            if got is not None:
+                return got
+        return None
+
+    counts: list[int] = []
+
+    def _walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "WindowExec" and node.partitionSpec().isEmpty():
+            got = _nearest_single_partition_exchange(node)
+            counts.append(-1 if got is None else got)
+        for ch in _children(node):
+            _walk(ch)
+
+    _walk(_unwrap(df._jdf.queryExecution().executedPlan()))
+    return counts
+
+
 @dataclass
 class PlanFindings:
     name: str

@@ -540,6 +540,89 @@ def vec_hamming_incremental(spark: SparkSession,
             .orderBy("new_id", "corpus_id"))
 
 
+#: Deletion rule for the tombstone serve face: every 7th-ish vector
+#: (vec_id % 7 == 3) has been deleted from the corpus. Static, so the
+#: oracle replays it as a WHERE clause.
+_DELETE_MOD, _DELETE_REM = 7, 3
+
+_HAMMING_DELETES_ORACLE = f"""
+WITH
+{_hamming_sig_ctes()},
+chunks AS (SELECT vec_id,
+                  c,
+                  (sig >> ({_CHUNK_BITS} * c)) & {2 ** _CHUNK_BITS - 1}
+                      AS chunk_val
+           FROM sig, range(0, {_N_CHUNKS}) tc(c)),
+cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+         FROM chunks a JOIN chunks b
+           ON a.c = b.c AND a.chunk_val = b.chunk_val
+         WHERE a.vec_id % 4 = 0
+           AND a.vec_id % {_DELETE_MOD} <> {_DELETE_REM}
+           AND b.vec_id % {_DELETE_MOD} <> {_DELETE_REM}
+           AND a.vec_id <> b.vec_id)
+SELECT c.vec_id, c.neighbor_id,
+       CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.vec_id = c.vec_id
+JOIN sig sb ON sb.vec_id = c.neighbor_id
+WHERE bit_count(xor(sa.sig, sb.sig)) <= {_RADIUS}
+ORDER BY 1, 2
+"""
+
+
+@register("vec_hamming_serve_deletes", oracle=_HAMMING_DELETES_ORACLE,
+          tags=("vector", "knn", "hamming", "serve", "deletes"))
+def vec_hamming_serve_deletes(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Radius serve over an index with DELETIONS (VERDICT r11 item 5
+    — the corpus-shrink story incremental ingest lacked): the
+    (chunk, value) inverted index is APPEND-ONLY — tombstoned rows
+    stay in it, because rewriting a petabyte-scale index per delete
+    batch is exactly what a serving pipeline can't afford. Deletes
+    live in a small tombstone set that is broadcast-ANTI-JOINED
+    against the corpus side of the probe (and against the query
+    batch), so deleted vectors can neither be returned nor ask — the
+    index itself is never touched. tests/test_operators.py pins
+    set-equality of this route against a FULL REBUILD over the
+    filtered corpus, the invariant that makes tombstone compaction a
+    pure background optimization. Output: every surviving (query,
+    neighbor) pair within Hamming radius {_RADIUS}; the oracle
+    replays the same rule brute-force (MIH exactness keeps it
+    index-free)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # The tombstone SET is data (what a deletes table would hold),
+    # not a predicate pushed into the index build.
+    tomb = (e.filter(F.col("vec_id") % _DELETE_MOD == _DELETE_REM)
+            .select("vec_id"))
+    sig = hamming_signatures(e, dim=64, n_bits=_N_BITS)
+    idx = sig.select(
+        "vec_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     (F.shiftright("sig", _CHUNK_BITS * c)
+                      .bitwiseAND(F.lit(2 ** _CHUNK_BITS - 1)))
+                     .alias("chunk_val"))
+            for c in range(_N_CHUNKS)])).alias("ch"))
+    idx = idx.select("vec_id", "sig", F.col("ch.c").alias("c"),
+                     F.col("ch.chunk_val").alias("chunk_val"))
+    live = idx.join(F.broadcast(tomb), "vec_id", "left_anti")
+    queries = (live.filter(F.col("vec_id") % 4 == 0)
+               .select(F.col("vec_id").alias("_qid"),
+                       F.col("sig").alias("_sa"), "c", "chunk_val"))
+    corpus = live.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("sig").alias("_sb"), "c", "chunk_val")
+    return (queries.join(corpus, ["c", "chunk_val"])
+            .filter(F.col("_qid") != F.col("neighbor_id"))
+            .select(F.col("_qid").alias("vec_id"), "neighbor_id",
+                    "_sa", "_sb").distinct()
+            .withColumn("hamming",
+                        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                        .cast("int"))
+            .filter(F.col("hamming") <= _RADIUS)
+            .select("vec_id", "neighbor_id", "hamming")
+            .orderBy("vec_id", "neighbor_id"))
+
+
 # --------------------------------------------------------------------------
 # Deterministic NN-Descent twin (round 10, third wave): the last ANN
 # family without an oracle-backed deterministic face. Same split as

@@ -2645,3 +2645,53 @@ def test_image_dhash_fixture_geometry():
     for doc_id in range(500):
         delta = _pattern_bits(doc_id) ^ bases[doc_id % _GROUPS]
         assert bin(delta).count("1") <= 2, doc_id
+
+
+def test_hamming_tombstone_serve_equals_rebuild(spark):
+    """The append-only-index + tombstone-anti-join serve route must
+    equal a FULL REBUILD over the filtered corpus — the invariant
+    that makes tombstone compaction a pure background optimization."""
+    import pyspark.sql.functions as F
+
+    from integrator_spark.operators.dedup import hamming_signatures
+    from integrator_spark.queries.vectors2 import (
+        _CHUNK_BITS, _DELETE_MOD, _DELETE_REM, _N_BITS, _N_CHUNKS,
+        _RADIUS)
+    from integrator_spark.registry import all_specs
+
+    from .conftest import TEST_SF_DIR
+
+    from integrator_spark.io import load_table
+    got = {(r["vec_id"], r["neighbor_id"], r["hamming"])
+           for r in all_specs()["vec_hamming_serve_deletes"]
+           .fn(spark, TEST_SF_DIR).collect()}
+    # rebuild: physically filter the corpus, index only survivors
+    e = (load_table(spark, TEST_SF_DIR, "embeddings")
+         .filter(F.col("vec_id") % _DELETE_MOD != _DELETE_REM))
+    sig = hamming_signatures(e, dim=64, n_bits=_N_BITS)
+    idx = sig.select(
+        "vec_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     (F.shiftright("sig", _CHUNK_BITS * c)
+                      .bitwiseAND(F.lit(2 ** _CHUNK_BITS - 1)))
+                     .alias("chunk_val"))
+            for c in range(_N_CHUNKS)])).alias("ch"))
+    idx = idx.select("vec_id", "sig", F.col("ch.c").alias("c"),
+                     F.col("ch.chunk_val").alias("chunk_val"))
+    q = (idx.filter(F.col("vec_id") % 4 == 0)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("sig").alias("_sa"), "c", "chunk_val"))
+    corp = idx.select(F.col("vec_id").alias("nid"),
+                      F.col("sig").alias("_sb"), "c", "chunk_val")
+    rebuilt = {(r["qid"], r["nid"], r["hamming"]) for r in
+               (q.join(corp, ["c", "chunk_val"])
+                .filter(F.col("qid") != F.col("nid"))
+                .select("qid", "nid", "_sa", "_sb").distinct()
+                .withColumn("hamming",
+                            F.bit_count(F.col("_sa")
+                                        .bitwiseXOR(F.col("_sb")))
+                            .cast("int"))
+                .filter(F.col("hamming") <= _RADIUS)
+                .select("qid", "nid", "hamming")).collect()}
+    assert got == rebuilt and len(got) > 0

@@ -196,3 +196,74 @@ def test_global_window_allowlist_is_exact(spark):
 
     unknown = set(GLOBAL_WINDOW_ALLOWED) - set(all_specs())
     assert not unknown, f"allowlist names unregistered queries: {unknown}"
+
+
+#: Anti-rot bounds for GLOBAL_WINDOW_ALLOWED (round-12 verdict item
+#: 6): every allowlist entry documents the row set its global window
+#: may see; this pins the MEASURED count (shuffleRecordsWritten on
+#: the Exchange SinglePartition, read off the executed plan) under
+#: that claim at sf0.01 — where every fact table is >= 15k rows, so
+#: a "bucket-grain" window silently fed the fact blows straight past
+#: its pin and fails CI instead of rotting into documentation.
+#: Grains: constant bucket-offset frames pin at 64 (measured 32),
+#: calendar/day grains at 4000 (orders span ~2400 days), bounded
+#: grids at ~2-4x their measured size.
+GLOBAL_WINDOW_BOUNDS = {
+    "corpus_pack_manifest": 64,     # n/PACK_BUCKET phase-2 rows (8)
+    "corpus_pack_sequences": 64,    # same two-phase offsets (8)
+    "corpus_shuffle": 256,          # 2-hex-char range buckets, <= 256
+    "events_cusum": 4000,           # |days| aggregate (30)
+    "events_decompose": 4000,       # |days| frame (30)
+    "events_rfm": 64,               # constant bucket offsets (32)
+    "ml_auc": 64,                   # constant bucket offsets (32)
+    "ml_average_precision": 64,     # constant bucket offsets (32)
+    "ml_lift": 64,                  # bucket offsets + 10-row deciles
+    "ml_tree_stump": 1024,          # bounded bin histogram (250)
+    "retrieval_ndcg": 64,           # constant bucket offsets (32 x4)
+    "retrieval_rrf": 64,            # constant bucket offsets (32)
+    "scan_range": 1000,             # literal range source, fixed
+    "stats_gini": 64,               # constant bucket offsets (32)
+    "stats_ks": 64,                 # constant bucket offsets (32)
+    "stats_mannwhitney": 64,        # constant bucket offsets (32)
+    "stats_rank_corr": 4000,        # day-grain ranks (2399)
+    "stats_survival": 1024,         # |distinct lifetimes| (22)
+    "stats_theilsen": 10000,        # |days|^2 pair grid (435)
+    "text_bpe_tokenize": 4096,      # vocabulary-bounded output (33)
+    "window_regression": 4000,      # |days| aggregate (30)
+    # sort_nulls is handled in the test body: THE global-sort
+    # contract row — its bound IS its (10%-of-customer) input.
+}
+
+
+@pytest.mark.parametrize("name", sorted(GLOBAL_WINDOW_BOUNDS) + ["sort_nulls"],
+                         ids=sorted(GLOBAL_WINDOW_BOUNDS) + ["sort_nulls"])
+def test_global_window_allowlist_bounds_hold(name, spark):
+    """Execute each GLOBAL_WINDOW_ALLOWED query at sf0.01 and assert
+    the rows that actually funneled through each single-partition
+    window exchange stay under the entry's documented bound."""
+    from integrator_spark.io import load_table
+    from integrator_spark.plans.audit import (GLOBAL_WINDOW_ALLOWED,
+                                              global_window_input_rows)
+
+    sf_dir = "/root/testdata/sf0.01"
+    assert name in GLOBAL_WINDOW_ALLOWED, (
+        f"{name} pinned here but no longer allowlisted — drop it")
+    if name == "sort_nulls":
+        bound = load_table(spark, sf_dir, "customer").count() // 10 + 1
+    else:
+        bound = GLOBAL_WINDOW_BOUNDS[name]
+    df = all_specs()[name].fn(spark, sf_dir)
+    df.collect()
+    counts = global_window_input_rows(df)
+    assert counts, f"{name}: allowlisted but no global window executed"
+    assert all(0 <= c <= bound for c in counts), (
+        f"{name}: global-window input rows {counts} exceed the "
+        f"documented bound {bound} — the allowlist claim rotted")
+
+
+def test_global_window_allowlist_fully_pinned():
+    """Every allowlist entry must carry an anti-rot bound here (new
+    allowlist additions without a measured pin fail CI)."""
+    from integrator_spark.plans.audit import GLOBAL_WINDOW_ALLOWED
+    assert (set(GLOBAL_WINDOW_ALLOWED)
+            == set(GLOBAL_WINDOW_BOUNDS) | {"sort_nulls"})
