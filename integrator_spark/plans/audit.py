@@ -66,6 +66,7 @@ CROSS_JOIN_ALLOWED = {
     "stats_bootstrap",     # bounded B-replicate explode + 1-row estimate
     "stats_survival",      # 1-row observation-horizon frame broadcast
     "text_pmi",            # 1-row corpus-size frame broadcast to PMI pairs
+    "text_perplexity_filter",  # 1-row NLL-cutoff frame broadcast to docs
     "text_collocation_llr",  # same 1-row corpus frame as text_pmi
     "events_rfm",          # 1-row horizon frame broadcast to per-user RFM
     "events_active_users",   # bounded |days| x 7 trailing-week grid
