@@ -1070,6 +1070,56 @@ def mih_radius_pairs_codes(codes: DataFrame, n_chunks: int,
             .select("id_a", "id_b", "hamming"))
 
 
+def mih_radius_pairs_codes_wide(codes: DataFrame, radius: int,
+                                id_col: str = "doc_id",
+                                words_col: str = "words",
+                                probe_ids: DataFrame | None = None
+                                ) -> DataFrame:
+    """:func:`mih_radius_pairs_codes` for codes WIDER than one int64 —
+    an (id, words array<long>) frame where EACH WORD IS ITS OWN
+    EXACT-MATCH CHUNK (the production dial: code width grows with the
+    corpus so chunk keyspaces stay selective — a fixed-width code's
+    chunks saturate; see mih_adaptive_dial). Pigeonhole needs
+    radius <= len(words) - 1 (validated against the first row). The
+    inverted index is a posexplode, the exact distance a zip_with
+    popcount sum. Output/semantics identical to the narrow form:
+    (id_a, id_b, hamming) exact radius pairs; ``probe_ids`` restricts
+    the probe side to a batch (incremental-ingest shape)."""
+    first = codes.select(words_col).first()
+    n_words = len(first[words_col]) if first else radius + 1
+    if radius > n_words - 1:
+        raise ValueError(
+            f"mih_radius_pairs_codes_wide: radius {radius} needs >= "
+            f"{radius + 1} word-chunks for pigeonhole completeness "
+            f"(got {n_words})")
+    idx = codes.select(id_col,
+                       F.posexplode(words_col).alias("c", "chunk_val"))
+    ca = codes.select(F.col(id_col).alias("id_a"),
+                      F.col(words_col).alias("_wa"))
+    cb = codes.select(F.col(id_col).alias("id_b"),
+                      F.col(words_col).alias("_wb"))
+    if probe_ids is None:
+        probe = idx.select(F.col(id_col).alias("id_b"), "c", "chunk_val")
+        cand = (idx.join(probe, ["c", "chunk_val"])
+                .filter(F.col(id_col) < F.col("id_b"))
+                .select(F.col(id_col).alias("id_a"), "id_b").distinct())
+    else:
+        batch = idx.join(F.broadcast(probe_ids.select(id_col)), id_col)
+        corpus = (idx.join(F.broadcast(probe_ids.select(id_col)),
+                           id_col, "left_anti")
+                  .select(F.col(id_col).alias("id_b"), "c", "chunk_val"))
+        cand = (batch.join(corpus, ["c", "chunk_val"])
+                .select(F.col(id_col).alias("id_a"), "id_b").distinct())
+    ham = F.aggregate(
+        F.zip_with("_wa", "_wb",
+                   lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0), lambda acc, x: acc + x)
+    return (cand.join(ca, "id_a").join(cb, "id_b")
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= radius)
+            .select("id_a", "id_b", "hamming"))
+
+
 def signlsh_buckets(emb: DataFrame, dim: int,
                     bits_per_band: int | None = None,
                     n_bands: int = 12, id_col: str = "vec_id",

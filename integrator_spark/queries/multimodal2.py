@@ -47,71 +47,81 @@ _CHUNK_BITS = 8           # 7 x 8 = 56 bits
 _CELL = 4             # pixels per dHash grid cell (image is 32x32)
 
 
-def _pattern_bits(doc_id: int) -> int:
-    """The 56-bit pattern a document's image encodes: group base
-    (quadratic mixing mod 83 — min inter-group Hamming 19 across all
-    37 groups, verified in tests) XOR doc-specific flips (doc_id % 3
-    bits). The DuckDB oracles recompute this same closed form."""
+def _pattern_bits(doc_id: int, n_bits: int = _DHASH_BITS) -> int:
+    """The n_bits pattern a document's image encodes: group base
+    (quadratic mixing mod 83 — min inter-group Hamming 19 at 56 bits
+    / 91 at 256 bits across all 37 groups, verified in tests) XOR
+    doc-specific flips (doc_id % 3 bits). The DuckDB oracles
+    recompute this same closed form."""
     g = doc_id % _GROUPS
     code = 0
-    for k in range(_DHASH_BITS):
+    for k in range(n_bits):
         bit = ((g + 5) * (k + 11) * (k + 3)
                + (g + 11) * (g + 3) * (k + 5)) % 83 < 41
-        flipped = ((doc_id % 3 >= 1 and k == (doc_id // _GROUPS) % 56)
+        flipped = ((doc_id % 3 >= 1
+                    and k == (doc_id // _GROUPS) % n_bits)
                    or (doc_id % 3 >= 2
-                       and k == (doc_id // _GROUPS + 13) % 56))
+                       and k == (doc_id // _GROUPS + 13) % n_bits))
         if bit != flipped:
             code |= 1 << k
     return code
 
 
-def _bmp_from_pattern(pattern: int) -> bytes:
-    """Paint the pattern as a REAL bottom-up 24bpp BMP: an 8x8
-    brightness grid (each cell a 4x4 pixel block, all three channels
-    equal) whose horizontal walk encodes the bits — cell (r, 0) is
-    120 and each step goes DOWN 4 when bit r*7+c is set, UP 4 when
-    clear, so dHash's left>right comparison recovers exactly the
-    bit. Values stay in [92, 148] (7 steps of +-4)."""
-    v = np.empty((8, 8), dtype=np.int64)
+def _bmp_from_pattern(pattern: int, rows: int = 8, cols: int = 8,
+                      cell: int = _CELL) -> bytes:
+    """Paint a pattern as a REAL bottom-up 24bpp BMP: a rows x cols
+    brightness grid (each cell a cell x cell pixel block, all three
+    channels equal) whose horizontal walk encodes the bits — cell
+    (r, 0) is 120 and each step goes DOWN 4 when bit r*(cols-1)+c is
+    set, UP 4 when clear, so dHash's left>right comparison recovers
+    exactly the bit. Values stay within [120 - 4*(cols-1),
+    120 + 4*(cols-1)] — uint8-safe up to cols = 17."""
+    v = np.empty((rows, cols), dtype=np.int64)
     v[:, 0] = 120
-    for r in range(8):
-        for c in range(7):
-            bit = (pattern >> (r * 7 + c)) & 1
+    for r in range(rows):
+        for c in range(cols - 1):
+            bit = (pattern >> (r * (cols - 1) + c)) & 1
             v[r, c + 1] = v[r, c] - 4 if bit else v[r, c] + 4
-    gray = np.kron(v, np.ones((_CELL, _CELL), dtype=np.int64))
+    gray = np.kron(v, np.ones((cell, cell), dtype=np.int64))
     px = np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8)
-    h, w = 8 * _CELL, 8 * _CELL
-    rowsize = (3 * w + 3) // 4 * 4   # 96: already 4-aligned
-    rows = np.zeros((h, rowsize), dtype=np.uint8)
-    rows[:, :3 * w] = px.reshape(h, 3 * w)
-    payload = rows[::-1].tobytes()   # bottom-up row order, like a real BMP
+    h, w = rows * cell, cols * cell
+    rowsize = (3 * w + 3) // 4 * 4
+    row_px = np.zeros((h, rowsize), dtype=np.uint8)
+    row_px[:, :3 * w] = px.reshape(h, 3 * w)
+    payload = row_px[::-1].tobytes()   # bottom-up rows, like a real BMP
     header = (b"BM" + struct.pack("<IHHI", 54 + len(payload), 0, 0, 54)
               + struct.pack("<iiiHHIIiiII", 40, w, h, 1, 24, 0,
                             len(payload), 2835, 2835, 0, 0))
     return header + payload
 
 
-def _dhash56(payload: bytes) -> int:
+def _dhash_code(payload: bytes, cell: int = _CELL) -> int:
     """REAL dHash over a decoded BMP: strip row padding, un-flip the
     bottom-up rows, grayscale (channel mean — exact here since the
-    channels are equal), 4x4 box-average down to the 8x8 grid, then
-    bit r*7+c = grid[r,c] > grid[r,c+1], packed little-endian into an
-    int. A JPEG/PNG pixel decoder drops in front of this unchanged —
-    the grid/compare/pack step is the whole algorithm."""
+    channels are equal), cell x cell box-average down to the grid,
+    then bit r*(gw-1)+c = grid[r,c] > grid[r,c+1], packed
+    little-endian into an int (arbitrary width — the caller chooses
+    word packing). A JPEG/PNG pixel decoder drops in front of this
+    unchanged — the grid/compare/pack step is the whole algorithm."""
     w, h = struct.unpack("<ii", payload[18:26])
     h = abs(h)
     rowsize = (3 * w + 3) // 4 * 4
     px = (np.frombuffer(payload[54:], dtype=np.uint8)
           .reshape(h, rowsize)[:, :3 * w])[::-1]   # bottom-up -> top-down
     gray = px.reshape(h, w, 3).mean(axis=2)
-    gh, gw = h // _CELL, w // _CELL
-    grid = gray.reshape(gh, _CELL, gw, _CELL).mean(axis=(1, 3))
+    gh, gw = h // cell, w // cell
+    grid = gray.reshape(gh, cell, gw, cell).mean(axis=(1, 3))
     code = 0
     for r in range(gh):
         for c in range(gw - 1):
             if grid[r, c] > grid[r, c + 1]:
                 code |= 1 << (r * (gw - 1) + c)
     return code
+
+
+def _dhash56(payload: bytes) -> int:
+    """The 8x8-grid 56-bit face of :func:`_dhash_code`."""
+    return _dhash_code(payload, cell=_CELL)
 
 
 def _synth_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -214,6 +224,93 @@ def multimodal_image_dedup_incremental(spark: SparkSession,
     return (pairs.select(F.col("id_a").alias("new_id"),
                          F.col("id_b").alias("corpus_id"), "hamming")
             .orderBy("new_id", "corpus_id"))
+
+
+#: Production-dial geometry: 16x17 grid (2x2-px cells, 34x32 BMP with
+#: 2 real padding bytes/row) -> 256-bit dHash packed as 8 x 32-bit
+#: words, radius 7 with 8 word-chunks. 2^32 keyspace per chunk stays
+#: selective at billions of images — the dial the 56-bit face can't
+#: reach (its 8-bit chunks saturate past ~100k images).
+_WIDE_ROWS, _WIDE_COLS, _WIDE_CELL = 16, 17, 2
+_WIDE_BITS = _WIDE_ROWS * (_WIDE_COLS - 1)   # 256
+_WIDE_WORD_BITS, _WIDE_RADIUS = 32, 7
+_WIDE_WORDS = _WIDE_BITS // _WIDE_WORD_BITS  # 8
+
+
+def _synth_images_wide(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc_ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame({
+            "doc_id": doc_ids,
+            "payload": [_bmp_from_pattern(
+                _pattern_bits(int(d), n_bits=_WIDE_BITS),
+                rows=_WIDE_ROWS, cols=_WIDE_COLS, cell=_WIDE_CELL)
+                for d in doc_ids]})
+
+
+def _dhash_images_wide(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+    mask = (1 << _WIDE_WORD_BITS) - 1
+    for pdf in batches:
+        words = []
+        for p in pdf["payload"]:
+            code = _dhash_code(p, cell=_WIDE_CELL)
+            words.append([(code >> (_WIDE_WORD_BITS * w)) & mask
+                          for w in range(_WIDE_WORDS)])
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                            "words": words})
+
+
+@register("multimodal_image_dedup_wide", oracle=f"""
+WITH wcodes AS (
+  SELECT d.doc_id, t.k // {_WIDE_WORD_BITS} AS w,
+         CAST(SUM(CASE WHEN
+               (((((d.doc_id % 37) + 5) * (t.k + 11) * (t.k + 3)
+                  + ((d.doc_id % 37) + 11) * ((d.doc_id % 37) + 3)
+                    * (t.k + 5)) % 83) < 41)
+               != (((d.doc_id % 3) >= 1
+                    AND t.k = (d.doc_id // 37) % {_WIDE_BITS})
+                   OR ((d.doc_id % 3) >= 2
+                       AND t.k = ((d.doc_id // 37) + 13) % {_WIDE_BITS}))
+             THEN (1::BIGINT << (t.k % {_WIDE_WORD_BITS})) ELSE 0 END)
+           AS BIGINT) AS code
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, {_WIDE_BITS})) AS k) t
+  GROUP BY d.doc_id, t.k // {_WIDE_WORD_BITS})
+SELECT a.doc_id, b.doc_id AS dup_id,
+       CAST(SUM(bit_count(xor(a.code, b.code))) AS INT) AS hamming
+FROM wcodes a JOIN wcodes b ON a.w = b.w AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING SUM(bit_count(xor(a.code, b.code))) <= {_WIDE_RADIUS}
+ORDER BY 1, 2
+""", tags=("multimodal", "image", "dedup", "neardup"))
+def multimodal_image_dedup_wide(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The PRODUCTION DIAL of image near-dup dedup: a 256-bit dHash
+    (16x17 grid over 2x2-px cells — more grid, finer structure) packed
+    as 8 x 32-bit words, each word its own exact-match MIH chunk,
+    radius 7. This is the dial that survives 100 TB: the 56-bit face's
+    8-bit chunks hold a 256-key space each (buckets saturate past
+    ~100k images, candidates go quadratic), while 32-bit chunks give a
+    4-billion-key space per chunk — bucket collisions track TRUE
+    near-dups at any realistic corpus, exactly the inversion
+    mih_adaptive_dial documents for the embedding family. Exact by
+    pigeonhole at radius <= 7; same closed-form oracle discipline as
+    the 56-bit face (brute word-join popcount sum in DuckDB), and the
+    BMPs are real — 2 padding bytes per row this time, so a padding
+    bug that the 96-byte-aligned 56-bit fixture can't see fails here.
+    """
+    from ..operators.dedup import mih_radius_pairs_codes_wide
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    bmps = d.mapInPandas(_synth_images_wide,
+                         "doc_id long, payload binary")
+    codes = bmps.mapInPandas(_dhash_images_wide,
+                             "doc_id long, words array<long>")
+    pairs = mih_radius_pairs_codes_wide(codes, radius=_WIDE_RADIUS)
+    return (pairs.select(F.col("id_a").alias("doc_id"),
+                         F.col("id_b").alias("dup_id"), "hamming")
+            .orderBy("doc_id", "dup_id"))
 
 
 def _multimodal_curation_oracle() -> str:

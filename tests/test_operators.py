@@ -2695,3 +2695,67 @@ def test_hamming_tombstone_serve_equals_rebuild(spark):
                 .filter(F.col("hamming") <= _RADIUS)
                 .select("qid", "nid", "hamming")).collect()}
     assert got == rebuilt and len(got) > 0
+
+
+def test_mih_radius_pairs_codes_wide_matches_bruteforce(spark):
+    """Word-chunk MIH (codes wider than one int64) must equal the
+    brute-force radius pair set, in all-pairs and probe modes, and
+    reject an under-chunked radius."""
+    import random
+
+    import pytest
+
+    from integrator_spark.operators.dedup import \
+        mih_radius_pairs_codes_wide
+
+    rng = random.Random(12)
+    bases = [[rng.getrandbits(32) for _ in range(8)] for _ in range(5)]
+    rows = []
+    for i in range(90):
+        wds = list(bases[i % 5])
+        for _ in range(rng.randrange(0, 5)):
+            b = rng.randrange(256)
+            wds[b // 32] ^= 1 << (b % 32)
+        rows.append((i, wds))
+    codes = spark.createDataFrame(rows,
+                                  "doc_id long, words array<long>")
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in mih_radius_pairs_codes_wide(codes,
+                                                radius=7).collect()}
+    want = {(a, b, ham(wa, wb)) for a, wa in rows for b, wb in rows
+            if a < b and ham(wa, wb) <= 7}
+    assert got == want and len(want) > 0
+    batch = spark.createDataFrame([(i,) for i in range(0, 90, 4)],
+                                  "doc_id long")
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in mih_radius_pairs_codes_wide(
+               codes, radius=7, probe_ids=batch).collect()}
+    bset = set(range(0, 90, 4))
+    want = {(a, b, ham(wa, wb)) for a, wa in rows for b, wb in rows
+            if a in bset and b not in bset and ham(wa, wb) <= 7}
+    assert got == want
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mih_radius_pairs_codes_wide(codes, radius=8).collect()
+
+
+def test_wide_dhash_paint_decode_roundtrip():
+    """256-bit face: decode(paint(p)) == p on fuzzed patterns with the
+    16x17-grid 2x2-cell geometry (includes 2 REAL padding bytes/row)."""
+    import random
+
+    from integrator_spark.queries.multimodal2 import (_WIDE_CELL,
+                                                      _WIDE_COLS,
+                                                      _WIDE_ROWS,
+                                                      _bmp_from_pattern,
+                                                      _dhash_code)
+
+    rng = random.Random(5)
+    for p in [0, (1 << 256) - 1] + [rng.getrandbits(256)
+                                    for _ in range(25)]:
+        bmp = _bmp_from_pattern(p, rows=_WIDE_ROWS, cols=_WIDE_COLS,
+                                cell=_WIDE_CELL)
+        assert _dhash_code(bmp, cell=_WIDE_CELL) == p
