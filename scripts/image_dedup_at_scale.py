@@ -46,21 +46,21 @@ def planted_codes(spark, n: int):
     """(doc_id, words): xxhash64-derived 8 x 32-bit words; ids with
     id % 10 == 9 copy id-1's code with ONE bit (id % 256) flipped."""
     base = (F.col("id") - F.when(F.col("id") % 10 == 9, 1).otherwise(0))
-    words = F.array(*[
-        F.xxhash64(base, F.lit(w)).bitwiseAND(F.lit(MASK))
-        for w in range(N_WORDS)])
-    flip_bit = (F.col("id") % 256).cast("int")
-    flipped = F.transform(
-        words,
-        lambda v, i: F.when(
-            (F.col("id") % 10 == 9)
-            & (i == F.floor(flip_bit / WORD_BITS).cast("int")),
-            v.bitwiseXOR(F.shiftleft(F.lit(1),
-                                     (flip_bit % WORD_BITS))))
-        .otherwise(v))
+    flip_bit = F.col("id") % (N_WORDS * WORD_BITS)
+    # 2^(bit%32) via pow: exact as a double up to 2^31, so the cast
+    # back to long is lossless (shiftleft needs a literal shift count)
+    flip_mask = F.pow(F.lit(2.0), (flip_bit % WORD_BITS)
+                      .cast("double")).cast("long")
+    cols = []
+    for w in range(N_WORDS):
+        v = F.xxhash64(base, F.lit(w)).bitwiseAND(F.lit(MASK))
+        v = F.when((F.col("id") % 10 == 9)
+                   & (F.floor(flip_bit / WORD_BITS) == w),
+                   v.bitwiseXOR(flip_mask)).otherwise(v)
+        cols.append(v)
     return (spark.range(n)
             .select(F.col("id").alias("doc_id"),
-                    flipped.alias("words")))
+                    F.array(*cols).alias("words")))
 
 
 def main() -> None:
