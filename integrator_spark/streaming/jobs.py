@@ -1799,3 +1799,179 @@ def stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stream_custom_source drain timed out: observed "
             f"n_events={done} of staged {total} after 120s")
     return spark.table(query_name)
+
+
+# --------------------------------------------------------------------------
+# Streaming IMAGE dedup (round 12): the dHash/MIH keep-first pipeline
+# as a genuine incremental stream — the image companion of
+# stream_semantic_dedup, same store discipline (batch-partitioned
+# overwrite, strictly-below probes, id-ordered arrival makes the
+# streamed survivor set EQUAL the batch keep-first oracle).
+
+def _imgdedup_process_batch(batch_df: DataFrame, batch_id: int,
+                            codes_dir: str, chunks_dir: str,
+                            out_dir: str, radius: int = 6) -> None:
+    """One stream_image_dedup trigger, exactly-once under replay.
+
+    Each trigger paints + dHashes ONLY its batch (two Arrow stages),
+    derives the batch's (doc_id, c, chunk_val) MIH chunk rows once,
+    finds same-batch losers via the chunk self-join, probes the
+    accumulated PRIOR chunk index for cross-batch collisions (exact
+    popcount on the code fetch — the corpus is never re-hashed), and
+    writes survivors + its own codes/chunks partitions with
+    overwrite. Probes read batch ids STRICTLY BELOW this one
+    (_semdedup_prior_batches, shared protocol), so crash replay is
+    idempotent — pinned by test_imgdedup_batch_replay_is_idempotent."""
+    from ..queries.multimodal2 import (_CHUNK_BITS, _N_CHUNKS,
+                                       _dhash_images, _synth_images)
+
+    spark = batch_df.sparkSession
+    batch = batch_df.localCheckpoint(eager=True)
+    bmps = batch.select("doc_id").mapInPandas(
+        _synth_images, "doc_id long, payload binary")
+    codes = bmps.mapInPandas(
+        _dhash_images, "doc_id long, code long").localCheckpoint(
+        eager=True)
+    mask = (1 << _CHUNK_BITS) - 1
+    chunks = codes.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     (F.shiftright("code", _CHUNK_BITS * c)
+                      .bitwiseAND(F.lit(mask))).alias("chunk_val"))
+            for c in range(_N_CHUNKS)])).alias("ch"))
+    chunks = chunks.select("doc_id", F.col("ch.c").alias("c"),
+                           F.col("ch.chunk_val").alias("chunk_val")) \
+        .localCheckpoint(eager=True)
+    ham = F.bit_count(F.col("_ca").bitwiseXOR(F.col("_cb"))).cast("int")
+    ca = codes.select(F.col("doc_id").alias("id_a"),
+                      F.col("code").alias("_ca"))
+    cb = codes.select(F.col("doc_id").alias("id_b"),
+                      F.col("code").alias("_cb"))
+    wa = chunks.select(F.col("doc_id").alias("id_a"), "c", "chunk_val")
+    wb = chunks.select(F.col("doc_id").alias("id_b"), "c", "chunk_val")
+    losers = (wa.join(wb, ["c", "chunk_val"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b").distinct()
+              .join(ca, "id_a").join(cb, "id_b")
+              .filter(ham <= radius)
+              .select(F.col("id_b").alias("doc_id")))
+    prior_chunks = _semdedup_prior_batches(chunks_dir, batch_id)
+    prior_codes = _semdedup_prior_batches(codes_dir, batch_id)
+    if prior_chunks and prior_codes:
+        idx = spark.read.parquet(*prior_chunks)
+        seen = spark.read.parquet(*prior_codes)
+        cross = (chunks.select(F.col("doc_id").alias("id_a"),
+                               "c", "chunk_val")
+                 .join(idx.select(F.col("doc_id").alias("id_b"),
+                                  "c", "chunk_val"),
+                       ["c", "chunk_val"])
+                 .select("id_a", "id_b").distinct()
+                 .join(ca, "id_a")
+                 .join(seen.select(F.col("doc_id").alias("id_b"),
+                                   F.col("code").alias("_cb")), "id_b")
+                 .filter(ham <= radius)
+                 .select(F.col("id_a").alias("doc_id")))
+        losers = losers.unionByName(cross)
+    survivors = codes.join(losers.distinct(), "doc_id", "left_anti")
+    (survivors.select("doc_id")
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+    codes.write.mode("overwrite").parquet(
+        os.path.join(codes_dir, f"batch={batch_id}"))
+    chunks.write.mode("overwrite").parquet(
+        os.path.join(chunks_dir, f"batch={batch_id}"))
+
+
+def _imgdedup_oracle() -> str:
+    """Keep-first over the closed-form dHash codes: a doc survives iff
+    no lower-id doc is within Hamming radius 6 — the batch rule the
+    id-ordered stream provably equals (same argument as
+    stream_semantic_dedup: the radius relation is symmetric, and
+    same-batch + prior-batch probes cover exactly the lower ids)."""
+    from ..queries.multimodal2 import _CODES_CTE
+    return f"""
+WITH {_CODES_CTE},
+losers AS (SELECT DISTINCT b.doc_id
+           FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.code, b.code)) <= 6)
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY d.doc_id
+"""
+
+
+@register("stream_image_dedup", oracle=_imgdedup_oracle(),
+          tags=("streaming", "dedup", "multimodal", "image"))
+def stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image dedup — dHash + MIH keep-first as an
+    incremental stream: documents arrive in 5 id-ordered micro-batches
+    (file source, maxFilesPerTrigger=1, mtime-pinned order); each
+    batch's images are painted + hashed ONCE, checked against
+    lower-id images of the same batch and the accumulated chunk index
+    of every earlier batch, survivors appended, the WHOLE batch
+    appended to the code/chunk stores (keep-first: drop doc iff some
+    lower-id doc anywhere is within Hamming radius 6 — id-ordered
+    arrival makes the streamed survivor set equal the batch rule).
+
+    Oracle-backed end to end (DuckDB replays the closed-form codes
+    and the keep-first rule brute-force), and replay idempotence is
+    pinned by test_imgdedup_batch_replay_is_idempotent. Scale shape:
+    per trigger, |batch| hashing + chunk-index equality join; the
+    corpus is touched only through the index and the id-keyed code
+    fetch."""
+    import shutil
+    import time as _time
+
+    ensure_runtime_confs(spark)
+    fixture = os.path.join(sf_dir, "documents.parquet")
+    src_dir = derived_dir(sf_dir, "imgdedup_stream_src")
+    if not _fingerprint_ok(src_dir, fixture):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        os.makedirs(src_dir, exist_ok=True)
+        d = spark.read.parquet(fixture).select("doc_id")
+        hi = d.agg(F.max("doc_id")).first()[0]
+        n_files = 5
+        step = ((int(hi) + 1) + n_files - 1) // n_files if hi is not None else 1
+        base = _time.time() - 600
+        for i in range(n_files):
+            part = d.filter((F.col("doc_id") >= i * step)
+                            & (F.col("doc_id") < (i + 1) * step))
+            tmp = os.path.join(src_dir, f"_tmp_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src_file = next(f for f in os.listdir(tmp)
+                            if f.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, src_file), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (base + 60 * i, base + 60 * i))
+        _write_fingerprint(src_dir, fixture)
+
+    state_root = derived_dir(sf_dir, "imgdedup_stream_state")
+    _reap_stale_checkpoints(state_root, "run")
+    work = os.path.join(state_root, f"run_pid{os.getpid()}")
+    shutil.rmtree(work, ignore_errors=True)
+    codes_dir = os.path.join(work, "codes")
+    chunks_dir = os.path.join(work, "chunks")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "_ckpt")
+
+    raw = (spark.readStream.schema("doc_id long")
+           .option("maxFilesPerTrigger", "1")
+           .parquet(src_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _imgdedup_process_batch(batch_df, batch_id,
+                                codes_dir, chunks_dir, out_dir)
+
+    q = (raw.writeStream
+         .foreachBatch(process)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], "doc_id long")
+    return (spark.read.parquet(os.path.join(out_dir, "batch=*"))
+            .select("doc_id").orderBy("doc_id"))

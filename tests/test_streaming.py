@@ -480,3 +480,36 @@ def test_pattern_fold_batch_split_invariance():
             st = pattern_fold(st, seq[prev:cut])
             prev = cut
         assert st == whole, (seq, cuts, st, whole)
+
+
+def test_imgdedup_batch_replay_is_idempotent(spark, tmp_path):
+    # Same crash-replay contract as the semantic face: a replayed
+    # batch's own codes/chunks partitions are already on disk; probes
+    # read strictly-below batch ids only, else every replayed image
+    # self-pairs (hamming 0) and the output partition rewrites empty.
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.streaming.jobs import _imgdedup_process_batch
+
+    # split chosen so batch 1 holds BOTH kinds: docs 20-36 introduce
+    # new pattern groups (survivors) and 37-56 rejoin batch-0 groups
+    # (losers) — a replay that self-pairs would empty the partition.
+    d = load_table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id").filter(F.col("doc_id") < 57)
+    b0 = d.filter(F.col("doc_id") < 20)
+    b1 = d.filter(F.col("doc_id") >= 20)
+    codes, chunks, out = (str(tmp_path / p)
+                          for p in ("codes", "chunks", "out"))
+    _imgdedup_process_batch(b0, 0, codes, chunks, out)
+    _imgdedup_process_batch(b1, 1, codes, chunks, out)
+
+    def read_out():
+        return sorted(r.doc_id for r in
+                      spark.read.parquet(out + "/batch=*").collect())
+
+    want = read_out()
+    assert want == list(range(37))  # exactly one keeper per group
+    _imgdedup_process_batch(b1, 1, codes, chunks, out)
+    assert read_out() == want
+    assert spark.read.parquet(out + "/batch=1").count() > 0
