@@ -144,10 +144,16 @@ def _dhash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def image_dhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, 56-bit dHash code): synth stage paints
     the BMPs, dhash stage decodes them back — two Arrow-batched
-    mapInPandas stages, embarrassingly parallel."""
+    mapInPandas stages, embarrassingly parallel. localCheckpoint'd:
+    the MIH consumer reads codes THREE times (chunk index + both
+    sides of the exact-distance fetch), and without the pin each
+    consumer would re-run the paint+decode Python stages — 16 B/image
+    of codes is the thing to keep, not the thing to recompute."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     bmps = d.mapInPandas(_synth_images, "doc_id long, payload binary")
-    return bmps.mapInPandas(_dhash_images, "doc_id long, code long")
+    return bmps.mapInPandas(_dhash_images,
+                            "doc_id long, code long").localCheckpoint(
+        eager=False)
 
 
 #: Closed-form recompute of the dHash code — shared CTE head of every
@@ -305,8 +311,11 @@ def multimodal_image_dedup_wide(spark: SparkSession,
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     bmps = d.mapInPandas(_synth_images_wide,
                          "doc_id long, payload binary")
-    codes = bmps.mapInPandas(_dhash_images_wide,
-                             "doc_id long, words array<long>")
+    # same three-consumer pin as image_dhash_codes: keep the 64 B of
+    # words per image, never re-run the paint+decode Python stages
+    codes = bmps.mapInPandas(
+        _dhash_images_wide,
+        "doc_id long, words array<long>").localCheckpoint(eager=False)
     pairs = mih_radius_pairs_codes_wide(codes, radius=_WIDE_RADIUS)
     return (pairs.select(F.col("id_a").alias("doc_id"),
                          F.col("id_b").alias("dup_id"), "hamming")
