@@ -322,6 +322,40 @@ def multimodal_image_dedup_wide(spark: SparkSession,
             .orderBy("doc_id", "dup_id"))
 
 
+@register("multimodal_image_dedup_deletes", oracle=f"""
+WITH {_CODES_CTE}
+SELECT a.doc_id, b.doc_id AS dup_id,
+       CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE a.doc_id % 9 <> 4 AND b.doc_id % 9 <> 4
+  AND bit_count(xor(a.code, b.code)) <= 6
+ORDER BY 1, 2
+""", tags=("multimodal", "image", "dedup", "deletes"))
+def multimodal_image_dedup_deletes(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Image dedup over a corpus with a DELETE SET — the image-family
+    face of the tombstone story (vec_hamming_serve_deletes proves the
+    append-only-index invariant on the vector side; here the point is
+    the read-side rule): deletes live in a small tombstone frame
+    (what a deletes table holds — data, not a predicate baked into
+    the pipeline) broadcast-anti-joined against the code store before
+    the chunk join, so deleted images neither pair nor are paired.
+    Tombstone rule doc_id % 9 == 4 (static, so DuckDB replays it as a
+    WHERE clause); MIH exactness keeps the oracle a brute filtered
+    self-join."""
+    from ..operators.dedup import mih_radius_pairs_codes
+    codes = image_dhash_codes(spark, sf_dir)
+    tomb = (codes.filter(F.col("doc_id") % 9 == 4)
+            .select("doc_id"))
+    live = codes.join(F.broadcast(tomb), "doc_id", "left_anti")
+    pairs = mih_radius_pairs_codes(live, n_chunks=_N_CHUNKS,
+                                   chunk_bits=_CHUNK_BITS,
+                                   radius=_RADIUS)
+    return (pairs.select(F.col("id_a").alias("doc_id"),
+                         F.col("id_b").alias("dup_id"), "hamming")
+            .orderBy("doc_id", "dup_id"))
+
+
 def _multimodal_curation_oracle() -> str:
     from .dedup import _MINHASH_DET_CTE_TMPL
     return ("WITH " + _MINHASH_DET_CTE_TMPL.replace("{GUARD}", "")
