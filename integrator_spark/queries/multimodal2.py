@@ -322,6 +322,106 @@ def multimodal_image_dedup_wide(spark: SparkSession,
             .orderBy("doc_id", "dup_id"))
 
 
+#: Audio-fingerprint geometry: 57 blocks of 32 PCM16 samples each; a
+#: ±400 amplitude walk across block means encodes the same 56-bit
+#: pattern family as the image face (values stay within ±22,400 —
+#: int16-safe for 56 steps), so the dedup side reuses the identical
+#: MIH dial and the identical closed-form oracle codes.
+_AUDIO_BLOCKS, _AUDIO_BLOCK_SAMPLES, _AUDIO_STEP = 57, 32, 400
+
+
+def _wav_from_pattern(pattern: int) -> bytes:
+    """Paint a pattern as a REAL RIFF/WAVE PCM16 mono file: 57 blocks
+    of 32 constant samples whose level walk encodes the bits — block
+    0 at level 0, each step goes DOWN _AUDIO_STEP when bit i is set,
+    UP when clear, so the fingerprint's left>right mean comparison
+    recovers exactly the bit."""
+    levels = np.empty(_AUDIO_BLOCKS, dtype=np.int64)
+    levels[0] = 0
+    for i in range(_AUDIO_BLOCKS - 1):
+        bit = (pattern >> i) & 1
+        levels[i + 1] = levels[i] - _AUDIO_STEP if bit \
+            else levels[i] + _AUDIO_STEP
+    samples = np.repeat(levels, _AUDIO_BLOCK_SAMPLES).astype("<i2")
+    data = samples.tobytes()
+    rate = 8000
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _audio_fingerprint56(payload: bytes) -> int:
+    """REAL audio fingerprint over a decoded WAV: parse the RIFF/fmt
+    header, frombuffer the PCM16 samples, block-mean the envelope
+    (57 blocks), bit i = mean[i] > mean[i+1] — the
+    amplitude-envelope difference hash (the dHash idea on the time
+    axis; a real pipeline swaps block means for log-mel bands behind
+    the same signature). 56 bits regardless of duration."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    data_len = struct.unpack("<I", payload[40:44])[0]
+    pcm = np.frombuffer(payload[44:44 + data_len], dtype="<i2")
+    blocks = pcm.reshape(_AUDIO_BLOCKS, -1).mean(axis=1)
+    code = 0
+    for i in range(_AUDIO_BLOCKS - 1):
+        if blocks[i] > blocks[i + 1]:
+            code |= 1 << i
+    return code
+
+
+def _synth_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc_ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame({
+            "doc_id": doc_ids,
+            "payload": [_wav_from_pattern(_pattern_bits(int(d)))
+                        for d in doc_ids]})
+
+
+def _fingerprint_audio(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "code": pd.Series([_audio_fingerprint56(p)
+                               for p in pdf["payload"]],
+                              dtype="int64")})
+
+
+@register("multimodal_audio_dedup", oracle=f"""
+WITH {_CODES_CTE}
+SELECT a.doc_id, b.doc_id AS dup_id,
+       CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.code, b.code)) <= 6
+ORDER BY 1, 2
+""", tags=("multimodal", "audio", "dedup", "neardup"))
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection — the third modality of the
+    dedup matrix (text MinHash, image dHash, audio envelope hash, all
+    feeding the same MIH radius operator): real WAV synth → real
+    RIFF/PCM16 decode → 57-block amplitude-envelope difference hash
+    (56 bits) → Hamming-radius-6 MIH dedup. The fingerprint encodes
+    the SAME pattern family as the image face, so the closed-form
+    oracle codes are shared — what this face proves is the AUDIO
+    path: header walk, sample decode, block-mean envelope, bit pack.
+    A production pipeline swaps block means for log-mel bands behind
+    the identical signature contract."""
+    from ..operators.dedup import mih_radius_pairs_codes
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = d.mapInPandas(_synth_audio, "doc_id long, payload binary")
+    codes = wavs.mapInPandas(
+        _fingerprint_audio, "doc_id long, code long").localCheckpoint(
+        eager=False)
+    pairs = mih_radius_pairs_codes(codes, n_chunks=_N_CHUNKS,
+                                   chunk_bits=_CHUNK_BITS,
+                                   radius=_RADIUS)
+    return (pairs.select(F.col("id_a").alias("doc_id"),
+                         F.col("id_b").alias("dup_id"), "hamming")
+            .orderBy("doc_id", "dup_id"))
+
+
 @register("multimodal_image_dedup_deletes", oracle=f"""
 WITH {_CODES_CTE}
 SELECT a.doc_id, b.doc_id AS dup_id,

@@ -2759,3 +2759,18 @@ def test_wide_dhash_paint_decode_roundtrip():
         bmp = _bmp_from_pattern(p, rows=_WIDE_ROWS, cols=_WIDE_COLS,
                                 cell=_WIDE_CELL)
         assert _dhash_code(bmp, cell=_WIDE_CELL) == p
+
+
+def test_audio_fingerprint_paint_decode_roundtrip():
+    """Audio face: decode(paint(p)) == p on fuzzed 56-bit patterns —
+    pins the RIFF header layout, the int16 level walk staying in
+    range, and the block-mean bit recovery."""
+    import random
+
+    from integrator_spark.queries.multimodal2 import (
+        _audio_fingerprint56, _wav_from_pattern)
+
+    rng = random.Random(3)
+    for p in [0, (1 << 56) - 1] + [rng.getrandbits(56)
+                                   for _ in range(30)]:
+        assert _audio_fingerprint56(_wav_from_pattern(p)) == p
