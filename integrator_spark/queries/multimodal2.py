@@ -486,6 +486,88 @@ ORDER BY 1
 """)
 
 
+def _modality_conflict_oracle() -> str:
+    from .dedup import _MINHASH_DET_CTE_TMPL
+    return ("WITH " + _MINHASH_DET_CTE_TMPL.replace("{GUARD}", "")
+            + "," + _CODES_CTE + """,
+tpairs AS (SELECT c.d1, c.d2,
+                  SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS n_equal
+           FROM cand c
+           JOIN mh x ON x.doc_id = c.d1
+           JOIN mh y ON y.doc_id = c.d2 AND y.i = x.i
+           GROUP BY 1, 2),
+tdup AS (SELECT DISTINCT doc_id FROM (
+           SELECT d1 AS doc_id FROM tpairs WHERE n_equal >= 8
+           UNION ALL
+           SELECT d2 FROM tpairs WHERE n_equal >= 8)),
+idup AS (SELECT DISTINCT doc_id FROM (
+           SELECT a.doc_id FROM codes a JOIN codes b
+             ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.code, b.code)) <= 6
+           UNION ALL
+           SELECT b.doc_id FROM codes a JOIN codes b
+             ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.code, b.code)) <= 6))
+SELECT d.lang,
+       CASE WHEN t.doc_id IS NOT NULL AND i.doc_id IS NOT NULL
+            THEN 'both'
+            WHEN t.doc_id IS NOT NULL THEN 'text_only'
+            WHEN i.doc_id IS NOT NULL THEN 'image_only'
+            ELSE 'neither' END AS dup_modality,
+       COUNT(*) AS n_docs,
+       CAST(MIN(d.doc_id) AS BIGINT) AS min_doc_id
+FROM documents d
+LEFT JOIN tdup t ON t.doc_id = d.doc_id
+LEFT JOIN idup i ON i.doc_id = d.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""")
+
+
+@register("multimodal_modality_conflict",
+          oracle=_modality_conflict_oracle(),
+          tags=("multimodal", "dedup", "analysis"))
+def multimodal_modality_conflict(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Cross-modal AGREEMENT analysis — the report a curation owner
+    reads before trusting either dedup signal: classify every doc by
+    which modalities flag it as duplicated (text MinHash >= 0.5 /
+    image dHash <= 6, membership in ANY pair — symmetric, unlike the
+    curation face's keep-first losers). 'image_only' docs are the
+    caption-variant problem (near-identical images, different text) a
+    text-only pipeline ships as duplicates; 'text_only' the
+    boilerplate problem an image-only pipeline misses. Output:
+    (lang, dup_modality, n_docs, min_doc_id) — the min id gives the
+    auditor a concrete example per bucket. Both pair sets are the
+    registered operators' own plans; DuckDB replays both chains."""
+    from ..operators.dedup import mih_radius_pairs_codes, minhash_det_pairs
+    d = load_table(spark, sf_dir, "documents")
+    tp = (minhash_det_pairs(d, k=3, n_hashes=16, n_bands=4)
+          .filter(F.col("n_equal") >= 8))
+    tdup = (tp.select(F.col("d1").alias("doc_id"))
+            .unionByName(tp.select(F.col("d2").alias("doc_id")))
+            .distinct().withColumn("_t", F.lit(1)))
+    ip = mih_radius_pairs_codes(image_dhash_codes(spark, sf_dir),
+                                n_chunks=_N_CHUNKS,
+                                chunk_bits=_CHUNK_BITS, radius=_RADIUS)
+    idup = (ip.select(F.col("id_a").alias("doc_id"))
+            .unionByName(ip.select(F.col("id_b").alias("doc_id")))
+            .distinct().withColumn("_i", F.lit(1)))
+    bucket = (F.when(F.col("_t").isNotNull() & F.col("_i").isNotNull(),
+                     "both")
+              .when(F.col("_t").isNotNull(), "text_only")
+              .when(F.col("_i").isNotNull(), "image_only")
+              .otherwise("neither"))
+    return (d.select("doc_id", "lang")
+            .join(F.broadcast(tdup), "doc_id", "left")
+            .join(F.broadcast(idup), "doc_id", "left")
+            .withColumn("dup_modality", bucket)
+            .groupBy("lang", "dup_modality")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("min_doc_id"))
+            .orderBy("lang", "dup_modality"))
+
+
 @register("pipeline_multimodal_curation",
           oracle=_multimodal_curation_oracle(),
           tags=("multimodal", "dedup", "pipeline", "mlprep"))
