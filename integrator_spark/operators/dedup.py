@@ -21,7 +21,7 @@ moderate cases; drop top-frequency shingles for pathological corpora.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -1004,7 +1004,8 @@ def mih_radius_pairs_codes(codes: DataFrame, n_chunks: int,
                            chunk_bits: int, radius: int,
                            id_col: str = "doc_id",
                            code_col: str = "code",
-                           probe_ids: DataFrame | None = None
+                           probe_ids: DataFrame | None = None,
+                           align_cols: Sequence[str] = ()
                            ) -> DataFrame:
     """Multi-index Hamming radius search over PRE-COMPUTED integer
     codes (an (id, code int64) frame — perceptual image hashes,
@@ -1024,6 +1025,13 @@ def mih_radius_pairs_codes(codes: DataFrame, n_chunks: int,
     (id_a=batch id, id_b=corpus id) with no ordering constraint
     between them.
 
+    ``align_cols`` names extra key columns that candidates MUST share
+    (the frame-aligned video-dedup shape: codes are per
+    (video, frame_idx), only same-frame_idx pairs compare). An
+    (id, *align) pair must identify exactly one code row; the chunk
+    join and both code fetches key on the alignment columns, which
+    then lead the output: (*align_cols, id_a, id_b, hamming).
+
     Scale shape: the only wide shuffle is the chunk-equality join
     (cost tracks bucket collisions, never corpus^2); the code fetch
     for the exact filter is two key joins. Chunk width should track
@@ -1036,38 +1044,42 @@ def mih_radius_pairs_codes(codes: DataFrame, n_chunks: int,
     if n_chunks * chunk_bits > 62:
         raise ValueError("codes wider than 62 bits need the "
                          "array-of-words plan (hamming_signatures_wide)")
+    align = list(align_cols)
     mask = (1 << chunk_bits) - 1
     idx = codes.select(
-        id_col,
+        id_col, *align,
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("c"),
                      (F.shiftright(code_col, chunk_bits * c)
                       .bitwiseAND(F.lit(mask))).alias("chunk_val"))
             for c in range(n_chunks)])).alias("ch"))
-    idx = idx.select(id_col, F.col("ch.c").alias("c"),
+    idx = idx.select(id_col, *align, F.col("ch.c").alias("c"),
                      F.col("ch.chunk_val").alias("chunk_val"))
-    ca = codes.select(F.col(id_col).alias("id_a"),
+    ca = codes.select(F.col(id_col).alias("id_a"), *align,
                       F.col(code_col).alias("_ca"))
-    cb = codes.select(F.col(id_col).alias("id_b"),
+    cb = codes.select(F.col(id_col).alias("id_b"), *align,
                       F.col(code_col).alias("_cb"))
+    join_keys = align + ["c", "chunk_val"]
     if probe_ids is None:
-        probe = idx.select(F.col(id_col).alias("id_b"), "c", "chunk_val")
-        cand = (idx.join(probe, ["c", "chunk_val"])
+        probe = idx.select(F.col(id_col).alias("id_b"), *join_keys)
+        cand = (idx.join(probe, join_keys)
                 .filter(F.col(id_col) < F.col("id_b"))
-                .select(F.col(id_col).alias("id_a"), "id_b").distinct())
+                .select(F.col(id_col).alias("id_a"), "id_b", *align)
+                .distinct())
     else:
         batch = idx.join(F.broadcast(probe_ids.select(id_col)), id_col)
         corpus = (idx.join(F.broadcast(probe_ids.select(id_col)),
                            id_col, "left_anti")
-                  .select(F.col(id_col).alias("id_b"), "c", "chunk_val"))
-        cand = (batch.join(corpus, ["c", "chunk_val"])
-                .select(F.col(id_col).alias("id_a"), "id_b").distinct())
-    return (cand.join(ca, "id_a").join(cb, "id_b")
+                  .select(F.col(id_col).alias("id_b"), *join_keys))
+        cand = (batch.join(corpus, join_keys)
+                .select(F.col(id_col).alias("id_a"), "id_b", *align)
+                .distinct())
+    return (cand.join(ca, ["id_a", *align]).join(cb, ["id_b", *align])
             .withColumn("hamming",
                         F.bit_count(F.col("_ca").bitwiseXOR(F.col("_cb")))
                         .cast("int"))
             .filter(F.col("hamming") <= radius)
-            .select("id_a", "id_b", "hamming"))
+            .select(*align, "id_a", "id_b", "hamming"))
 
 
 def mih_radius_pairs_codes_wide(codes: DataFrame, radius: int,

@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     ml_prep,
     multimodal,
     multimodal2,
+    multimodal3,
     relational,
     relational2,
     scalars,

@@ -95,18 +95,17 @@ def _bmp_from_pattern(pattern: int, rows: int = 8, cols: int = 8,
     return header + payload
 
 
-def _dhash_code(payload: bytes, cell: int = _CELL) -> int:
-    """REAL dHash over a decoded BMP: strip row padding, un-flip the
-    bottom-up rows, grayscale (channel mean — exact here since the
-    channels are equal), cell x cell box-average down to the grid,
-    then bit r*(gw-1)+c = grid[r,c] > grid[r,c+1], packed
-    little-endian into an int (arbitrary width — the caller chooses
-    word packing). A JPEG/PNG pixel decoder drops in front of this
-    unchanged — the grid/compare/pack step is the whole algorithm."""
-    w, h = struct.unpack("<ii", payload[18:26])
-    h = abs(h)
+def _dib_dhash(data: bytes, w: int, h: int, cell: int) -> int:
+    """dHash over RAW bottom-up 24bpp DIB pixel rows (what a BMP file
+    carries after its 54-byte header, and what an AVI '00db' frame
+    chunk carries with NO header at all — the video face reuses this
+    kernel verbatim): strip row padding, un-flip the bottom-up rows,
+    grayscale (channel mean — exact here since the channels are
+    equal), cell x cell box-average down to the grid, then bit
+    r*(gw-1)+c = grid[r,c] > grid[r,c+1], packed little-endian into an
+    int (arbitrary width — the caller chooses word packing)."""
     rowsize = (3 * w + 3) // 4 * 4
-    px = (np.frombuffer(payload[54:], dtype=np.uint8)
+    px = (np.frombuffer(data, dtype=np.uint8)
           .reshape(h, rowsize)[:, :3 * w])[::-1]   # bottom-up -> top-down
     gray = px.reshape(h, w, 3).mean(axis=2)
     gh, gw = h // cell, w // cell
@@ -117,6 +116,15 @@ def _dhash_code(payload: bytes, cell: int = _CELL) -> int:
             if grid[r, c] > grid[r, c + 1]:
                 code |= 1 << (r * (gw - 1) + c)
     return code
+
+
+def _dhash_code(payload: bytes, cell: int = _CELL) -> int:
+    """REAL dHash over a decoded BMP: parse width/height off the
+    BITMAPINFOHEADER, then run :func:`_dib_dhash` on the pixel rows.
+    A JPEG/PNG pixel decoder drops in front of this unchanged — the
+    grid/compare/pack step is the whole algorithm."""
+    w, h = struct.unpack("<ii", payload[18:26])
+    return _dib_dhash(payload[54:], w, abs(h), cell)
 
 
 def _dhash56(payload: bytes) -> int:

@@ -2774,3 +2774,84 @@ def test_audio_fingerprint_paint_decode_roundtrip():
     for p in [0, (1 << 56) - 1] + [rng.getrandbits(56)
                                    for _ in range(30)]:
         assert _audio_fingerprint56(_wav_from_pattern(p)) == p
+
+
+def test_mih_radius_pairs_codes_align_matches_bruteforce(spark):
+    """align_cols mode must return EXACTLY the brute-force radius pair
+    set restricted to equal alignment keys (the frame-aligned video
+    shape), in both all-pairs and probe-batch modes — and the
+    alignment column must lead the output."""
+    import random
+
+    from integrator_spark.operators.dedup import mih_radius_pairs_codes
+
+    rng = random.Random(23)
+    bases = [rng.getrandbits(56) for _ in range(5)]
+    rows = []  # (doc, frame, code): docs have 2-4 frames
+    for i in range(60):
+        for j in range(2 + i % 3):
+            c = bases[(i + j) % 5]
+            for _ in range(rng.randrange(0, 4)):
+                c ^= 1 << rng.randrange(56)
+            rows.append((i, j, c))
+    codes = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, code long")
+    got = {(r["frame_idx"], r["id_a"], r["id_b"], r["hamming"])
+           for r in mih_radius_pairs_codes(
+               codes, n_chunks=7, chunk_bits=8, radius=6,
+               align_cols=["frame_idx"]).collect()}
+    want = {(fa, a, b, bin(ca ^ cb).count("1"))
+            for a, fa, ca in rows for b, fb, cb in rows
+            if a < b and fa == fb and bin(ca ^ cb).count("1") <= 6}
+    assert got == want and len(got) > 0
+    # probe mode: batch docs probe the corpus index, frame-aligned
+    batch = spark.createDataFrame([(i,) for i in range(0, 60, 7)],
+                                  "doc_id long")
+    got_p = {(r["frame_idx"], r["id_a"], r["id_b"], r["hamming"])
+             for r in mih_radius_pairs_codes(
+                 codes, n_chunks=7, chunk_bits=8, radius=6,
+                 probe_ids=batch, align_cols=["frame_idx"]).collect()}
+    bset = set(range(0, 60, 7))
+    want_p = {(fa, a, b, bin(ca ^ cb).count("1"))
+              for a, fa, ca in rows for b, fb, cb in rows
+              if a in bset and b not in bset and fa == fb
+              and bin(ca ^ cb).count("1") <= 6}
+    assert got_p == want_p and len(got_p) > 0
+
+
+def test_video_avi_fixture_roundtrip():
+    """The video fixture's correctness rests on: (1) the AVI
+    synth/decode/dHash chain is a faithful inverse of the closed-form
+    frame patterns (what the DuckDB oracles recompute), in both the
+    full and the trimmed corpus; (2) corruption masks flip far more
+    bits than the radius + intra-group spread, so a corrupted frame
+    can never sneak back under radius 6 against a clean one; (3)
+    frame count is group-constant (the aligned face's equal-length
+    precondition)."""
+    from integrator_spark.queries.multimodal2 import _dib_dhash
+    from integrator_spark.queries.multimodal3 import (
+        _V_CELL, _avi_from_doc, _decode_avi, _frame_pattern,
+        _n_frames_base)
+
+    for doc in list(range(0, 240, 7)) + [3, 14, 25, 35, 70, 105, 1001]:
+        for trim in (False, True):
+            w, h, frames = _decode_avi(_avi_from_doc(doc, trim))
+            start = 1 if (trim and doc % 11 == 3) else 0
+            assert len(frames) == _n_frames_base(doc) - start
+            for j, fr in enumerate(frames):
+                assert (_dib_dhash(fr, w, h, _V_CELL)
+                        == _frame_pattern(doc, j + start)), (doc, trim, j)
+    # corruption masks: >= 15 bits each, pairwise >= 10 apart
+    def mask(formula):
+        return [sum(1 << k for k in range(56) if formula(r, k))
+                for r in range(60)]
+    m0 = mask(lambda r, k: (((r % 41) + 2) * (k + 13)) % 67 < 33)
+    m1 = mask(lambda r, k: (((r % 43) + 5) * (k + 17)) % 71 < 35)
+    for ms in (m0, m1):
+        assert min(bin(m).count("1") for m in ms) >= 15
+    dm = [bin(a ^ b).count("1") for i, a in enumerate(set(m0))
+          for b in list(set(m0))[i + 1:]]
+    assert min(dm) >= 10
+    # n_frames is group-constant
+    for doc in range(300):
+        assert _n_frames_base(doc) == _n_frames_base(doc % 37 + 37 * 5)
