@@ -32,6 +32,7 @@ CROSS_JOIN_ALLOWED = {
     "dedup_embedding",     # broadcast-matmul pair scan
     "vec_ann_ivf",         # bounded k=16 centroid-probe broadcast
     "vec_ann_ivf_det",     # same bounded k=16 centroid broadcast (det twin)
+    "vec_ann_ivf_deletes",  # same bounded k=16 centroid broadcast (tombstone face)
     "vec_ann_pq_det",      # bounded per-subspace codebook broadcast
     "dedup_semantic_ivf_det",  # same bounded k=8 centroid broadcast
     "ml_silhouette",       # same bounded k=8 centroid broadcast (evaluation)

@@ -243,18 +243,23 @@ ranked AS (SELECT s.vec_id, s.bucket,
 
 
 def _ivf_det_oracle_sql(k: int = 16, iters: int = 4, n_assign: int = 3,
-                        n_probe: int = 6) -> str:
+                        n_probe: int = 6,
+                        live_pred: str = "TRUE") -> str:
     """Unrolled-CTE DuckDB replay of the ENTIRE deterministic IVF
     pipeline — the ml_logreg / vec_pca_power template applied to
     Lloyd k-means: every iteration is one CTE trio (assign → per-
     component integer means → COALESCE empty buckets), walking the
     exact integer grid the engine walks (see vec_ann_ivf_det). The
     tail (candidates → exact-cosine top-1) is the _ANN_SIGNLSH_ORACLE
-    tail verbatim."""
+    tail verbatim. ``live_pred`` (over ``vec_id``) filters BOTH the
+    assigned and the probed side AFTER the fit — the tombstone
+    read-side rule of vec_ann_ivf_deletes: the quantizer was trained
+    before the deletes, only serving excludes them."""
     tail = """,
 assigned AS (SELECT vec_id AS neighbor_id, bucket FROM ranked
-             WHERE rn <= {na}),
-probed AS (SELECT vec_id, bucket FROM ranked WHERE rn <= {np}),
+             WHERE rn <= {na} AND ({lp})),
+probed AS (SELECT vec_id, bucket FROM ranked
+           WHERE rn <= {np} AND ({lp})),
 cand AS (SELECT DISTINCT p.vec_id, a.neighbor_id
          FROM probed p JOIN assigned a ON p.bucket = a.bucket
          WHERE p.vec_id <> a.neighbor_id),
@@ -272,7 +277,7 @@ FROM (SELECT *, row_number() OVER (
       FROM scored)
 WHERE rn = 1
 ORDER BY vec_id
-""".format(na=n_assign, np=n_probe)
+""".format(na=n_assign, np=n_probe, lp=live_pred)
     return _ivf_det_chain_sql(k, iters) + tail
 
 
@@ -391,6 +396,56 @@ def vec_ann_ivf_det(spark: SparkSession, sf_dir: str, k: int = 16,
     assigned = (ranked.filter(F.col("_rn") <= n_assign)
                 .select(F.col("vec_id").alias("neighbor_id"), "bucket"))
     probed = (ranked.filter(F.col("_rn") <= n_probe)
+              .select("vec_id", "bucket"))
+    cand = (probed.join(assigned, "bucket")
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id").distinct())
+    scored = _cosine_residual(cand, e, e, -1.0, "vec_id", "neighbor_id",
+                              "vec_id", "embedding")
+    w2 = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
+                                              "neighbor_id")
+    return (scored.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "neighbor_id",
+                    F.col("cos_sim").alias("approx_cos"))
+            .orderBy("vec_id"))
+
+
+@register("vec_ann_ivf_deletes",
+          oracle=_ivf_det_oracle_sql(live_pred="vec_id % 7 <> 3"),
+          tags=("vector", "knn", "approx", "ivf", "deletes"))
+def vec_ann_ivf_deletes(spark: SparkSession, sf_dir: str, k: int = 16,
+                        iters: int = 4, n_assign: int = 3,
+                        n_probe: int = 6) -> DataFrame:
+    """IVF serving over a corpus with a DELETE SET — the IVF-family
+    face of the tombstone story (vec_hamming_serve_deletes proves it
+    on the binary index; multimodal_image_dedup_deletes on the image
+    codes): the coarse quantizer and the bucket assignments were
+    trained and built BEFORE the deletes (centroids are never refit,
+    the index is never rewritten), and the tombstone set — data in a
+    small frame, not a predicate baked into the pipeline — is
+    broadcast-anti-joined against BOTH serve sides before the top-1
+    window: deleted vectors neither return as neighbors nor ask. The
+    anti-join sits before the ranking, so a query whose nearest
+    neighbor was deleted PROMOTES its runner-up instead of vanishing
+    (post-filtering the results would get this wrong — pinned in
+    tests). Tombstone rule vec_id % 7 == 3 (static, so DuckDB replays
+    it as WHERE clauses on the same pre-delete CTE chain)."""
+    import math  # noqa: F401  (parity with vec_ann_ivf_det's imports)
+
+    from ..operators.dedup import _cosine_residual
+
+    e = load_table(spark, sf_dir, "embeddings")
+    if e.isEmpty():
+        return spark.createDataFrame(
+            [], "vec_id long, neighbor_id long, approx_cos double")
+    q, cent = _ivf_det_fit(e, k, iters)        # trained pre-delete
+    ranked = _ivf_det_rank(q, cent)
+    tomb = (e.filter(F.col("vec_id") % 7 == 3).select("vec_id"))
+    live = ranked.join(F.broadcast(tomb), "vec_id", "left_anti")
+    assigned = (live.filter(F.col("_rn") <= n_assign)
+                .select(F.col("vec_id").alias("neighbor_id"), "bucket"))
+    probed = (live.filter(F.col("_rn") <= n_probe)
               .select("vec_id", "bucket"))
     cand = (probed.join(assigned, "bucket")
             .filter(F.col("vec_id") != F.col("neighbor_id"))

@@ -2855,3 +2855,29 @@ def test_video_avi_fixture_roundtrip():
     # n_frames is group-constant
     for doc in range(300):
         assert _n_frames_base(doc) == _n_frames_base(doc % 37 + 37 * 5)
+
+
+def test_ivf_tombstone_promotes_runner_up(spark):
+    """vec_ann_ivf_deletes must apply the tombstone anti-join BEFORE
+    the top-1 window: no deleted id on either side of the output, and
+    a live query whose pre-delete nearest neighbor is deleted gets a
+    DIFFERENT live neighbor (runner-up promotion) rather than
+    disappearing — the semantics post-filtering the full results
+    would get wrong."""
+    from integrator_spark.registry import all_specs
+
+    from .conftest import TEST_SF_DIR
+
+    specs = all_specs()
+    base = {r["vec_id"]: r["neighbor_id"]
+            for r in specs["vec_ann_ivf_det"].fn(spark,
+                                                 TEST_SF_DIR).collect()}
+    dels = {r["vec_id"]: r["neighbor_id"]
+            for r in specs["vec_ann_ivf_deletes"].fn(spark,
+                                                     TEST_SF_DIR).collect()}
+    assert dels and all(v % 7 != 3 and n % 7 != 3
+                        for v, n in dels.items())
+    promoted = [v for v, n in base.items()
+                if v % 7 != 3 and n % 7 == 3 and v in dels]
+    assert promoted, "fixture has no deleted-top-neighbor case"
+    assert all(dels[v] != base[v] for v in promoted)
