@@ -46,6 +46,7 @@ CROSS_JOIN_ALLOWED = {
     "ml_tree_stump",       # 1-row class-totals frame broadcast to bin hist
     "text_bm25",           # 1-row corpus-stats frame broadcast to tf matrix
     "vec_ann_graph_search",  # bounded 16-row entry-point set × queries
+    "vec_ann_graph_serve_deletes",  # same bounded entry set × live queries
     "q22_global_sales_opportunity",  # 1-row global-avg frame broadcast
     "q11_important_parts",  # 1-row global-cutoff frame broadcast to agg
     "mix_weighted",        # 1-row corpus-total frame joined to source counts

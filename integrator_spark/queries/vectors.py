@@ -509,6 +509,50 @@ def vec_ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+@register("vec_ann_graph_serve_deletes", oracle=None,
+          tags=("vector", "knn", "approx", "graph", "deletes"))
+def vec_ann_graph_serve_deletes(spark: SparkSession, sf_dir: str,
+                                beam: int = 32) -> DataFrame:
+    """READ-side graph tombstones — serving between delete and
+    consolidation (vec_ann_graph_det_deletes is the write-side
+    repair): the beam search navigates the UNREPAIRED pre-delete
+    graph, so deleted nodes still ROUTE (they stay in the beam and
+    their adjacency keeps clusters reachable — the HNSW rule, where
+    filtering them from the frontier severs the paths that run
+    through deleted hubs) but never RETURN: the full final beam is
+    anti-joined against the tombstone set and re-ranked, and each
+    live query keeps its best LIVE candidate. Deleted vectors don't
+    ask either (query side anti-joined before the search). Asking
+    graph_ann_search for k=beam hands back the whole final beam, so
+    the post-filter re-rank has beam candidates to promote from —
+    filtering a k=1 result would return nothing whenever the winner
+    was deleted. Rows-only (the float beam search has no SQL oracle);
+    tests pin no-tombstone-on-either-side, runner-up promotion, and
+    recall@1 >= 0.9 vs exact kNN over the live corpus."""
+    from pyspark.sql import Window
+
+    from ..operators.ann_graph import graph_ann_search, nn_descent
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tomb = (e.filter(F.col("vec_id") % 9 == 4)
+            .select(F.col("vec_id").alias("_tid")))
+    g = nn_descent(e, k=15, iters=4)          # built pre-delete
+    live_q = e.join(F.broadcast(tomb), e.vec_id == F.col("_tid"),
+                    "left_anti")
+    full_beam = graph_ann_search(g, e, live_q, k=beam, beam=beam,
+                                 hops=5, n_entries=16, exclude_self=True)
+    live_beam = full_beam.join(
+        F.broadcast(tomb), full_beam.neighbor_id == F.col("_tid"),
+        "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               "neighbor_id")
+    return (live_beam.withColumn("_lrn", F.row_number().over(w))
+            .filter(F.col("_lrn") == 1)
+            .select("query_id", "neighbor_id", "cos_sim",
+                    F.col("_lrn").cast("int").alias("rank"))
+            .orderBy("query_id"))
+
+
 @register("vec_pca", oracle=None, tags=("vector", "pca"))
 def vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA dimensionality reduction over the embedding corpus: fit on

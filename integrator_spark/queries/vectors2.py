@@ -655,7 +655,18 @@ def _gd_oracle_sql(k: int = _GD_K, k0: int = _GD_INIT,
     int64 dot is <= 64 * 2^40 < 2^53, so DuckDB's double
     accumulation is EXACT, and the remaining three IEEE ops run on
     bit-identical operands in both engines."""
-    score_top = """
+    return _gd_chain_sql(k, k0, rounds) + f"""
+SELECT src AS vec_id, dst AS neighbor_id, CAST(rn AS INT) AS rank,
+       ROUND(cos, 6) AS cos_sim
+FROM g{rounds}
+WHERE rn <= {k}
+ORDER BY vec_id, rank
+"""
+
+
+#: One score-and-rank CTE body, shared by the build chain and the
+#: delete-consolidation tail: exact int-grid cosine + per-src rank.
+_GD_SCORE_TOP = """
  (SELECT src, dst, cos,
          row_number() OVER (PARTITION BY src
                             ORDER BY cos DESC, dst) AS rn
@@ -665,6 +676,14 @@ def _gd_oracle_sql(k: int = _GD_K, k0: int = _GD_INIT,
         JOIN nv a ON a.vec_id = c.src
         JOIN nv b ON b.vec_id = c.dst))
 """
+
+
+def _gd_chain_sql(k: int = _GD_K, k0: int = _GD_INIT,
+                  rounds: int = _GD_ROUNDS) -> str:
+    """The WITH chain through ``g{rounds}`` (the finished pre-delete
+    graph), shared by the det twin's oracle and the
+    delete-consolidation tail of vec_ann_graph_det_deletes."""
+    score_top = _GD_SCORE_TOP
     its = []
     for i in range(1, rounds + 1):
         p = i - 1
@@ -697,13 +716,7 @@ draws AS (SELECT s.vec_id AS src,
 e0 AS (SELECT DISTINCT d.src, pos.vec_id AS dst
        FROM draws d JOIN pos ON pos.p = d.dp
        WHERE pos.vec_id <> d.src),
-g0 AS MATERIALIZED (SELECT * FROM {score_top.format(cand='e0')}),{",".join(its)}
-SELECT src AS vec_id, dst AS neighbor_id, CAST(rn AS INT) AS rank,
-       ROUND(cos, 6) AS cos_sim
-FROM g{rounds}
-WHERE rn <= {k}
-ORDER BY vec_id, rank
-"""
+g0 AS MATERIALIZED (SELECT * FROM {score_top.format(cand='e0')}),{",".join(its)}"""
 
 
 @register("vec_ann_graph_det", oracle=_gd_oracle_sql(),
@@ -729,6 +742,23 @@ def vec_ann_graph_det(spark: SparkSession, sf_dir: str,
     Rounds are lineage-truncated. Recall@1 vs exact kNN is pinned in
     tests at the registered dials."""
     e = load_table(spark, sf_dir, "embeddings")
+    g, _ = _gd_build(e, k, k0, rounds)
+    return (g.select(F.col("src").alias("vec_id"),
+                     F.col("dst").alias("neighbor_id"),
+                     F.col("rn").cast("int").alias("rank"),
+                     F.round("cos", 6).alias("cos_sim"))
+            .orderBy("vec_id", "rank"))
+
+
+def _gd_build(e: DataFrame, k: int = _GD_K, k0: int = _GD_INIT,
+              rounds: int = _GD_ROUNDS):
+    """Shared deterministic NN-Descent build (the body of
+    vec_ann_graph_det, hoisted so the delete-consolidation face can
+    reuse both the finished graph and the exact-int-grid rescorer).
+    Returns ``(g, score_topk)``: ``g`` is the converged graph —
+    (src, dst, cos, rn) with rn <= k, lineage-truncated — and
+    ``score_topk(edges)`` rescores any (src, dst) edge set with the
+    same cross-engine-exact cosine and per-src top-k window."""
     q = e.select(
         "vec_id",
         F.transform(F.col("embedding").cast("array<double>"),
@@ -782,10 +812,98 @@ def vec_ann_graph_det(spark: SparkSession, sf_dir: str,
                .filter(F.col("src") != F.col("dst")))
         cand = nn2.unionByName(und).distinct()
         g = truncated_checkpoint(score_topk(cand))
-    return (g.select(F.col("src").alias("vec_id"),
-                     F.col("dst").alias("neighbor_id"),
-                     F.col("rn").cast("int").alias("rank"),
-                     F.round("cos", 6).alias("cos_sim"))
+    return g, score_topk
+
+
+#: Tombstone rule for the graph delete faces: vec_id % 9 == 4 —
+#: static so DuckDB replays it as WHERE clauses over the same
+#: pre-delete CTE chain; real callers pass a tombstone DataFrame
+#: (the Spark side below is written against one).
+_GD_DEL_MOD, _GD_DEL_RES = 9, 4
+
+
+def _gd_deletes_oracle_sql(k: int = _GD_K, k0: int = _GD_INIT,
+                           rounds: int = _GD_ROUNDS,
+                           mod: int = _GD_DEL_MOD,
+                           res: int = _GD_DEL_RES) -> str:
+    """Delete-consolidation tail over the unchanged pre-delete chain:
+    live surviving edges UNION spliced (in-neighbor of a deleted node
+    -> that node's out-neighbors) edges, rescored on the same int-grid
+    cosine, re-pruned to top-k per live node."""
+    live = f"% {mod} <> {res}"
+    dead = f"% {mod} = {res}"
+    return _gd_chain_sql(k, k0, rounds) + f""",
+gset AS (SELECT src, dst FROM g{rounds} WHERE rn <= {k}),
+le AS (SELECT src, dst FROM gset
+       WHERE src {live} AND dst {live}),
+sp AS (SELECT a.src AS src, b.dst AS dst
+       FROM gset a JOIN gset b ON a.dst = b.src
+       WHERE a.dst {dead} AND a.src {live} AND b.dst {live}
+         AND a.src <> b.dst),
+cr AS (SELECT src, dst FROM le UNION SELECT src, dst FROM sp),
+gr AS MATERIALIZED (SELECT * FROM {_GD_SCORE_TOP.format(cand='cr')})
+SELECT src AS vec_id, dst AS neighbor_id, CAST(rn AS INT) AS rank,
+       ROUND(cos, 6) AS cos_sim
+FROM gr
+WHERE rn <= {k}
+ORDER BY vec_id, rank
+"""
+
+
+@register("vec_ann_graph_det_deletes", oracle=_gd_deletes_oracle_sql(),
+          tags=("vector", "knn", "approx", "graph", "deletes"))
+def vec_ann_graph_det_deletes(spark: SparkSession, sf_dir: str,
+                              k: int = _GD_K, k0: int = _GD_INIT,
+                              rounds: int = _GD_ROUNDS) -> DataFrame:
+    """DELETE CONSOLIDATION on the k-NN graph — the write-side half of
+    the graph tombstone story (vec_ann_graph_serve_deletes is the
+    read-side half; vec_hamming_serve_deletes / vec_ann_ivf_deletes /
+    multimodal_image_dedup_deletes cover the flat indexes). The graph
+    was built BEFORE the deletes; consolidation repairs it without a
+    rebuild, the FreshDiskANN/HNSW maintenance move: every edge into a
+    deleted node is SPLICED to that node's out-neighbors (one-hop
+    route-through closure), the union of surviving live edges and
+    spliced edges is rescored with the same exact int-grid cosine,
+    and each live node keeps its top-k — so connectivity that flowed
+    through deleted hubs is preserved instead of severed (dropping the
+    edges without splicing strands their two endpoints; pinned in
+    tests). Cost is |edges into tombstones| x degree — proportional
+    to the delete set, never a rebuild, and the splice join is keyed
+    on the deleted node id, so it shuffles only the affected edges.
+    Tombstone rule vec_id % 9 == 4; the DuckDB oracle replays the
+    whole pre-delete build chain verbatim and applies the same
+    consolidation as three CTEs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    g, score_topk = _gd_build(e, k, k0, rounds)
+    tomb = (e.filter(F.col("vec_id") % _GD_DEL_MOD == _GD_DEL_RES)
+            .select(F.col("vec_id").alias("_tid")))
+    edges = g.select("src", "dst")
+    # Surviving edges: neither endpoint tombstoned (broadcast
+    # anti-joins — the tombstone set is data, not a baked predicate).
+    live_e = (edges.join(F.broadcast(tomb),
+                         edges.src == F.col("_tid"), "left_anti")
+              .join(F.broadcast(tomb),
+                    edges.dst == F.col("_tid"), "left_anti"))
+    # Splice: (live src -> deleted mid) x (deleted mid -> live dst).
+    into_dead = (edges.join(F.broadcast(tomb),
+                            edges.dst == F.col("_tid"), "left_semi")
+                 .join(F.broadcast(tomb),
+                       edges.src == F.col("_tid"), "left_anti")
+                 .select("src", F.col("dst").alias("_mid")))
+    out_of_dead = (edges.join(F.broadcast(tomb),
+                              edges.src == F.col("_tid"), "left_semi")
+                   .join(F.broadcast(tomb),
+                         edges.dst == F.col("_tid"), "left_anti")
+                   .select(F.col("src").alias("_mid"), "dst"))
+    spliced = (into_dead.join(out_of_dead, "_mid")
+               .filter(F.col("src") != F.col("dst"))
+               .select("src", "dst"))
+    repaired = live_e.unionByName(spliced).distinct()
+    return (score_topk(repaired)
+            .select(F.col("src").alias("vec_id"),
+                    F.col("dst").alias("neighbor_id"),
+                    F.col("rn").cast("int").alias("rank"),
+                    F.round("cos", 6).alias("cos_sim"))
             .orderBy("vec_id", "rank"))
 
 

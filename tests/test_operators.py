@@ -2881,3 +2881,82 @@ def test_ivf_tombstone_promotes_runner_up(spark):
                 if v % 7 != 3 and n % 7 == 3 and v in dels]
     assert promoted, "fixture has no deleted-top-neighbor case"
     assert all(dels[v] != base[v] for v in promoted)
+
+
+def test_graph_delete_consolidation_semantics(spark):
+    """vec_ann_graph_det_deletes: no tombstone (vec_id % 9 == 4) on
+    either side; every live node whose pre-delete top-1 was deleted
+    gets a live replacement (no node vanishes); and at least one
+    consolidated edge is a SPLICE — an edge absent from the surviving
+    pre-delete live edge set — proving the repair actually routes
+    through deleted nodes rather than just severing them."""
+    from integrator_spark.registry import all_specs
+
+    from .conftest import TEST_SF_DIR
+
+    specs = all_specs()
+    base = specs["vec_ann_graph_det"].fn(spark, TEST_SF_DIR).collect()
+    cons = specs["vec_ann_graph_det_deletes"].fn(spark,
+                                                 TEST_SF_DIR).collect()
+    dead = lambda i: i % 9 == 4  # noqa: E731
+    assert cons and all(not dead(r.vec_id) and not dead(r.neighbor_id)
+                        for r in cons)
+    base_top = {r.vec_id: r.neighbor_id for r in base if r.rank == 1}
+    cons_top = {r.vec_id: r.neighbor_id for r in cons if r.rank == 1}
+    affected = [v for v, n in base_top.items()
+                if not dead(v) and dead(n)]
+    assert affected, "fixture has no deleted-top-neighbor case"
+    for v in affected:
+        assert v in cons_top and not dead(cons_top[v])
+    live_pre = {(r.vec_id, r.neighbor_id) for r in base
+                if not dead(r.vec_id) and not dead(r.neighbor_id)}
+    spliced_wins = [(r.vec_id, r.neighbor_id) for r in cons
+                    if (r.vec_id, r.neighbor_id) not in live_pre]
+    assert spliced_wins, "no spliced edge survived the re-prune"
+
+
+def test_graph_serve_deletes_promotes_and_recalls(spark):
+    """vec_ann_graph_serve_deletes: deleted vectors neither ask nor
+    return; a live query whose unfiltered winner was deleted promotes
+    a live runner-up instead of disappearing; and recall@1 vs exact
+    kNN over the LIVE corpus stays >= 0.9 (routing through deleted
+    nodes keeps the graph navigable)."""
+    import duckdb
+
+    from integrator_spark.registry import get_queries
+
+    from .conftest import TEST_SF_DIR
+
+    qs = get_queries()
+    dead = lambda i: i % 9 == 4  # noqa: E731
+    base = {r.query_id: r.neighbor_id
+            for r in qs["vec_ann_graph_search"](spark,
+                                                TEST_SF_DIR).collect()
+            if r.rank == 1}
+    got = {r.query_id: (r.neighbor_id, r.cos_sim)
+           for r in qs["vec_ann_graph_serve_deletes"](
+               spark, TEST_SF_DIR).collect()}
+    assert got and all(not dead(q) and not dead(n)
+                       for q, (n, _) in got.items())
+    promoted = [q for q, n in base.items()
+                if not dead(q) and dead(n) and q in got]
+    assert promoted, "fixture has no deleted-winner case"
+    assert all(got[q][0] != base[q] for q in promoted)
+    # exact top-1 over the live corpus, replayed in DuckDB
+    con = duckdb.connect()
+    truth = dict(con.execute(f"""
+        WITH nv AS (SELECT vec_id,
+                           list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x) AS v
+                    FROM read_parquet('{TEST_SF_DIR}/embeddings.parquet')
+                    WHERE vec_id % 9 <> 4),
+        n2 AS (SELECT vec_id, v,
+                      sqrt(list_inner_product(v, v)) AS nrm FROM nv)
+        SELECT a.vec_id,
+               max(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) AS best
+        FROM n2 a JOIN n2 b ON a.vec_id <> b.vec_id
+        GROUP BY a.vec_id
+    """).fetchall())
+    hits = sum(1 for q, (_, cos) in got.items()
+               if cos >= truth[q] - 1e-6)
+    assert hits / len(got) >= 0.9, hits / len(got)
