@@ -496,6 +496,66 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "source"))
 
 
+#: Tombstone rule for the survivor-set delete face: doc_id % 7 == 3.
+#: Static so DuckDB replays it as WHERE clauses; real callers pass a
+#: tombstone DataFrame (the Spark side is written against one).
+_KEEP_DEL_MOD, _KEEP_DEL_RES = 7, 3
+
+_MINHASH_KEEP_DELETES_ORACLE = _MINHASH_KEEP_ORACLE.replace(
+    """losers AS (
+  SELECT DISTINCT c.d2 AS doc_id
+  FROM cand c""",
+    f"""losers AS (
+  SELECT DISTINCT c.d2 AS doc_id
+  FROM (SELECT * FROM cand
+        WHERE d1 % {_KEEP_DEL_MOD} <> {_KEEP_DEL_RES}) c""").replace(
+    "WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)",
+    f"WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)\n"
+    f"  AND d.doc_id % {_KEEP_DEL_MOD} <> {_KEEP_DEL_RES}")
+
+
+@register("dedup_minhash_keep_deletes",
+          oracle=_MINHASH_KEEP_DELETES_ORACLE,
+          tags=("dedup", "neardup", "deletes"))
+def dedup_minhash_keep_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-set RECOMPUTE after corpus deletes — the text-dedup
+    member of the tombstone matrix (vec_hamming_serve_deletes /
+    vec_ann_ivf_deletes / vec_ann_graph_det_deletes cover the vector
+    indexes): the candidate-pair graph was built BEFORE the deletes
+    and is NOT rebuilt; survivorship is re-derived over it with the
+    tombstone set (doc_id % 7 == 3) anti-joined from the KEEPER side
+    of every pair. Two semantics fall out, both pinned in tests:
+
+    - RE-PROMOTION: a doc dropped only by now-deleted keepers
+      re-enters the corpus (its pairs all have tombstoned d1, so it
+      leaves the loser set) — post-filtering the old survivor list
+      would lose these docs forever;
+    - deleted docs themselves leave the survivor set, of course.
+
+    Under the keep-first rule (drop iff ANY lower-id doc pairs with
+    you) keeper-side filtering is exact — a doc's drop verdict never
+    depends on whether its keeper itself survived, so no transitive
+    cascade re-walk is needed; the recompute is two anti-joins over
+    the persisted pair list, cost proportional to |pairs| + |deletes|,
+    never a re-shingle of the corpus. Oracle: same pair CTEs with the
+    tombstone rule applied to d1 in losers and to the final corpus."""
+    from ..operators.dedup import minhash_det_pairs
+    d = load_table(spark, sf_dir, "documents")
+    tomb = (d.filter(F.col("doc_id") % _KEEP_DEL_MOD == _KEEP_DEL_RES)
+            .select(F.col("doc_id").alias("_tid")))
+    pairs = minhash_det_pairs(d, k=3, n_hashes=16, n_bands=4,
+                              max_band_freq=50)  # pre-delete pair graph
+    losers = (pairs.filter(F.col("n_equal") >= 12)
+              .join(F.broadcast(tomb), pairs.d1 == F.col("_tid"),
+                    "left_anti")                 # deleted keepers don't drop
+              .select(F.col("d2").alias("doc_id"))
+              .distinct())
+    return (d.join(F.broadcast(tomb), d.doc_id == F.col("_tid"),
+                   "left_anti")                  # deleted docs leave too
+            .join(losers, "doc_id", "left_anti")
+            .select("doc_id", "lang", "source"))
+
+
 @register("dedup_simhash",
           oracle=_SIMHASH_ORACLE_TMPL.replace("{GUARD}", ""),
           tags=("dedup", "neardup", "approx"))

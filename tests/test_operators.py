@@ -2960,3 +2960,27 @@ def test_graph_serve_deletes_promotes_and_recalls(spark):
     hits = sum(1 for q, (_, cos) in got.items()
                if cos >= truth[q] - 1e-6)
     assert hits / len(got) >= 0.9, hits / len(got)
+
+
+def test_minhash_keep_deletes_repromotes(spark):
+    """dedup_minhash_keep_deletes: no tombstone (doc_id % 7 == 3)
+    survives; at least one doc dropped by the pre-delete survivor set
+    RE-ENTERS (all its keepers were deleted) — the case post-filtering
+    the old survivor list gets wrong; and every other live pre-delete
+    survivor is unchanged."""
+    from integrator_spark.registry import get_queries
+
+    from .conftest import TEST_SF_DIR
+
+    qs = get_queries()
+    base = {r.doc_id for r in
+            qs["dedup_minhash_keep"](spark, TEST_SF_DIR).collect()}
+    dels = {r.doc_id for r in
+            qs["dedup_minhash_keep_deletes"](spark, TEST_SF_DIR).collect()}
+    dead = lambda i: i % 7 == 3  # noqa: E731
+    assert dels and not any(dead(i) for i in dels)
+    repromoted = dels - base
+    assert repromoted, "fixture has no all-keepers-deleted case"
+    assert not any(dead(i) for i in repromoted)
+    # live pre-delete survivors are exactly preserved
+    assert {i for i in base if not dead(i)} <= dels
