@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     udfs,
     vectors,
     vectors2,
+    web,
     windows,
 )
 from ..streaming import jobs  # noqa: F401

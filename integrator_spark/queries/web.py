@@ -1,0 +1,270 @@
+"""Web-pipeline operators — the crawl-side preprocessing a 100 TB
+training-data build runs BEFORE the text/dedup families: HTML
+boilerplate extraction (the WET step), URL canonicalization +
+canonical-URL dedup (the CCNet/RefinedWeb crawl-frontier rule), and
+the host-level link graph (PageRank-style quality priors feed off
+it — graph_pagerank composes downstream).
+
+The documents fixture carries plain text, so each query first RENDERS
+a deterministic single-line HTML page around the real text (nav + ad
+block + <article> + cross-host link + footer) — the same
+deterministic-synthesis-then-real-operator pattern as the multimodal
+family (queries/multimodal.py paints pixels; here we emit markup).
+The rendered URL varies case / default port / fragment / utm_*
+tracking params by doc_id residues so canonicalization has real work
+to do. Every operator is pure JVM column expressions (regexp +
+higher-order array functions — no Python, no shuffle before the final
+aggregate), and every render/extract step replays verbatim in DuckDB,
+so the whole family is oracle hash-checked end to end.
+
+Scale posture: render + extract are per-row (partition-parallel, no
+shuffle); url-dedup shuffles once on the canonical key (hash-keyed,
+never all-pairs); the link graph shuffles once on the (src,dst) host
+pair — host cardinality, not page cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# Deterministic page render — one expression, mirrored in SQL below.
+# The cross-host "related" URL is the canonicalization workload:
+#   host case flips on doc_id % 2, default :443 appears on % 3,
+#   #fragment on % 4, utm_source / UTM_campaign / utm_content always
+#   (utm_content carries the unique doc_id, so two docs with equal
+#   doc_id % 40 share a canonical URL only after tracking removal —
+#   the %5 host residue is implied since 5 | 40).
+
+
+def _raw_url_col() -> F.Column:
+    ref = (F.col("doc_id") % 40).cast("string")
+    cdn = F.concat(F.lit("cdn.src"), (F.col("doc_id") % 5).cast("string"),
+                   F.lit(".example.com"))
+    cdn = F.when(F.col("doc_id") % 2 == 1, F.upper(cdn)).otherwise(cdn)
+    port = F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit(""))
+    frag = F.when(F.col("doc_id") % 4 == 2, F.lit("#sec2")).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("https://"), cdn, port, F.lit("/doc/"), ref,
+        F.lit("?utm_source=feed&id="), ref,
+        F.lit("&UTM_campaign=c"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&utm_content="), F.col("doc_id").cast("string"), frag)
+
+
+def _page_col() -> F.Column:
+    host = F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+    return F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit(" #"),
+        F.col("doc_id").cast("string"), F.lit("</title></head><body>"),
+        F.lit('<nav><a href="https://'), host, F.lit('/">Home</a> '),
+        F.lit('<a href="https://'), host, F.lit('/about">About</a></nav>'),
+        F.lit('<div class="ad">Subscribe now - best deals</div>'),
+        F.lit("<article><p>"), F.col("text"), F.lit("</p></article>"),
+        F.lit('<a href="'), _raw_url_col(), F.lit('">related</a>'),
+        F.lit("<footer>(c) 2026 "), F.col("source"),
+        F.lit(' <a href="/terms">Terms</a></footer></body></html>'))
+
+
+_SQL_RAW_URL = """
+'https://'
+|| CASE WHEN doc_id % 2 = 1
+        THEN upper('cdn.src' || CAST(doc_id % 5 AS VARCHAR) || '.example.com')
+        ELSE 'cdn.src' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' END
+|| CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+|| '/doc/' || CAST(doc_id % 40 AS VARCHAR)
+|| '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
+|| '&UTM_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+|| '&utm_content=' || CAST(doc_id AS VARCHAR)
+|| CASE WHEN doc_id % 4 = 2 THEN '#sec2' ELSE '' END
+"""
+
+_SQL_PAGE = f"""
+'<html><head><title>' || source || ' #' || CAST(doc_id AS VARCHAR)
+|| '</title></head><body>'
+|| '<nav><a href="https://www.' || source || '.example.com/">Home</a> '
+|| '<a href="https://www.' || source || '.example.com/about">About</a></nav>'
+|| '<div class="ad">Subscribe now - best deals</div>'
+|| '<article><p>' || text || '</p></article>'
+|| '<a href="' || ({_SQL_RAW_URL}) || '">related</a>'
+|| '<footer>(c) 2026 ' || source
+|| ' <a href="/terms">Terms</a></footer></body></html>'
+"""
+
+
+@register("web_html_extract", oracle=f"""
+WITH page AS (SELECT doc_id, ({_SQL_PAGE}) AS page FROM documents),
+ext AS (SELECT doc_id, page,
+               trim(regexp_replace(regexp_replace(
+                   COALESCE(regexp_extract(page,
+                       '<article>(.*)</article>', 1), ''),
+                   '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS main_text
+        FROM page)
+SELECT doc_id, main_text,
+       CAST(length(page) AS BIGINT) AS page_chars,
+       CAST(length(main_text) AS BIGINT) AS main_chars,
+       ROUND(1.0 - length(main_text) * 1.0 / length(page), 6)
+         AS boilerplate_ratio
+FROM ext
+ORDER BY doc_id
+""", tags=("web", "text"))
+def web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML MAIN-CONTENT extraction (the WET/trafilatura step of a
+    crawl pipeline): isolate the <article> region, strip every tag to
+    a space, collapse runs, trim — pure JVM regexp per row, no
+    shuffle. Reports the extracted text plus the boilerplate ratio
+    (share of page bytes that were chrome, not content) — the ratio
+    itself is a standard crawl-quality filter input. The page is the
+    deterministic render documented in the module header, so DuckDB
+    rebuilds the identical markup and the extraction must reproduce
+    the original document text exactly (pinned in tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    page = d.select("doc_id", _page_col().alias("page"))
+    main = F.trim(F.regexp_replace(F.regexp_replace(
+        F.regexp_extract(F.col("page"), "<article>(.*)</article>", 1),
+        "<[^>]*>", " "), " +", " "))
+    return (page.withColumn("main_text", main)
+            .select("doc_id", "main_text",
+                    F.length("page").cast("long").alias("page_chars"),
+                    F.length("main_text").cast("long").alias("main_chars"),
+                    F.round(F.lit(1.0) - F.length("main_text")
+                            / F.length("page").cast("double"), 6)
+                     .alias("boilerplate_ratio"))
+            .orderBy("doc_id"))
+
+
+# Canonicalization, shared by the mapping and dedup queries:
+# lowercase the host, strip the https default port, drop the
+# fragment, remove utm_* params case-insensitively (an array filter,
+# not a regex splice — param VALUES stay untouched), keep order.
+_SQL_CANON = """
+sp AS (SELECT doc_id, raw_url,
+              lower(COALESCE(regexp_extract(raw_url,
+                  '^https://([^/?#]+)', 1), '')) AS hostport,
+              COALESCE(regexp_extract(raw_url,
+                  '^https://[^/?#]+([^?#]*)', 1), '') AS path,
+              COALESCE(regexp_extract(raw_url, '\\?([^#]*)', 1), '')
+                AS query
+       FROM raw),
+canon AS (
+  SELECT doc_id, raw_url,
+         'https://' || regexp_replace(hostport, ':443$', '') || path ||
+         CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+  FROM (SELECT doc_id, raw_url, hostport, path,
+               array_to_string(list_filter(string_split(query, '&'),
+                   x -> x <> '' AND NOT starts_with(lower(x), 'utm_')),
+                   '&') AS kept
+        FROM sp))
+"""
+
+
+def _canon_col(url: F.Column) -> F.Column:
+    hostport = F.lower(F.regexp_extract(url, "^https://([^/?#]+)", 1))
+    path = F.regexp_extract(url, "^https://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.filter(F.split(query, "&"),
+                 lambda x: (x != "")
+                 & ~F.lower(x).startswith("utm_")), "&")
+    return F.concat(
+        F.lit("https://"), F.regexp_replace(hostport, ":443$", ""), path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)))
+
+
+@register("web_url_canonicalize", oracle=f"""
+WITH raw AS (SELECT doc_id, ({_SQL_RAW_URL}) AS raw_url FROM documents),
+{_SQL_CANON}
+SELECT doc_id, raw_url, canon_url FROM canon ORDER BY doc_id
+""", tags=("web", "url"))
+def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL CANONICALIZATION — the crawl-frontier identity rule:
+    lowercase the host, strip the scheme-default port, drop the
+    fragment, and remove utm_* tracking params case-insensitively
+    while preserving every other param (an array higher-order filter
+    over the split query string — values are never regex-spliced, so
+    a param VALUE containing 'utm_' survives). Per-row JVM
+    expressions, no shuffle; the same rules replay in DuckDB over the
+    same rendered raw URLs."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", _raw_url_col().alias("raw_url"))
+    return (raw.withColumn("canon_url", _canon_col(F.col("raw_url")))
+            .orderBy("doc_id"))
+
+
+@register("web_url_dedup", oracle=f"""
+WITH raw AS (SELECT doc_id, ({_SQL_RAW_URL}) AS raw_url FROM documents),
+{_SQL_CANON}
+SELECT canon_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon
+GROUP BY canon_url
+HAVING COUNT(*) > 1
+ORDER BY canon_url
+""", tags=("web", "url", "dedup"))
+def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICAL-URL dedup — the cheapest dedup tier of a crawl
+    pipeline, run before any content hashing: group documents by
+    canonical URL (distinct raw URLs that differ only in host case /
+    default port / fragment / tracking params collapse together) and
+    keep the first doc per group. Reports the colliding groups with
+    their keeper. One hash-keyed shuffle on the canonical string —
+    the 100 TB posture is identical to dedup_exact's."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = d.select(
+        "doc_id", _canon_col(_raw_url_col()).alias("canon_url"))
+    return (canon.groupBy("canon_url")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .filter(F.col("n_docs") > 1)
+            .orderBy("canon_url"))
+
+
+@register("web_link_graph", oracle=f"""
+WITH page AS (SELECT doc_id, source, ({_SQL_PAGE}) AS page FROM documents),
+links AS (SELECT doc_id, source,
+                 unnest(regexp_extract_all(page, 'href="([^"]*)"', 1))
+                   AS href
+          FROM page),
+hosts AS (SELECT 'www.' || source || '.example.com' AS src_host,
+                 CASE WHEN starts_with(href, 'https://')
+                      THEN regexp_replace(lower(COALESCE(regexp_extract(
+                               href, '^https://([^/?#]+)', 1), '')),
+                           ':443$', '')
+                      ELSE 'www.' || source || '.example.com' END AS dst_host
+          FROM links)
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM hosts
+GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
+""", tags=("web", "graph"))
+def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-LEVEL LINK GRAPH from the rendered pages: every href is
+    pulled with one regexp_extract_all pass (nav + related + footer),
+    relative links resolve against the page's own host, absolute
+    links contribute their canonicalized (lowercased, default-port-
+    stripped) target host, and edges aggregate to (src_host,
+    dst_host, n_links). This is the input surface for link-based
+    quality priors (graph_pagerank runs downstream on exactly this
+    shape). The only shuffle is the final host-pair aggregation —
+    host-pair cardinality, not page cardinality."""
+    d = load_table(spark, sf_dir, "documents")
+    page = d.select("doc_id", "source", _page_col().alias("page"))
+    own = F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+    links = page.select(
+        "source", own.alias("src_host"),
+        F.explode(F.regexp_extract_all(
+            F.col("page"), F.lit('href="([^"]*)"'), 1)).alias("href"))
+    dst = F.when(
+        F.col("href").startswith("https://"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col("href"),
+                                     "^https://([^/?#]+)", 1)),
+            ":443$", "")).otherwise(F.col("src_host"))
+    return (links.withColumn("dst_host", dst)
+            .groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n_links"))
+            .orderBy("src_host", "dst_host"))

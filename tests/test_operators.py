@@ -2984,3 +2984,44 @@ def test_minhash_keep_deletes_repromotes(spark):
     assert not any(dead(i) for i in repromoted)
     # live pre-delete survivors are exactly preserved
     assert {i for i in base if not dead(i)} <= dels
+
+
+def test_web_family_semantics(spark):
+    """web_html_extract must recover the ORIGINAL document text from
+    the rendered page (whitespace-normalized — the extraction's own
+    collapse rule); web_url_dedup groups must collapse exactly the
+    doc_id % 40 residue classes (path mod 40; host mod 5 is implied
+    since 5 | 40) and never
+    a pair the tracking params alone distinguish; web_link_graph's
+    out-hosts per source must be its own www host plus cdn hosts."""
+    import re
+
+    from integrator_spark.registry import get_queries
+
+    from .conftest import TEST_SF_DIR
+
+    qs = get_queries()
+    orig = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    ext = {r.doc_id: r.main_text for r in
+           qs["web_html_extract"](spark, TEST_SF_DIR).collect()}
+    assert ext.keys() == orig.keys()
+    for i, t in orig.items():
+        assert ext[i] == re.sub(" +", " ", t).strip(), i
+    groups = qs["web_url_dedup"](spark, TEST_SF_DIR).collect()
+    assert groups
+    canon = {r.doc_id: r.canon_url for r in
+             qs["web_url_canonicalize"](spark, TEST_SF_DIR).collect()}
+    for g in groups:
+        members = [i for i, c in canon.items() if c == g.canon_url]
+        assert len(members) == g.n_docs and min(members) == g.keep_doc_id
+        assert len({i % 40 for i in members}) == 1
+        assert g.canon_url == g.canon_url.lower()
+        assert "utm" not in g.canon_url and "#" not in g.canon_url
+    edges = qs["web_link_graph"](spark, TEST_SF_DIR).collect()
+    for e in edges:
+        assert e.src_host.startswith("www.") and ":" not in e.dst_host
+        assert e.dst_host == e.dst_host.lower()
+    assert any(e.dst_host.startswith("cdn.") for e in edges)
+    assert any(e.src_host == e.dst_host for e in edges)  # nav/footer self
