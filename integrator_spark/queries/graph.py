@@ -41,19 +41,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str,
             .filter(F.col("w") >= min_weight).select("s", "d"))
 
 
-def _pagerank_oracle_sql(damping: float = 0.85, iterations: int = 10,
-                         limit: int = 50) -> str:
-    """Unrolled power-iteration oracle (graduated graph_pagerank from
-    rows-only in round 8, VERDICT r7 item 5b): the iteration count is
-    FIXED, so instead of fighting recursive-CTE aggregate restrictions
-    the oracle chains one (contrib, dangling, rank) CTE triple per
-    iteration — each triple mirrors the operator's round verbatim
-    (contrib = SUM(rank/deg) per dst, dangling mass folded back
-    uniformly, rank = (1-d)/n + d*(contrib + dang/n)). Per-term
-    arithmetic is IEEE-identical across engines (same doubles divided
-    by the same integer degrees); only the sum ORDER differs, ~1e-16
-    noise against the final ROUND(rank, 9) half-grid at 5e-10 — the
-    same coarse-grid-over-noise discipline as the registry header."""
+def pagerank_iter_ctes(damping: float = 0.85,
+                       iterations: int = 10) -> list[str]:
+    """The unrolled power-iteration CTE triples, generic over node
+    type — expects CTEs ``e(s, d)``, ``nodes(node)``, ``nn(n)``,
+    ``outdeg(s, deg)`` and ``r0(node, rank)`` upstream. Shared by
+    graph_pagerank (long doc ids) and web_host_rank (host strings)."""
     d, od = damping, 1.0 - damping
     its = []
     for i in range(1, iterations + 1):
@@ -72,6 +65,23 @@ c{i} AS MATERIALIZED (
                                   + g.dang / nn.n) AS rank
   FROM nodes n LEFT JOIN c{i} c ON c.node = n.node, g{i} g, nn
 )""")
+    return its
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, iterations: int = 10,
+                         limit: int = 50) -> str:
+    """Unrolled power-iteration oracle (graduated graph_pagerank from
+    rows-only in round 8, VERDICT r7 item 5b): the iteration count is
+    FIXED, so instead of fighting recursive-CTE aggregate restrictions
+    the oracle chains one (contrib, dangling, rank) CTE triple per
+    iteration — each triple mirrors the operator's round verbatim
+    (contrib = SUM(rank/deg) per dst, dangling mass folded back
+    uniformly, rank = (1-d)/n + d*(contrib + dang/n)). Per-term
+    arithmetic is IEEE-identical across engines (same doubles divided
+    by the same integer degrees); only the sum ORDER differs, ~1e-16
+    noise against the final ROUND(rank, 9) half-grid at 5e-10 — the
+    same coarse-grid-over-noise discipline as the registry header."""
+    its = pagerank_iter_ctes(damping, iterations)
     return f"""
 WITH words AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS MATERIALIZED (SELECT DISTINCT doc_id,

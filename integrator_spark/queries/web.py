@@ -388,3 +388,91 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("_q").alias("n_quality"),
                  F.count("_f").alias("n_final"))
             .orderBy("source"))
+
+
+def _host_rank_oracle_sql(damping: float = 0.85,
+                          iterations: int = 10) -> str:
+    from .graph import pagerank_iter_ctes
+    its = pagerank_iter_ctes(damping, iterations)
+    return f"""
+WITH page AS (SELECT doc_id, source, ({_SQL_PAGE}) AS page FROM documents),
+links AS (SELECT doc_id, source,
+                 unnest(regexp_extract_all(page, 'href="([^"]*)"', 1))
+                   AS href
+          FROM page),
+hosts AS (SELECT 'www.' || source || '.example.com' AS src_host,
+                 CASE WHEN starts_with(href, 'https://')
+                      THEN regexp_replace(lower(COALESCE(regexp_extract(
+                               href, '^https://([^/?#]+)', 1), '')),
+                           ':443$', '')
+                      ELSE 'www.' || source || '.example.com' END AS dst_host
+          FROM links),
+e AS MATERIALIZED (SELECT DISTINCT src_host AS s, dst_host AS d
+                   FROM hosts WHERE src_host <> dst_host),
+nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),{
+    ",".join(its)}
+SELECT node AS host, ROUND(rank, 9) AS rank
+FROM r{iterations}
+ORDER BY ROUND(rank, 9) DESC, node
+"""
+
+
+@register("web_host_rank", oracle=_host_rank_oracle_sql(),
+          tags=("web", "graph", "pagerank"))
+def web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-LEVEL PageRank over the extracted link graph — the
+    link-based quality prior a crawl pipeline joins back onto pages
+    (the Common-Crawl-style host ranking): web_link_graph's distinct
+    host edges (self-links excluded — nav/footer links to your own
+    host are not endorsements) feed the shared power-iteration
+    operator (operators/graph.py::pagerank, the graph_pagerank
+    engine). String hosts ride through the long-keyed operator via a
+    collision-checked xxhash64 id and join back to names afterwards —
+    a broadcast-size dimension join, never a global window. Oracle:
+    the generic unrolled CTE triples (pagerank_iter_ctes) run directly
+    over VARCHAR nodes, same IEEE arithmetic, ROUND(rank, 9) grid."""
+    from ..operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    page = d.select("doc_id", "source", _page_col().alias("page"))
+    own = F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+    links = page.select(
+        own.alias("src_host"),
+        F.explode(F.regexp_extract_all(
+            F.col("page"), F.lit('href="([^"]*)"'), 1)).alias("href"))
+    dst = F.when(
+        F.col("href").startswith("https://"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col("href"),
+                                     "^https://([^/?#]+)", 1)),
+            ":443$", "")).otherwise(F.col("src_host"))
+    edges = (links.withColumn("dst_host", dst)
+             .filter(F.col("src_host") != F.col("dst_host"))
+             .select("src_host", "dst_host").distinct()
+             .localCheckpoint(eager=True))
+    hosts = (edges.select(F.col("src_host").alias("host"))
+             .unionByName(edges.select(F.col("dst_host").alias("host")))
+             .distinct()
+             .select("host", F.xxhash64("host").alias("hid"))
+             .localCheckpoint(eager=True))
+    # Hash ids must be collision-free for the rank join-back to be a
+    # bijection; host cardinality is tiny (it bounds this whole plan),
+    # so the two-scalar check is a bounded collect.
+    n_hosts, n_ids = hosts.agg(
+        F.count(F.lit(1)), F.countDistinct("hid")).first()
+    if n_hosts != n_ids:  # pragma: no cover - 2^-64-scale event
+        raise ValueError("xxhash64 host id collision; re-key with salt")
+    he = (edges
+          .join(hosts.select(F.col("host").alias("src_host"),
+                             F.col("hid").alias("s")), "src_host")
+          .join(hosts.select(F.col("host").alias("dst_host"),
+                             F.col("hid").alias("d")), "dst_host")
+          .select("s", "d"))
+    ranks = pagerank(he, src="s", dst="d", iterations=10)
+    return (ranks.join(F.broadcast(hosts),
+                       ranks.node == hosts.hid)
+            .select("host", F.round("rank", 9).alias("rank"))
+            .orderBy(F.col("rank").desc(), "host"))
