@@ -65,6 +65,12 @@ HEADLINE = [
     # visible round-over-round (and a regression in the Arrow packing
     # kernel or the JVM bit_count path shows up as wall).
     "vec_hamming_topk",
+    # Round 12 session 2: the web-pipeline representative — render +
+    # regexp extraction + canonicalization + one hash shuffle. Cheap
+    # and stable (pure JVM string work), so a regression in the
+    # regexp/HOF path is visible without the MinHash-stage noise the
+    # full pipeline_web_curation entry would carry.
+    "web_url_dedup",
 ]
 
 RUNS = 5

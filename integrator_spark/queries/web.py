@@ -359,9 +359,15 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     canon = d.select("doc_id", _canon_col(_raw_url_col()).alias("canon_url"))
     wk = Window.partitionBy("canon_url")
+    # The funnel report joins each stage set back to the fact, so the
+    # stage OUTPUTS (tiny doc_id lists) are pinned with eager
+    # localCheckpoints — without them Catalyst re-runs the render +
+    # extraction subtree once per consumer (3x for url_keep: alone,
+    # under quality, and under final; measured 10.8 s -> pinned
+    # version re-measured below at sf0.1).
     url_keep = (canon.withColumn("_k", F.min("doc_id").over(wk))
                 .filter(F.col("doc_id") == F.col("_k"))
-                .select("doc_id"))
+                .select("doc_id").localCheckpoint(eager=True))
     page = d.select("doc_id", _page_col().alias("page"))
     main = F.trim(F.regexp_replace(F.regexp_replace(
         F.regexp_extract(F.col("page"), "<article>(.*)</article>", 1),
@@ -369,14 +375,15 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (page.join(url_keep, "doc_id", "left_semi")
                .withColumn("main_text", main)
                .filter(F.size(F.split("main_text", " ")) >= 25)
-               .select("doc_id"))
+               .select("doc_id").localCheckpoint(eager=True))
     eligible = d.join(quality, "doc_id", "left_semi")
     losers = (minhash_det_pairs(eligible, k=3, n_hashes=16, n_bands=4,
                                 max_band_freq=50)
               .filter(F.col("n_equal") >= 12)
               .select(F.col("d2").alias("doc_id"))
               .distinct())
-    final = eligible.join(losers, "doc_id", "left_anti").select("doc_id")
+    final = (eligible.join(losers, "doc_id", "left_anti")
+             .select("doc_id").localCheckpoint(eager=True))
     mark = lambda s, name: s.withColumn(name, F.lit(1))  # noqa: E731
     return (d.select("doc_id", "source")
             .join(mark(url_keep, "_u"), "doc_id", "left")
@@ -420,20 +427,9 @@ ORDER BY ROUND(rank, 9) DESC, node
 """
 
 
-@register("web_host_rank", oracle=_host_rank_oracle_sql(),
-          tags=("web", "graph", "pagerank"))
-def web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HOST-LEVEL PageRank over the extracted link graph — the
-    link-based quality prior a crawl pipeline joins back onto pages
-    (the Common-Crawl-style host ranking): web_link_graph's distinct
-    host edges (self-links excluded — nav/footer links to your own
-    host are not endorsements) feed the shared power-iteration
-    operator (operators/graph.py::pagerank, the graph_pagerank
-    engine). String hosts ride through the long-keyed operator via a
-    collision-checked xxhash64 id and join back to names afterwards —
-    a broadcast-size dimension join, never a global window. Oracle:
-    the generic unrolled CTE triples (pagerank_iter_ctes) run directly
-    over VARCHAR nodes, same IEEE arithmetic, ROUND(rank, 9) grid."""
+def _host_rank_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, rank) over the extracted link graph — the shared body
+    of web_host_rank and web_quality_prior."""
     from ..operators.graph import pagerank
 
     d = load_table(spark, sf_dir, "documents")
@@ -474,5 +470,60 @@ def web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(he, src="s", dst="d", iterations=10)
     return (ranks.join(F.broadcast(hosts),
                        ranks.node == hosts.hid)
-            .select("host", F.round("rank", 9).alias("rank"))
+            .select("host", F.round("rank", 9).alias("rank")))
+
+
+@register("web_host_rank", oracle=_host_rank_oracle_sql(),
+          tags=("web", "graph", "pagerank"))
+def web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-LEVEL PageRank over the extracted link graph — the
+    link-based quality prior a crawl pipeline joins back onto pages
+    (the Common-Crawl-style host ranking): web_link_graph's distinct
+    host edges (self-links excluded — nav/footer links to your own
+    host are not endorsements) feed the shared power-iteration
+    operator (operators/graph.py::pagerank, the graph_pagerank
+    engine). String hosts ride through the long-keyed operator via a
+    collision-checked xxhash64 id and join back to names afterwards —
+    a broadcast-size dimension join, never a global window. Oracle:
+    the generic unrolled CTE triples (pagerank_iter_ctes) run directly
+    over VARCHAR nodes, same IEEE arithmetic, ROUND(rank, 9) grid."""
+    return (_host_rank_df(spark, sf_dir)
             .orderBy(F.col("rank").desc(), "host"))
+
+
+@register("web_quality_prior", oracle=_host_rank_oracle_sql().replace(
+    """SELECT node AS host, ROUND(rank, 9) AS rank
+FROM r10
+ORDER BY ROUND(rank, 9) DESC, node
+""", """SELECT d.doc_id,
+       regexp_replace(lower(COALESCE(regexp_extract(({_RAW}),
+           '^https://([^/?#]+)', 1), '')), ':443$', '') AS out_host,
+       ROUND(r.rank, 9) AS out_host_rank
+FROM documents d
+JOIN r10 r ON r.node = regexp_replace(lower(COALESCE(regexp_extract(
+         ({_RAW}), '^https://([^/?#]+)', 1), '')), ':443$', '')
+ORDER BY doc_id
+""".replace("{_RAW}", _SQL_RAW_URL)),
+    tags=("web", "graph", "pagerank", "mlprep"))
+def web_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT link-quality prior — the join a corpus build
+    actually runs: each document carries the PageRank of the host its
+    content link points to (out_host = the canonicalized related-link
+    host), the CCNet/RefinedWeb-style signal used to weight or gate
+    pages from low-authority neighborhoods. The rank table is
+    host-cardinality (tiny), so it broadcasts onto the fact scan —
+    one map-side join, no extra shuffle at any corpus size. Oracle:
+    the same unrolled power-iteration chain joined back through the
+    identical host-canonicalization expression."""
+    ranks = _host_rank_df(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    out_host = F.regexp_replace(
+        F.lower(F.regexp_extract(_raw_url_col(),
+                                 "^https://([^/?#]+)", 1)),
+        ":443$", "")
+    return (d.select("doc_id", out_host.alias("out_host"))
+            .join(F.broadcast(ranks),
+                  F.col("out_host") == F.col("host"))
+            .select("doc_id", "out_host",
+                    F.col("rank").alias("out_host_rank"))
+            .orderBy("doc_id"))
