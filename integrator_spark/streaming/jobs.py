@@ -1808,6 +1808,40 @@ def stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # overwrite, strictly-below probes, id-ordered arrival makes the
 # streamed survivor set EQUAL the batch keep-first oracle).
 
+def _stage_id_ordered_doc_files(spark: SparkSession, sf_dir: str,
+                                dirname: str, n_files: int = 5) -> str:
+    """Stage the documents fixture as ``n_files`` id-ordered,
+    mtime-pinned parquet files (one per micro-batch under
+    maxFilesPerTrigger=1) — shared by stream_image_dedup and
+    stream_url_dedup. Fingerprinted against the fixture so re-runs
+    reuse the staging."""
+    import shutil
+    import time as _time
+
+    fixture = os.path.join(sf_dir, "documents.parquet")
+    src_dir = derived_dir(sf_dir, dirname)
+    if not _fingerprint_ok(src_dir, fixture):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        os.makedirs(src_dir, exist_ok=True)
+        d = spark.read.parquet(fixture).select("doc_id")
+        hi = d.agg(F.max("doc_id")).first()[0]
+        step = ((int(hi) + 1) + n_files - 1) // n_files if hi is not None else 1
+        base = _time.time() - 600
+        for i in range(n_files):
+            part = d.filter((F.col("doc_id") >= i * step)
+                            & (F.col("doc_id") < (i + 1) * step))
+            tmp = os.path.join(src_dir, f"_tmp_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src_file = next(f for f in os.listdir(tmp)
+                            if f.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, src_file), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (base + 60 * i, base + 60 * i))
+        _write_fingerprint(src_dir, fixture)
+    return src_dir
+
+
 def _imgdedup_process_batch(batch_df: DataFrame, batch_id: int,
                             codes_dir: str, chunks_dir: str,
                             out_dir: str, radius: int = 6) -> None:
@@ -1925,28 +1959,8 @@ def stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     ensure_runtime_confs(spark)
-    fixture = os.path.join(sf_dir, "documents.parquet")
-    src_dir = derived_dir(sf_dir, "imgdedup_stream_src")
-    if not _fingerprint_ok(src_dir, fixture):
-        shutil.rmtree(src_dir, ignore_errors=True)
-        os.makedirs(src_dir, exist_ok=True)
-        d = spark.read.parquet(fixture).select("doc_id")
-        hi = d.agg(F.max("doc_id")).first()[0]
-        n_files = 5
-        step = ((int(hi) + 1) + n_files - 1) // n_files if hi is not None else 1
-        base = _time.time() - 600
-        for i in range(n_files):
-            part = d.filter((F.col("doc_id") >= i * step)
-                            & (F.col("doc_id") < (i + 1) * step))
-            tmp = os.path.join(src_dir, f"_tmp_{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src_file = next(f for f in os.listdir(tmp)
-                            if f.endswith(".parquet"))
-            dst = os.path.join(src_dir, f"{i:02d}.parquet")
-            shutil.move(os.path.join(tmp, src_file), dst)
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(dst, (base + 60 * i, base + 60 * i))
-        _write_fingerprint(src_dir, fixture)
+    src_dir = _stage_id_ordered_doc_files(spark, sf_dir,
+                                          "imgdedup_stream_src")
 
     state_root = derived_dir(sf_dir, "imgdedup_stream_state")
     _reap_stale_checkpoints(state_root, "run")
@@ -1964,6 +1978,131 @@ def stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def process(batch_df: DataFrame, batch_id: int) -> None:
         _imgdedup_process_batch(batch_df, batch_id,
                                 codes_dir, chunks_dir, out_dir)
+
+    q = (raw.writeStream
+         .foreachBatch(process)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], "doc_id long")
+    return (spark.read.parquet(os.path.join(out_dir, "batch=*"))
+            .select("doc_id").orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# Streaming CRAWL FRONTIER (round 12, continuation session): canonical-
+# URL dedup as an incremental stream — the cheapest dedup tier of a
+# crawl pipeline (web_url_dedup's rule) under the stream_image_dedup /
+# stream_semantic_dedup store discipline.
+
+def _urldedup_process_batch(batch_df: DataFrame, batch_id: int,
+                            frontier_dir: str, out_dir: str) -> None:
+    """One stream_url_dedup trigger, exactly-once under replay: derive
+    the batch's canonical URLs (pure column work — no fetch, no
+    Python), drop same-batch docs whose canonical URL appears at a
+    lower id, anti-join the accumulated FRONTIER store (canonical
+    URLs of every prior batch), then write survivors + the batch's
+    own frontier partition with overwrite. Prior-batch probes read
+    STRICTLY BELOW this batch id, so a crash-replayed trigger never
+    probes its own half-written partition."""
+    from pyspark.sql import Window
+
+    from ..queries.web import _canon_col, _raw_url_col
+
+    w = Window.partitionBy("canon_url")
+    batch = (batch_df
+             .select("doc_id", _canon_col(_raw_url_col())
+                     .alias("canon_url"))
+             .localCheckpoint(eager=True))
+    firsts = (batch.withColumn("_k", F.min("doc_id").over(w))
+              .filter(F.col("doc_id") == F.col("_k"))
+              .select("doc_id", "canon_url"))
+    prior = _semdedup_prior_batches(frontier_dir, batch_id)
+    if prior:
+        seen = batch_df.sparkSession.read.parquet(*prior)
+        firsts = firsts.join(seen.select("canon_url"),
+                             "canon_url", "left_anti")
+    (firsts.select("doc_id")
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+    (batch.select("canon_url").distinct()
+     .write.mode("overwrite")
+     .parquet(os.path.join(frontier_dir, f"batch={batch_id}")))
+
+
+@register("stream_url_dedup", oracle="""
+WITH raw AS (SELECT doc_id,
+  'https://'
+  || CASE WHEN doc_id % 2 = 1
+          THEN upper('cdn.src' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.example.com')
+          ELSE 'cdn.src' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.com' END
+  || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+  || '/doc/' || CAST(doc_id % 40 AS VARCHAR)
+  || '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
+  || '&UTM_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+  || '&utm_content=' || CAST(doc_id AS VARCHAR)
+  || CASE WHEN doc_id % 4 = 2 THEN '#sec2' ELSE '' END AS raw_url
+  FROM documents),
+sp AS (SELECT doc_id, raw_url,
+              lower(COALESCE(regexp_extract(raw_url,
+                  '^https://([^/?#]+)', 1), '')) AS hostport,
+              COALESCE(regexp_extract(raw_url,
+                  '^https://[^/?#]+([^?#]*)', 1), '') AS path,
+              COALESCE(regexp_extract(raw_url, '\\?([^#]*)', 1), '')
+                AS query
+       FROM raw),
+canon AS (
+  SELECT doc_id,
+         'https://' || regexp_replace(hostport, ':443$', '') || path ||
+         CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+  FROM (SELECT doc_id, hostport, path,
+               array_to_string(list_filter(string_split(query, '&'),
+                   x -> x <> '' AND NOT starts_with(lower(x), 'utm_')),
+                   '&') AS kept
+        FROM sp))
+SELECT doc_id FROM (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY canon_url) AS k
+  FROM canon)
+WHERE doc_id = k
+ORDER BY doc_id
+""", tags=("streaming", "dedup", "web", "url"))
+def stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING canonical-URL dedup — the crawl FRONTIER as an
+    incremental stream: documents arrive in 5 id-ordered
+    micro-batches; each trigger canonicalizes ONLY its batch's URLs,
+    keeps same-batch firsts, anti-joins the accumulated frontier
+    store (canonical URLs of all prior batches), and appends both the
+    survivors and its own frontier partition. Id-ordered arrival
+    makes the streamed survivor set EQUAL the batch keep-first rule
+    (web_url_dedup's min-doc_id-per-canon), which the oracle replays
+    in one window. Scale shape per trigger: |batch| string work + one
+    hash-keyed anti-join against the frontier — the frontier is only
+    ever probed by equality, never scanned pairwise, and the store
+    grows by |batch distinct| canonical strings per trigger. Replay
+    idempotence pinned by test_urldedup_batch_replay_is_idempotent."""
+    import shutil
+
+    ensure_runtime_confs(spark)
+    src_dir = _stage_id_ordered_doc_files(spark, sf_dir,
+                                          "urldedup_stream_src")
+    state_root = derived_dir(sf_dir, "urldedup_stream_state")
+    _reap_stale_checkpoints(state_root, "run")
+    work = os.path.join(state_root, f"run_pid{os.getpid()}")
+    shutil.rmtree(work, ignore_errors=True)
+    frontier_dir = os.path.join(work, "frontier")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "_ckpt")
+
+    raw = (spark.readStream.schema("doc_id long")
+           .option("maxFilesPerTrigger", "1")
+           .parquet(src_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _urldedup_process_batch(batch_df, batch_id, frontier_dir, out_dir)
 
     q = (raw.writeStream
          .foreachBatch(process)

@@ -513,3 +513,36 @@ def test_imgdedup_batch_replay_is_idempotent(spark, tmp_path):
     _imgdedup_process_batch(b1, 1, codes, chunks, out)
     assert read_out() == want
     assert spark.read.parquet(out + "/batch=1").count() > 0
+
+
+def test_urldedup_batch_replay_is_idempotent(spark, tmp_path):
+    # Crawl-frontier crash-replay contract: a replayed batch's own
+    # frontier partition is already on disk; probes read strictly-
+    # below batch ids only, else every replayed doc's canonical URL
+    # self-matches and the output partition rewrites empty.
+    from pyspark.sql import functions as F
+
+    from integrator_spark.io import load_table
+    from integrator_spark.streaming.jobs import _urldedup_process_batch
+
+    # batch 1 (docs 40-79) repeats every canonical class batch 0
+    # introduced (classes are doc_id % 40), so ALL of batch 1 are
+    # cross-batch losers — the case most sensitive to self-probing.
+    d = load_table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id").filter(F.col("doc_id") < 80)
+    b0 = d.filter(F.col("doc_id") < 40)
+    b1 = d.filter(F.col("doc_id") >= 40)
+    frontier, out = str(tmp_path / "frontier"), str(tmp_path / "out")
+    _urldedup_process_batch(b0, 0, frontier, out)
+    _urldedup_process_batch(b1, 1, frontier, out)
+
+    def read_out():
+        return sorted(r.doc_id for r in
+                      spark.read.parquet(out + "/batch=*").collect())
+
+    want = read_out()
+    assert want == list(range(40))  # batch-0 firsts only
+    _urldedup_process_batch(b1, 1, frontier, out)
+    assert read_out() == want
+    # frontier store carries batch 1's (identical) canon set
+    assert spark.read.parquet(frontier + "/batch=1").count() == 40
