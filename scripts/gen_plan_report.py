@@ -44,6 +44,11 @@ FAMILY_REPS = [
     # sampled-source harmonic centrality
     "vec_hamming_topk", "vec_hamming_mih", "ml_ridge", "ml_tree_stump",
     "vec_ann_graph_det", "graph_harmonic",
+    # round-12 continuation: the tombstone-matrix and web-pipeline
+    # representatives — delete consolidation (splice join keyed on the
+    # deleted id), the web curation funnel, and the host-rank prior
+    "vec_ann_graph_det_deletes", "pipeline_web_curation",
+    "web_host_rank",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
