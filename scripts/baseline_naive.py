@@ -148,12 +148,50 @@ def vec_knn(sf):
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
 
 
+def web_url_dedup(sf):
+    # The naive form a user ports from a single-machine crawler: a
+    # row-at-a-time Python UDF around urllib.parse per URL, then the
+    # same canonical-key groupBy. (The engine's face is pure JVM
+    # regexp + HOF array filters.) The rendered raw URL uses the same
+    # doc_id residue rules as integrator_spark/queries/web.py.
+    from urllib.parse import parse_qsl, urlencode, urlsplit
+
+    d = _t(sf, "documents")
+
+    @F.udf("string")
+    def canon(url):
+        p = urlsplit(url)
+        host = p.netloc.lower()
+        if host.endswith(":443"):
+            host = host[:-4]
+        q = [(k, v) for k, v in parse_qsl(p.query)
+             if not k.lower().startswith("utm_")]
+        qs = ("?" + urlencode(q)) if q else ""
+        return f"{p.scheme}://{host}{p.path}{qs}"
+
+    ref = (F.col("doc_id") % 40).cast("string")
+    cdn = F.concat(F.lit("cdn.src"), (F.col("doc_id") % 5).cast("string"),
+                   F.lit(".example.com"))
+    cdn = F.when(F.col("doc_id") % 2 == 1, F.upper(cdn)).otherwise(cdn)
+    port = F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit(""))
+    frag = F.when(F.col("doc_id") % 4 == 2, F.lit("#sec2")).otherwise(F.lit(""))
+    raw = F.concat(F.lit("https://"), cdn, port, F.lit("/doc/"), ref,
+                   F.lit("?utm_source=feed&id="), ref,
+                   F.lit("&UTM_campaign=c"), (F.col("doc_id") % 3).cast("string"),
+                   F.lit("&utm_content="), F.col("doc_id").cast("string"), frag)
+    return (d.select("doc_id", canon(raw).alias("canon_url"))
+            .groupBy("canon_url")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
 QUERIES = {
     "q1_pricing_summary": q1, "q3_top_orders": q3, "q5_nation_revenue": q5,
     "agg_distinct": agg_distinct, "window_topn": window_topn,
     "rollup_revenue": rollup_revenue, "events_tumbling": events_tumbling,
     "events_json": events_json, "docs_wordcount": docs_wordcount,
-    "vec_knn": vec_knn,
+    "vec_knn": vec_knn, "web_url_dedup": web_url_dedup,
 }
 
 if __name__ == "__main__":
