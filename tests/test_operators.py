@@ -3045,3 +3045,63 @@ def test_web_curation_funnel_monotone(spark):
     tot = [sum(r[c] for r in rows)
            for c in ("n_total", "n_url_unique", "n_quality", "n_final")]
     assert tot[0] > tot[1] > tot[2] >= tot[3], tot
+
+
+def test_web_canon_fuzz_vs_python_reference(spark):
+    """_canon_col vs an independent Python implementation of the
+    documented rules (lowercase host, strip :443, drop fragment,
+    drop utm_* params case-insensitively, preserve everything else
+    in order) over 200 seeded-random URLs: mixed-case hosts/schemes
+    in the host part, explicit and default ports, params named
+    'utm_x'/'UTM_X'/'xutm_a'/'a', VALUES containing 'utm_', empty
+    segments from '&&', and valueless params."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from integrator_spark.queries.web import _canon_col
+
+    rng = random.Random(712)
+    hosts = ["Example.COM", "cdn.SRC3.example.com", "a.b",
+             "WWW.X.ORG:443", "x.y:8080", "h.z:443"]
+    params = ["utm_source=feed", "UTM_Campaign=C1", "xutm_a=1",
+              "id=7", "ref=utm_weird", "a=b=c", "flag", "q=utm_",
+              "", "Utm_term=z"]
+    urls = []
+    for _ in range(200):
+        h = rng.choice(hosts)
+        path = rng.choice(["", "/", "/doc/5", "/A/B.html"])
+        ps = [rng.choice(params) for _ in range(rng.randint(0, 4))]
+        q = ("?" + "&".join(ps)) if ps else ""
+        frag = rng.choice(["", "#x", "#sec2"])
+        urls.append(f"https://{h}{path}{q}{frag}")
+
+    def py_canon(url):
+        rest = url[len("https://"):]
+        cut = len(rest)
+        for ch in "/?#":
+            if ch in rest:
+                cut = min(cut, rest.index(ch))
+        hostport, tail = rest[:cut].lower(), rest[cut:]
+        if hostport.endswith(":443"):
+            hostport = hostport[:-4]
+        path = tail
+        for ch in "?#":
+            if ch in path:
+                path = path[:path.index(ch)]
+        query = ""
+        if "?" in tail:
+            query = tail[tail.index("?") + 1:]
+            if "#" in query:
+                query = query[:query.index("#")]
+        kept = [p for p in query.split("&")
+                if p != "" and not p.lower().startswith("utm_")]
+        return ("https://" + hostport + path
+                + (("?" + "&".join(kept)) if kept else ""))
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, raw string")
+    got = {r.i: r.c for r in
+           df.select("i", _canon_col(F.col("raw")).alias("c")).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == py_canon(u), (u, got[i], py_canon(u))
