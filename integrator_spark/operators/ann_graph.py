@@ -317,13 +317,19 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
             .select("src", F.col("nid").alias("dst")))
 
     if use_cell:
-        from .ivf import ivf_assign, train_centroids
+        from .ivf import bounded_sample_matrix, ivf_assign, train_centroids
 
         n_cells = max(16, min(4096, n // 256))
+        # n is already counted above — skip the trainer's count pass.
+        _mat = bounded_sample_matrix(emb.select(F.col(id_col),
+                                                F.col(vec_col)),
+                                     min(100_000, n), id_col=id_col,
+                                     vec_col=vec_col, n_rows=n)
         cent = train_centroids(emb.select(F.col(id_col), F.col(vec_col)),
                                n_clusters=n_cells,
                                sample_rows=min(100_000, n), iters=10,
-                               id_col=id_col, vec_col=vec_col, seed=seed)
+                               id_col=id_col, vec_col=vec_col, seed=seed,
+                               sample_mat=_mat)
         # n_assign=2: each node also draws from its SECOND-nearest cell,
         # so edges form across adjacent sub-cells of the same latent
         # cluster — without them the graph is navigable only within one

@@ -31,10 +31,18 @@ _log = logging.getLogger(__name__)
 _warned_fallback = False
 
 
-def truncated_checkpoint(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint + Catalyst-stats reset (see module doc)."""
+def truncated_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Eager localCheckpoint + Catalyst-stats reset (see module doc).
+
+    ``eager=False`` defers materialization to the first downstream
+    action while still truncating lineage and resetting stats: the
+    checkpointed RDD is persisted on first computation, so a frame
+    referenced from SEVERAL branches of one downstream plan (e.g. the
+    keep-list joined twice per k-core peel round) is still computed
+    once — without paying a separate driver action/job barrier per
+    loop round to materialize it."""
     global _warned_fallback
-    ck = df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=eager)
     spark = df.sparkSession
     try:
         jdf = ck._jdf

@@ -1317,18 +1317,25 @@ def semantic_pairs_ivf(emb: DataFrame, threshold: float = 0.45,
     bounded sample collect eagerly). Callers that need a fully lazy
     build pass ``n_clusters`` explicitly and accept the quantizer
     collect on first action."""
-    from .ivf import ivf_assign, train_centroids
+    from .ivf import bounded_sample_matrix, ivf_assign, train_centroids
 
+    n = None
     if n_clusters is None:
         # ~64 vectors per cell, floor 2, modest cap: measured 1.0
         # recall at both committed fixtures (7/7 at 50 rows with 2
         # cells, 14/14 at 500 rows with 7 cells). Callers at real
         # corpus scale pass n_clusters explicitly (~sqrt(n), the
         # usual IVF sizing) — the cap only governs the default.
-        n_clusters = max(2, min(256, emb.count() // 64))
+        n = emb.count()
+        n_clusters = max(2, min(256, n // 64))
     n_assign = min(n_assign, n_clusters)
+    # Fused sample: the sizing count above (when taken) is reused, so
+    # the quantizer costs one bounded collect instead of count+collect.
+    _mat = bounded_sample_matrix(emb, 100_000, id_col=id_col,
+                                 vec_col=vec_col, n_rows=n)
     cent = train_centroids(emb, n_clusters=n_clusters,
-                           id_col=id_col, vec_col=vec_col)
+                           id_col=id_col, vec_col=vec_col,
+                           sample_mat=_mat)
     assigned = ivf_assign(emb, cent, n_assign=n_assign,
                           id_col=id_col, vec_col=vec_col)
     if max_bucket_rows is not None:

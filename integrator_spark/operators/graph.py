@@ -247,27 +247,36 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int | None = 6,
 
     def peel_round(cur: DataFrame) -> DataFrame:
         deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        # eager=False: the keep list is still checkpointed (lineage +
+        # stats truncated, computed once — both joins reference the
+        # same persisted RDD) but materializes inside the cur-
+        # checkpoint action below instead of as its own job barrier —
+        # one driver round trip per peel instead of two (guide §1.2:
+        # the loop's wall at bench scale is job-count-bound).
         keep = truncated_checkpoint(
-            deg.filter(F.col("deg") >= k).select("s"))
+            deg.filter(F.col("deg") >= k).select("s"), eager=False)
         return truncated_checkpoint(
             cur.join(keep, "s")
             .join(keep.select(F.col("s").alias("d")), "d")
             .select("s", "d"))
 
     if rounds is None:
-        prev_sig = None
+        prev_n = None
         while True:
             cur = peel_round(cur)
-            row = cur.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum(F.xxhash64("s", "d")
-                                 .cast("decimal(38,0)")),
-                           F.lit(0).cast("decimal(38,0)")).alias("h")
-            ).collect()[0]
-            sig = (row.n, row.h)
-            if sig == prev_sig:
+            # Peeling is MONOTONE and each round's output is a row-
+            # subset of its input, so an unchanged COUNT already
+            # implies an unchanged edge set — the count alone is the
+            # fixed-point test (the previous (count, xxhash64-sum)
+            # signature hashed every surviving edge each round for a
+            # second component that can never disagree when the first
+            # matches; dropped per guide §2.3 — don't compute bytes
+            # you throw away). The count scans the partitions the
+            # checkpoint just cached, so the test job is cheap.
+            n = cur.count()
+            if n == prev_n:
                 break
-            prev_sig = sig
+            prev_n = n
     else:
         for _ in range(rounds):
             cur = peel_round(cur)

@@ -42,19 +42,28 @@ from .knn import _chunked_topk_rows, _collect_matrix
 def train_centroids(emb: DataFrame, n_clusters: int = 256,
                     sample_rows: int = 100_000, iters: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    seed: int = 42) -> np.ndarray:
+                    seed: int = 42,
+                    sample_mat: np.ndarray | None = None) -> np.ndarray:
     """Deterministic Lloyd k-means on a hash-sampled, driver-bounded
     subset; returns L2-normalized centroids [n_clusters, dim].
 
     The sample filter is modulo-on-id (engine-portable, no RNG); the
     driver holds sample_rows × dim float64 — a documented bounded
-    collect, NOT corpus-sized."""
-    n = emb.count()
-    if n == 0:
-        raise ValueError("train_centroids: empty input DataFrame")
-    every = max(1, -(-n // sample_rows))          # ceil: keeps <= sample_rows
-    sample = emb.filter(F.col(id_col) % every == 0).select(id_col, vec_col)
-    _ids, mat = _collect_matrix(sample, id_col, vec_col)  # normalized rows
+    collect, NOT corpus-sized.
+
+    ``sample_mat`` short-circuits the count+collect: callers that train
+    several quantizers over the SAME corpus (IVF-PQ trains a coarse
+    quantizer and then a residual codebook) collect the bounded sample
+    ONCE via :func:`bounded_sample_matrix` and pass it to each trainer
+    — at 100 TB each avoided count/collect is a full corpus pass. The
+    matrix must be the L2-normalized float64 sample those helpers
+    produce; values are bit-identical either way."""
+    if sample_mat is not None:
+        mat = sample_mat
+        if len(mat) == 0:
+            raise ValueError("train_centroids: empty input DataFrame")
+    else:
+        mat = bounded_sample_matrix(emb, sample_rows, id_col, vec_col)
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)),
                           replace=False)]
@@ -81,6 +90,24 @@ def train_centroids(emb: DataFrame, n_clusters: int = 256,
             for j, c in enumerate(empties):
                 cent[c] = mat[int(worst_first[j % len(worst_first)])]
     return cent
+
+
+def bounded_sample_matrix(emb: DataFrame, sample_rows: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          n_rows: int | None = None) -> np.ndarray:
+    """Deterministic modulo-on-id sample collected as an L2-normalized
+    float64 matrix — the shared bounded-collect contract of every
+    trainer in the vector family (≤ sample_rows × dim on the driver).
+    One count pass + one bounded collect; raises on an empty corpus.
+    ``n_rows`` (a count the caller already has) skips the count pass."""
+    n = emb.count() if n_rows is None else n_rows
+    if n == 0:
+        raise ValueError("train_centroids: empty input DataFrame")
+    every = max(1, -(-n // sample_rows))          # ceil: keeps <= sample_rows
+    sample = emb.filter(F.col(id_col) % every == 0).select(id_col, vec_col)
+    _ids, mat = _collect_matrix(sample, id_col, vec_col)  # normalized rows
+    return mat
 
 
 def ivf_assign(emb: DataFrame, centroids: np.ndarray, n_assign: int = 1,

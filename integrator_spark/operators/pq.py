@@ -91,14 +91,14 @@ def _bounded_sample_matrix(emb: DataFrame, sample_rows: int,
                            id_col: str, vec_col: str) -> np.ndarray:
     """Deterministic modulo-on-id sample collected as an L2-normalized
     float64 matrix — the shared bounded-collect contract of every
-    trainer in the vector family (≤ sample_rows × dim on the driver)."""
-    n = emb.count()
-    if n == 0:
-        raise ValueError("pq_train: empty input DataFrame")
-    every = max(1, -(-n // sample_rows))
-    sample = emb.filter(F.col(id_col) % every == 0).select(id_col, vec_col)
-    _ids, mat = _collect_matrix(sample, id_col, vec_col)   # unit rows
-    return mat
+    trainer in the vector family (≤ sample_rows × dim on the driver).
+    Delegates to ivf.bounded_sample_matrix (single definition of the
+    sampling rule — callers fusing several trainers collect it once)."""
+    from .ivf import bounded_sample_matrix
+    try:
+        return bounded_sample_matrix(emb, sample_rows, id_col, vec_col)
+    except ValueError:
+        raise ValueError("pq_train: empty input DataFrame") from None
 
 
 #: ADC scores are quantized to this grid (2^-40 ≈ 9e-13) before ANY
@@ -154,13 +154,17 @@ def _unpack_codes(col: pd.Series, m: int) -> np.ndarray:
 def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
              sample_rows: int = 100_000, iters: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 42) -> np.ndarray:
+             seed: int = 42,
+             sample_mat: np.ndarray | None = None) -> np.ndarray:
     """Train the PQ codebook: per-subspace Lloyd k-means over a
     bounded, deterministic hash-sample (same sampling contract as
     train_centroids — the driver holds ≤ sample_rows × dim float64).
     Returns codebook [m, ksub, dsub] over L2-NORMALIZED vectors, so
-    summed subspace inner products approximate full-vector cosine."""
-    mat = _bounded_sample_matrix(emb, sample_rows, id_col, vec_col)
+    summed subspace inner products approximate full-vector cosine.
+    ``sample_mat`` (a precollected bounded sample) skips the count +
+    collect passes — see train_centroids for the fusion contract."""
+    mat = (sample_mat if sample_mat is not None
+           else _bounded_sample_matrix(emb, sample_rows, id_col, vec_col))
     return _train_codebook(mat, m, ksub, iters, seed)
 
 
@@ -513,13 +517,19 @@ def _exact_rerank(short: DataFrame, base: DataFrame, queries: DataFrame,
 def ivfpq_train(emb: DataFrame, centroids: np.ndarray, m: int = 8,
                 ksub: int = 64, sample_rows: int = 100_000,
                 iters: int = 10, id_col: str = "vec_id",
-                vec_col: str = "embedding", seed: int = 42) -> np.ndarray:
+                vec_col: str = "embedding", seed: int = 42,
+                sample_mat: np.ndarray | None = None) -> np.ndarray:
     """Train the RESIDUAL codebook for IVF-PQ: the sample is assigned
     to its nearest coarse centroid and the per-subspace k-means runs on
     x - centroid[bucket] — residuals are much more compressible than
     raw vectors (their spread is the within-cell spread, not the whole
-    space), which is why faiss IVFPQ encodes residuals too."""
-    mat = _bounded_sample_matrix(emb, sample_rows, id_col, vec_col)
+    space), which is why faiss IVFPQ encodes residuals too.
+    ``sample_mat`` (a precollected bounded sample) skips the count +
+    collect passes — IVF-PQ's caller already collected the SAME sample
+    to train the coarse centroids, so passing it here removes two full
+    corpus passes per index build."""
+    mat = (sample_mat if sample_mat is not None
+           else _bounded_sample_matrix(emb, sample_rows, id_col, vec_col))
     assign = (mat @ centroids.T).argmax(axis=1)
     return _train_codebook(mat - centroids[assign], m, ksub, iters, seed)
 

@@ -834,13 +834,17 @@ def vec_ann_ivf_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism is gate-checked and recall@1 vs exact kNN is asserted
     >= 0.9 in tests/test_operators.py; the 1.1M-vector measured run
     lives in SCALING.md (scripts/ann_at_scale.py)."""
-    from ..operators.ivf import ivf_assign, ivf_search, train_centroids
+    from ..operators.ivf import (bounded_sample_matrix, ivf_assign,
+                                 ivf_search, train_centroids)
 
     e = load_table(spark, sf_dir, "embeddings")
-    if e.isEmpty():   # the coarse quantizer needs a nonempty sample
+    try:   # one count + one bounded collect; doubles as the empty gate
+        mat = bounded_sample_matrix(e, 2000)
+    except ValueError:   # the coarse quantizer needs a nonempty sample
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, cos_sim double")
-    cent = train_centroids(e, n_clusters=16, sample_rows=2000, iters=10)
+    cent = train_centroids(e, n_clusters=16, sample_rows=2000, iters=10,
+                           sample_mat=mat)
     index = ivf_assign(e, cent, n_assign=3)
     # prune_buckets=False: queries == the whole corpus here, so every
     # bucket is probed and the prune pass would filter nothing — the
@@ -866,13 +870,17 @@ def vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     m=8/ksub=64/shortlist=32; the m=16 and shortlist=64 dials measured
     0.936/0.970 — dial sweep in the round-7 notes); determinism via the
     seeded bounded-sample trainer and (score DESC, id ASC) ties."""
+    from ..operators.ivf import bounded_sample_matrix
     from ..operators.pq import pq_encode, pq_search, pq_train
 
     e = load_table(spark, sf_dir, "embeddings")
-    if e.isEmpty():   # the subspace quantizer needs a nonempty sample
+    try:   # one count + one bounded collect; doubles as the empty gate
+        mat = bounded_sample_matrix(e, 2000)
+    except ValueError:   # the subspace quantizer needs a nonempty sample
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank int")
-    cb = pq_train(e, m=8, ksub=64, sample_rows=2000, iters=10)
+    cb = pq_train(e, m=8, ksub=64, sample_rows=2000, iters=10,
+                  sample_mat=mat)
     codes = pq_encode(e, cb)
     return (pq_search(codes, e, e, cb, k=1, shortlist=32,
                       exclude_self=True)
@@ -895,15 +903,25 @@ def vec_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_assign=3 / n_probe=8 / shortlist=64 — multi-assignment is the
     same recall lever vec_ann_ivf uses; single-assignment measured
     0.744/0.846 in the dial sweep)."""
-    from ..operators.ivf import train_centroids
+    from ..operators.ivf import bounded_sample_matrix, train_centroids
     from ..operators.pq import ivfpq_encode, ivfpq_search, ivfpq_train
 
     e = load_table(spark, sf_dir, "embeddings")
-    if e.isEmpty():
+    # Guide §1.2 / §2.4 (remove passes): the coarse quantizer and the
+    # residual codebook train on the SAME modulo-on-id bounded sample —
+    # collect it ONCE and feed both trainers. Before: isEmpty + 2×count
+    # + 2×collect = 5 corpus passes before any index work; now 2 (one
+    # count + one bounded collect). Identical matrices → bit-identical
+    # centroids, codebook, codes, results.
+    try:
+        mat = bounded_sample_matrix(e, 2000)
+    except ValueError:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank int")
-    cent = train_centroids(e, n_clusters=16, sample_rows=2000, iters=10)
-    cb = ivfpq_train(e, cent, m=8, ksub=64, sample_rows=2000, iters=10)
+    cent = train_centroids(e, n_clusters=16, sample_rows=2000, iters=10,
+                           sample_mat=mat)
+    cb = ivfpq_train(e, cent, m=8, ksub=64, sample_rows=2000, iters=10,
+                     sample_mat=mat)
     codes = ivfpq_encode(e, cent, cb, n_assign=3)
     return (ivfpq_search(codes, e, e, cent, cb, n_probe=8, k=1,
                          shortlist=64, exclude_self=True)
@@ -925,16 +943,22 @@ def vec_ann_ivfpq_stage_walls(spark: SparkSession, sf_dir: str,
     import statistics as _stats
     import time as _time
 
-    from ..operators.ivf import train_centroids
+    from ..operators.ivf import bounded_sample_matrix, train_centroids
     from ..operators.pq import ivfpq_encode, ivfpq_search, ivfpq_train
 
     e = load_table(spark, sf_dir, "embeddings")
     walls: dict[str, float] = {}
+    # Same fused-sample shape as the registered query: the shared
+    # count+collect is charged to train_centroids (it is the pass that
+    # pays it); train_codebook is then pure driver numpy.
     t0 = _time.perf_counter()
-    cent = train_centroids(e, n_clusters=16, sample_rows=2000, iters=10)
+    mat = bounded_sample_matrix(e, 2000)
+    cent = train_centroids(e, n_clusters=16, sample_rows=2000, iters=10,
+                           sample_mat=mat)
     walls["train_centroids"] = round(_time.perf_counter() - t0, 4)
     t0 = _time.perf_counter()
-    cb = ivfpq_train(e, cent, m=8, ksub=64, sample_rows=2000, iters=10)
+    cb = ivfpq_train(e, cent, m=8, ksub=64, sample_rows=2000, iters=10,
+                     sample_mat=mat)
     walls["train_codebook"] = round(_time.perf_counter() - t0, 4)
     t0 = _time.perf_counter()
     codes = ivfpq_encode(e, cent, cb, n_assign=3).persist()
