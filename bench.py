@@ -149,14 +149,23 @@ def main() -> None:
         n_runs = min(runs, REDUCED_RUNS.get(name, runs))
         per_query[name] = measure(lambda: queries[name](spark, sf_dir),
                                   n_runs)
-        if name in naive:
+        if name in naive and name != "vec_knn":
             # Warmed single run for like-for-like ratios vs the warmed
-            # engine median — except vec_knn, whose naive crossJoin
-            # costs ~85 s per execution: warming it would double the
-            # whole bench wall for one column, so it stays cold and is
-            # labeled as such in naive_protocol below.
-            per_naive[name] = measure(lambda: naive[name](sf_dir),
-                                      1, warm=(name != "vec_knn"))
+            # engine median.
+            per_naive[name] = measure(lambda: naive[name](sf_dir), 1)
+    if "vec_knn" in naive and "vec_knn" in per_query:
+        # Measurement-bug fix (guide §1, round-12 optimization round):
+        # the ~100 s naive crossJoin used to run INTERLEAVED, right
+        # before dedup_minhash_det's engine runs, and its JVM/shuffle-
+        # cleanup aftermath inflated the NEXT engine entries by up to
+        # 7x (dedup_minhash_det measured 10.34 s in-protocol vs 1.77 s
+        # isolated, this round — same mechanism as the round-8 serve
+        # investigation). It now runs LAST in the same session, so the
+        # paired-session property holds but no engine median absorbs
+        # its wake. It stays cold (unwarmed): warming would double the
+        # bench wall for one column; labeled in naive_protocol below.
+        per_naive["vec_knn"] = measure(lambda: naive["vec_knn"](sf_dir),
+                                       1, warm=False)
 
     # Round-10 verdict item 7: streaming state-store telemetry, so
     # state size / compaction behavior is tracked round-over-round,
@@ -252,7 +261,10 @@ def main() -> None:
         out["naive_same_session"] = per_naive
         out["naive_protocol"] = ("warmed single run per query, same "
                                  "session; vec_knn cold (its ~85 s "
-                                 "crossJoin warm-up would dominate)")
+                                 "crossJoin warm-up would dominate) "
+                                 "and measured LAST so its shuffle-"
+                                 "cleanup wake cannot inflate engine "
+                                 "medians (r12 measurement-bug fix)")
     out.update(compact)  # headline keys serialize LAST
     print(json.dumps(compact))
     try:

@@ -313,9 +313,13 @@ def _ivf_det_fit_q(q: DataFrame, k: int, iters: int,
     cent: dict[int, list[int]] = {i: list(r.q)
                                   for i, r in enumerate(seed_rows)}
     for _ in range(iters):
-        asg = (_ivf_det_rank(q, cent)
-               .filter(F.col("_rn") == 1).select("vec_id", "bucket"))
-        sums = (asg.join(q, "vec_id")
+        # _ivf_det_assign: selection-identical to the old
+        # _ivf_det_rank(...)._rn==1 slice, but a narrow projection
+        # that carries q along — the per-iteration job is one
+        # explode + groupBy shuffle instead of crossJoin + window
+        # exchange + join (measured 3.3 s -> ~0.8 s per iteration at
+        # sf0.1; values bit-identical, oracle-checked).
+        sums = (_ivf_det_assign(q, cent)
                 .select("bucket", F.posexplode("q").alias("j", "val"))
                 .groupBy("bucket", "j")
                 .agg(F.sum("val").alias("s"),
@@ -327,6 +331,76 @@ def _ivf_det_fit_q(q: DataFrame, k: int, iters: int,
                 math.floor(r.s / r.cnt)
         cent.update(new)              # empty buckets keep old centroid
     return cent
+
+
+def _ivf_det_assign(q: DataFrame, cent: dict[int, list[int]],
+                    out_col: str = "bucket") -> DataFrame:
+    """Top-1 bucket of :func:`_ivf_det_rank` (the ``_rn == 1`` slice)
+    WITHOUT the crossJoin + window: the centroids become one literal
+    array in the plan and each row walks it with a strict-``>``
+    accumulator fold — selection is identical to the window's
+    (``_sim`` DESC, bucket ASC) rule because the array is sorted by
+    bucket and ties keep the earlier entry, and every arithmetic op
+    (int64 zip_with dot, one double division by the driver-computed
+    norm) is the same IEEE op in the same order as _ivf_det_rank's.
+
+    Why it exists (r12 optimization round, guide §2.4): assignment is
+    the inner step of every det-k-means iteration and of every
+    per-subspace code pass; through _ivf_det_rank it cost a broadcast
+    crossJoin, a full window sort-exchange, and (for the Lloyd sums) a
+    join back to ``q`` — 3 stages and 2 shuffles per use, ~3 s/job at
+    sf0.1 measured almost entirely as stage overhead. This form is a
+    single narrow projection: zero shuffle, zero join; callers keep
+    ``q`` alongside the bucket, so the Lloyd sum needs no join either.
+    Output keeps (vec_id, q, bucket) — project as needed."""
+    if not cent:
+        # Empty-centroid parity with _ivf_det_rank: a crossJoin against
+        # zero centroid rows yields zero assignment rows (empty-input
+        # queries reach this through _ivf_det_fit's empty seed set).
+        return (q.select("vec_id", "q",
+                         F.lit(0).cast("int").alias(out_col))
+                .filter(F.lit(False)))
+    best, first_b = _det_assign_fold_sql(cent, "q")
+    return (q.select("vec_id", "q", F.expr(best).alias("_best"))
+            .select("vec_id", "q",
+                    F.when(F.col("_best.b") == -1,
+                           F.lit(first_b))
+                    .otherwise(F.col("_best.b")).cast("int")
+                    .alias(out_col)))
+
+
+def _det_assign_fold_sql(cent: dict[int, list[int]],
+                         vec_expr: str) -> tuple[str, int]:
+    """SQL text of the argmax-centroid fold over ``vec_expr`` (an
+    array<long> SQL expression) — see :func:`_ivf_det_assign` for the
+    selection-equivalence argument. Returns (fold_sql, first_bucket);
+    the fold yields named_struct('s' double, 'b' int) with b = -1 when
+    every centroid is zero-norm (callers coalesce to first_bucket,
+    the window tie rule's pick).
+
+    The whole centroid array + fold is ONE SQL string: building it
+    from F.lit()/F.struct() Columns costs one py4j round trip per
+    literal (measured 10.5 s of pure driver time for 16×64 ints); one
+    expr() is a single round trip + parse. repr() round-trips doubles
+    exactly and Spark's string→double cast parses them exactly, so
+    the norms are the same IEEE doubles _ivf_det_rank computes."""
+    import math
+
+    entries = [(b, vals, math.sqrt(sum(v * v for v in vals)))
+               for b, vals in sorted(cent.items())]
+    structs = ",".join(
+        "named_struct('b',{b},'c',array({c}),'nrm',CAST('{n!r}' AS DOUBLE))"
+        .format(b=int(b), c=",".join(f"{int(v)}L" for v in vals), n=nrm)
+        for b, vals, nrm in entries)
+    sim_x = ("CASE WHEN x.nrm = 0.0D THEN CAST('-Infinity' AS DOUBLE) "
+             f"ELSE CAST(aggregate(zip_with({vec_expr}, x.c, "
+             "(a, bb) -> a * bb), "
+             "0L, (a2, v) -> a2 + v) AS DOUBLE) / x.nrm END")
+    best = (f"aggregate(array({structs}), "
+            "named_struct('s', CAST('-Infinity' AS DOUBLE), 'b', -1), "
+            f"(acc, x) -> CASE WHEN ({sim_x}) > acc.s "
+            f"THEN named_struct('s', {sim_x}, 'b', x.b) ELSE acc END)")
+    return best, int(entries[0][0])
 
 
 def _ivf_det_rank(q: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
@@ -613,27 +687,42 @@ def vec_ann_pq_det(spark: SparkSession, sf_dir: str, m: int = 8,
     if e.isEmpty():
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, approx_cos double")
-    codes, luts, cn2s = [], [], []
-    for s in range(m):
+    # Guide §2.6 (overlap independent jobs): the m subspace codebook
+    # fits are fully independent sequential chains of small driver-
+    # synchronized jobs (quantize-checkpoint, seed TakeOrdered, iters
+    # assignment/sum collects each). Run sequentially they leave 31 of
+    # 32 cores idle between barriers; a small thread pool overlaps the
+    # chains so the next fit's tasks back-fill the current one's
+    # stragglers. Each fit's arithmetic is self-contained and
+    # deterministic, and results are re-assembled in subspace order —
+    # output is bit-identical to the sequential loop (oracle-checked).
+    def _fit_sub(s: int):
         e_s = e.select("vec_id",
                        F.slice("embedding", s * sub_dim + 1, sub_dim)
                        .alias("embedding"))
         q_s, cent = _ivf_det_fit(e_s, k=k, iters=iters, dim=sub_dim)
-        codes.append(_ivf_det_rank(q_s, cent)
-                     .filter(F.col("_rn") == 1)
-                     .select("vec_id", F.lit(s).alias("sub"), "bucket"))
+        code_s = (_ivf_det_assign(q_s, cent)
+                  .select("vec_id", F.lit(s).alias("sub"), "bucket"))
         rows = [(b, [int(v) for v in vals])
                 for b, vals in sorted(cent.items())]
         cdf = spark.createDataFrame(rows, "bucket int, c array<long>")
         dot = F.aggregate(F.zip_with("q", "c", lambda a, b: a * b),
                           F.lit(0).cast("long"), lambda acc, x: acc + x)
-        luts.append(q_s.crossJoin(F.broadcast(cdf))
-                    .select("vec_id", F.lit(s).alias("sub"), "bucket",
-                            dot.alias("d")))
+        lut_s = (q_s.crossJoin(F.broadcast(cdf))
+                 .select("vec_id", F.lit(s).alias("sub"), "bucket",
+                         dot.alias("d")))
         n2 = F.aggregate(F.transform("c", lambda x: x * x),
                          F.lit(0).cast("long"), lambda acc, x: acc + x)
-        cn2s.append(cdf.select(F.lit(s).alias("sub"), "bucket",
-                               n2.alias("n2")))
+        cn2_s = cdf.select(F.lit(s).alias("sub"), "bucket",
+                           n2.alias("n2"))
+        return code_s, lut_s, cn2_s
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        parts = list(pool.map(_fit_sub, range(m)))
+    codes = [p[0] for p in parts]
+    luts = [p[1] for p in parts]
+    cn2s = [p[2] for p in parts]
     codes_df = reduce(lambda a, b: a.unionByName(b), codes)
     lut_df = reduce(lambda a, b: a.unionByName(b), luts)
     cn2_df = reduce(lambda a, b: a.unionByName(b), cn2s)
@@ -919,72 +1008,97 @@ def vec_ann_ivfpq_det(spark: SparkSession, sf_dir: str,
           .join(rq_all, ["vec_id", "cell"])
           .select("vec_id", F.col("rq").alias("q"))
           .localCheckpoint(eager=True))
-    rcents = [
-        _ivf_det_fit_q(
-            r1.select("vec_id",
-                      F.slice("q", s * sub_dim + 1, sub_dim).alias("q")),
-            k=ksub, iters=r_iters, dim=sub_dim)
-        for s in range(m)
-    ]
-    # Composite key vec_id*n_cells + cell lets _ivf_det_rank partition
-    # per (vector, assigned cell) — decomposed right after.
-    rkeyed = rq_all.select(
-        (F.col("vec_id") * n_cells + F.col("cell")).alias("vec_id"), "rq")
-    codes_parts, lut_parts = [], []
-    for s in range(m):
-        sub_res = rkeyed.select(
-            "vec_id", F.slice("rq", s * sub_dim + 1, sub_dim).alias("q"))
-        codes_parts.append(
-            _ivf_det_rank(sub_res, rcents[s])
-            .filter(F.col("_rn") == 1)
-            .select(F.expr(f"CAST(vec_id DIV {n_cells} AS BIGINT)")
-                    .alias("x_id"),
-                    (F.col("vec_id") % n_cells).cast("int").alias("cell"),
-                    F.lit(s).alias("sub"),
-                    F.col("bucket").alias("code")))
-        cdf = spark.createDataFrame(
-            [(b, [int(v) for v in vals])
-             for b, vals in sorted(rcents[s].items())],
-            "code int, c array<long>")
-        q_s = q.select(F.col("vec_id").alias("q_id"),
-                       F.slice("q", s * sub_dim + 1, sub_dim).alias("q"))
-        dot = F.aggregate(F.zip_with("q", "c", lambda a, b: a * b),
-                          F.lit(0).cast("long"), lambda acc, x: acc + x)
-        lut_parts.append(q_s.crossJoin(F.broadcast(cdf))
-                         .select("q_id", F.lit(s).alias("sub"), "code",
-                                 dot.alias("d")))
-    codes_df = reduce(lambda a, b: a.unionByName(b), codes_parts) \
-        .localCheckpoint(eager=True)
-    lut_df = reduce(lambda a, b: a.unionByName(b), lut_parts)
+    # Guide §2.6: the m residual-subspace fits are independent chains
+    # of small driver-synchronized jobs over the checkpointed r1 —
+    # overlap them with a thread pool (same rationale and identical-
+    # output argument as vec_ann_pq_det's subspace fits).
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        rcents = list(pool.map(
+            lambda s: _ivf_det_fit_q(
+                r1.select("vec_id",
+                          F.slice("q", s * sub_dim + 1, sub_dim)
+                          .alias("q")),
+                k=ksub, iters=r_iters, dim=sub_dim),
+            range(m)))
+    # r12 optimization (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    # shuffles): the per-subspace code/LUT/norm relations used to meet
+    # in long-format joins — codes_df (8 rows per (x, cell)) × lut_df
+    # (q × m × ksub rows) keyed on (q_id, sub, code) exploded the
+    # probe join to |pairs| × m rows through TWO aggregation
+    # exchanges (s0, xnorm) plus a per-subspace union + crossJoins.
+    # All of it is now computed WIDE, one row per entity:
+    #   codes_wide: (x_id, cell, codes[m], nrm2) in ONE narrow pass
+    #     over rq_all — the m argmax folds (_det_assign_fold_sql,
+    #     selection-identical to _ivf_det_rank rn=1) plus the exact
+    #     reconstruction norm from literal codebook arrays;
+    #   lutw: (q_id, luts[m][ksub]) — one narrow projection, replacing
+    #     the m LUT crossJoins;
+    #   the probe join then carries ONE row per (q, x, cell) and the
+    #   ADC sum is an m-lookup fold — int64 addition is exact and
+    #   order-free, so every v is bit-identical to the long-format
+    #   plan's (oracle-checked). Measured 30.6 s -> ~8 s for the
+    #   search action at sf0.1; at scale the shuffle shrinks 8×.
+    def _arr2(vec_lists):
+        return "array(" + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+            for vals in vec_lists) + ")"
+
+    W = [_arr2([rcents[s][b] for b in sorted(rcents[s])])
+         for s in range(m)]
+    CC = _arr2([coarse[b] for b in sorted(coarse)])
+    folds = [_det_assign_fold_sql(
+        rcents[s], f"slice(rq, {s * sub_dim + 1}, {sub_dim})")
+        for s in range(m)]
+    wide0 = rq_all.select(
+        F.col("vec_id").alias("x_id"), "cell",
+        *[F.expr(folds[s][0]).alias(f"_b{s}") for s in range(m)])
+    codes_col = F.array(*[
+        F.when(F.col(f"_b{s}.b") == -1, F.lit(folds[s][1]))
+        .otherwise(F.col(f"_b{s}.b")).cast("int") for s in range(m)])
+    wfull = "concat(" + ",".join(
+        f"element_at({W[s]}, codes[{s}] + 1)" for s in range(m)) + ")"
+    nrm2_sql = (f"aggregate(zip_with(element_at({CC}, cell + 1), "
+                f"{wfull}, (a, b) -> (a + b) * (a + b)), 0L, "
+                "(acc, v) -> acc + v)")
+    codes_wide = (wide0.select("x_id", "cell", codes_col.alias("codes"))
+                  .select("x_id", "cell", "codes",
+                          F.expr(nrm2_sql).alias("nrm2"))
+                  .localCheckpoint(eager=True))
+    luts_sql = "array(" + ",".join(
+        f"transform({W[s]}, c -> aggregate(zip_with("
+        f"slice(q, {s * sub_dim + 1}, {sub_dim}), c, "
+        "(a, bb) -> a * bb), 0L, (a2, v) -> a2 + v))"
+        for s in range(m)) + ")"
+    lutw = q.select(F.col("vec_id").alias("q_id"),
+                    F.expr(luts_sql).alias("luts"))
     cdot = F.aggregate(F.zip_with("q", "carr", lambda a, b: a * b),
                        F.lit(0).cast("long"), lambda acc, x: acc + x)
     dqc = (q.crossJoin(F.broadcast(ccdf))
            .select(F.col("vec_id").alias("q_id"), "cell",
                    cdot.alias("cdot")))
-    wcomp = spark.createDataFrame(
-        [(s, b, s * sub_dim + jl, int(v))
-         for s in range(m) for b, vals in sorted(rcents[s].items())
-         for jl, v in enumerate(vals)],
-        "sub int, code int, j int, wval long")
-    ccomp = spark.createDataFrame(
-        [(b, j, int(v)) for b, vals in sorted(coarse.items())
-         for j, v in enumerate(vals)],
-        "cell int, j int, cval long")
-    xnorm = (codes_df.join(F.broadcast(wcomp), ["sub", "code"])
-             .join(F.broadcast(ccomp), ["cell", "j"])
-             .select("x_id", "cell",
-                     ((F.col("cval") + F.col("wval"))
-                      * (F.col("cval") + F.col("wval"))).alias("fv2"))
-             .groupBy("x_id", "cell").agg(F.sum("fv2").alias("nrm2")))
-    s0 = (probes.join(codes_df, "cell")
-          .filter(F.col("q_id") != F.col("x_id"))
-          .join(lut_df, ["q_id", "sub", "code"])
-          .groupBy("q_id", "x_id", "cell").agg(F.sum("d").alias("rd")))
-    vals_df = (s0.join(dqc, ["q_id", "cell"])
-               .join(xnorm, ["x_id", "cell"])
+    # Flat left-associated sum, NOT an aggregate/zip_with fold: HOFs
+    # run interpreted and allocate a per-row array — at |pairs| rows
+    # that interpretation was the stage's wall (measured ~15 s of the
+    # 23 s post-join stage at sf0.1). element_at/getItem chains stay
+    # inside WholeStageCodegen. int64 addition in the same s=0..m-1
+    # order → bit-identical sums.
+    rd = F.expr(" + ".join(
+        f"element_at(luts[{s}], codes[{s}] + 1)" for s in range(m)))
+    # lutw/dqc are QUERY-side: |Q| × (m·ksub longs) / |Q| × n_probe
+    # skinny rows — broadcast them (guide §8: never let a pair join
+    # ship the wide per-query payload through a shuffle; without the
+    # hint Catalyst picked a sort-merge join that moved luts once per
+    # PAIR row). A serving batch's Q is bounded; at corpus-Q fixture
+    # scale this is 2000 × 4 KB ≈ 8 MB. codes_wide stays a hash join
+    # on cell — the corpus side is never broadcast.
+    vals_df = (probes.join(codes_wide, "cell")
+               .filter(F.col("q_id") != F.col("x_id"))
+               .join(F.broadcast(dqc), ["q_id", "cell"])
+               .join(F.broadcast(lutw), "q_id")
                .select("q_id", "x_id",
                        F.when(F.col("nrm2") == 0, F.lit(float("-inf")))
-                       .otherwise((F.col("rd") + F.col("cdot"))
+                       .otherwise((rd + F.col("cdot"))
                                   .cast("double")
                                   / F.sqrt(F.col("nrm2").cast("double")))
                        .alias("v")))
