@@ -613,17 +613,33 @@ def etl_er_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.concat(F.expr("substr(p_name, 1, 4)"),
                         F.expr("substr(p_name, 6, 100000)")))
          .otherwise(F.col("p_name")).alias("d_name"))
-    clean = part.select(F.col("p_partkey").alias("matched_key"),
-                        F.col("p_name").alias("c_name"))
-    cand = (dirty.join(clean,
-                       F.expr("substr(d_name, 1, 4)")
-                       == F.expr("substr(c_name, 1, 4)"))
-            .withColumn("dist", F.levenshtein("d_name", "c_name"))
-            .filter(F.col("dist") <= 2))
-    w = Window.partitionBy("d_key").orderBy("dist", "matched_key")
-    return (cand.withColumn("_rn", F.row_number().over(w))
+    # r12 rewrite (guide §8 — decide on lightweight proxies, attach
+    # back): the block join exploded to 45M ROW pairs (8 prefix blocks
+    # over 20k rows) and ran the Levenshtein DP on every one (~35 s at
+    # sf0.1), but dist depends only on the NAME pair and the fixture
+    # vocabulary is tiny (64 distinct p_name / ~128 distinct d_name).
+    # So: DP over distinct-name pairs only (<=8k), pick the best match
+    # per d_name, then attach to rows by equality join. The per-d_key
+    # argmin over (dist, matched_key) factors through names: for a
+    # fixed c_name the minimal (dist, key) is (dist, min key of that
+    # name), so best-per-d_name with min-key-per-c_name is the same
+    # lexicographic minimum the row-level window took. The banded
+    # levenshtein(l, r, 2) returns the exact distance when <= 2 (else
+    # -1), so surviving dist values are identical. Oracle unchanged.
+    cmin = (part.groupBy(F.col("p_name").alias("c_name"))
+            .agg(F.min("p_partkey").alias("matched_key")))
+    pair = (dirty.select("d_name").distinct()
+            .join(cmin, F.expr("substr(d_name, 1, 4)")
+                  == F.expr("substr(c_name, 1, 4)"))
+            .withColumn("dist", F.levenshtein("d_name", "c_name", 2))
+            .filter(F.col("dist") >= 0))
+    wn = Window.partitionBy("d_name").orderBy("dist", "matched_key")
+    best = (pair.withColumn("_rn", F.row_number().over(wn))
             .filter(F.col("_rn") == 1)
-            .select("d_key", "matched_key", F.col("dist").cast("int").alias("dist")))
+            .select("d_name", "matched_key", "dist"))
+    return (dirty.join(F.broadcast(best), "d_name")
+            .select("d_key", "matched_key",
+                    F.col("dist").cast("int").alias("dist")))
 
 
 @register("etl_k_anonymity", oracle="""
@@ -731,20 +747,35 @@ def etl_er_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = part.select(F.col("p_partkey").alias("matched_key"),
                         F.col("p_name").alias("c_name"))
 
-    def pass_join(cond):
-        return (dirty.join(clean, cond)
-                .withColumn("dist", F.levenshtein("d_name", "c_name"))
-                .filter(F.col("dist") <= 2)
-                .select("d_key", "matched_key", "dist"))
+    # r12 rewrite (guide §8 — same argument as etl_er_blocked): both
+    # blocking passes run in NAME space (<=462 distinct d_name x 64
+    # distinct c_name), their name-pair candidates union-distinct
+    # BEFORE the DP so a pair found by both passes pays one banded
+    # Levenshtein, the best match per d_name is picked with
+    # min-key-per-c_name (the same lexicographic (dist, matched_key)
+    # minimum the row-level window took), and rows attach back by one
+    # broadcast equality join. Row pairs: 45M -> <=30k name pairs.
+    dnames = dirty.select("d_name").distinct()
+    cnames = clean.select("c_name").distinct()
 
-    pre = pass_join(F.expr("substr(d_name, 1, 4)")
-                    == F.expr("substr(c_name, 1, 4)"))
-    suf = pass_join(F.expr("substr(d_name, length(d_name) - 3, 4)")
-                    == F.expr("substr(c_name, length(c_name) - 3, 4)"))
-    cand = pre.unionByName(suf).distinct()
-    w = Window.partitionBy("d_key").orderBy("dist", "matched_key")
-    return (cand.withColumn("_rn", F.row_number().over(w))
+    def pass_names(cond):
+        return dnames.join(cnames, cond).select("d_name", "c_name")
+
+    pre = pass_names(F.expr("substr(d_name, 1, 4)")
+                     == F.expr("substr(c_name, 1, 4)"))
+    suf = pass_names(F.expr("substr(d_name, length(d_name) - 3, 4)")
+                     == F.expr("substr(c_name, length(c_name) - 3, 4)"))
+    cmin = (clean.groupBy("c_name")
+            .agg(F.min("matched_key").alias("matched_key")))
+    pair = (pre.unionByName(suf).distinct()
+            .join(cmin, "c_name")
+            .withColumn("dist", F.levenshtein("d_name", "c_name", 2))
+            .filter(F.col("dist") >= 0))
+    wn = Window.partitionBy("d_name").orderBy("dist", "matched_key")
+    best = (pair.withColumn("_rn", F.row_number().over(wn))
             .filter(F.col("_rn") == 1)
+            .select("d_name", "matched_key", "dist"))
+    return (dirty.join(F.broadcast(best), "d_name")
             .select("d_key", "matched_key",
                     F.col("dist").cast("int").alias("dist")))
 
