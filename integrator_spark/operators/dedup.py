@@ -33,6 +33,43 @@ from .ckpt import truncated_checkpoint
 from ..functions.text import word_shingles
 
 
+def shingle_rows(docs: DataFrame, k: int = 3,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """DISTINCT (doc_id, shingle) rows — the row form of
+    ``explode(word_shingles(text, k))``, producing byte-identical
+    shingle strings (``w[i] || '|' || ... || w[i+k-1]``, texts with
+    fewer than k tokens yield nothing; parity is symmetric-diff-0
+    tested against the array form).
+
+    Why this form (r12, guide §4.1 — prefer codegen over interpreted
+    HOFs): ``transform`` + k×``element_at`` + ``concat_ws`` run
+    interpreted per element, measured ~10 s per evaluation over sf0.1
+    documents; posexplode + k-1 window ``lead``s + one ``concat_ws``
+    is whole-stage-codegen except the per-doc window sort and measures
+    ~1.7 s. The per-doc window is bounded by document length (never a
+    global window). The trailing ``distinct()`` both matches the
+    per-doc array_distinct semantics AND ends the subtree in an
+    Exchange, so the several consumers every pairs operator has
+    (counts + both join sides) hit ReusedExchange instead of
+    re-evaluating the shingling — the old narrow form was recomputed
+    three times per query."""
+    w = F.split(F.col(text_col), " ")
+    words = docs.select(F.col(id_col).alias("doc_id"),
+                        F.posexplode(w).alias("pos", "word"),
+                        F.size(w).alias("n"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("word", j).over(win).alias(f"_w{j}")
+             for j in range(1, k)]
+    return (words.select("doc_id", "pos", "word", "n", *leads)
+            .filter(F.col("pos") <= F.col("n") - k)
+            .select("doc_id",
+                    F.concat_ws("|", "word",
+                                *[f"_w{j}" for j in range(1, k)])
+                    .alias("shingle"))
+            .distinct())
+
+
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                         threshold: float = 0.8,
                         id_col: str = "doc_id",
@@ -50,9 +87,7 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     exactly over the FILTERED sets (standard stop-shingle semantics —
     ubiquitous tokens carry no dedup signal anyway). ``None`` (default)
     keeps unfiltered exact behavior."""
-    sh = (docs.select(F.col(id_col).alias("doc_id"),
-                      word_shingles(F.col(text_col), k).alias("_sh"))
-          .select("doc_id", F.explode("_sh").alias("shingle")))
+    sh = shingle_rows(docs, k, id_col=id_col, text_col=text_col)
     if max_doc_freq is not None:
         hot = (sh.groupBy("shingle")
                .agg(F.count(F.lit(1)).alias("_df"))
@@ -122,9 +157,7 @@ def containment_pairs(docs: DataFrame, k: int = 3,
     ``max_doc_freq`` drops stop-phrase shingles before the join (the
     identical skew guard, applied before counting so the containment
     denominator uses the filtered sets on both engines)."""
-    sh = (docs.select(F.col(id_col).alias("doc_id"),
-                      word_shingles(F.col(text_col), k).alias("_sh"))
-          .select("doc_id", F.explode("_sh").alias("shingle")))
+    sh = shingle_rows(docs, k, id_col=id_col, text_col=text_col)
     if max_doc_freq is not None:
         hot = (sh.groupBy("shingle")
                .agg(F.count(F.lit(1)).alias("_df"))
@@ -171,9 +204,7 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 16,
     re-run the dominant aggregation from the raw text; ``eager=True``
     opts into the round-6-style localCheckpoint (truncated lineage,
     materialized NOW) for iterative callers that want it."""
-    sh = (docs.select(F.col(id_col).alias("doc_id"),
-                      word_shingles(F.col(text_col), k).alias("_sh"))
-          .select("doc_id", F.explode("_sh").alias("shingle")))
+    sh = shingle_rows(docs, k, id_col=id_col, text_col=text_col)
     hv = (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
           .cast("long") % MINHASH_PRIME)
     hashed = sh.select("doc_id", hv.alias("_h"))
