@@ -134,7 +134,7 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str,
     from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    from ..operators.knn import _cosine_expr, _dot_expr, _l2_expr
+    from ..operators.knn import _cosine_expr, _l2_expr
 
     e = load_table(spark, sf_dir, "embeddings")
     if e.isEmpty():   # KMeans.fit requires rows; empty corpus => no pairs
@@ -160,19 +160,59 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str,
                                  F.col("centroid")).alias("_sim")))
     w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("bucket"))
     ranked = sims.withColumn("_rn", F.row_number().over(w))
+    # _cbucket (not "bucket"): both cogroup sides derive from `ranked`,
+    # and identical attribute ids trip the ambiguous-self-join check.
     assigned = ranked.filter(F.col("_rn") <= n_assign).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"), "bucket",
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("_cbucket"),
         _l2_expr(F.col("embedding")).alias("_cn"))
     probed = ranked.filter(F.col("_rn") <= n_probe).select(
         "vec_id", F.col("embedding").alias("q_emb"), "bucket",
         _l2_expr(F.col("embedding")).alias("_qn"))
 
-    pairs = (probed.join(assigned, "bucket")
-             .filter(F.col("vec_id") != F.col("neighbor_id"))
-             .select("vec_id", "neighbor_id",
-                     (_dot_expr(F.col("q_emb"), F.col("c_emb"))
-                      / (F.col("_qn") * F.col("_cn"))).alias("_cos")))
+    # r12 (guide §4.2 — hand whole batches to vectorized native code):
+    # the probe join fans out to ~n·probe·bucket candidate pairs (4.5M
+    # at sf0.1) and the per-pair HOF dot ran interpreted — 29 s of the
+    # 39 s wall; materializing the pairs for the global window was most
+    # of the rest. The scoring is now a cogrouped-by-bucket numpy
+    # matmul that emits only each query's per-bucket best (raw float64
+    # sims, self-pairs masked, ties to the smallest id via the
+    # id-sorted argmax-first rule — the window's exact tie-break), so
+    # the global window merges n·probe rows instead of n·probe·bucket.
+    # Selection stays on RAW doubles with round(6) applied after the
+    # final top-1, exactly as before (this face deliberately does NOT
+    # use _chunked_topk_rows' grid-before-select convention).
+    import numpy as np
+    import pandas as pd
+
+    def _bucket_top1(qdf: "pd.DataFrame",
+                     cdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                              "neighbor_id": pd.Series(dtype="int64"),
+                              "_cos": pd.Series(dtype="float64")})
+        if qdf.empty or cdf.empty:
+            return empty
+        order = np.argsort(cdf["neighbor_id"].to_numpy(), kind="stable")
+        c_ids = cdf["neighbor_id"].to_numpy()[order]
+        C = np.array(cdf["c_emb"].tolist(), dtype=np.float64)[order]
+        cn = cdf["_cn"].to_numpy()[order]
+        q_ids = qdf["vec_id"].to_numpy()
+        Q = np.array(qdf["q_emb"].tolist(), dtype=np.float64)
+        qn = qdf["_qn"].to_numpy()
+        sims = (Q @ C.T) / (qn[:, None] * cn[None, :])
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        j = sims.argmax(axis=1)          # first max = smallest id
+        best = sims[np.arange(len(q_ids)), j]
+        keep = best != -np.inf           # a query alone in its bucket
+        return pd.DataFrame({"vec_id": q_ids[keep].astype("int64"),
+                             "neighbor_id": c_ids[j[keep]].astype("int64"),
+                             "_cos": best[keep]})
+
+    pairs = (probed.groupBy("bucket")
+             .cogroup(assigned.groupBy("_cbucket"))
+             .applyInPandas(_bucket_top1,
+                            "vec_id long, neighbor_id long, _cos double"))
     w2 = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(),
                                               F.col("neighbor_id"))
     return (pairs.withColumn("_rn", F.row_number().over(w2))
