@@ -10,8 +10,8 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.dedup import ngram_jaccard_pairs
-from ..operators.graph import (bfs_levels, kcore_peel, pagerank,
-                               triangle_census)
+from ..operators.graph import (bfs_levels, common_neighbor_pairs,
+                               kcore_peel, pagerank, triangle_census)
 from ..registry import register
 
 #: Co-purchase graph: parts sharing an order, one undirected edge per
@@ -319,15 +319,16 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     deg = sym.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("dg"))
-    a = sym.select(F.col("s").alias("n1"), F.col("d").alias("z"))
-    b = sym.select(F.col("s").alias("z"), F.col("d").alias("n2"))
-    wedges = (a.join(b, "z")
-              .where(F.col("n1") < F.col("n2"))
-              .groupBy("n1", "n2").agg(F.count(F.lit(1)).alias("cn"))
-              .where(F.col("cn") >= 3))
-    cand = wedges.join(
-        edges.select(F.col("s").alias("n1"), F.col("d").alias("n2")),
-        ["n1", "n2"], "left_anti")
+    # r12 (guide §4.2): the wedge join materialized Σ deg² = 298M rows
+    # at sf0.1 (the ~25 s wall) only to count them per pair; the
+    # common-neighbor counting now runs in the budget-gated CSR
+    # bincount kernel (wedge-join fallback past the broadcast budget —
+    # see operators/graph.py). est: each lineitem row contributes at
+    # most a handful of distinct co-purchase partners; 4× row count
+    # over-estimates the distinct edge list at every fixture scale.
+    est_edges = 4 * load_table(spark, sf_dir, "lineitem").count()
+    cand = common_neighbor_pairs(edges, src="s", dst="d", min_common=3,
+                                 est_edges=est_edges)
     return (cand
             .join(F.broadcast(deg.select(F.col("node").alias("n1"),
                                          F.col("dg").alias("dg1"))), "n1")
