@@ -356,19 +356,22 @@ def _ivf_det_fit_q(q: DataFrame, k: int, iters: int,
         # _ivf_det_assign: selection-identical to the old
         # _ivf_det_rank(...)._rn==1 slice, but a narrow projection
         # that carries q along — the per-iteration job is one
-        # explode + groupBy shuffle instead of crossJoin + window
-        # exchange + join (measured 3.3 s -> ~0.8 s per iteration at
-        # sf0.1; values bit-identical, oracle-checked).
+        # aggregation instead of crossJoin + window exchange + join.
+        # The component sums are dim COLUMN-WISE F.sum(q[j]) aggs (r12,
+        # guide §2.3 "aggregate before you shuffle"): no posexplode
+        # row blow-up, map-side partial aggregation, and the shuffle
+        # carries k rows of dim+1 longs. int64 addition is exact and
+        # order-free, so sums are bit-identical to the exploded form.
         sums = (_ivf_det_assign(q, cent)
-                .select("bucket", F.posexplode("q").alias("j", "val"))
-                .groupBy("bucket", "j")
-                .agg(F.sum("val").alias("s"),
-                     F.count(F.lit(1)).alias("cnt"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     *[F.sum(F.col("q").getItem(j)).alias(f"_s{j}")
+                       for j in range(dim)])
                 .collect())           # k x dim ints — bounded, documented
         new: dict[int, list[int]] = {}
         for r in sums:
-            new.setdefault(r.bucket, [0] * dim)[r.j] = \
-                math.floor(r.s / r.cnt)
+            new[r.bucket] = [math.floor(r[f"_s{j}"] / r.cnt)
+                             for j in range(dim)]
         cent.update(new)              # empty buckets keep old centroid
     return cent
 
