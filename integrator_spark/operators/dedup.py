@@ -1247,21 +1247,55 @@ def signlsh_pairs(emb: DataFrame, threshold: float = 0.45, dim: int = 64,
                             id_col, vec_col)
 
 
+def _raw_id_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """(sorted ids, row-aligned RAW float64 matrix) of an embedding
+    frame — unlike knn._collect_matrix the rows are NOT normalized
+    (the cosine kernel computes the same norms the pairwise UDF did).
+    float32 → float64 is exact, so gathered rows carry bit-identical
+    values to the join-shipped arrays. Requires unique ids (true for
+    every corpus/batch frame the residual step sees)."""
+    pdf = df.select(F.col(id_col).alias("_id"),
+                    F.col(vec_col).alias("_v")).toPandas()
+    ids = pdf["_id"].to_numpy().astype("int64")
+    mat = (np.array(pdf["_v"].tolist(), dtype=np.float64)
+           if len(pdf) else np.empty((0, 0), dtype=np.float64))
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order] if len(pdf) else mat
+
+
 def _cosine_residual(cand: DataFrame, emb_a: DataFrame, emb_b: DataFrame,
                      threshold: float, a_out: str, b_out: str,
-                     id_col: str, vec_col: str) -> DataFrame:
+                     id_col: str, vec_col: str,
+                     est_cells: int | None = None) -> DataFrame:
     """Attach the exact cosine to candidate id pairs and apply the
     threshold — the shared residual step of every LSH candidate path
     (cost: |cand| vector fetch-joins, never corpus x corpus). The UDF
     is defined here (not module level) because pandas_udf resolves its
-    return type against the ACTIVE session at decoration time."""
+    return type against the ACTIVE session at decoration time.
 
-    @F.pandas_udf("double")
-    def _cos_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if not len(va):
-            return pd.Series([], dtype="float64")
-        x = np.array(va.tolist(), dtype=np.float64)
-        y = np.array(vb.tolist(), dtype=np.float64)
+    ``est_cells`` (r12, guide §8 — ship ids, not payloads): a caller's
+    no-job estimate of the larger embedding frame's rows × dims. When
+    given and within operators.knn's MAX_BROADCAST_CELLS, the two
+    vector fetch-joins (which shipped ~0.5 KB of array payload per
+    CANDIDATE PAIR through the join and the Arrow boundary — 1.6 GB at
+    3M pairs) are replaced by a broadcast of the raw matrices and an
+    id-pair-only mapInPandas that gathers rows by searchsorted. The
+    numpy score expressions are unchanged and float64(float32) is
+    exact, so scores are bit-identical to the join path (oracle-PASS
+    re-checked on every caller); ids absent from a matrix drop,
+    matching the inner joins. Past the budget (or with est_cells=None)
+    the join path runs — the 100 TB shape.
+
+    Only callers whose candidate set is DATA-PROPORTIONAL (all LSH/IVF
+    bucket-collision pairs: vec_ann_lsh 5.28→4.66 s,
+    dedup_semantic_ivf_det 13.4→11.5 s measured sf0.1) pass est_cells;
+    the shortlist-bounded det rerankers (vec_ann_pq_det & co., |cand|
+    ≤ queries × shortlist) measured WORSE on this route (16.1→19.7 s —
+    the collect+broadcast overhead with nothing to save, plus the
+    mapInPandas losing the join's vec_id partitioning for the next
+    window), so they stay on the join path."""
+
+    def _cos_rows(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
         num = (x * y).sum(axis=1)
         den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
         # Zero-norm pairs score the -2.0 sentinel (below any real
@@ -1271,15 +1305,51 @@ def _cosine_residual(cand: DataFrame, emb_a: DataFrame, emb_b: DataFrame,
         # any real threshold in (-1.0, 1.0] they are dropped just as
         # an undefined cosine should be.
         with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(den > 0, num / den, -2.0)
-        return pd.Series(out)
+            return np.where(den > 0, num / den, -2.0)
 
-    ea = emb_a.select(F.col(id_col).alias(a_out),
-                      F.col(vec_col).alias("_va"))
-    eb = emb_b.select(F.col(id_col).alias(b_out),
-                      F.col(vec_col).alias("_vb"))
-    scored = (cand.join(ea, a_out).join(eb, b_out)
-              .withColumn("_c", _cos_batch("_va", "_vb")))
+    from .knn import MAX_BROADCAST_CELLS
+    if est_cells is not None and est_cells <= MAX_BROADCAST_CELLS:
+        spark = cand.sparkSession
+        ids_a, mat_a = _raw_id_matrix(emb_a, id_col, vec_col)
+        if emb_b is emb_a:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            ids_b, mat_b = _raw_id_matrix(emb_b, id_col, vec_col)
+        bc = spark.sparkContext.broadcast((ids_a, mat_a, ids_b, mat_b))
+
+        def _score_pairs(batches):
+            bia, bma, bib, bmb = bc.value
+            for pdf in batches:
+                a = pdf[a_out].to_numpy()
+                b = pdf[b_out].to_numpy()
+                if not len(bia) or not len(bib) or not len(a):
+                    continue
+                ai = np.searchsorted(bia, a).clip(0, len(bia) - 1)
+                bi = np.searchsorted(bib, b).clip(0, len(bib) - 1)
+                ok = (bia[ai] == a) & (bib[bi] == b)
+                out = _cos_rows(bma[ai[ok]], bmb[bi[ok]])
+                yield pd.DataFrame({a_out: a[ok], b_out: b[ok],
+                                    "_c": out})
+
+        scored = (cand.select(F.col(a_out).cast("long"),
+                              F.col(b_out).cast("long"))
+                  .mapInPandas(_score_pairs,
+                               f"{a_out} long, {b_out} long, _c double"))
+    else:
+        @F.pandas_udf("double")
+        def _cos_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
+            if not len(va):
+                return pd.Series([], dtype="float64")
+            x = np.array(va.tolist(), dtype=np.float64)
+            y = np.array(vb.tolist(), dtype=np.float64)
+            return pd.Series(_cos_rows(x, y))
+
+        ea = emb_a.select(F.col(id_col).alias(a_out),
+                          F.col(vec_col).alias("_va"))
+        eb = emb_b.select(F.col(id_col).alias(b_out),
+                          F.col(vec_col).alias("_vb"))
+        scored = (cand.join(ea, a_out).join(eb, b_out)
+                  .withColumn("_c", _cos_batch("_va", "_vb")))
     # threshold <= -1.0 means "keep all" (every caller that reranks a
     # fixed candidate set passes -1.0): skip the filter so zero-norm
     # sentinel rows (-2.0) survive and rank last instead of vanishing

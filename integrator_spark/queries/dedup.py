@@ -1151,8 +1151,10 @@ def dedup_semantic_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (a.join(b, "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
+    from .vectors import _emb_cells_estimate
     return (_cosine_residual(cand, e, e, 0.45, "id_a", "id_b",
-                             "vec_id", "embedding")
+                             "vec_id", "embedding",
+                             est_cells=_emb_cells_estimate(sf_dir))
             .orderBy("id_a", "id_b"))
 
 

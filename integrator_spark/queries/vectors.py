@@ -145,11 +145,13 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-visible face of which is ``vec_ann_lsh_adaptive`` below.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    return _signlsh_ann_top1(e, bits_per_band=3)
+    return _signlsh_ann_top1(e, bits_per_band=3,
+                             est_cells=_emb_cells_estimate(sf_dir))
 
 
 def _signlsh_ann_top1(e: DataFrame, bits_per_band: int,
-                      n_bands: int = 12) -> DataFrame:
+                      n_bands: int = 12,
+                      est_cells: int | None = None) -> DataFrame:
     """Shared sign-LSH ANN top-1 plan (see vec_ann_lsh): deterministic
     md5-parity hyperplane buckets → symmetric bucket-collision join →
     exact-cosine rerank → per-query top-1 window."""
@@ -166,7 +168,7 @@ def _signlsh_ann_top1(e: DataFrame, bits_per_band: int,
             .filter(F.col("vec_id") != F.col("neighbor_id"))
             .select("vec_id", "neighbor_id").distinct())
     scored = _cosine_residual(cand, e, e, -1.0, "vec_id", "neighbor_id",
-                              "vec_id", "embedding")
+                              "vec_id", "embedding", est_cells=est_cells)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
                                              "neighbor_id")
     return (scored.withColumn("_rn", F.row_number().over(w))
@@ -209,7 +211,8 @@ def vec_ann_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     bits = signlsh_adaptive_bits(e.count())
     return _signlsh_ann_top1(e, bits_per_band=bits,
-                             n_bands=signlsh_ann_bands(bits))
+                             n_bands=signlsh_ann_bands(bits),
+                             est_cells=_emb_cells_estimate(sf_dir))
 
 
 # The recall arithmetic itself is oracle-checked: DuckDB replays the
