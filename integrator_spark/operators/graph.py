@@ -507,8 +507,8 @@ def common_neighbor_pairs(edges: DataFrame, src: str = "s",
     pdf = None
     if est_edges is not None and est_edges <= MAX_CSR_EDGES:
         pdf = sdf.toPandas()      # budget-gated driver collect
-        if len(pdf) > MAX_CSR_EDGES:
-            pdf = None            # estimate lied; honor the budget
+        if len(pdf) > MAX_CSR_EDGES or len(pdf) == 0:
+            pdf = None            # estimate lied / nothing to index
     if pdf is None:
         # Relational wedge plan — the pre-r12 formulation, and the
         # shape that scales past the broadcast budget.
