@@ -77,7 +77,8 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                      vec_col: str = "embedding",
                      exclude_self: bool = False,
                      matrix_budget_bytes: int = MATRIX_BUDGET_BYTES,
-                     entries: DataFrame | None = None) -> DataFrame:
+                     entries: DataFrame | None = None,
+                     fused: bool = True) -> DataFrame:
     """Batch beam search over a k-NN graph for OUT-OF-SAMPLE queries —
     the HNSW-style navigate step, reshaped for Spark: instead of one
     sequential walk per query, every hop is one relational round over
@@ -162,6 +163,119 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
         qids = qpdf["qid"].to_numpy()[qorder]
         qmat = np.array(qpdf["_qv"].tolist(), dtype=np.float32)[qorder]
         mat_bc = spark.sparkContext.broadcast((bids, bmat, qids, qmat))
+
+    # FUSED NAVIGATE KERNEL (r12 optimization round, guide §2.4 "remove
+    # shuffles outright" + §4.2): when the corpus+query matrices already
+    # ride a broadcast (mat_bc) and the adjacency list fits the same
+    # budget, the whole hop loop runs inside ONE mapInPandas over the
+    # query ids — each task walks all hops for its query batch against
+    # the broadcast CSR adjacency, so the search costs one Python stage
+    # instead of (hops+1) × (join + window-sort exchange + checkpoint
+    # job). Candidate generation, dedup (the relational .distinct()),
+    # self-exclusion, the membership guard, the einsum float64 scoring
+    # and the (cos DESC, cand ASC) beam rank replicate the relational
+    # rounds step for step — outputs are bit-identical (pinned by the
+    # determinism gate + recall tests). Above the budget, or with
+    # caller-supplied per-query entries, the relational rounds below
+    # keep working at any n — same size-routing contract as the build.
+    # (``fused=False`` forces the relational rounds — the parity tests
+    # pin the two routes byte-equal on the fixture corpus.)
+    if fused and mat_bc is not None and entries is None:
+        g_rows = graph.count()
+        if g_rows * 16 <= matrix_budget_bytes:
+            ent_ids = np.array(
+                [r.cand for r in
+                 b.select("cand")
+                 .orderBy(F.xxhash64(F.col("cand"), F.lit(77)),
+                          F.col("cand"))
+                 .limit(n_entries).collect()], dtype=np.int64)
+            adj_pdf = adj.toPandas()
+            src_arr = adj_pdf["cand"].to_numpy(dtype=np.int64)
+            dst_arr = adj_pdf["_nbr"].to_numpy(dtype=np.int64)
+            aorder = np.argsort(src_arr, kind="stable")
+            adj_bc = spark.sparkContext.broadcast(
+                (src_arr[aorder], dst_arr[aorder]))
+            kk, bm_w, hops_n, excl = int(k), int(beam), int(hops), \
+                bool(exclude_self)
+
+            def navigate(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+                bids_s, bmat, qids_s, qmat = mat_bc.value
+                srcs, dsts = adj_bc.value
+
+                def beam_rank(qr: np.ndarray, cd: np.ndarray,
+                              qloc: np.ndarray, width: int):
+                    """score + row_number((cos DESC, cand ASC)) <= width
+                    — the relational score_and_beam, vectorized."""
+                    ci = _sorted_lookup(bids_s, cd)
+                    ok = ci >= 0
+                    if excl:
+                        ok &= qids_local[qr] != cd
+                    qr, cd, ci = qr[ok], cd[ok], ci[ok]
+                    cos = np.einsum(
+                        "ij,ij->i",
+                        qmat[qloc[qr]].astype(np.float64),
+                        bmat[ci].astype(np.float64))
+                    order = np.lexsort((cd, -cos, qr))
+                    qr, cd, cos = qr[order], cd[order], cos[order]
+                    first = np.ones(len(qr), dtype=bool)
+                    first[1:] = qr[1:] != qr[:-1]
+                    starts = np.maximum.accumulate(
+                        np.where(first, np.arange(len(qr)), 0))
+                    rank = np.arange(len(qr)) - starts + 1
+                    keepm = rank <= width
+                    return (qr[keepm], cd[keepm], cos[keepm],
+                            rank[keepm].astype(np.int32))
+
+                def dedupe(qr: np.ndarray, cd: np.ndarray):
+                    order = np.lexsort((cd, qr))
+                    qr, cd = qr[order], cd[order]
+                    keep = np.ones(len(qr), dtype=bool)
+                    keep[1:] = (qr[1:] != qr[:-1]) | (cd[1:] != cd[:-1])
+                    return qr[keep], cd[keep]
+
+                for pdf in batches:
+                    qids_local = pdf["qid"].to_numpy(dtype=np.int64)
+                    nq_l = len(qids_local)
+                    if nq_l == 0:
+                        yield pd.DataFrame({
+                            "qid": np.array([], dtype=np.int64),
+                            "cand": np.array([], dtype=np.int64),
+                            "_cos": np.array([], dtype=np.float64),
+                            "_rn": np.array([], dtype=np.int32)})
+                        continue
+                    qloc = _sorted_lookup(qids_s, qids_local)
+                    # hop 0: every query × the shared entry set
+                    qr = np.repeat(np.arange(nq_l), len(ent_ids))
+                    cd = np.tile(ent_ids, nq_l)
+                    qr, cd, cos, rn = beam_rank(qr, cd, qloc, bm_w)
+                    for _ in range(hops_n):
+                        lo = np.searchsorted(srcs, cd, side="left")
+                        hi = np.searchsorted(srcs, cd, side="right")
+                        cnt = hi - lo
+                        tot = int(cnt.sum())
+                        cum = np.concatenate(
+                            ([0], np.cumsum(cnt)))[:-1]
+                        gidx = (np.arange(tot)
+                                - np.repeat(cum, cnt)
+                                + np.repeat(lo, cnt))
+                        eqr = np.repeat(qr, cnt)
+                        ecd = dsts[gidx]
+                        uqr = np.concatenate((eqr, qr))
+                        ucd = np.concatenate((ecd, cd))
+                        uqr, ucd = dedupe(uqr, ucd)
+                        qr, cd, cos, rn = beam_rank(uqr, ucd, qloc, bm_w)
+                    yield pd.DataFrame({
+                        "qid": qids_local[qr], "cand": cd,
+                        "_cos": cos, "_rn": rn})
+
+            best = q.select("qid").mapInPandas(
+                navigate, "qid long, cand long, _cos double, _rn int")
+            return (best.filter(F.col("_rn") <= k)
+                    .select(F.col("qid").alias("query_id"),
+                            F.col("cand").alias("neighbor_id"),
+                            F.round("_cos", 6).alias("cos_sim"),
+                            F.col("_rn").cast("int").alias("rank")))
 
     if entries is not None:
         frontier = entries.select(F.col("qid").cast("long").alias("qid"),

@@ -70,6 +70,37 @@ def shingle_rows(docs: DataFrame, k: int = 3,
             .distinct())
 
 
+def gram_rows(docs: DataFrame, k: int, sep: str = " ",
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """ALL (doc_id, gram) occurrence rows — the non-distinct sibling of
+    :func:`shingle_rows` with a caller-chosen separator: one row per
+    sliding window position, duplicates preserved (substring-span
+    statistics count occurrences, not membership).
+
+    Same r12 rewrite rationale as shingle_rows (guide §4.1): the
+    ``transform`` + k×``element_at`` + ``concat_ws`` array form runs
+    interpreted per element; posexplode + k-1 codegen window ``lead``s
+    is whole-stage-codegen except the per-doc bounded window sort.
+    Byte-identical gram strings: ``lead(word, j)`` over (doc, pos) is
+    exactly ``w[pos + j]``, and the ``pos <= n - k`` filter reproduces
+    ``sequence(0, size - k)``'s range (docs shorter than k yield no
+    positions, matching the old ``size(w) >= k`` pre-filter)."""
+    w = F.split(F.col(text_col), " ")
+    words = docs.select(F.col(id_col).alias("doc_id"),
+                        F.posexplode(w).alias("pos", "word"),
+                        F.size(w).alias("n"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("word", j).over(win).alias(f"_w{j}")
+             for j in range(1, k)]
+    return (words.select("doc_id", "pos", "word", "n", *leads)
+            .filter(F.col("pos") <= F.col("n") - k)
+            .select("doc_id",
+                    F.concat_ws(sep, "word",
+                                *[f"_w{j}" for j in range(1, k)])
+                    .alias("gram")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                         threshold: float = 0.8,
                         id_col: str = "doc_id",

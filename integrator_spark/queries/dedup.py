@@ -680,15 +680,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and the output is bounded to the top-50 hottest spans. At
     100 TB the same plan runs with a frequency floor (HAVING n >= k)
     pushed into a partial-agg-friendly count."""
+    from ..operators.dedup import gram_rows
+
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    k = 8
-    idx = F.sequence(F.lit(0), F.size(w) - k)
-    gram = F.transform(
-        idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j + 1) for j in range(k)]))
-    grams = (d.filter(F.size(w) >= k)
-             .select("doc_id", F.explode(gram).alias("gram")))
+    grams = gram_rows(d, k=8)
     return (grams.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("n_occurrences"),
                  F.countDistinct("doc_id").alias("n_docs"),
@@ -738,15 +733,15 @@ def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram (cost tracks collisions, never |train| x |eval|), and the
     eval gram set is DISTINCT-reduced before joining — at 100 TB it
     broadcasts (benchmarks are small; the corpus is not)."""
+    from ..operators.dedup import gram_rows
+
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    k = 8
-    idx = F.sequence(F.lit(0), F.size(w) - k)
-    gram_arr = F.transform(
-        idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j + 1) for j in range(k)]))
-    grams = (d.filter(F.size(w) >= k)
-             .select("doc_id", F.explode(gram_arr).alias("gram")))
+    # Codegen gram generation (see operators.dedup.gram_rows); the
+    # three consumers below (eval set, hit join, per-doc totals) differ
+    # only ABOVE the gram projection, so the window's doc_id exchange
+    # is planned once and hit via ReusedExchange instead of three
+    # interpreted re-evaluations of the old HOF form.
+    grams = gram_rows(d, k=8)
     is_eval = F.col("doc_id") % 50 == 0
     eval_grams = grams.filter(is_eval).select("gram").distinct()
     train = grams.filter(~is_eval)

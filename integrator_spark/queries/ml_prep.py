@@ -618,6 +618,13 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") / 100000.0).alias("x1"),
         ((F.year("o_orderdate") - F.lit(1995)) / 4.0).alias("x2"),
         ((F.col("o_custkey") % 97) / 97.0).alias("x3"))
+    # The GD loop re-aggregates this frame 8 times; checkpoint the
+    # narrow (y, x0..x3) projection once (5 doubles/row — far smaller
+    # than the orders scan it replaces) so each step reads the
+    # persisted columns instead of re-running the parquet scan +
+    # projection per iteration (guide §5 caching rule: reused AND
+    # cheaper than recompute).
+    feats = feats.localCheckpoint(eager=False)
     n = feats.count()
     if n == 0:
         raise ValueError("ml_logreg: empty input — nothing to fit")
@@ -786,6 +793,9 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") / 100000.0).alias("x1"),
         ((F.year("o_orderdate") - F.lit(1995)) / 4.0).alias("x2"),
         ((F.col("o_custkey") % 97) / 97.0).alias("x3"))
+    # 8 Newton steps + the log-loss pass re-aggregate this frame 9
+    # times — checkpoint the narrow projection once (see ml_logreg).
+    feats = feats.localCheckpoint(eager=False)
     beta = [0.0, 0.0, 0.0, 0.0]
     ns = {"__builtins__": {}}
     for _ in range(8):

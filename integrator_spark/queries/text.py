@@ -347,15 +347,22 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded only for display); the frequency floor keeps the checked
     output compact while the full conditional table is the same plan
     without the filter."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     w = tokens("text")
-    idx = F.sequence(F.lit(0), F.size(w) - 2)
-    pairs = F.transform(idx, lambda i: F.struct(
-        F.element_at(w, i + 1).alias("w1"),
-        F.element_at(w, i + 2).alias("w2")))
-    bigrams = (d.filter(F.size(w) >= 2)
-               .select(F.explode(pairs).alias("bg"))
-               .select("bg.w1", "bg.w2"))
+    # Codegen bigram positions (r12, guide §4.1 — the _trigram_per_doc
+    # rewrite at order 2): lead(word, 1) over (doc, pos) IS w[pos + 1].
+    words = d.select("doc_id", F.posexplode(w).alias("pos", "word"),
+                     F.size(w).alias("n"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (words.select("doc_id", "pos", "n",
+                            F.col("word").alias("w1"),
+                            F.lead("word", 1).over(win).alias("w2"))
+               .filter(F.col("pos") <= F.col("n") - 2)
+               .select("w1", "w2")
+               # two grouped consumers below — evaluate the window once
+               .localCheckpoint(eager=False))
     uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     return (bi.join(uni, "w1")
@@ -558,13 +565,12 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     split/explode/two-level aggregation; per-doc state is its own
     bigram multiset, so the shuffle key is doc_id and skew is bounded
     by the longest document."""
+    from ..operators.dedup import gram_rows
+
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.size(w) - 2)
-    gram = F.transform(idx, lambda i: F.concat_ws(
-        " ", F.element_at(w, i + 1), F.element_at(w, i + 2)))
-    bigrams = (d.filter(F.size(w) >= 2)
-               .select("doc_id", F.explode(gram).alias("g")))
+    # Codegen bigram occurrences (r12, guide §4.1) — same byte-
+    # identical lead-window form as dedup_substring_spans.
+    bigrams = gram_rows(d, k=2).select("doc_id", F.col("gram").alias("g"))
     counts = bigrams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = (counts.groupBy("doc_id")
                .agg(F.sum("cnt").alias("n_grams"),
@@ -889,21 +895,34 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_train(spark, sf_dir, merges=10)
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str, merges: int) -> DataFrame:
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (word, freq, seq) vocabulary frame every BPE face starts
+    from — ONE corpus scan, lazily checkpointed (eager=False: the first
+    consumer's action materializes + persists it, so callers that both
+    train rules and re-tokenize share a single scan with no extra job
+    barrier — guide §1.2, don't pass over the corpus twice for the
+    same frame)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(F.explode(tokens("text")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+            .select("word", "freq",
+                    F.trim(F.regexp_replace("word", "(.)", "$1 "))
+                    .alias("seq"))
+            .localCheckpoint(eager=False))
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, merges: int,
+               vocab: DataFrame | None = None) -> DataFrame:
     """Shared BPE merge loop (see text_bpe_train): one corpus scan to
     the (word, freq, seq) vocabulary, then ``merges`` greedy rounds
-    over that bounded frame, each ending in an eager checkpoint so the
-    per-round plan stays flat regardless of loop length."""
-    d = load_table(spark, sf_dir, "documents")
-    vocab = (d.select(F.explode(tokens("text")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-             .select("word", "freq",
-                     F.trim(F.regexp_replace("word", "(.)", "$1 "))
-                     .alias("seq"))
-             # One eager checkpoint: the corpus scan happens ONCE; the
-             # merge rounds iterate this vocabulary-bounded frame.
-             .localCheckpoint(eager=True))
+    over that bounded frame, each checkpointed lazily (eager=False —
+    the round's own 1-row collect materializes it, so a round costs ONE
+    driver action instead of two; the final round's never-consumed
+    re-segmentation is never computed at all). Callers that also need
+    the vocabulary (encode/tokenize) pass it in via ``vocab`` so the
+    corpus is scanned once per query, not once per face."""
+    vocab = vocab if vocab is not None else _bpe_vocab(spark, sf_dir)
     pair_expr = F.expr("""
         IF(size(s) >= 2,
            transform(sequence(1, size(s) - 1),
@@ -931,7 +950,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, merges: int) -> DataFrame:
             "word", "freq",
             F.expr(_merge_fold_expr(b.sym_l, b.sym_r, merged))
             .alias("seq"))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     return spark.createDataFrame(
         out_rows,
         "step int, sym_l string, sym_r string, merged string, "
@@ -995,15 +1014,12 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that bounded frame, and the answer is one frequency-weighted
     aggregation. Output: (vocab_size, total_words, chars_total,
     tokens_total, compression)."""
-    d = load_table(spark, sf_dir, "documents")
-    vocab = (d.select(F.explode(tokens("text")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-             .select("word", "freq",
-                     F.trim(F.regexp_replace("word", "(.)", "$1 "))
-                     .alias("seq"))
-             .localCheckpoint(eager=True))
-    rules = text_bpe_train(spark, sf_dir).collect()  # bounded: 10 rows
+    vocab = _bpe_vocab(spark, sf_dir)
+    # Rules re-derive from the SAME vocabulary frame (persisted by its
+    # first action), so the corpus is scanned once per query run, not
+    # once for training and again for the encode replay (guide §1.2).
+    rules = _bpe_train(spark, sf_dir, merges=10,
+                       vocab=vocab).collect()  # bounded: 10 rows
     cur = vocab
     for r in rules:
         cur = cur.select(
@@ -1082,31 +1098,42 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    vocab = (d.select(F.explode(tokens("text")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-             .select("word",
-                     F.trim(F.regexp_replace("word", "(.)", "$1 "))
-                     .alias("seq"))
-             .localCheckpoint(eager=True))
-    rules = text_bpe_train(spark, sf_dir).collect()  # bounded: 10 rows
+    vocab = _bpe_vocab(spark, sf_dir)
+    # Same shared-frame discipline as text_bpe_encode: the trainer
+    # consumes the identical checkpointed vocabulary, so one corpus
+    # scan feeds both rule learning and tokenization.
+    rules = _bpe_train(spark, sf_dir, merges=10,
+                       vocab=vocab).collect()  # bounded: 10 rows
+    seqs = vocab.select("word", "seq")
     for r in rules:
-        vocab = vocab.select(
+        seqs = seqs.select(
             "word",
             F.expr(_merge_fold_expr(r.sym_l, r.sym_r, r.merged))
             .alias("seq"))
+    # The 10 chained merge folds run INTERPRETED per row — checkpoint
+    # the re-segmented vocabulary so they evaluate once over the
+    # vocab-bounded frame, not once per consumer of the corpus-sized
+    # join below (guide §4.1).
+    seqs = seqs.localCheckpoint(eager=False)
+    # The dense id table derives from the VOCABULARY's symbols, not the
+    # corpus-sized exploded stream: every vocab word occurs in >= 1
+    # document by construction (the vocab IS the corpus word set), so
+    # DISTINCT symbols over the re-segmented seqs equals DISTINCT
+    # symbols over the per-document explosion — same ids, but computed
+    # without re-evaluating the corpus join a second time (guide §1.2).
+    ids = (seqs.select(F.explode(F.split("seq", " ")).alias("symbol"))
+           .distinct()
+           .select("symbol",
+                   (F.row_number().over(Window.orderBy("symbol")) - 1)
+                   .cast("int").alias("token_id")))
     words = (d.select("doc_id",
                       F.posexplode(tokens("text"))
                       .alias("word_pos", "word"))
              .filter(F.col("word") != ""))
-    syms = (words.join(vocab, "word")
+    syms = (words.join(seqs, "word")
             .select("doc_id", "word_pos",
                     F.posexplode(F.split("seq", " "))
                     .alias("sym_pos", "symbol")))
-    ids = (syms.select("symbol").distinct()
-           .select("symbol",
-                   (F.row_number().over(Window.orderBy("symbol")) - 1)
-                   .cast("int").alias("token_id")))
     w = Window.partitionBy("doc_id").orderBy("word_pos", "sym_pos")
     return (syms.join(F.broadcast(ids), "symbol")
             .select("doc_id",
@@ -1483,16 +1510,25 @@ def _trigram_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared head of text_trigram_lm and text_perplexity_filter.
     Six aggregations over one exploded trigram table; the count
     tables broadcast (vocabulary-sized)."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     w = tokens("text")
-    idx = F.sequence(F.lit(0), F.size(w) - 3)
-    tris = F.transform(idx, lambda i: F.struct(
-        F.element_at(w, i + 1).alias("w1"),
-        F.element_at(w, i + 2).alias("w2"),
-        F.element_at(w, i + 3).alias("w3")))
-    tri = (d.filter(F.size(w) >= 3)
-           .select("doc_id", F.explode(tris).alias("t"))
-           .select("doc_id", "t.w1", "t.w2", "t.w3"))
+    # Codegen trigram positions (r12, guide §4.1 — same rewrite as
+    # operators.dedup.gram_rows): posexplode + 2 window leads instead
+    # of the interpreted transform + 3×element_at; lead(word, j) over
+    # (doc, pos) IS w[pos + j], and pos <= n - 3 reproduces
+    # sequence(0, size - 3)'s range, so the (doc_id, w1, w2, w3) rows
+    # are byte-identical.
+    words = d.select("doc_id", F.posexplode(w).alias("pos", "word"),
+                     F.size(w).alias("n"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (words.select("doc_id", "pos", "n",
+                        F.col("word").alias("w1"),
+                        F.lead("word", 1).over(win).alias("w2"),
+                        F.lead("word", 2).over(win).alias("w3"))
+           .filter(F.col("pos") <= F.col("n") - 3)
+           .select("doc_id", "w1", "w2", "w3"))
     tri = tri.localCheckpoint(eager=False)  # 6 consumers, 1 scan
     n_pos = tri.count()
     c123 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c123"))

@@ -3105,3 +3105,65 @@ def test_web_canon_fuzz_vs_python_reference(spark):
            df.select("i", _canon_col(F.col("raw")).alias("c")).collect()}
     for i, u in enumerate(urls):
         assert got[i] == py_canon(u), (u, got[i], py_canon(u))
+
+
+def test_shingle_and_gram_rows_match_interpreted_array_form(spark):
+    # The r12 codegen rewrite (posexplode + window leads) must produce
+    # byte-identical rows to the interpreted transform/element_at form
+    # it replaced — including double-space empty tokens, docs shorter
+    # than k (no rows), duplicate grams (occurrence rows preserved by
+    # gram_rows, deduped by shingle_rows), and k == size edge cases.
+    from integrator_spark.operators.dedup import gram_rows, shingle_rows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a  b a  b"), (3, "x y"), (4, ""),
+         (5, "p q r"), (6, "a b a b a b a b")],
+        "doc_id long, text string")
+
+    for k, sep in ((2, " "), (3, "|"), (8, " ")):
+        w = F.split(F.col("text"), " ")
+        idx = F.sequence(F.lit(0), F.size(w) - k)
+        gram = F.transform(
+            idx, lambda i: F.concat_ws(
+                sep, *[F.element_at(w, i + j + 1) for j in range(k)]))
+        old = (docs.filter(F.size(w) >= k)
+               .select("doc_id", F.explode(gram).alias("gram")))
+        new = gram_rows(docs, k=k, sep=sep)
+        # occurrence-level parity: multiset equality both directions
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
+
+    old_sh = (docs.select("doc_id",
+                          F.explode(word_shingles("text", 3)).alias("shingle"))
+              .distinct())
+    new_sh = shingle_rows(docs, k=3)
+    assert new_sh.exceptAll(old_sh).count() == 0
+    assert old_sh.exceptAll(new_sh).count() == 0
+
+
+def test_graph_ann_search_fused_matches_relational_rounds(spark):
+    # The r12 fused navigate kernel (one mapInPandas walking all hops
+    # against the broadcast CSR adjacency) must be BYTE-identical to
+    # the relational hop rounds it replaces — same einsum float64
+    # scoring on the same float32-stored broadcast matrix, same
+    # (cos DESC, cand ASC) beam rank, same dedup/self-exclusion/
+    # membership semantics. Checked at k=1 and at the full-beam
+    # k=beam shape serve_deletes consumes.
+    from integrator_spark.io import load_table
+    from integrator_spark.operators.ann_graph import (
+        graph_ann_search,
+        nn_descent,
+    )
+    from .conftest import TEST_SF_DIR
+
+    emb = load_table(spark, TEST_SF_DIR, "embeddings") \
+        .filter(F.col("vec_id") < 120)
+    g = nn_descent(emb, k=6, iters=2)
+    for kk in (1, 8):
+        fused = graph_ann_search(g, emb, emb, k=kk, beam=8, hops=3,
+                                 n_entries=8, exclude_self=True,
+                                 fused=True).orderBy("query_id", "rank")
+        rel = graph_ann_search(g, emb, emb, k=kk, beam=8, hops=3,
+                               n_entries=8, exclude_self=True,
+                               fused=False).orderBy("query_id", "rank")
+        assert fused.collect() == rel.collect()
