@@ -520,7 +520,12 @@ def connected_components_star(pairs: DataFrame, a_col: str = "d1",
                      .unionByName(mins2.select(F.col("hi").alias("u"),
                                                F.col("_m").alias("v")))
                      .filter(F.col("u") != F.col("v")).distinct())
-        new_edges = truncated_checkpoint(new_edges)
+        # eager=False: the signature aggregate below is the round's ONE
+        # driver action — it materializes (and persists) the
+        # checkpointed edge set as a side effect, instead of paying a
+        # separate checkpoint job barrier per round (the kcore_peel
+        # fusion, guide §1.2: one driver round trip per round, not two).
+        new_edges = truncated_checkpoint(new_edges, eager=False)
         sig = new_edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
@@ -567,6 +572,7 @@ def connected_components(pairs: DataFrame, a_col: str = "d1",
     # would compound across rounds even with plain localCheckpoint.
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+    prev_sum: object = object()   # sentinel unequal to any sum
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src")
@@ -576,15 +582,25 @@ def connected_components(pairs: DataFrame, a_col: str = "d1",
                       .select("node",
                               F.least("label", F.coalesce("nbr_label", "label"))
                                .alias("label")))
-        new_labels = truncated_checkpoint(new_labels)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
+        # eager=False + sum-signature convergence (r12, guide §1.2/§2.3):
+        # labels update by least(), so the per-node label sequence is
+        # monotone non-increasing over a FIXED node set — the exact
+        # decimal sum of labels strictly decreases iff any label
+        # changed, making an equal sum a sound fixpoint test. One
+        # aggregate on the new frame (which also materializes its lazy
+        # checkpoint) replaces the old changed-count join of old×new
+        # labels PLUS the separate checkpoint job: one driver action
+        # and zero extra shuffles per round instead of two actions and
+        # a join.
+        new_labels = truncated_checkpoint(new_labels, eager=False)
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -72,13 +72,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         dangling = (ranks.join(out_deg,
                                ranks["node"] == out_deg["src"], "left_anti")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")))
+        # eager=False (r12, guide §1.2): lineage/stats still truncate
+        # per round, but materialization folds into the next driver
+        # action — the signature collect in convergence mode, the
+        # caller's single action across ALL rounds in fixed-iteration
+        # mode — instead of paying one checkpoint job barrier per round.
         return truncated_checkpoint(
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select("node",
                     ((1.0 - damping) / n
                      + damping * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                                  + F.col("dang") / n)).alias("rank")))
+                                  + F.col("dang") / n)).alias("rank")),
+            eager=False)
 
     if iterations is None:
         # Convergence = the grid signature REPEATS within a short
@@ -311,14 +317,18 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 6,
     visited = spark.createDataFrame([(int(source), 0)], "node long, level int")
     frontier = visited.select("node")
     for lvl in range(1, max_depth + 1):
+        # eager=False (r12, guide §1.2): the isEmpty probe (and the
+        # next round's join) materializes the lazily-checkpointed
+        # frames — lineage/stats still truncate per round, without a
+        # dedicated checkpoint job barrier each.
         nxt = truncated_checkpoint(
             frontier.join(adj, frontier["node"] == adj["e_s"])
             .select(F.col("e_d").alias("node")).distinct()
-            .join(visited, "node", "left_anti"))
+            .join(visited, "node", "left_anti"), eager=False)
         if nxt.isEmpty():
             break
         visited = truncated_checkpoint(visited.unionByName(
-            nxt.select("node", F.lit(lvl).alias("level"))))
+            nxt.select("node", F.lit(lvl).alias("level"))), eager=False)
         frontier = nxt
     return visited
 
@@ -366,11 +376,24 @@ def label_propagation(edges: DataFrame, src: str = "src",
         win = (cnt.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") == 1)
                .select("node", F.col("label").alias("_new")))
+        # eager=False (r12, guide §1.2): fixed rounds with no
+        # inter-round driver decision — all 8 lazily-checkpointed
+        # rounds materialize inside the caller's single action instead
+        # of paying one checkpoint job barrier per round.
         labels = truncated_checkpoint(
             labels.join(win, "node", "left")
             .select("node",
-                    F.coalesce("_new", "label").alias("label")))
+                    F.coalesce("_new", "label").alias("label")),
+            eager=False)
     return labels
+
+
+#: Driver budget for Borůvka's contraction step: collected chosen-edge
+#: endpoint pairs (two longs each; 1M pairs ≈ 16 MB + row overhead —
+#: same ceiling philosophy as MAX_CSR_EDGES below). The chosen-edge
+#: graph has <= one edge per component, so only graphs with more than
+#: a million live components pay the relational star-CC fallback.
+MAX_DRIVER_CONTRACT_EDGES = 1_000_000
 
 
 def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
@@ -393,9 +416,11 @@ def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
 
     Scale shape: per round, the edge relabel is two hash joins on the
     node key; the best-edge pick is one window over edge endpoints
-    keyed by component; the contraction runs star CC on the CHOSEN
-    edges only (<= one per component — a graph that halves each
-    round). Labels are lineage-truncated per round (operators/ckpt).
+    keyed by component; the contraction runs on the CHOSEN edges only
+    (<= one per component — a graph that halves each round): a driver
+    union-find when the chosen edges fit MAX_DRIVER_CONTRACT_EDGES,
+    star CC otherwise. Labels are lineage-truncated per round
+    (operators/ckpt).
     ``maximum=True`` negates the comparison (maximum spanning forest
     — e.g. the strongest-affinity backbone of a similarity graph)."""
     spark = edges.sparkSession
@@ -413,11 +438,15 @@ def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
                            F.col("comp").alias("cs"))
         ld = labels.select(F.col("node").alias("d"),
                            F.col("comp").alias("cd"))
-        el = (e.join(ls, "s").join(ld, "d")
-              .filter(F.col("cs") != F.col("cd")))
+        # Checkpoint BEFORE the emptiness probe (r12, guide §1.2): the
+        # old order paid the relabel join twice per round (isEmpty's
+        # partial evaluation, then the checkpoint's full one); probing
+        # the persisted frame costs one trivial scan instead.
+        el = truncated_checkpoint(
+            e.join(ls, "s").join(ld, "d")
+            .filter(F.col("cs") != F.col("cd")))
         if el.isEmpty():
             break
-        el = truncated_checkpoint(el)
         cand = (el.select(F.col("cs").alias("comp"), "s", "d", "w",
                           "cs", "cd")
                 .unionByName(el.select(F.col("cd").alias("comp"),
@@ -428,17 +457,55 @@ def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
                   .select("s", "d", "w", "cs", "cd").distinct())
         chosen = truncated_checkpoint(chosen)
         msf = msf.unionByName(chosen.select("s", "d", "w"))
-        from .dedup import connected_components_star
-        cc = connected_components_star(
-            chosen.select(F.col("cs").alias("d1"),
-                          F.col("cd").alias("d2")), "d1", "d2")
-        cc = cc.select(F.col("doc_id").alias("comp"),
-                       F.col("cluster_id").alias("newc"))
-        # No broadcast hint: the round-1 component map is ~n/2 rows
-        # (AQE broadcasts it only once contraction shrinks it).
-        labels = truncated_checkpoint(
-            labels.join(cc, "comp", "left")
-            .select("node", F.coalesce("newc", "comp").alias("comp")))
+        # Contract the chosen-edge graph. It holds <= one edge per
+        # component (components at least halve per round), so within
+        # the driver budget a Python union-find over the collected
+        # (cs, cd) pairs replaces the star-CC sub-loop — whose own
+        # per-round checkpoints + signature collects cost ~6-10 Spark
+        # jobs per MST round for a graph this shape contracts in
+        # microseconds (r12, guide §1.2: the decision data is tiny,
+        # only the relabel join is data-proportional). Attaching the
+        # larger root under the smaller keeps every set's root = its
+        # min, the exact (doc_id -> component min) contract of
+        # connected_components_star, which remains the over-budget
+        # 100 TB fallback.
+        n_chosen = chosen.count()   # cheap: chosen is persisted
+        if n_chosen <= MAX_DRIVER_CONTRACT_EDGES:
+            parent: dict = {}
+
+            def _find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for row in chosen.select("cs", "cd").collect():
+                a, b = int(row.cs), int(row.cd)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            cc = spark.createDataFrame(
+                [(c, _find(c)) for c in parent], "comp long, newc long")
+            labels = truncated_checkpoint(
+                labels.join(F.broadcast(cc), "comp", "left")
+                .select("node", F.coalesce("newc", "comp").alias("comp")))
+        else:
+            from .dedup import connected_components_star
+            cc = connected_components_star(
+                chosen.select(F.col("cs").alias("d1"),
+                              F.col("cd").alias("d2")), "d1", "d2")
+            cc = cc.select(F.col("doc_id").alias("comp"),
+                           F.col("cluster_id").alias("newc"))
+            # No broadcast hint: the round-1 component map is ~n/2 rows
+            # (AQE broadcasts it only once contraction shrinks it).
+            labels = truncated_checkpoint(
+                labels.join(cc, "comp", "left")
+                .select("node", F.coalesce("newc", "comp").alias("comp")))
     else:
         # Rounds exhausted without the empty-frontier break: verify
         # convergence rather than silently returning a PARTIAL forest.

@@ -906,11 +906,17 @@ def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     internals); tests assert recall == 1.0 for MinHash at these dials
     and report SimHash alongside. All three pair sets are bucketed
     candidate joins — computing the report costs no all-pairs work."""
+    from ..operators.ckpt import truncated_checkpoint
     from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    truth = (ngram_jaccard_pairs(d, k=3, threshold=0.8)
-             .select("d1", "d2"))
+    # The exact-truth pair set is consumed four times (per method: one
+    # semi join + the n_true aggregate) — checkpoint it once
+    # (eager=False: the first report's action materializes it) so the
+    # exact shingle join runs ONE time per query (r12, guide §1.2).
+    truth = truncated_checkpoint(
+        ngram_jaccard_pairs(d, k=3, threshold=0.8).select("d1", "d2"),
+        eager=False)
     methods = {
         "minhash_lsh": minhash_lsh_pairs(d, k=3, jaccard_dist=0.5)
                        .select("d1", "d2"),

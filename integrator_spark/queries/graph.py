@@ -566,14 +566,18 @@ def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.lit(0).alias("lvl"))
     frontier = visited.select("src", "node")
     for lvl in range(1, 5):
+        # eager=False (r12, guide §1.2): the isEmpty probe / next
+        # round's join materializes the lazy checkpoints — no dedicated
+        # checkpoint job barrier per level.
         nxt = truncated_checkpoint(
             frontier.join(adj, frontier["node"] == adj["e_s"])
             .select("src", F.col("e_d").alias("node")).distinct()
-            .join(visited, ["src", "node"], "left_anti"))
+            .join(visited, ["src", "node"], "left_anti"), eager=False)
         if nxt.isEmpty():
             break
         visited = truncated_checkpoint(visited.unionByName(
-            nxt.select("src", "node", F.lit(lvl).alias("lvl"))))
+            nxt.select("src", "node", F.lit(lvl).alias("lvl"))),
+            eager=False)
         frontier = nxt
     h12 = F.sum(F.when(F.col("lvl") == 1, 12)
                 .when(F.col("lvl") == 2, 6)

@@ -54,8 +54,15 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 dp on both engines; deeper itemsets would iterate the same
     candidate-join + support-filter shape (Apriori's monotonicity
     bounds the frontier)."""
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
+    from ..operators.ckpt import truncated_checkpoint
+
+    # The distinct basket frame is consumed four times (basket total,
+    # item supports, both self-join sides) — checkpoint it once
+    # (eager=False: the first broadcast build materializes it) so the
+    # scan + distinct shuffle run ONE time per query (r12, guide §1.2).
+    li = truncated_checkpoint(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct(), eager=False)
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).alias("supp"))

@@ -127,10 +127,18 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     here scales as its components do: at 10^9 points the radius join
     and CC rounds shuffle on cell/node keys; nothing materializes a
     closure."""
+    from ..operators.ckpt import truncated_checkpoint
     from ..operators.dedup import connected_components_star
 
     pts = _pts(spark, sf_dir)
-    pairs = radius_pairs(pts, "id", "x", "y", _RADIUS).select("id_a", "id_b")
+    # The eps-neighborhood pair set feeds degree counting, the
+    # core-core subgraph AND border assignment — checkpoint it once
+    # (eager=False: the CC operator's first action materializes it)
+    # so the grid-bucketed radius join runs ONE time instead of being
+    # re-evaluated per consumer (r12, guide §1.2).
+    pairs = truncated_checkpoint(
+        radius_pairs(pts, "id", "x", "y", _RADIUS).select("id_a", "id_b"),
+        eager=False)
     both = (pairs.select(F.col("id_a").alias("i"), F.col("id_b").alias("j"))
             .unionByName(pairs.select(F.col("id_b").alias("i"),
                                       F.col("id_a").alias("j"))))

@@ -365,8 +365,14 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     if load_table(spark, sf_dir, "embeddings").isEmpty():
         return spark.createDataFrame(
             [], "method string, n_queries long, n_hits long, recall_at_1 double")
-    exact = (vec_knn(spark, sf_dir)
-             .select("vec_id", F.col("cos_sim").alias("_best")))
+    from ..operators.ckpt import truncated_checkpoint
+
+    # Both method reports join against the exact-kNN truth — checkpoint
+    # it once (eager=False) so the broadcast-matmul kNN runs ONE time
+    # per query, not once per method (r12, guide §1.2).
+    exact = truncated_checkpoint(
+        vec_knn(spark, sf_dir)
+        .select("vec_id", F.col("cos_sim").alias("_best")), eager=False)
     per_method = []
     for method, fn in (("ivf", vec_ann_ivf), ("lsh", vec_ann_lsh)):
         approx = fn(spark, sf_dir)
@@ -405,8 +411,12 @@ def vec_ann_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     if load_table(spark, sf_dir, "embeddings").isEmpty():
         return spark.createDataFrame(
             [], "method string, n_queries long, n_hits long, recall_at_1 double")
-    exact = (vec_knn(spark, sf_dir)
-             .select("vec_id", F.col("cos_sim").alias("_best")))
+    from ..operators.ckpt import truncated_checkpoint
+
+    # Same one-scan truth discipline as vec_ann_recall (r12).
+    exact = truncated_checkpoint(
+        vec_knn(spark, sf_dir)
+        .select("vec_id", F.col("cos_sim").alias("_best")), eager=False)
     per_method = []
     for method, fn in (("ivfpq", vec_ann_ivfpq), ("pq", vec_ann_pq)):
         top1 = (fn(spark, sf_dir)
