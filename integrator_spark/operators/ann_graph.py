@@ -52,6 +52,16 @@ from .knn import _dot_expr
 #: budget the join path keeps working at any n.
 MATRIX_BUDGET_BYTES = 1 << 30
 
+#: Per-TASK budget for the fused navigate kernel's precomputed
+#: query-batch × corpus score matrix (nq_local × n × 8 bytes). Within
+#: it, every hop's scoring is one fancy-index gather instead of
+#: re-materializing two candidate-sized float64 gather arrays per hop;
+#: past it (huge corpora or fat query batches) the kernel falls back to
+#: the per-pair einsum, which works at any n. The matrix's per-element
+#: reduction runs the same sequential-j einsum order as the per-pair
+#: form, so scores are bit-identical on both routes.
+SCORE_MATRIX_BUDGET_BYTES = 256 << 20
+
 
 def _sorted_lookup(ids_sorted: np.ndarray, values: np.ndarray) -> np.ndarray:
     """Indices of ``values`` in a sorted id array; -1 for non-members.
@@ -203,37 +213,6 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                 bids_s, bmat, qids_s, qmat = mat_bc.value
                 srcs, dsts = adj_bc.value
 
-                def beam_rank(qr: np.ndarray, cd: np.ndarray,
-                              qloc: np.ndarray, width: int):
-                    """score + row_number((cos DESC, cand ASC)) <= width
-                    — the relational score_and_beam, vectorized."""
-                    ci = _sorted_lookup(bids_s, cd)
-                    ok = ci >= 0
-                    if excl:
-                        ok &= qids_local[qr] != cd
-                    qr, cd, ci = qr[ok], cd[ok], ci[ok]
-                    cos = np.einsum(
-                        "ij,ij->i",
-                        qmat[qloc[qr]].astype(np.float64),
-                        bmat[ci].astype(np.float64))
-                    order = np.lexsort((cd, -cos, qr))
-                    qr, cd, cos = qr[order], cd[order], cos[order]
-                    first = np.ones(len(qr), dtype=bool)
-                    first[1:] = qr[1:] != qr[:-1]
-                    starts = np.maximum.accumulate(
-                        np.where(first, np.arange(len(qr)), 0))
-                    rank = np.arange(len(qr)) - starts + 1
-                    keepm = rank <= width
-                    return (qr[keepm], cd[keepm], cos[keepm],
-                            rank[keepm].astype(np.int32))
-
-                def dedupe(qr: np.ndarray, cd: np.ndarray):
-                    order = np.lexsort((cd, qr))
-                    qr, cd = qr[order], cd[order]
-                    keep = np.ones(len(qr), dtype=bool)
-                    keep[1:] = (qr[1:] != qr[:-1]) | (cd[1:] != cd[:-1])
-                    return qr[keep], cd[keep]
-
                 for pdf in batches:
                     qids_local = pdf["qid"].to_numpy(dtype=np.int64)
                     nq_l = len(qids_local)
@@ -245,10 +224,66 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                             "_rn": np.array([], dtype=np.int32)})
                         continue
                     qloc = _sorted_lookup(qids_s, qids_local)
+                    # Precompute this batch's query × corpus score
+                    # matrix ONCE when it fits the per-task budget
+                    # (r12: kernel profile showed the per-hop
+                    # gather+cast+dot materializing two ~800k × dim
+                    # float64 arrays per hop — 60% of the kernel wall;
+                    # the matrix form runs the SAME sequential-j einsum
+                    # reduction per element, so every looked-up cosine
+                    # is bit-identical to the per-pair form, verified
+                    # by the fused-vs-relational parity tests). Above
+                    # the budget (huge corpora / fat batches) the
+                    # per-pair path below keeps working at any n.
+                    S = None
+                    if nq_l * len(bids_s) * 8 <= SCORE_MATRIX_BUDGET_BYTES:
+                        S = np.einsum("ij,kj->ik",
+                                      qmat[qloc].astype(np.float64),
+                                      bmat.astype(np.float64))
+
+                    def beam_rank(qr: np.ndarray, cd: np.ndarray,
+                                  width: int, drop_dups: bool):
+                        """score + distinct + row_number((cos DESC,
+                        cand ASC)) <= width — the relational
+                        score_and_beam, vectorized. ``drop_dups``
+                        folds the old pre-scoring dedupe into THIS
+                        sort: equal (qr, cd) pairs score identically,
+                        so under the (qr, cos DESC, cd ASC) order they
+                        are adjacent and one stable keep-first mask
+                        reproduces .distinct() exactly — one lexsort
+                        per hop instead of two (r12)."""
+                        ci = _sorted_lookup(bids_s, cd)
+                        ok = ci >= 0
+                        if excl:
+                            ok &= qids_local[qr] != cd
+                        qr, cd, ci = qr[ok], cd[ok], ci[ok]
+                        if S is not None:
+                            cos = S[qr, ci]
+                        else:
+                            cos = np.einsum(
+                                "ij,ij->i",
+                                qmat[qloc[qr]].astype(np.float64),
+                                bmat[ci].astype(np.float64))
+                        order = np.lexsort((cd, -cos, qr))
+                        qr, cd, cos = qr[order], cd[order], cos[order]
+                        if drop_dups:
+                            keep = np.ones(len(qr), dtype=bool)
+                            keep[1:] = ((qr[1:] != qr[:-1])
+                                        | (cd[1:] != cd[:-1]))
+                            qr, cd, cos = qr[keep], cd[keep], cos[keep]
+                        first = np.ones(len(qr), dtype=bool)
+                        first[1:] = qr[1:] != qr[:-1]
+                        starts = np.maximum.accumulate(
+                            np.where(first, np.arange(len(qr)), 0))
+                        rank = np.arange(len(qr)) - starts + 1
+                        keepm = rank <= width
+                        return (qr[keepm], cd[keepm], cos[keepm],
+                                rank[keepm].astype(np.int32))
+
                     # hop 0: every query × the shared entry set
                     qr = np.repeat(np.arange(nq_l), len(ent_ids))
                     cd = np.tile(ent_ids, nq_l)
-                    qr, cd, cos, rn = beam_rank(qr, cd, qloc, bm_w)
+                    qr, cd, cos, rn = beam_rank(qr, cd, bm_w, False)
                     for _ in range(hops_n):
                         lo = np.searchsorted(srcs, cd, side="left")
                         hi = np.searchsorted(srcs, cd, side="right")
@@ -263,8 +298,7 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                         ecd = dsts[gidx]
                         uqr = np.concatenate((eqr, qr))
                         ucd = np.concatenate((ecd, cd))
-                        uqr, ucd = dedupe(uqr, ucd)
-                        qr, cd, cos, rn = beam_rank(uqr, ucd, qloc, bm_w)
+                        qr, cd, cos, rn = beam_rank(uqr, ucd, bm_w, True)
                     yield pd.DataFrame({
                         "qid": qids_local[qr], "cand": cd,
                         "_cos": cos, "_rn": rn})
@@ -482,6 +516,79 @@ def nn_descent(emb: DataFrame, k: int = 10, iters: int = 4,
     init_edges = (init_edges
                   .filter(F.col("src") != F.col("dst"))
                   .distinct())
+
+    # DRIVER-FUSED ROUNDS (r12, guide §1.2/§4.2): NN-Descent's rounds
+    # are GLOBAL (every node's neighbor list updates against the whole
+    # edge set), so unlike the navigate kernel they cannot fan out by
+    # query batch — but when the corpus matrix already rides the
+    # broadcast AND the full n×n score matrix fits the kernel budget,
+    # the 4 rounds run as one numpy loop on the driver: the per-round
+    # (join + distinct + window) Spark machinery — ~3 shuffles and a
+    # checkpoint per round on candidate volumes of n·k² rows — becomes
+    # searchsorted CSR expansion, one lexsort, and score-matrix
+    # gathers. Candidate generation, the .distinct(), the self filter,
+    # the float64 sequential-j einsum scores and the (cos DESC, dst
+    # ASC) row_number replicate the relational rounds step for step
+    # (parity pinned in tests); init edges still come from the SAME
+    # Spark expressions (xxhash64 draws / cell seeding), collected
+    # bounded at n·(k+2) rows. Above the budget the relational rounds
+    # below run unchanged at any n.
+    if mat_bc is not None and n * n * 8 <= SCORE_MATRIX_BUDGET_BYTES:
+        ipdf = init_edges.toPandas()
+        isrc = ipdf["src"].to_numpy(dtype=np.int64)
+        idst = ipdf["dst"].to_numpy(dtype=np.int64)
+        ids_s, m32 = mat_bc.value
+        S = np.einsum("ij,kj->ik", m32.astype(np.float64),
+                      m32.astype(np.float64))
+
+        def _score_rank(sa: np.ndarray, da: np.ndarray, width: int):
+            si = _sorted_lookup(ids_s, sa)
+            di = _sorted_lookup(ids_s, da)
+            ok = (si >= 0) & (di >= 0) & (sa != da)
+            sa, da, si, di = sa[ok], da[ok], si[ok], di[ok]
+            cos = S[si, di]
+            order = np.lexsort((da, -cos, sa))
+            sa, da, cos = sa[order], da[order], cos[order]
+            keep = np.ones(len(sa), dtype=bool)   # the .distinct()
+            keep[1:] = (sa[1:] != sa[:-1]) | (da[1:] != da[:-1])
+            sa, da, cos = sa[keep], da[keep], cos[keep]
+            first = np.ones(len(sa), dtype=bool)
+            first[1:] = sa[1:] != sa[:-1]
+            starts = np.maximum.accumulate(
+                np.where(first, np.arange(len(sa)), 0))
+            rank = np.arange(len(sa)) - starts + 1
+            km = rank <= width
+            return sa[km], da[km], cos[km], rank[km].astype(np.int32)
+
+        gs, gd, gc, gr = _score_rank(isrc, idst, kk)
+        for _ in range(iters):
+            # neighbor-of-neighbor proposals over the UNDIRECTED graph
+            ss = np.concatenate((gs, gd))
+            sd = np.concatenate((gd, gs))
+            so = np.argsort(ss, kind="stable")
+            ss, sd = ss[so], sd[so]
+            # for each sym edge (u, v): propose (u, w) for every sym
+            # edge (v, w) — CSR expansion of v's adjacency range
+            lo = np.searchsorted(ss, sd, side="left")
+            hi = np.searchsorted(ss, sd, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            cum = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+            gidx = (np.arange(tot) - np.repeat(cum, cnt)
+                    + np.repeat(lo, cnt))
+            nsrc = np.repeat(ss, cnt)
+            ndst = sd[gidx]
+            usrc = np.concatenate((nsrc, gs))
+            udst = np.concatenate((ndst, gd))
+            gs, gd, gc, gr = _score_rank(usrc, udst, kk)
+        out = pd.DataFrame({"src": gs, "dst": gd,
+                            "_cos": gc, "_rn": gr})
+        return (spark.createDataFrame(
+            out, "src long, dst long, _cos double, _rn int")
+            .select(F.col("src").alias("vec_id"),
+                    F.col("dst").alias("neighbor_id"),
+                    F.round("_cos", 6).alias("cos_sim"),
+                    F.col("_rn").cast("int").alias("rank")))
 
     def score_pairs(cand: DataFrame) -> DataFrame:
         if mat_bc is not None:

@@ -3167,3 +3167,26 @@ def test_graph_ann_search_fused_matches_relational_rounds(spark):
                                n_entries=8, exclude_self=True,
                                fused=False).orderBy("query_id", "rank")
         assert fused.collect() == rel.collect()
+
+
+def test_nn_descent_driver_rounds_match_distributed_rounds(spark, monkeypatch):
+    # The r12 driver-fused build rounds (numpy CSR expansion + in-sort
+    # distinct + score-matrix gathers, run when the full n x n score
+    # matrix fits SCORE_MATRIX_BUDGET_BYTES) must be BYTE-identical to
+    # the distributed relational rounds: the score matrix's per-element
+    # sequential-j einsum reduction equals the per-pair einsum the
+    # mapInPandas kernel runs, and candidate generation / .distinct() /
+    # self filter / (cos DESC, dst ASC) row_number replicate the plan
+    # step for step.
+    from integrator_spark.io import load_table
+    from integrator_spark.operators import ann_graph
+    from .conftest import TEST_SF_DIR
+
+    emb = load_table(spark, TEST_SF_DIR, "embeddings") \
+        .filter(F.col("vec_id") < 120)
+    driver = ann_graph.nn_descent(emb, k=6, iters=2) \
+        .orderBy("vec_id", "rank").collect()
+    monkeypatch.setattr(ann_graph, "SCORE_MATRIX_BUDGET_BYTES", 0)
+    distributed = ann_graph.nn_descent(emb, k=6, iters=2) \
+        .orderBy("vec_id", "rank").collect()
+    assert driver == distributed
