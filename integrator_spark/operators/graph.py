@@ -186,13 +186,72 @@ def triangle_census(edges: DataFrame, src: str = "src",
          .select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("x"),
                  F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("y"))
          .localCheckpoint(eager=True))
-    xy = o.select(F.col("x").alias("w_x"), F.col("y").alias("w_y"))
-    yz = o.select(F.col("x").alias("w_y2"), F.col("y").alias("w_z"))
-    closing = o.select(F.col("x").alias("c_x"), F.col("y").alias("c_z"))
-    tri = (xy.join(yz, F.col("w_y") == F.col("w_y2"))
-           .join(closing, (F.col("c_x") == F.col("w_x"))
-                 & (F.col("c_z") == F.col("w_z")))
-           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    # Triangle count: |N+(x) ∩ N+(y)| summed over oriented edges.
+    # r12 kernel (guide §4.2, the common_neighbor_pairs precedent): the
+    # wedge join materializes every oriented wedge as a shuffle row
+    # (~50M at sf0.1) only to probe it against the edge set. When the
+    # oriented edge list fits MAX_CSR_EDGES it broadcasts once
+    # (sorted-CSR adjacency + sorted dense-packed edge keys) and edge
+    # chunks count their wedge hits with vectorized CSR gathers +
+    # searchsorted membership in a mapInPandas kernel — wedges never
+    # become rows, only per-chunk partial counts leave Python. Exact
+    # integer counting, identical to the 3-way join, which remains the
+    # over-budget fallback and the 100 TB shape.
+    m_edges = o.count()   # cheap: o is eagerly checkpointed
+    spark = edges.sparkSession
+    tri = None
+    if 0 < m_edges <= MAX_CSR_EDGES:
+        import numpy as np
+        import pandas as pd
+
+        opdf = o.toPandas()       # budget-gated driver collect
+        xv = opdf["x"].to_numpy(dtype=np.int64)
+        yv = opdf["y"].to_numpy(dtype=np.int64)
+        ids = np.unique(np.concatenate([xv, yv]))
+        nn = np.int64(len(ids))
+        xi = np.searchsorted(ids, xv)
+        yi = np.searchsorted(ids, yv)
+        order = np.argsort(xi, kind="stable")
+        heads, tails = xi[order], yi[order]
+        indptr = np.zeros(len(ids) + 1, dtype=np.int64)
+        indptr[1:] = np.bincount(xi, minlength=len(ids)).cumsum()
+        keys = np.sort(xi * nn + yi)   # dense-packed, nn < 2^32 by ids
+        kbc = spark.sparkContext.broadcast((heads, tails, indptr, keys,
+                                            nn))
+        chunk = 65536
+        n_chunks = (m_edges + chunk - 1) // chunk
+
+        def count_tris(batches):
+            heads_b, tails_b, indptr_b, keys_b, n_b = kbc.value
+            for bdf in batches:
+                total = 0
+                for cid in bdf["id"].to_numpy():
+                    lo = int(cid) * chunk
+                    hi = min(lo + chunk, len(heads_b))
+                    hx = heads_b[lo:hi]
+                    hy = tails_b[lo:hi]
+                    cz = indptr_b[hy + 1] - indptr_b[hy]
+                    owners = np.repeat(hx, cz)
+                    ws = _csr_gather(tails_b, indptr_b, hy, cz)
+                    probe = owners * n_b + ws
+                    pos = np.minimum(np.searchsorted(keys_b, probe),
+                                     len(keys_b) - 1)
+                    total += int((keys_b[pos] == probe).sum())
+                yield pd.DataFrame({"c": [total]})
+
+        par = spark.sparkContext.defaultParallelism
+        tri = (spark.range(n_chunks).repartition(par)
+               .mapInPandas(count_tris, "c long")
+               .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                    .alias("n_triangles")))
+    if tri is None:
+        xy = o.select(F.col("x").alias("w_x"), F.col("y").alias("w_y"))
+        yz = o.select(F.col("x").alias("w_y2"), F.col("y").alias("w_z"))
+        closing = o.select(F.col("x").alias("c_x"), F.col("y").alias("c_z"))
+        tri = (xy.join(yz, F.col("w_y") == F.col("w_y2"))
+               .join(closing, (F.col("c_x") == F.col("w_x"))
+                     & (F.col("c_z") == F.col("w_z")))
+               .agg(F.count(F.lit(1)).alias("n_triangles")))
     # Per-node C(deg,2) with integer DIV (deg*(deg-1) is always even):
     # the long sum stays exact past 2^53, where a double division would
     # silently round — same exact-integer discipline as the money sums.

@@ -3190,3 +3190,29 @@ def test_nn_descent_driver_rounds_match_distributed_rounds(spark, monkeypatch):
     distributed = ann_graph.nn_descent(emb, k=6, iters=2) \
         .orderBy("vec_id", "rank").collect()
     assert driver == distributed
+
+
+def test_triangle_census_kernel_matches_wedge_join(spark, monkeypatch):
+    # The r12 CSR triangle-count kernel (broadcast adjacency +
+    # searchsorted membership over edge chunks) must produce the exact
+    # census row the 3-way oriented wedge join computes — integer
+    # counting, so equality is exact.
+    from integrator_spark.io import load_table
+    from integrator_spark.operators import graph as gops
+    from .conftest import TEST_SF_DIR
+
+    li = load_table(spark, TEST_SF_DIR, "lineitem") \
+        .select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("d"))
+    edges = (a.join(b, "k").filter(F.col("s") < F.col("d"))
+             .select("s", "d").distinct())
+    kernel = gops.triangle_census(edges, src="s", dst="d",
+                                  assume_canonical=True).collect()
+    monkeypatch.setattr(gops, "MAX_CSR_EDGES", 0)
+    relational = gops.triangle_census(edges, src="s", dst="d",
+                                      assume_canonical=True).collect()
+    assert kernel == relational
+    assert kernel[0].n_triangles > 0
