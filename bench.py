@@ -71,12 +71,21 @@ HEADLINE = [
     # regexp/HOF path is visible without the MinHash-stage noise the
     # full pipeline_web_curation entry would carry.
     "web_url_dedup",
+    # Round 12 session 4 (optimization round): the two largest
+    # barrier-fusion wins, kept in the headline so a reintroduction of
+    # per-round job barriers (or loss of the budget-gated union-find /
+    # multi-consumer checkpoint reuse) shows up as wall round-over-
+    # round. Borůvka MST = convergence-length loop + driver contraction
+    # under budget; DBSCAN = multi-consumer radius join + star CC.
+    "graph_mst",
+    "spatial_dbscan",
 ]
 
 RUNS = 5
 #: Per-query run-count overrides for heavyweight entries whose
 #: regression signal is far larger than run-to-run noise.
-REDUCED_RUNS = {"graph_kcore_converged": 3}
+REDUCED_RUNS = {"graph_kcore_converged": 3, "graph_mst": 3,
+                "spatial_dbscan": 3}
 
 
 def main() -> None:
