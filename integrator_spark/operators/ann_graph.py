@@ -59,7 +59,12 @@ MATRIX_BUDGET_BYTES = 1 << 30
 #: past it (huge corpora or fat query batches) the kernel falls back to
 #: the per-pair einsum, which works at any n. The matrix's per-element
 #: reduction runs the same sequential-j einsum order as the per-pair
-#: form, so scores are bit-identical on both routes.
+#: form, so scores are bit-identical on both routes. Caveat (r12
+#: ADVICE): NumPy does not *guarantee* identical accumulation across
+#: einsum signatures on every platform/build (SIMD/stride dependent) —
+#: cross-route determinism is pinned by the parity tests on THIS
+#: build, not promised universally; a near-tie beam selection could in
+#: principle differ on another platform.
 SCORE_MATRIX_BUDGET_BYTES = 256 << 20
 
 
@@ -212,6 +217,17 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                          ) -> Iterator[pd.DataFrame]:
                 bids_s, bmat, qids_s, qmat = mat_bc.value
                 srcs, dsts = adj_bc.value
+                # Hoist the float64 corpus copy ONCE per task (r13,
+                # ADVICE): the old per-batch bmat.astype(float64) was
+                # an unbudgeted n×dim×8 transient re-cast for every
+                # query batch. The copy is made only when its own
+                # bytes fit the score-matrix budget — over budget the
+                # per-pair path casts candidate-sized slices as
+                # before. Cast-then-gather equals gather-then-cast
+                # elementwise, so scores are unchanged on both routes.
+                bmat64 = None
+                if bmat.size * 8 <= SCORE_MATRIX_BUDGET_BYTES:
+                    bmat64 = bmat.astype(np.float64)
 
                 for pdf in batches:
                     qids_local = pdf["qid"].to_numpy(dtype=np.int64)
@@ -236,10 +252,12 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                     # the budget (huge corpora / fat batches) the
                     # per-pair path below keeps working at any n.
                     S = None
-                    if nq_l * len(bids_s) * 8 <= SCORE_MATRIX_BUDGET_BYTES:
+                    if (bmat64 is not None
+                            and nq_l * len(bids_s) * 8
+                            <= SCORE_MATRIX_BUDGET_BYTES):
                         S = np.einsum("ij,kj->ik",
                                       qmat[qloc].astype(np.float64),
-                                      bmat.astype(np.float64))
+                                      bmat64)
 
                     def beam_rank(qr: np.ndarray, cd: np.ndarray,
                                   width: int, drop_dups: bool):
@@ -263,7 +281,8 @@ def graph_ann_search(graph: DataFrame, base: DataFrame, queries: DataFrame,
                             cos = np.einsum(
                                 "ij,ij->i",
                                 qmat[qloc[qr]].astype(np.float64),
-                                bmat[ci].astype(np.float64))
+                                bmat64[ci] if bmat64 is not None
+                                else bmat[ci].astype(np.float64))
                         order = np.lexsort((cd, -cos, qr))
                         qr, cd, cos = qr[order], cd[order], cos[order]
                         if drop_dups:

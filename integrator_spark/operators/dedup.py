@@ -21,6 +21,7 @@ moderate cases; drop top-frequency shingles for pathological corpora.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -460,6 +461,53 @@ def exact_dedup_keep_first(df: DataFrame, key_cols: list[str],
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+#: Driver union-find budget for the CC operators, in EDGE ROWS of the
+#: deduped edge frame. Under it, components are contracted in one
+#: bounded Arrow collect + a path-halving union-find (attach larger
+#: root under smaller, so every root IS its component min — the exact
+#: output contract of both distributed fixpoints below); over it, the
+#: distributed loops run unchanged (the 100 TB route). Same pattern and
+#: ceiling class as graph.py's MAX_DRIVER_CONTRACT_EDGES (r12-verified
+#: legitimate small-side-fits kernel); route parity is pinned in
+#: tests/test_operators.py.
+MAX_DRIVER_CC_EDGES = int(os.environ.get(
+    "SPARK_GRAFT_MAX_DRIVER_CC_EDGES", "2000000"))
+
+
+def _driver_components(edges: DataFrame) -> DataFrame | None:
+    """(u, v) long edge frame → (doc_id, cluster_id = component min)
+    via driver union-find when the edge count fits
+    MAX_DRIVER_CC_EDGES, else None (callers fall back to their
+    distributed loop). The node set is exactly the ids appearing in
+    ``edges`` — each operator passes its own prepped edge frame, so
+    per-operator self-loop semantics are preserved. ``edges`` should
+    be checkpointed (the gate counts it)."""
+    if edges.count() > MAX_DRIVER_CC_EDGES:
+        return None
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    cols = list(pdf.columns)
+    for a, b in zip(pdf[cols[0]].to_numpy().tolist(),
+                    pdf[cols[1]].to_numpy().tolist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return edges.sparkSession.createDataFrame(
+        [(n, _find(n)) for n in parent], "doc_id long, cluster_id long")
+
+
 def connected_components_star(pairs: DataFrame, a_col: str = "d1",
                               b_col: str = "d2",
                               max_iterations: int = 50) -> DataFrame:
@@ -500,6 +548,15 @@ def connected_components_star(pairs: DataFrame, a_col: str = "d1",
                           F.col(b_col).cast("long").alias("v"))
              .filter(F.col("u") != F.col("v")).distinct()
              .localCheckpoint(eager=True))
+    # r13 (guide §1.2): each star round costs 3-4 shuffles plus a
+    # signature collect, and percolated components (spatial_dbscan's
+    # one 15k-node cluster at sf0.1) need several rounds of pure
+    # job-barrier overhead. Under the driver budget the whole
+    # contraction is one Arrow collect; over it the loop below is the
+    # scale route. Output row sets are identical (parity-tested).
+    fast = _driver_components(edges)
+    if fast is not None:
+        return fast
     prev_sig = None
     for _ in range(max_iterations):
         # large-star over the symmetric neighborhood
@@ -571,6 +628,15 @@ def connected_components(pairs: DataFrame, a_col: str = "d1",
     # high-diameter graphs — and inherited Catalyst join-stat products
     # would compound across rounds even with plain localCheckpoint.
     edges = edges.localCheckpoint(eager=True)
+    # r13: same driver union-find gate as connected_components_star —
+    # min-label propagation converges to the identical (node →
+    # component min) labeling over the same node set (self-loop nodes
+    # included: the symmetrized edge frame retains them, so they
+    # register as singletons either way). Distributed loop below is
+    # the at-scale fallback.
+    fast = _driver_components(edges)
+    if fast is not None:
+        return fast
     labels = labels.localCheckpoint(eager=True)
     prev_sum: object = object()   # sentinel unequal to any sum
     for _ in range(max_iterations):

@@ -240,10 +240,19 @@ def triangle_census(edges: DataFrame, src: str = "src",
                 yield pd.DataFrame({"c": [total]})
 
         par = spark.sparkContext.defaultParallelism
-        tri = (spark.range(n_chunks).repartition(par)
-               .mapInPandas(count_tris, "c long")
-               .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
-                    .alias("n_triangles")))
+        # Materialize the kernel's single-long result eagerly so the
+        # CSR broadcast (~1 GB of int64 arrays at the 32M-edge cap) can
+        # be destroyed NOW instead of leaking one copy per call (r13,
+        # ADVICE: bench sessions run each entry 3-5 times and the
+        # blocks accumulated on driver and executors). The count rides
+        # on as a 1-row literal — same value, same downstream plan
+        # shape as the old lazy aggregate.
+        n_tri = (spark.range(n_chunks).repartition(par)
+                 .mapInPandas(count_tris, "c long")
+                 .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                      .alias("n_triangles")).collect()[0][0])
+        kbc.destroy()
+        tri = spark.createDataFrame([(int(n_tri),)], "n_triangles long")
     if tri is None:
         xy = o.select(F.col("x").alias("w_x"), F.col("y").alias("w_y"))
         yz = o.select(F.col("x").alias("w_y2"), F.col("y").alias("w_z"))
@@ -538,8 +547,13 @@ def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
                     x = parent[x]
                 return x
 
-            for row in chosen.select("cs", "cd").collect():
-                a, b = int(row.cs), int(row.cd)
+            # Arrow transfer, not py4j Row deserialization (r13,
+            # ADVICE): at the 1M-edge ceiling collect() is an order of
+            # magnitude slower and more driver-heap-hungry than
+            # toPandas() + two int64 numpy columns.
+            cpdf = chosen.select("cs", "cd").toPandas()
+            for a, b in zip(cpdf["cs"].to_numpy().tolist(),
+                            cpdf["cd"].to_numpy().tolist()):
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)
                 ra, rb = _find(a), _find(b)

@@ -31,3 +31,15 @@ from . import (  # noqa: F401
     windows,
 )
 from ..streaming import jobs  # noqa: F401
+
+# --- Late registrations: new queries APPEND to registration order. ---
+# The driver verifies the FIRST 50 registered queries; a mid-list insert
+# shifts every later query out of that window (round 12 dropped
+# vec_ann_ivf_det exactly this way). Queries added after round 11 must
+# therefore register here, after every module above, never via a decorator
+# placed mid-module.
+from ..registry import register as _register
+
+_register("dedup_minhash_keep_deletes",
+          oracle=dedup._MINHASH_KEEP_DELETES_ORACLE,
+          tags=("dedup", "neardup", "deletes"))(dedup.dedup_minhash_keep_deletes)

@@ -514,9 +514,11 @@ _MINHASH_KEEP_DELETES_ORACLE = _MINHASH_KEEP_ORACLE.replace(
     f"  AND d.doc_id % {_KEEP_DEL_MOD} <> {_KEEP_DEL_RES}")
 
 
-@register("dedup_minhash_keep_deletes",
-          oracle=_MINHASH_KEEP_DELETES_ORACLE,
-          tags=("dedup", "neardup", "deletes"))
+# NOTE: registered at the END of queries/__init__.py, not here. This query
+# was added mid-file during round 12 and its decorator registration inserted
+# it mid-list, pushing vec_ann_ivf_det out of the driver's first-50 verified
+# window (the round-12 gate failure). Registry rule going forward: new
+# queries APPEND to registration order, never insert.
 def dedup_minhash_keep_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor-set RECOMPUTE after corpus deletes — the text-dedup
     member of the tombstone matrix (vec_hamming_serve_deletes /
@@ -1139,14 +1141,13 @@ def dedup_semantic_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-assignment recovers boundary pairs. Static k=8 pinned for
     the oracle — the adaptive-cell dial lives on the float twin, same
     split as vec_ann_lsh (bits=3 oracle) vs vec_ann_lsh_adaptive."""
-    from .scale import _ivf_det_fit, _ivf_det_rank
+    from .scale import _ivf_det_fit_ranked
 
     e = load_table(spark, sf_dir, "embeddings")
     if not e.head(1):
         return _empty_pairs(spark)
-    q, cent = _ivf_det_fit(e, k=8, iters=4)
-    asg = (_ivf_det_rank(q, cent).filter(F.col("_rn") <= 3)
-           .select("vec_id", "bucket"))
+    q, cent, ranked = _ivf_det_fit_ranked(e, k=8, iters=4, max_rn=3)
+    asg = ranked.select("vec_id", "bucket")
     a = asg.select(F.col("vec_id").alias("id_a"), "bucket")
     b = asg.select(F.col("vec_id").alias("id_b"), "bucket")
     cand = (a.join(b, "bucket")

@@ -321,30 +321,186 @@ ORDER BY vec_id
     return _ivf_det_chain_sql(k, iters) + tail
 
 
-def _ivf_det_fit(e: DataFrame, k: int, iters: int,
-                 dim: int = 64) -> tuple[DataFrame, dict[int, list[int]]]:
-    """Deterministic integer-grid Lloyd k-means shared by
-    vec_ann_ivf_det and the dedup twin (queries/dedup.py): quantize
-    the corpus to the floor(x·2²⁰) grid (checkpointed once), seed from
-    the k smallest (md5(id), id) keys via a distributed
-    TakeOrderedAndProject, then ``iters`` rounds of assign →
-    per-component integer means. The ONLY driver collects are the k
-    seed rows and k×64 component sums per round (the documented
-    ml_logreg posture). Returns (quantized frame, centroid dict)."""
-    q = e.select(
+#: Driver-side det-Lloyd kernel budget (bytes of the n×dim int64
+#: quantized matrix). Under budget the fit collects the matrix through
+#: ONE Arrow transfer and replays the exact integer Lloyd loop in
+#: numpy — collapsing the per-round driver-synchronized Spark jobs
+#: (seed TakeOrdered + iters× assignment/sum collects, ~6 jobs per fit,
+#: ~40 across vec_ann_ivfpq_det's 9 fits) into one collect. Over
+#: budget, the distributed per-round loop below runs unchanged — the
+#: at-scale route (k-means training over a 100 TB corpus samples to a
+#: bounded training set anyway; this gate IS that bound). Route parity
+#: is pinned bit-exactly in tests/test_operators.py.
+DET_FIT_BUDGET_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_DET_FIT_BUDGET_BYTES", str(256 << 20)))
+
+
+def _ivf_det_quantize(e: DataFrame) -> DataFrame:
+    """The shared floor(x·2²⁰) integer-grid projection (eagerly
+    checkpointed: every fit/serve consumer re-reads it)."""
+    return e.select(
         "vec_id",
         F.transform(F.col("embedding").cast("array<double>"),
                     lambda x: F.floor(x * F.lit(1048576.0)).cast("long"))
         .alias("q")).localCheckpoint(eager=True)
+
+
+def _det_collect_q(q: DataFrame, dim: int):
+    """Bounded collect of the quantized frame for the driver-side
+    Lloyd kernel: (ids int64[n], mat int64[n×dim]) when n×dim×8 fits
+    DET_FIT_BUDGET_BYTES, else None (callers take the distributed
+    route). One cheap count job (q is checkpointed) gates the Arrow
+    transfer so the over-budget case never ships data."""
+    import numpy as np
+
+    cap = max(1, DET_FIT_BUDGET_BYTES // (max(dim, 1) * 8))
+    if q.count() > cap:
+        return None
+    pdf = q.select("vec_id", "q").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    if len(pdf) == 0:
+        return ids, np.zeros((0, dim), dtype=np.int64)
+    return ids, np.array(pdf["q"].tolist(), dtype=np.int64)
+
+
+def _np_cent_sims(mat, cent: dict[int, list[int]]):
+    """n×k similarity matrix of the det chain — the SAME ops in the
+    same order as _ivf_det_rank / _det_assign_fold_sql: exact int64
+    dots (values ≤2²⁰, dim 64 → |dot| ≤ 2⁴⁶, no overflow), centroid
+    norms via math.sqrt of exact integer squares, one IEEE double
+    division per cell, -inf for zero-norm centroids. Returns
+    (sorted bucket ids, sims float64[n×k])."""
+    import math
+
+    import numpy as np
+
+    buckets = sorted(cent)
+    cmat = np.array([cent[b] for b in buckets], dtype=np.int64)
+    nrm = np.array([math.sqrt(sum(int(v) * int(v) for v in cent[b]))
+                    for b in buckets], dtype=np.float64)
+    dots = mat @ cmat.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = dots.astype(np.float64) / nrm[None, :]
+    sims[:, nrm == 0.0] = float("-inf")
+    return buckets, sims
+
+
+def _np_lloyd(ids, mat, k: int, iters: int) -> dict[int, list[int]]:
+    """Driver replay of :func:`_ivf_det_fit_q_dist` — identical seeds
+    (k smallest (md5(str(id)), id)), identical assignment (argmax of
+    dot/nrm, ties → lowest bucket: np.argmax's first-max matches the
+    fold's strict->), identical means (exact int64 sums, Python
+    int/int true division then floor — the same arithmetic the
+    distributed loop does on its collected sums), empty buckets keep
+    the old centroid. Bit-equality with the distributed route is
+    pinned in tests."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    order = sorted(range(len(ids)),
+                   key=lambda i: (hashlib.md5(str(int(ids[i])).encode())
+                                  .hexdigest(), int(ids[i])))
+    cent = {i: [int(v) for v in mat[order[i]]]
+            for i in range(min(k, len(ids)))}
+    for _ in range(iters):
+        buckets, sims = _np_cent_sims(mat, cent)
+        asg = sims.argmax(axis=1)
+        sums = np.zeros((len(buckets), mat.shape[1]), dtype=np.int64)
+        np.add.at(sums, asg, mat)
+        cnts = np.bincount(asg, minlength=len(buckets))
+        new = {}
+        for bi, b in enumerate(buckets):
+            if cnts[bi]:
+                new[b] = [math.floor(int(s) / int(cnts[bi]))
+                          for s in sums[bi]]
+        cent.update(new)
+    return cent
+
+
+def _np_det_rank_pdf(ids, mat, cent: dict[int, list[int]], max_rn: int):
+    """Driver twin of :func:`_ivf_det_rank` truncated to the top
+    ``max_rn`` buckets per vector: a stable argsort on -sim reproduces
+    the window's (sim DESC, bucket ASC) order exactly (negation is an
+    exact sign flip; stable ties keep the bucket-ascending column
+    order; -inf for zero-norm centroids sorts last). Returns a pandas
+    frame (vec_id, bucket, _rn) — row-identical to the relational
+    ranking filtered to _rn <= max_rn."""
+    import numpy as np
+    import pandas as pd
+
+    buckets, sims = _np_cent_sims(mat, cent)
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :max_rn]
+    n, r = order.shape
+    return pd.DataFrame({
+        "vec_id": np.repeat(np.asarray(ids, dtype=np.int64), r),
+        "bucket": np.asarray(buckets, dtype=np.int32)[order.ravel()],
+        "_rn": np.tile(np.arange(1, r + 1, dtype=np.int32), n),
+    })
+
+
+def _ivf_det_fit(e: DataFrame, k: int, iters: int,
+                 dim: int = 64) -> tuple[DataFrame, dict[int, list[int]]]:
+    """Deterministic integer-grid Lloyd k-means shared by
+    vec_ann_ivf_det and the dedup twin (queries/dedup.py): quantize
+    the corpus to the floor(x·2²⁰) grid (checkpointed once), then fit
+    via the driver numpy kernel when the matrix fits
+    DET_FIT_BUDGET_BYTES (one Arrow collect, r13 optimization round —
+    guide §1.2: the per-round job barriers were the wall, not the
+    arithmetic), else the distributed loop (seed TakeOrdered + per-
+    round bounded k×dim collects — the documented ml_logreg posture).
+    Returns (quantized frame, centroid dict) — identical on both
+    routes (parity-tested)."""
+    q = _ivf_det_quantize(e)
     return q, _ivf_det_fit_q(q, k, iters, dim)
 
 
 def _ivf_det_fit_q(q: DataFrame, k: int, iters: int,
                    dim: int) -> dict[int, list[int]]:
-    """The Lloyd loop of _ivf_det_fit on an ALREADY-quantized
-    (vec_id, q: array<long>) frame — also the entry point for fits
-    over derived integer vectors (e.g. IVF-PQ residuals, which are
-    integer differences and never pass through the float grid)."""
+    """The Lloyd fit on an ALREADY-quantized (vec_id, q: array<long>)
+    frame — also the entry point for fits over derived integer vectors
+    (e.g. IVF-PQ residuals, which are integer differences and never
+    pass through the float grid). Routes to the driver kernel under
+    budget, else the distributed loop."""
+    got = _det_collect_q(q, dim)
+    if got is not None:
+        return _np_lloyd(got[0], got[1], k, iters)
+    return _ivf_det_fit_q_dist(q, k, iters, dim)
+
+
+def _ivf_det_fit_ranked(
+        e: DataFrame, k: int, iters: int, max_rn: int, dim: int = 64,
+) -> tuple[DataFrame, dict[int, list[int]], DataFrame]:
+    """Fit + centroid ranking in ONE bounded collect: returns
+    (quantized frame, centroids, ranked) where ranked is the
+    (vec_id, bucket, _rn <= max_rn) frame every det-IVF serve path
+    filters from. Under budget the ranking is the driver twin of
+    _ivf_det_rank (no crossJoin, no window exchange — and the ranked
+    subtree is consumed twice by every caller, so the relational form
+    paid that plan twice); over budget it IS _ivf_det_rank filtered
+    to max_rn. Row-identical either way (parity-tested)."""
+    q = _ivf_det_quantize(e)
+    got = _det_collect_q(q, dim)
+    if got is None:
+        cent = _ivf_det_fit_q_dist(q, k, iters, dim)
+        return q, cent, _ivf_det_rank(q, cent).filter(
+            F.col("_rn") <= max_rn)
+    ids, mat = got
+    cent = _np_lloyd(ids, mat, k, iters)
+    ranked = q.sparkSession.createDataFrame(
+        _np_det_rank_pdf(ids, mat, cent, max_rn),
+        "vec_id long, bucket int, _rn int")
+    return q, cent, ranked
+
+
+def _ivf_det_fit_q_dist(q: DataFrame, k: int, iters: int,
+                        dim: int) -> dict[int, list[int]]:
+    """The distributed Lloyd loop (the at-scale route of
+    _ivf_det_fit_q): seed from the k smallest (md5(id), id) keys via a
+    distributed TakeOrderedAndProject, then ``iters`` rounds of
+    assign → per-component integer means. The ONLY driver collects are
+    the k seed rows and k×dim component sums per round."""
     import math
 
     seed_rows = (q.select(F.md5(F.col("vec_id").cast("string"))
@@ -508,8 +664,7 @@ def vec_ann_ivf_det(spark: SparkSession, sf_dir: str, k: int = 16,
     if e.isEmpty():
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, approx_cos double")
-    q, cent = _ivf_det_fit(e, k, iters)
-    ranked = _ivf_det_rank(q, cent)
+    q, cent, ranked = _ivf_det_fit_ranked(e, k, iters, max_rn=n_probe)
     assigned = (ranked.filter(F.col("_rn") <= n_assign)
                 .select(F.col("vec_id").alias("neighbor_id"), "bucket"))
     probed = (ranked.filter(F.col("_rn") <= n_probe)
@@ -556,8 +711,8 @@ def vec_ann_ivf_deletes(spark: SparkSession, sf_dir: str, k: int = 16,
     if e.isEmpty():
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, approx_cos double")
-    q, cent = _ivf_det_fit(e, k, iters)        # trained pre-delete
-    ranked = _ivf_det_rank(q, cent)
+    q, cent, ranked = _ivf_det_fit_ranked(e, k, iters,
+                                          max_rn=n_probe)  # pre-delete fit
     tomb = (e.filter(F.col("vec_id") % 7 == 3).select("vec_id"))
     live = ranked.join(F.broadcast(tomb), "vec_id", "left_anti")
     assigned = (live.filter(F.col("_rn") <= n_assign)
@@ -730,20 +885,37 @@ def vec_ann_pq_det(spark: SparkSession, sf_dir: str, m: int = 8,
     if e.isEmpty():
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, approx_cos double")
-    # Guide §2.6 (overlap independent jobs): the m subspace codebook
-    # fits are fully independent sequential chains of small driver-
-    # synchronized jobs (quantize-checkpoint, seed TakeOrdered, iters
-    # assignment/sum collects each). Run sequentially they leave 31 of
-    # 32 cores idle between barriers; a small thread pool overlaps the
-    # chains so the next fit's tasks back-fill the current one's
-    # stragglers. Each fit's arithmetic is self-contained and
-    # deterministic, and results are re-assembled in subspace order —
-    # output is bit-identical to the sequential loop (oracle-checked).
-    def _fit_sub(s: int):
-        e_s = e.select("vec_id",
-                       F.slice("embedding", s * sub_dim + 1, sub_dim)
-                       .alias("embedding"))
-        q_s, cent = _ivf_det_fit(e_s, k=k, iters=iters, dim=sub_dim)
+    # r13 (guide §1.2): quantize the FULL-dim corpus once — each
+    # subspace's integer grid is exactly the slice of the full grid
+    # (floor(x·2²⁰) is elementwise, so slice∘floor == floor∘slice) —
+    # and run the m codebook fits in the driver numpy kernel from ONE
+    # Arrow collect. The old shape paid m separate quantize-checkpoint
+    # + seed + iters×collect chains (~48 driver-synchronized jobs,
+    # thread-pooled but still the query's wall). Over budget: the
+    # distributed fits over slices of the shared quantized frame,
+    # overlapped by a small thread pool (guide §2.6).
+    dim = m * sub_dim
+    q = _ivf_det_quantize(e)
+    got = _det_collect_q(q, dim)
+    if got is not None:
+        ids, mat = got
+        cents = [_np_lloyd(ids, mat[:, s * sub_dim:(s + 1) * sub_dim],
+                           k, iters) for s in range(m)]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            cents = list(pool.map(
+                lambda s: _ivf_det_fit_q_dist(
+                    q.select("vec_id",
+                             F.slice("q", s * sub_dim + 1, sub_dim)
+                             .alias("q")),
+                    k=k, iters=iters, dim=sub_dim),
+                range(m)))
+
+    def _sub_relations(s: int):
+        cent = cents[s]
+        q_s = q.select("vec_id",
+                       F.slice("q", s * sub_dim + 1, sub_dim).alias("q"))
         code_s = (_ivf_det_assign(q_s, cent)
                   .select("vec_id", F.lit(s).alias("sub"), "bucket"))
         rows = [(b, [int(v) for v in vals])
@@ -760,9 +932,7 @@ def vec_ann_pq_det(spark: SparkSession, sf_dir: str, m: int = 8,
                            n2.alias("n2"))
         return code_s, lut_s, cn2_s
 
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        parts = list(pool.map(_fit_sub, range(m)))
+    parts = [_sub_relations(s) for s in range(m)]
     codes = [p[0] for p in parts]
     luts = [p[1] for p in parts]
     cn2s = [p[2] for p in parts]
@@ -1028,42 +1198,83 @@ def vec_ann_ivfpq_det(spark: SparkSession, sf_dir: str,
     if e.isEmpty():
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, approx_cos double")
-    q, coarse = _ivf_det_fit(e, k=n_cells, iters=c_iters)
-    crk = _ivf_det_rank(q, coarse)
-    xasg = (crk.filter(F.col("_rn") <= n_assign)
-            .select("vec_id", F.col("bucket").alias("cell")))
+    # r13 (guide §1.2): the whole training side — coarse fit, cell
+    # ranking, top-1 residuals, all m residual codebook fits — runs in
+    # the driver numpy kernel from ONE Arrow collect when the corpus
+    # fits DET_FIT_BUDGET_BYTES. The old shape paid the coarse fit's 6
+    # jobs + 2 checkpoint jobs + m×(r_iters+1) residual-fit collects
+    # (~40 driver-synchronized jobs — the query's wall at sf0.1, where
+    # every job is fixed scheduling overhead). Residuals are exact
+    # int64 differences in both routes; route parity is pinned in
+    # tests. Over budget: the distributed chain below, unchanged.
+    dim = m * sub_dim
+    q = _ivf_det_quantize(e)
+    got = _det_collect_q(q, dim)
+    if got is not None:
+        import numpy as np
+
+        ids, mat = got
+        coarse = _np_lloyd(ids, mat, n_cells, c_iters)
+        crk = spark.createDataFrame(
+            _np_det_rank_pdf(ids, mat, coarse,
+                             max_rn=max(n_assign, n_probe)),
+            "vec_id long, bucket int, _rn int")
+        cbuckets, csims = _np_cent_sims(mat, coarse)
+        cmat = np.array([coarse[b] for b in cbuckets], dtype=np.int64)
+        r1mat = mat - cmat[csims.argmax(axis=1)]   # top-1 cell residuals
+        rcents = [_np_lloyd(ids, r1mat[:, s * sub_dim:(s + 1) * sub_dim],
+                            ksub, r_iters) for s in range(m)]
+        ccdf = spark.createDataFrame(
+            [(b, [int(v) for v in vals])
+             for b, vals in sorted(coarse.items())],
+            "cell int, carr array<long>")
+        xasg = (crk.filter(F.col("_rn") <= n_assign)
+                .select("vec_id", F.col("bucket").alias("cell")))
+        # rq_all feeds codes_wide ONCE on this route (r1 is numpy-side)
+        # — no checkpoint needed.
+        rq_all = (xasg.join(q, "vec_id").join(F.broadcast(ccdf), "cell")
+                  .select("vec_id", "cell",
+                          F.zip_with("q", "carr", lambda a, b: a - b)
+                          .alias("rq")))
+    else:
+        coarse = _ivf_det_fit_q_dist(q, n_cells, c_iters, dim)
+        crk = _ivf_det_rank(q, coarse)
+        ccdf = spark.createDataFrame(
+            [(b, [int(v) for v in vals])
+             for b, vals in sorted(coarse.items())],
+            "cell int, carr array<long>")
+        xasg = (crk.filter(F.col("_rn") <= n_assign)
+                .select("vec_id", F.col("bucket").alias("cell")))
+        rq_all = (xasg.join(q, "vec_id").join(F.broadcast(ccdf), "cell")
+                  .select("vec_id", "cell",
+                          F.zip_with("q", "carr", lambda a, b: a - b)
+                          .alias("rq"))
+                  .localCheckpoint(eager=True))
+        # Checkpoint: the m subspace fits each run iters x 2 jobs over
+        # this frame — without truncation every one would re-derive
+        # the coarse rank window from scratch.
+        r1 = (crk.filter(F.col("_rn") == 1)
+              .select("vec_id", F.col("bucket").alias("cell"))
+              .join(rq_all, ["vec_id", "cell"])
+              .select("vec_id", F.col("rq").alias("q"))
+              .localCheckpoint(eager=True))
+        # Guide §2.6: the m residual-subspace fits are independent
+        # chains of small driver-synchronized jobs over the
+        # checkpointed r1 — overlap them with a thread pool (same
+        # rationale and identical-output argument as vec_ann_pq_det's
+        # subspace fits).
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            rcents = list(pool.map(
+                lambda s: _ivf_det_fit_q_dist(
+                    r1.select("vec_id",
+                              F.slice("q", s * sub_dim + 1, sub_dim)
+                              .alias("q")),
+                    k=ksub, iters=r_iters, dim=sub_dim),
+                range(m)))
     probes = (crk.filter(F.col("_rn") <= n_probe)
               .select(F.col("vec_id").alias("q_id"),
                       F.col("bucket").alias("cell")))
-    ccdf = spark.createDataFrame(
-        [(b, [int(v) for v in vals]) for b, vals in sorted(coarse.items())],
-        "cell int, carr array<long>")
-    rq_all = (xasg.join(q, "vec_id").join(F.broadcast(ccdf), "cell")
-              .select("vec_id", "cell",
-                      F.zip_with("q", "carr", lambda a, b: a - b)
-                      .alias("rq"))
-              .localCheckpoint(eager=True))
-    # Checkpoint: the 8 subspace fits each run iters x 2 jobs over
-    # this frame — without truncation every one would re-derive the
-    # coarse rank window from scratch.
-    r1 = (crk.filter(F.col("_rn") == 1)
-          .select("vec_id", F.col("bucket").alias("cell"))
-          .join(rq_all, ["vec_id", "cell"])
-          .select("vec_id", F.col("rq").alias("q"))
-          .localCheckpoint(eager=True))
-    # Guide §2.6: the m residual-subspace fits are independent chains
-    # of small driver-synchronized jobs over the checkpointed r1 —
-    # overlap them with a thread pool (same rationale and identical-
-    # output argument as vec_ann_pq_det's subspace fits).
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        rcents = list(pool.map(
-            lambda s: _ivf_det_fit_q(
-                r1.select("vec_id",
-                          F.slice("q", s * sub_dim + 1, sub_dim)
-                          .alias("q")),
-                k=ksub, iters=r_iters, dim=sub_dim),
-            range(m)))
     # r12 optimization (guide §2.3/§2.4 — shuffle fewer bytes, remove
     # shuffles): the per-subspace code/LUT/norm relations used to meet
     # in long-format joins — codes_df (8 rows per (x, cell)) × lut_df

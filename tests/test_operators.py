@@ -3216,3 +3216,76 @@ def test_triangle_census_kernel_matches_wedge_join(spark, monkeypatch):
                                       assume_canonical=True).collect()
     assert kernel == relational
     assert kernel[0].n_triangles > 0
+
+
+def test_det_fit_driver_route_parity(spark, monkeypatch):
+    """The driver numpy Lloyd kernel (r13) must reproduce the
+    distributed det-fit loop BIT-EXACTLY: same centroid dicts and the
+    same (vec_id, bucket, _rn) ranking rows — seeds, argmax ties,
+    integer means, -inf zero-norm handling, the (sim DESC, bucket ASC)
+    order. Forcing the budget to 0 exercises the at-scale relational
+    route on the same data."""
+    from integrator_spark.io import load_table
+    from integrator_spark.queries import scale as sc
+    from .conftest import TEST_SF_DIR
+
+    e = load_table(spark, TEST_SF_DIR, "embeddings")
+    q = sc._ivf_det_quantize(e)
+    got = sc._det_collect_q(q, dim=64)
+    assert got is not None
+    ids, mat = got
+    cent_np = sc._np_lloyd(ids, mat, k=8, iters=3)
+    cent_dist = sc._ivf_det_fit_q_dist(q, k=8, iters=3, dim=64)
+    assert cent_np == cent_dist
+
+    ranked_np = sorted(map(tuple, sc._np_det_rank_pdf(
+        ids, mat, cent_np, max_rn=4).itertuples(index=False)))
+    ranked_dist = sorted(
+        (r.vec_id, r.bucket, r._rn)
+        for r in sc._ivf_det_rank(q, cent_dist)
+        .filter(F.col("_rn") <= 4).collect())
+    assert ranked_np == ranked_dist
+
+    # Route switch end-to-end: _ivf_det_fit_ranked under a zero budget
+    # must fall back to the distributed pair and agree.
+    monkeypatch.setattr(sc, "DET_FIT_BUDGET_BYTES", 0)
+    q2, cent2, ranked2 = sc._ivf_det_fit_ranked(e, k=8, iters=3,
+                                                max_rn=4)
+    assert cent2 == cent_np
+    assert sorted((r.vec_id, r.bucket, r._rn)
+                  for r in ranked2.collect()) == ranked_np
+
+
+def test_connected_components_driver_route_parity(spark, monkeypatch):
+    """The r13 driver union-find gate must return the SAME row set as
+    both distributed CC fixpoints (star contraction and min-label
+    propagation) — including singleton-via-self-loop semantics — on a
+    graph with a long chain, two cycles, and a self-loop. (Chain
+    diameter stays under connected_components' max_iterations=20
+    propagation horizon: the driver route computes exact components,
+    while the min-label loop truncates past its round budget — on
+    convergent inputs, which is what every oracle-backed fixture is,
+    the routes are row-identical.)"""
+    from integrator_spark.operators import dedup as dd
+
+    edges = [(i, i + 1) for i in range(0, 15)]           # chain
+    edges += [(100, 101), (101, 102), (102, 100)]        # cycle
+    edges += [(200, 201), (201, 200), (300, 300)]        # dup + self
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+
+    fast_star = sorted(map(tuple, dd.connected_components_star(
+        pairs).collect()))
+    fast_prop = sorted(map(tuple, dd.connected_components(
+        pairs).collect()))
+    monkeypatch.setattr(dd, "MAX_DRIVER_CC_EDGES", 0)
+    slow_star = sorted(map(tuple, dd.connected_components_star(
+        pairs).collect()))
+    slow_prop = sorted(map(tuple, dd.connected_components(
+        pairs).collect()))
+    assert fast_star == slow_star
+    assert fast_prop == slow_prop
+    # every component labeled by its min id
+    assert all(c == 0 for n, c in fast_star if n <= 15)
+    assert {c for n, c in fast_star if 100 <= n <= 102} == {100}
+    # self-loop node kept by the propagation contract
+    assert (300, 300) in fast_prop
