@@ -79,13 +79,27 @@ HEADLINE = [
     # under budget; DBSCAN = multi-consumer radius join + star CC.
     "graph_mst",
     "spatial_dbscan",
+    # Round 13 (VERDICT r12 item 4): scaling sentinels. Every prior
+    # headline entry at sf0.1 is fixed job/driver overhead, so the
+    # driver's 8-vs-32-core ratios all sat at ~1 and the bench could
+    # not demonstrate parallel scaling. These three replicate the
+    # fixture deterministically INSIDE the query (explode over a
+    # literal sequence, recomputed from parquet every run) so compute
+    # dominates: codegen CPU (hash chain), exchange volume (replica-
+    # keyed shingle self-join), and the Python kernel path (CSR
+    # triangle census). All three are oracle-backed registered queries.
+    "scale_sentinel_hash",
+    "scale_sentinel_pairs",
+    "scale_sentinel_triangles",
 ]
 
 RUNS = 5
 #: Per-query run-count overrides for heavyweight entries whose
 #: regression signal is far larger than run-to-run noise.
 REDUCED_RUNS = {"graph_kcore_converged": 3, "graph_mst": 3,
-                "spatial_dbscan": 3}
+                "spatial_dbscan": 3,
+                "scale_sentinel_hash": 3, "scale_sentinel_pairs": 3,
+                "scale_sentinel_triangles": 3}
 
 
 def main() -> None:

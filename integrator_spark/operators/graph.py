@@ -494,27 +494,25 @@ def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
                      F.col(w_col).alias("w")).localCheckpoint(eager=True)
-    labels = (e.select(F.col("s").alias("node"))
-              .unionByName(e.select(F.col("d").alias("node")))
-              .distinct()
-              .select("node", F.col("node").alias("comp")))
-    labels = truncated_checkpoint(labels)
+    # r13 (guide §3/§1.2): component labels ride ON the edge frame
+    # (cs, cd), updated each round by joining the CONTRACTION MAP
+    # (comp -> new comp, <= one entry per merged component) — the old
+    # shape re-joined a full node→label table onto BOTH endpoints of
+    # the original edge list every round (two node-key hash joins of
+    # the whole edge set) and paid a separate checkpoint + isEmpty
+    # probe before the pick. Now the cross-component frontier is a
+    # narrow filter over the carried labels, the relabel is two joins
+    # against the small map (broadcast under the driver budget), and
+    # the per-round driver actions are exactly two: chosen.count()
+    # (which doubles as the emptiness probe and materializes the
+    # round's lazy checkpoints) and the bounded contraction collect.
+    ecur = truncated_checkpoint(
+        e.select("s", "d", "w", F.col("s").alias("cs"),
+                 F.col("d").alias("cd")), eager=False)
     order_w = F.col("w").desc() if maximum else F.col("w").asc()
     msf = spark.createDataFrame([], e.schema)
     for _ in range(max_rounds):
-        ls = labels.select(F.col("node").alias("s"),
-                           F.col("comp").alias("cs"))
-        ld = labels.select(F.col("node").alias("d"),
-                           F.col("comp").alias("cd"))
-        # Checkpoint BEFORE the emptiness probe (r12, guide §1.2): the
-        # old order paid the relabel join twice per round (isEmpty's
-        # partial evaluation, then the checkpoint's full one); probing
-        # the persisted frame costs one trivial scan instead.
-        el = truncated_checkpoint(
-            e.join(ls, "s").join(ld, "d")
-            .filter(F.col("cs") != F.col("cd")))
-        if el.isEmpty():
-            break
+        el = ecur.filter(F.col("cs") != F.col("cd"))
         cand = (el.select(F.col("cs").alias("comp"), "s", "d", "w",
                           "cs", "cd")
                 .unionByName(el.select(F.col("cd").alias("comp"),
@@ -523,7 +521,10 @@ def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
         chosen = (cand.withColumn("_rn", F.row_number().over(win))
                   .filter(F.col("_rn") == 1)
                   .select("s", "d", "w", "cs", "cd").distinct())
-        chosen = truncated_checkpoint(chosen)
+        chosen = truncated_checkpoint(chosen, eager=False)
+        n_chosen = chosen.count()   # materializes + probes in ONE job
+        if n_chosen == 0:
+            break
         msf = msf.unionByName(chosen.select("s", "d", "w"))
         # Contract the chosen-edge graph. It holds <= one edge per
         # component (components at least halve per round), so within
@@ -537,7 +538,6 @@ def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
         # min, the exact (doc_id -> component min) contract of
         # connected_components_star, which remains the over-budget
         # 100 TB fallback.
-        n_chosen = chosen.count()   # cheap: chosen is persisted
         if n_chosen <= MAX_DRIVER_CONTRACT_EDGES:
             parent: dict = {}
 
@@ -564,33 +564,34 @@ def boruvka_msf(edges: DataFrame, src: str = "s", dst: str = "d",
                         parent[ra] = rb
             cc = spark.createDataFrame(
                 [(c, _find(c)) for c in parent], "comp long, newc long")
-            labels = truncated_checkpoint(
-                labels.join(F.broadcast(cc), "comp", "left")
-                .select("node", F.coalesce("newc", "comp").alias("comp")))
+            ms = F.broadcast(cc.select(F.col("comp").alias("cs"),
+                                       F.col("newc").alias("_ns")))
+            md = F.broadcast(cc.select(F.col("comp").alias("cd"),
+                                       F.col("newc").alias("_nd")))
         else:
             from .dedup import connected_components_star
             cc = connected_components_star(
                 chosen.select(F.col("cs").alias("d1"),
                               F.col("cd").alias("d2")), "d1", "d2")
-            cc = cc.select(F.col("doc_id").alias("comp"),
-                           F.col("cluster_id").alias("newc"))
             # No broadcast hint: the round-1 component map is ~n/2 rows
             # (AQE broadcasts it only once contraction shrinks it).
-            labels = truncated_checkpoint(
-                labels.join(cc, "comp", "left")
-                .select("node", F.coalesce("newc", "comp").alias("comp")))
+            ms = cc.select(F.col("doc_id").alias("cs"),
+                           F.col("cluster_id").alias("_ns"))
+            md = cc.select(F.col("doc_id").alias("cd"),
+                           F.col("cluster_id").alias("_nd"))
+        ecur = truncated_checkpoint(
+            ecur.join(ms, "cs", "left").join(md, "cd", "left")
+            .select("s", "d", "w",
+                    F.coalesce("_ns", "cs").alias("cs"),
+                    F.coalesce("_nd", "cd").alias("cd")),
+            eager=False)
     else:
         # Rounds exhausted without the empty-frontier break: verify
         # convergence rather than silently returning a PARTIAL forest.
         # Components at least halve per round, so the default 40
         # rounds cover ~2^40 (1e12) nodes; hitting this means the
         # caller asked for too few rounds for the graph.
-        ls = labels.select(F.col("node").alias("s"),
-                           F.col("comp").alias("cs"))
-        ld = labels.select(F.col("node").alias("d"),
-                           F.col("comp").alias("cd"))
-        if not (e.join(ls, "s").join(ld, "d")
-                .filter(F.col("cs") != F.col("cd")).isEmpty()):
+        if not ecur.filter(F.col("cs") != F.col("cd")).isEmpty():
             raise RuntimeError(
                 f"boruvka_msf: max_rounds={max_rounds} exhausted with "
                 f"cross-component edges remaining — the forest is "

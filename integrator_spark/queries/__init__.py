@@ -43,3 +43,15 @@ from ..registry import register as _register
 _register("dedup_minhash_keep_deletes",
           oracle=dedup._MINHASH_KEEP_DELETES_ORACLE,
           tags=("dedup", "neardup", "deletes"))(dedup.dedup_minhash_keep_deletes)
+
+# r13 scaling sentinels (VERDICT r12 item 4): deterministic in-query
+# fixture replication sized so compute/shuffle dominates scheduling
+# overhead — the entries whose 8-vs-32-core bench ratio demonstrates
+# parallel scaling. See their docstrings in queries/scale.py.
+_register("scale_sentinel_hash", oracle=scale._SENTINEL_HASH_ORACLE,
+          tags=("scale", "sentinel", "cpu"))(scale.scale_sentinel_hash)
+_register("scale_sentinel_pairs", oracle=scale._SENTINEL_PAIRS_ORACLE,
+          tags=("scale", "sentinel", "shuffle"))(scale.scale_sentinel_pairs)
+_register("scale_sentinel_triangles",
+          oracle=scale._SENTINEL_TRI_ORACLE,
+          tags=("scale", "sentinel", "kernel"))(scale.scale_sentinel_triangles)

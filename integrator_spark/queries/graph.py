@@ -120,8 +120,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. tests/test_operators.py additionally property-checks
     the operator against a NumPy power iteration to 1e-9 on fuzzed
     graphs, and asserts mass conservation here."""
+    from ..operators.ckpt import truncated_checkpoint
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5).select("d1", "d2")
+    # r13 (guide §5 reuse rule): the shingle-join pair derivation is
+    # the query's dominant cost and appears TWICE in the edge union
+    # (forward + reversed orientation) — checkpoint it once so the
+    # operator's eager edge materialization computes the join a single
+    # time and the reversed side reads the persisted rows.
+    pairs = truncated_checkpoint(
+        ngram_jaccard_pairs(d, k=3, threshold=0.5).select("d1", "d2"),
+        eager=False)
     edges = pairs.unionByName(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
     ranks = pagerank(edges, src="d1", dst="d2", iterations=10)

@@ -404,6 +404,10 @@ def _np_lloyd(ids, mat, k: int, iters: int) -> dict[int, list[int]]:
                                   .hexdigest(), int(ids[i])))
     cent = {i: [int(v) for v in mat[order[i]]]
             for i in range(min(k, len(ids)))}
+    if not cent:
+        # Empty corpus → empty seed set; the distributed loop's rounds
+        # are all no-ops in that case, so return the (empty) dict now.
+        return cent
     for _ in range(iters):
         buckets, sims = _np_cent_sims(mat, cent)
         asg = sims.argmax(axis=1)
@@ -430,6 +434,12 @@ def _np_det_rank_pdf(ids, mat, cent: dict[int, list[int]], max_rn: int):
     import numpy as np
     import pandas as pd
 
+    if len(ids) == 0 or not cent:
+        # Mirror _ivf_det_rank on empty input: zero ranked rows.
+        return pd.DataFrame({
+            "vec_id": np.array([], dtype=np.int64),
+            "bucket": np.array([], dtype=np.int32),
+            "_rn": np.array([], dtype=np.int32)})
     buckets, sims = _np_cent_sims(mat, cent)
     order = np.argsort(-sims, axis=1, kind="stable")[:, :max_rn]
     n, r = order.shape
@@ -438,6 +448,176 @@ def _np_det_rank_pdf(ids, mat, cent: dict[int, list[int]], max_rn: int):
         "bucket": np.asarray(buckets, dtype=np.int32)[order.ravel()],
         "_rn": np.tile(np.arange(1, r + 1, dtype=np.int32), n),
     })
+
+
+#: Driver-side ADC budget: the PQ compressed-domain scan is allowed on
+#: the driver only while an n×n float64 score matrix would fit — flat
+#: PQ is an EXHAUSTIVE scan by design, so this bounds exactly the
+#: computation's own size, not an auxiliary. Over budget the
+#: relational scan below runs unchanged (the at-scale route).
+DET_ADC_BUDGET_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_DET_ADC_BUDGET_BYTES", str(512 << 20)))
+
+
+def _np_codebook_arrays(cent: dict[int, list[int]]):
+    """(codeword matrix int64[ksub×sub_dim], norms float64[ksub]) in
+    bucket order — the literal arrays _det_assign_fold_sql embeds."""
+    import math
+
+    import numpy as np
+
+    buckets = sorted(cent)
+    w = np.array([cent[b] for b in buckets], dtype=np.int64)
+    nrm = np.array([math.sqrt(sum(int(v) * int(v) for v in cent[b]))
+                    for b in buckets], dtype=np.float64)
+    return w, nrm
+
+
+def _np_sub_codes(vecs, w, nrm):
+    """Per-row nearest codeword of one subspace — identical selection
+    to _det_assign_fold_sql / _ivf_det_rank rn=1 (exact int64 dots,
+    dot/nrm IEEE division, -inf for zero norms, first-max argmax ==
+    lowest-bucket tie)."""
+    import numpy as np
+
+    dots = vecs @ w.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = dots.astype(np.float64) / nrm[None, :]
+    sims[:, nrm == 0.0] = float("-inf")
+    return sims.argmax(axis=1)
+
+
+def _np_topk_pairs(q_arr, x_arr, v_arr, shortlist: int):
+    """(q, x, v) triplets → the per-q top-``shortlist`` pairs under
+    (v DESC, x ASC) after a max-per-(q,x) reduction — the numpy twin
+    of the relational bst→window chain (row_number ties identical:
+    lexsort is stable and keys are exact copies of the SQL sort keys).
+    Returns a pandas frame (vec_id, neighbor_id)."""
+    import numpy as np
+    import pandas as pd
+
+    # bst: max v per (q, x) — first row of each (q, x) run under
+    # (q, x, -v) ascending.
+    order = np.lexsort((-v_arr, x_arr, q_arr))
+    q_arr, x_arr, v_arr = q_arr[order], x_arr[order], v_arr[order]
+    first = np.ones(len(q_arr), dtype=bool)
+    first[1:] = (q_arr[1:] != q_arr[:-1]) | (x_arr[1:] != x_arr[:-1])
+    q_arr, x_arr, v_arr = q_arr[first], x_arr[first], v_arr[first]
+    # shortlist: rank within q under (v DESC, x ASC).
+    order = np.lexsort((x_arr, -v_arr, q_arr))
+    q_arr, x_arr = q_arr[order], x_arr[order]
+    starts = np.ones(len(q_arr), dtype=bool)
+    starts[1:] = q_arr[1:] != q_arr[:-1]
+    run_start = np.maximum.accumulate(
+        np.where(starts, np.arange(len(q_arr)), 0))
+    rank = np.arange(len(q_arr)) - run_start + 1
+    keep = rank <= shortlist
+    return pd.DataFrame({"vec_id": q_arr[keep],
+                         "neighbor_id": x_arr[keep]})
+
+
+def _np_ivfpq_shortlist(ids, mat, coarse, rcents, n_assign, n_probe,
+                        shortlist, m, sub_dim):
+    """Driver replay of vec_ann_ivfpq_det's compressed-domain scan —
+    codes, reconstruction norms, LUTs, probe-bounded residual-ADC
+    scoring, best-per-pair, top-``shortlist`` — all exact int64 (plus
+    the same one IEEE division per score the relational plan does).
+    Returns the shortlist pairs; the exact-cosine rerank stays in
+    Spark. Route parity with the relational scan is pinned end-to-end
+    in tests."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    cbuckets, csims = _np_cent_sims(mat, coarse)
+    corder = np.argsort(-csims, axis=1, kind="stable")
+    cmat = np.array([coarse[b] for b in cbuckets], dtype=np.int64)
+    Ws, Wnrms = zip(*[_np_codebook_arrays(rcents[s]) for s in range(m)])
+    # Per (x, assignment slot): subspace codes + exact reconstruction
+    # norm  Σ_j (cell_j + w_j)².
+    codes = np.zeros((n, n_assign, m), dtype=np.int64)
+    nrm2 = np.zeros((n, n_assign), dtype=np.int64)
+    for a in range(n_assign):
+        cells_a = corder[:, a]
+        rq = mat - cmat[cells_a]
+        recon = np.zeros_like(mat)
+        for s in range(m):
+            cs = _np_sub_codes(rq[:, s * sub_dim:(s + 1) * sub_dim],
+                               Ws[s], Wnrms[s])
+            codes[:, a, s] = cs
+            recon[:, s * sub_dim:(s + 1) * sub_dim] = Ws[s][cs]
+        full = cmat[cells_a] + recon
+        nrm2[:, a] = np.einsum("ij,ij->i", full, full)
+    # Query-side LUTs (n × m × ksub int64 dots) and coarse dots.
+    luts = np.stack([mat[:, s * sub_dim:(s + 1) * sub_dim] @ Ws[s].T
+                     for s in range(m)], axis=1)
+    cdots = mat @ cmat.T
+    # Probe scan, cell by cell: queries probing c × members assigned
+    # to c (any slot), rd = Σ_s lut[q, s, code], v = (rd + cdot)/|x̂|.
+    probe_cells = corder[:, :n_probe]
+    qs_parts, xs_parts, vs_parts = [], [], []
+    for ci in range(len(cbuckets)):
+        q_idx = np.nonzero((probe_cells == ci).any(axis=1))[0]
+        x_idx, x_slot = np.nonzero(corder[:, :n_assign] == ci)
+        if len(q_idx) == 0 or len(x_idx) == 0:
+            continue
+        rd = np.zeros((len(q_idx), len(x_idx)), dtype=np.int64)
+        xc = codes[x_idx, x_slot]                        # nx × m
+        for s in range(m):
+            rd += luts[q_idx][:, s, :][:, xc[:, s]]
+        xn = nrm2[x_idx, x_slot].astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = ((rd + cdots[q_idx, ci][:, None]).astype(np.float64)
+                 / np.sqrt(xn)[None, :])
+        v[:, xn == 0.0] = float("-inf")
+        qq = np.repeat(ids[q_idx], len(x_idx))
+        xx = np.tile(ids[x_idx], len(q_idx))
+        keep = qq != xx                                  # q_id <> x_id
+        qs_parts.append(qq[keep])
+        xs_parts.append(xx[keep])
+        vs_parts.append(v.ravel()[keep])
+    if not qs_parts:
+        import pandas as pd
+        return pd.DataFrame({"vec_id": np.array([], dtype=np.int64),
+                             "neighbor_id": np.array([], dtype=np.int64)})
+    return _np_topk_pairs(np.concatenate(qs_parts),
+                          np.concatenate(xs_parts),
+                          np.concatenate(vs_parts), shortlist)
+
+
+def _np_pq_shortlist(ids, mat, cents, shortlist, m, sub_dim):
+    """Driver replay of vec_ann_pq_det's exhaustive compressed-domain
+    ADC scan (codes, LUT dots, score/|x̂| ranking) → top-``shortlist``
+    pairs. Flat PQ scans every (q, x) pair BY DESIGN, so the n×n score
+    matrix is the computation itself — gated by DET_ADC_BUDGET_BYTES,
+    with the relational scan as the over-budget route."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    Ws, Wnrms = zip(*[_np_codebook_arrays(cents[s]) for s in range(m)])
+    codes = np.stack([_np_sub_codes(mat[:, s * sub_dim:(s + 1) * sub_dim],
+                                    Ws[s], Wnrms[s])
+                      for s in range(m)], axis=1)         # n × m
+    n2 = [np.einsum("ij,ij->i", Ws[s], Ws[s]) for s in range(m)]
+    xnorm = np.zeros(n, dtype=np.int64)
+    for s in range(m):
+        xnorm += n2[s][codes[:, s]]
+    luts = np.stack([mat[:, s * sub_dim:(s + 1) * sub_dim] @ Ws[s].T
+                     for s in range(m)], axis=1)          # n × m × ksub
+    dot = np.zeros((n, n), dtype=np.int64)
+    for s in range(m):
+        dot += luts[:, s, :][:, codes[:, s]]
+    xnf = xnorm.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v = dot.astype(np.float64) / np.sqrt(xnf)[None, :]
+    v[:, xnf == 0.0] = float("-inf")
+    np.fill_diagonal(v, np.nan)                           # q_id <> x_id
+    qq = np.repeat(ids, n)
+    xx = np.tile(ids, n)
+    vv = v.ravel()
+    keep = ~np.isnan(vv)
+    return _np_topk_pairs(qq[keep], xx[keep], vv[keep], shortlist)
 
 
 def _ivf_det_fit(e: DataFrame, k: int, iters: int,
@@ -901,6 +1081,19 @@ def vec_ann_pq_det(spark: SparkSession, sf_dir: str, m: int = 8,
         ids, mat = got
         cents = [_np_lloyd(ids, mat[:, s * sub_dim:(s + 1) * sub_dim],
                            k, iters) for s in range(m)]
+        # Driver ADC (r13): flat PQ's compressed-domain scan is an
+        # exhaustive (q, x) pass BY DESIGN — the relational form
+        # shuffled |n|²·m LUT-contribution rows through a (sub, code)
+        # join + two aggregation exchanges, the query's wall. The same
+        # exact-int64 codes/LUTs/score arithmetic over the collected
+        # matrix is gated by the n×n score-matrix budget; the
+        # exact-cosine rerank stays in Spark. Over budget (or over the
+        # fit budget) → the relational scan below, unchanged.
+        if len(ids) * len(ids) * 8 <= DET_ADC_BUDGET_BYTES:
+            short = spark.createDataFrame(
+                _np_pq_shortlist(ids, mat, cents, shortlist, m, sub_dim),
+                "vec_id long, neighbor_id long")
+            return _det_exact_rerank(short, e)
     else:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=4) as pool:
@@ -1215,15 +1408,29 @@ def vec_ann_ivfpq_det(spark: SparkSession, sf_dir: str,
 
         ids, mat = got
         coarse = _np_lloyd(ids, mat, n_cells, c_iters)
-        crk = spark.createDataFrame(
-            _np_det_rank_pdf(ids, mat, coarse,
-                             max_rn=max(n_assign, n_probe)),
-            "vec_id long, bucket int, _rn int")
         cbuckets, csims = _np_cent_sims(mat, coarse)
         cmat = np.array([coarse[b] for b in cbuckets], dtype=np.int64)
         r1mat = mat - cmat[csims.argmax(axis=1)]   # top-1 cell residuals
         rcents = [_np_lloyd(ids, r1mat[:, s * sub_dim:(s + 1) * sub_dim],
                             ksub, r_iters) for s in range(m)]
+        # Second r13 gate: the compressed-domain probe scan itself.
+        # The relational serve's codes_wide folds and LUT projections
+        # run INTERPRETED (measured: ~7 s codes_wide materialization +
+        # most of a 13.8 s final action at sf0.1 — the walls left
+        # after the fits went numpy); the same exact-int64 arithmetic
+        # over the already-collected matrix is milliseconds. Spark
+        # keeps the exact-cosine rerank. Over budget → the r12
+        # relational scan below, unchanged.
+        if len(ids) * len(ids) * 8 <= DET_ADC_BUDGET_BYTES:
+            short = spark.createDataFrame(
+                _np_ivfpq_shortlist(ids, mat, coarse, rcents, n_assign,
+                                    n_probe, shortlist, m, sub_dim),
+                "vec_id long, neighbor_id long")
+            return _det_exact_rerank(short, e)
+        crk = spark.createDataFrame(
+            _np_det_rank_pdf(ids, mat, coarse,
+                             max_rn=max(n_assign, n_probe)),
+            "vec_id long, bucket int, _rn int")
         ccdf = spark.createDataFrame(
             [(b, [int(v) for v in vals])
              for b, vals in sorted(coarse.items())],
@@ -1362,6 +1569,15 @@ def vec_ann_ivfpq_det(spark: SparkSession, sf_dir: str,
              .filter(F.col("_rn") <= shortlist)
              .select(F.col("q_id").alias("vec_id"),
                      F.col("x_id").alias("neighbor_id")))
+    return _det_exact_rerank(short, e)
+
+
+def _det_exact_rerank(short: DataFrame, e: DataFrame) -> DataFrame:
+    """The shared shortlist→exact-cosine-top-1 tail of the det PQ
+    family: rescore the (vec_id, neighbor_id) shortlist by exact
+    cosine and keep the best per query under (cos DESC, id ASC)."""
+    from ..operators.dedup import _cosine_residual
+
     scored = _cosine_residual(short, e, e, -1.0, "vec_id", "neighbor_id",
                               "vec_id", "embedding")
     w2 = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
@@ -2041,3 +2257,182 @@ def ml_silhouette(spark: SparkSession, sf_dir: str, k: int = 8,
                          .cast("double") / F.count(F.lit(1)), 6)
                  .alias("avg_silhouette"))
             .orderBy("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Scaling sentinels (r13, VERDICT item 4). At sf0.1 every original
+# headline entry is seconds of fixed job/driver overhead, so the
+# driver's 8-vs-32-core bench ratio sits at ~1 for all of them — the
+# bench could not DEMONSTRATE parallel scaling at all. These three
+# entries deterministically replicate the fixture inside the query
+# (explode over a literal sequence — recomputed from parquet on every
+# run, nothing persisted) so that compute/shuffle dominates scheduling
+# overhead and the core-count ratio becomes measurable. One sentinel
+# per resource regime: codegen CPU (hash chain), shuffle + aggregation
+# (replica-keyed shingle self-join), and the Python kernel path
+# (broadcast-CSR triangle counting). Each is oracle-backed — DuckDB
+# replays the replication with a range() lateral — so the driver's
+# correctness gate covers them like any other query.
+# Registered in queries/__init__.py's LATE block (append-only registry
+# order — never mid-module).
+
+#: Replication factors: sized so each sentinel runs ~2-5 s of real
+#: parallel work at sf0.1 on 32 cores (tuned in OPTIMIZATION_r13.md).
+SENTINEL_HASH_REP = 24
+SENTINEL_PAIRS_REP = 4
+SENTINEL_TRI_REP = 6
+#: Node-id offset for disjoint graph replicas (> max part key at any SF).
+_TRI_OFF = 1 << 20
+
+_SENTINEL_HASH_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ascii(substr(h, 1, 1)) + ascii(substr(h, 2, 1))
+                + ascii(substr(h, 3, 1)) + ascii(substr(h, 4, 1)))
+            AS BIGINT) AS s
+FROM (
+  SELECT md5(md5(md5(
+           CAST(l.l_orderkey * {SENTINEL_HASH_REP} + t.r AS VARCHAR)
+           || '|' || CAST(l.l_partkey AS VARCHAR)
+           || '|' || CAST(l.l_suppkey AS VARCHAR)))) AS h
+  FROM lineitem l, range({SENTINEL_HASH_REP}) t(r))
+"""
+
+
+def scale_sentinel_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPU-scaling sentinel: lineitem replicated ×{R} (deterministic
+    explode, per-replica-salted key) through a 3-round md5 chain and an
+    exact integer aggregate. Pure whole-stage-codegen row work after an
+    explicit round-robin repartition to 4× defaultParallelism (the
+    single fixture file would otherwise scan as ONE task and hide the
+    core count) — wall is ~pure compute, so the 8-vs-32-core bench
+    ratio measures parallel speedup, which is this entry's entire
+    purpose (no other headline entry is compute-bound at sf0.1)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey")
+    par = spark.sparkContext.defaultParallelism
+    rep = (li.repartition(4 * par)
+           .select("l_orderkey", "l_partkey", "l_suppkey",
+                   F.explode(F.sequence(
+                       F.lit(0), F.lit(SENTINEL_HASH_REP - 1))).alias("r")))
+    h = F.md5(F.md5(F.md5(F.concat_ws(
+        "|",
+        (F.col("l_orderkey") * SENTINEL_HASH_REP + F.col("r"))
+        .cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string")))))
+    asum = sum([F.ascii(F.substring(h, i, 1)).cast("long")
+                for i in range(1, 5)], F.lit(0).cast("long"))
+    return rep.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(asum).cast("long").alias("s"))
+
+
+_SENTINEL_PAIRS_ORACLE = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT t2.rep, doc_id,
+              w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
+       FROM words, unnest(range(1, len(w) - 1)) t(i),
+            range({SENTINEL_PAIRS_REP}) t2(rep)),
+cnt AS (SELECT rep, doc_id, COUNT(*) AS n FROM sh GROUP BY 1, 2),
+prs AS (SELECT a.rep, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.rep = b.rep AND a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3)
+SELECT p.rep, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM prs p
+JOIN cnt ca ON ca.rep = p.rep AND ca.doc_id = p.d1
+JOIN cnt cb ON cb.rep = p.rep AND cb.doc_id = p.d2
+WHERE p.n_inter * 1.0 / (ca.n + cb.n - p.n_inter) >= 0.5
+GROUP BY p.rep
+ORDER BY p.rep
+"""
+
+
+def scale_sentinel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-scaling sentinel: the ≥0.5-Jaccard shingle self-join
+    (the dedup family's candidate-pair shape) over documents
+    replicated ×{R} with a replica key on every shingle — replicas
+    never collide, so the work is exactly R× the base join: R× the
+    shuffle rows through the (rep, shingle) exchange and R× the
+    (rep, d1, d2) aggregation. Output is R identical per-replica pair
+    counts, each equal to the base count — trivially self-checking on
+    top of the DuckDB replay."""
+    from ..operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    sh_base = shingle_rows(d.repartition(2 * par), k=3)
+    sh = sh_base.select(
+        F.explode(F.sequence(
+            F.lit(0), F.lit(SENTINEL_PAIRS_REP - 1))).alias("rep"),
+        "doc_id", "shingle")
+    cnt = sh.groupBy("rep", "doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select("rep", F.col("doc_id").alias("d1"),
+                  "shingle")
+    b = sh.select(F.col("rep").alias("rep2"),
+                  F.col("doc_id").alias("d2"), "shingle")
+    prs = (a.join(b, (F.col("rep") == F.col("rep2"))
+                  & (a.shingle == b.shingle)
+                  & (F.col("d1") < F.col("d2")))
+           .groupBy("rep", "d1", "d2")
+           .agg(F.count(F.lit(1)).alias("n_inter")))
+    ca = cnt.select("rep", F.col("doc_id").alias("d1"),
+                    F.col("n").alias("na"))
+    cb = cnt.select("rep", F.col("doc_id").alias("d2"),
+                    F.col("n").alias("nb"))
+    return (prs.join(ca, ["rep", "d1"]).join(cb, ["rep", "d2"])
+            .filter(F.col("n_inter") * 1.0
+                    / (F.col("na") + F.col("nb") - F.col("n_inter"))
+                    >= 0.5)
+            .groupBy("rep").agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("rep"))
+
+
+_SENTINEL_TRI_ORACLE = f"""
+WITH base AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+e AS (SELECT s + t.rep * {_TRI_OFF} AS s, d + t.rep * {_TRI_OFF} AS d
+      FROM base, range({SENTINEL_TRI_REP}) t(rep)),
+deg AS (
+  SELECT node, COUNT(*) AS dg FROM (
+    SELECT s AS node FROM e UNION ALL SELECT d FROM e) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e ab JOIN e bc ON ab.d = bc.s
+  JOIN e ac ON ac.s = ab.s AND ac.d = bc.d
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       n_triangles,
+       ROUND(3.0 * n_triangles
+             / (SELECT SUM(dg * (dg - 1) / 2) FROM deg), 9)
+         AS clustering_coeff
+FROM tri
+"""
+
+
+def scale_sentinel_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-scaling sentinel: the broadcast-CSR triangle census over
+    {R} DISJOINT copies of the co-purchase graph (node ids offset per
+    replica, so the census is exactly R× the base counts and the
+    clustering coefficient is unchanged). The base pair join runs
+    once; the explode multiplies only the census input, whose
+    mapInPandas CSR kernel chunks 65536 edges per task — the Python
+    kernel path's parallel-speedup probe, as the hash sentinel is
+    codegen's and the pairs sentinel is the exchange's."""
+    from ..operators.graph import triangle_census
+    from .graph import _copurchase_edges
+
+    base = _copurchase_edges(spark, sf_dir)
+    edges = (base.select(
+        F.explode(F.sequence(
+            F.lit(0), F.lit(SENTINEL_TRI_REP - 1))).alias("rep"),
+        "s", "d")
+        .select((F.col("s") + F.col("rep") * _TRI_OFF).alias("s"),
+                (F.col("d") + F.col("rep") * _TRI_OFF).alias("d")))
+    return triangle_census(edges, src="s", dst="d", assume_canonical=True)

@@ -3289,3 +3289,26 @@ def test_connected_components_driver_route_parity(spark, monkeypatch):
     assert {c for n, c in fast_star if 100 <= n <= 102} == {100}
     # self-loop node kept by the propagation contract
     assert (300, 300) in fast_prop
+
+
+def test_det_adc_driver_route_parity(spark, monkeypatch):
+    """The r13 driver ADC kernels (codes/LUTs/probe scoring/shortlist
+    in exact int64 numpy) must yield the IDENTICAL final rows as the
+    relational compressed-domain scan — end-to-end equality of
+    vec_ann_pq_det and vec_ann_ivfpq_det with the ADC budget forced to
+    0 (relational route) vs default (driver route)."""
+    from integrator_spark.queries import scale as sc
+    from .conftest import TEST_SF_DIR
+
+    fast_pq = sorted(map(tuple, sc.vec_ann_pq_det(
+        spark, TEST_SF_DIR).collect()))
+    fast_ivfpq = sorted(map(tuple, sc.vec_ann_ivfpq_det(
+        spark, TEST_SF_DIR).collect()))
+    monkeypatch.setattr(sc, "DET_ADC_BUDGET_BYTES", 0)
+    slow_pq = sorted(map(tuple, sc.vec_ann_pq_det(
+        spark, TEST_SF_DIR).collect()))
+    slow_ivfpq = sorted(map(tuple, sc.vec_ann_ivfpq_det(
+        spark, TEST_SF_DIR).collect()))
+    assert fast_pq == slow_pq
+    assert fast_ivfpq == slow_ivfpq
+    assert len(fast_pq) > 0
