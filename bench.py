@@ -85,12 +85,13 @@ HEADLINE = [
     # not demonstrate parallel scaling. These three replicate the
     # fixture deterministically INSIDE the query (explode over a
     # literal sequence, recomputed from parquet every run) so compute
-    # dominates: codegen CPU (hash chain), exchange volume (replica-
-    # keyed shingle self-join), and the Python kernel path (CSR
-    # triangle census). All three are oracle-backed registered queries.
+    # dominates: codegen CPU (md5 hash chain), the dedup candidate-
+    # verify CPU (levenshtein over banded-join candidates), and the
+    # Python kernel path (per-replica exact-kNN matmuls). All three
+    # are oracle-backed registered queries.
     "scale_sentinel_hash",
     "scale_sentinel_pairs",
-    "scale_sentinel_triangles",
+    "scale_sentinel_knn",
 ]
 
 RUNS = 5
@@ -99,7 +100,7 @@ RUNS = 5
 REDUCED_RUNS = {"graph_kcore_converged": 3, "graph_mst": 3,
                 "spatial_dbscan": 3,
                 "scale_sentinel_hash": 3, "scale_sentinel_pairs": 3,
-                "scale_sentinel_triangles": 3}
+                "scale_sentinel_knn": 3}
 
 
 def main() -> None:

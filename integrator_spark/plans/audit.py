@@ -64,7 +64,6 @@ CROSS_JOIN_ALLOWED = {
     "dedup_embedding_lsh_recall",  # three 1-row count frames crossJoined
     "dedup_semantic_recall",   # three 1-row count frames crossJoined
     "graph_triangles",     # three 1-row census frames crossJoined
-    "scale_sentinel_triangles",  # same census assembly, replicated input
     "basket_rules",        # 1-row basket-total frame broadcast to rules
     "stats_bootstrap",     # bounded B-replicate explode + 1-row estimate
     "stats_survival",      # 1-row observation-horizon frame broadcast

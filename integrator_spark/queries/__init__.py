@@ -52,6 +52,5 @@ _register("scale_sentinel_hash", oracle=scale._SENTINEL_HASH_ORACLE,
           tags=("scale", "sentinel", "cpu"))(scale.scale_sentinel_hash)
 _register("scale_sentinel_pairs", oracle=scale._SENTINEL_PAIRS_ORACLE,
           tags=("scale", "sentinel", "shuffle"))(scale.scale_sentinel_pairs)
-_register("scale_sentinel_triangles",
-          oracle=scale._SENTINEL_TRI_ORACLE,
-          tags=("scale", "sentinel", "kernel"))(scale.scale_sentinel_triangles)
+_register("scale_sentinel_knn", oracle=scale._SENTINEL_KNN_ORACLE,
+          tags=("scale", "sentinel", "kernel"))(scale.scale_sentinel_knn)

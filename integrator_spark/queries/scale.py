@@ -2277,12 +2277,19 @@ def ml_silhouette(spark: SparkSession, sf_dir: str, k: int = 8,
 # order — never mid-module).
 
 #: Replication factors: sized so each sentinel runs ~2-5 s of real
-#: parallel work at sf0.1 on 32 cores (tuned in OPTIMIZATION_r13.md).
-SENTINEL_HASH_REP = 24
-SENTINEL_PAIRS_REP = 4
-SENTINEL_TRI_REP = 6
-#: Node-id offset for disjoint graph replicas (> max part key at any SF).
-_TRI_OFF = 1 << 20
+#: parallel work at sf0.1 on 32 cores (tuned in OPTIMIZATION_r13.md —
+#: first cut used an exchange-volume pairs sentinel and a replicated
+#: CSR triangle census; measured 8-vs-32-core ratios were ~1.0 and
+#: ~0.7: the sf0.1-sized exchange is latency-bound, not core-bound,
+#: and the census replication ballooned the per-worker kernel
+#: broadcast. Both were replaced by CPU-dominated stages of the same
+#: families: a levenshtein candidate-verify and a per-replica matmul
+#: kernel).
+SENTINEL_HASH_REP = 48
+SENTINEL_PAIRS_REP = 2
+SENTINEL_KNN_REP = 384
+#: Id offset for disjoint replicas (> max id at any fixture SF).
+_REP_OFF = 1 << 20
 
 _SENTINEL_HASH_ORACLE = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -2328,111 +2335,145 @@ def scale_sentinel_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SENTINEL_PAIRS_ORACLE = f"""
 WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT DISTINCT t2.rep, doc_id,
+sh AS (SELECT DISTINCT doc_id,
               w[i] || '|' || w[i+1] || '|' || w[i+2] AS shingle
-       FROM words, unnest(range(1, len(w) - 1)) t(i),
-            range({SENTINEL_PAIRS_REP}) t2(rep)),
-cnt AS (SELECT rep, doc_id, COUNT(*) AS n FROM sh GROUP BY 1, 2),
-prs AS (SELECT a.rep, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b
-          ON a.rep = b.rep AND a.shingle = b.shingle
-             AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3)
-SELECT p.rep, CAST(COUNT(*) AS BIGINT) AS n_pairs
-FROM prs p
-JOIN cnt ca ON ca.rep = p.rep AND ca.doc_id = p.d1
-JOIN cnt cb ON cb.rep = p.rep AND cb.doc_id = p.d2
-WHERE p.n_inter * 1.0 / (ca.n + cb.n - p.n_inter) >= 0.5
-GROUP BY p.rep
-ORDER BY p.rep
+       FROM words, unnest(range(1, len(w) - 1)) t(i)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+lev AS (SELECT t.rep, c.d1, c.d2,
+               levenshtein(substr(da.text, 1, 96),
+                           substr(db.text, 1, 96)) AS dist
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.d1
+        JOIN documents db ON db.doc_id = c.d2,
+        range({SENTINEL_PAIRS_REP}) t(rep))
+SELECT rep, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       CAST(SUM(CASE WHEN dist <= 48 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match
+FROM lev GROUP BY rep ORDER BY rep
 """
 
 
 def scale_sentinel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle-scaling sentinel: the ≥0.5-Jaccard shingle self-join
-    (the dedup family's candidate-pair shape) over documents
-    replicated ×{R} with a replica key on every shingle — replicas
-    never collide, so the work is exactly R× the base join: R× the
-    shuffle rows through the (rep, shingle) exchange and R× the
-    (rep, d1, d2) aggregation. Output is R identical per-replica pair
-    counts, each equal to the base count — trivially self-checking on
-    top of the DuckDB replay."""
+    """Dedup-family scaling sentinel: shingle-equality CANDIDATE pairs
+    (the LSH-style banded-join shape, ~1.1M distinct pairs at sf0.1)
+    verified by an exact levenshtein over the texts' 96-char prefixes,
+    replicated ×SENTINEL_PAIRS_REP. The verify stage is pure
+    whole-stage-codegen CPU (a 96×96 DP per pair — the candidate-
+    verification step every at-scale dedup pipeline pays), so the
+    8-vs-32-core ratio measures parallel speedup. A first cut measured
+    the candidate JOIN alone: at sf0.1 the exchange is latency-bound
+    (ratio ~1.0), which is itself the finding that motivated making
+    the probe compute-bound."""
     from ..operators.dedup import shingle_rows
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     par = spark.sparkContext.defaultParallelism
-    sh_base = shingle_rows(d.repartition(2 * par), k=3)
-    sh = sh_base.select(
-        F.explode(F.sequence(
-            F.lit(0), F.lit(SENTINEL_PAIRS_REP - 1))).alias("rep"),
-        "doc_id", "shingle")
-    cnt = sh.groupBy("rep", "doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select("rep", F.col("doc_id").alias("d1"),
-                  "shingle")
-    b = sh.select(F.col("rep").alias("rep2"),
-                  F.col("doc_id").alias("d2"), "shingle")
-    prs = (a.join(b, (F.col("rep") == F.col("rep2"))
-                  & (a.shingle == b.shingle)
-                  & (F.col("d1") < F.col("d2")))
-           .groupBy("rep", "d1", "d2")
-           .agg(F.count(F.lit(1)).alias("n_inter")))
-    ca = cnt.select("rep", F.col("doc_id").alias("d1"),
-                    F.col("n").alias("na"))
-    cb = cnt.select("rep", F.col("doc_id").alias("d2"),
-                    F.col("n").alias("nb"))
-    return (prs.join(ca, ["rep", "d1"]).join(cb, ["rep", "d2"])
-            .filter(F.col("n_inter") * 1.0
-                    / (F.col("na") + F.col("nb") - F.col("n_inter"))
-                    >= 0.5)
-            .groupBy("rep").agg(F.count(F.lit(1)).alias("n_pairs"))
+    sh = shingle_rows(d.repartition(2 * par), k=3)
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    cand = (a.join(b, "shingle").filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").distinct())
+    ta = d.select(F.col("doc_id").alias("d1"),
+                  F.substring("text", 1, 96).alias("_ta"))
+    tb = d.select(F.col("doc_id").alias("d2"),
+                  F.substring("text", 1, 96).alias("_tb"))
+    # Explicit round-robin repartition BEFORE the DP stage: the
+    # candidate frame leaves the distinct as a few AQE-coalesced
+    # ~30 MB partitions, which would run the CPU-heavy verify on 1-2
+    # tasks (measured: 81 s flat across core counts — the exact
+    # failure mode this sentinel exists to expose).
+    lev = (cand.repartition(4 * par)
+           .join(F.broadcast(ta), "d1").join(F.broadcast(tb), "d2")
+           .select("d1", "d2",
+                   F.explode(F.sequence(
+                       F.lit(0),
+                       F.lit(SENTINEL_PAIRS_REP - 1))).alias("rep"),
+                   F.levenshtein("_ta", "_tb").alias("dist")))
+    return (lev.groupBy("rep")
+            .agg(F.count(F.lit(1)).alias("n_cand"),
+                 F.sum(F.when(F.col("dist") <= 48, 1).otherwise(0))
+                 .cast("long").alias("n_match"))
             .orderBy("rep"))
 
 
-_SENTINEL_TRI_ORACLE = f"""
+_SENTINEL_KNN_ORACLE = f"""
 WITH base AS (
-  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-),
-e AS (SELECT s + t.rep * {_TRI_OFF} AS s, d + t.rep * {_TRI_OFF} AS d
-      FROM base, range({SENTINEL_TRI_REP}) t(rep)),
-deg AS (
-  SELECT node, COUNT(*) AS dg FROM (
-    SELECT s AS node FROM e UNION ALL SELECT d FROM e) GROUP BY node
-),
-tri AS (
-  SELECT COUNT(*) AS n_triangles
-  FROM e ab JOIN e bc ON ab.d = bc.s
-  JOIN e ac ON ac.s = ab.s AND ac.d = bc.d
+  SELECT a.vec_id,
+         b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id <> b.vec_id
+  QUALIFY row_number() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                     6) DESC,
+               b.vec_id) = 1
 )
-SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
-       (SELECT COUNT(*) FROM e) AS n_edges,
-       (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
-       n_triangles,
-       ROUND(3.0 * n_triangles
-             / (SELECT SUM(dg * (dg - 1) / 2) FROM deg), 9)
-         AS clustering_coeff
-FROM tri
+SELECT t.rep,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(cos_sim * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cos_micros
+FROM base, range({SENTINEL_KNN_REP}) t(rep)
+GROUP BY t.rep
+ORDER BY t.rep
 """
 
 
-def scale_sentinel_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kernel-scaling sentinel: the broadcast-CSR triangle census over
-    {R} DISJOINT copies of the co-purchase graph (node ids offset per
-    replica, so the census is exactly R× the base counts and the
-    clustering coefficient is unchanged). The base pair join runs
-    once; the explode multiplies only the census input, whose
-    mapInPandas CSR kernel chunks 65536 edges per task — the Python
-    kernel path's parallel-speedup probe, as the hash sentinel is
-    codegen's and the pairs sentinel is the exchange's."""
-    from ..operators.graph import triangle_census
-    from .graph import _copurchase_edges
+def scale_sentinel_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numpy-kernel scaling sentinel: exact cosine top-1 over
+    SENTINEL_KNN_REP disjoint replicas of the embedding corpus (ids
+    offset per replica), each replica scored independently by the
+    repo's canonical grouped matmul kernel (applyInPandas, one
+    2000×2000×64 float64 matmul per task at sf0.1) — the Python-kernel
+    path's parallel-speedup probe (the hash sentinel covers codegen,
+    the pairs sentinel the candidate-verify CPU). Scoring arithmetic
+    and the grid-before-select tie-break are
+    operators/knn._chunked_topk_rows — the same kernel vec_knn's
+    oracle-verified route uses. The oracle exploits that replicas are
+    identical point sets and the constant id offset preserves id
+    order: per-replica top-1 == base top-1 shifted, so DuckDB computes
+    the base scan once and expands — the ENGINE still does the full
+    per-replica work, which is the point of the sentinel. Each task
+    also REDUCES its replica to one (n, Σ round(cos·10⁶)) row — the
+    6-dp kernel grid makes the micro-unit sum exact int64, so R scales
+    the measured compute without scaling the collected result (a first
+    cut emitted R×n neighbor rows and the driver collect drowned the
+    kernel signal)."""
+    import pandas as pd
 
-    base = _copurchase_edges(spark, sf_dir)
-    edges = (base.select(
-        F.explode(F.sequence(
-            F.lit(0), F.lit(SENTINEL_TRI_REP - 1))).alias("rep"),
-        "s", "d")
-        .select((F.col("s") + F.col("rep") * _TRI_OFF).alias("s"),
-                (F.col("d") + F.col("rep") * _TRI_OFF).alias("d")))
-    return triangle_census(edges, src="s", dst="d", assume_canonical=True)
+    from ..operators.knn import _chunked_topk_rows
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rep = (e.repartition(spark.sparkContext.defaultParallelism)
+           .select(F.explode(F.sequence(
+               F.lit(0), F.lit(SENTINEL_KNN_REP - 1))).alias("rep"),
+               "vec_id", "embedding")
+           .select("rep",
+                   (F.col("vec_id") + F.col("rep") * _REP_OFF)
+                   .alias("vec_id"),
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+
+    def _topk_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        rows = _chunked_topk_rows(ids, mat, ids, mat, k=1)
+        micros = sum(int(math.floor(c * 1e6 + 0.5)) for _, _, c in rows)
+        return pd.DataFrame({"rep": [int(key[0])],
+                             "n_vecs": [len(rows)],
+                             "sum_cos_micros": [micros]})
+
+    return (rep.groupBy("rep")
+            .applyInPandas(_topk_group,
+                           "rep int, n_vecs long, sum_cos_micros long")
+            .orderBy("rep"))
