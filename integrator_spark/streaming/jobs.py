@@ -761,7 +761,23 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                "p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"),
         "inner")
         .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id"))
-    return run_available_now(joined, sf_dir, "stream_join")
+    # r13 (guide §1.2): an INNER stream-stream join emits every match
+    # eagerly in the data batches — the trailing zero-row watermark
+    # batch only evicts state (measured: 5.7 s of the 16.2 s wall,
+    # pure state-store commit churn across 32 partitions × 4 stores)
+    # and this bounded replay wipes its checkpoint on every run anyway.
+    # Skip it for THIS query only: output is row-identical
+    # (oracle-checked). stream_join_outer MUST keep the no-data batch —
+    # it is what emits the null-extended rows once the watermark
+    # proves no match can arrive.
+    conf = spark.conf
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = conf.get(key, "true")
+    conf.set(key, "false")
+    try:
+        return run_available_now(joined, sf_dir, "stream_join")
+    finally:
+        conf.set(key, old)
 
 
 @register("stream_static_join", oracle="""
