@@ -2285,7 +2285,7 @@ def ml_silhouette(spark: SparkSession, sf_dir: str, k: int = 8,
 #: broadcast. Both were replaced by CPU-dominated stages of the same
 #: families: a levenshtein candidate-verify and a per-replica matmul
 #: kernel).
-SENTINEL_HASH_REP = 48
+SENTINEL_HASH_REP = 96
 SENTINEL_PAIRS_REP = 2
 SENTINEL_KNN_REP = 384
 #: Id offset for disjoint replicas (> max id at any fixture SF).
